@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is fully executed (collect)
+so the number is end-to-end plan+shuffle+result time, not lazy-plan time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: exercised shapes — scan-agg, join-topN, 6-way join,
+# selective agg, plus the heaviest gaze/dedup operators as they land.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue",
+    "match_nearest",
+    "resample_linear",
+    "sessionize",
+    "cluster_stats",
+    "gaze_error",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "calibration_tps",
+]
+
+
+def main() -> None:
+    from vedb_gaze_spark.plans.queries import QUERIES
+    from vedb_gaze_spark.session import get_spark
+
+    spark = get_spark("vgs-bench")
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    names = [n for n in HEADLINE if n in QUERIES]
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # plan, not first-touch JIT.
+    QUERIES[names[0]](spark, SF_DIR).collect()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).collect()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

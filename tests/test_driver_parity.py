@@ -1,0 +1,59 @@
+"""Replicates the driver's correctness gate: for every queries() entry with
+an oracle, run the Spark plan and the DuckDB SQL on the same parquet and
+compare row count, column names, and values (order-insensitive).
+
+Floats are compared bit-for-bit — the engine is designed so SQL-oracled
+outputs are either exact-by-construction (integer-cents math) or explicitly
+rounded on both sides. A failure here is a failure of the real gate.
+"""
+
+import datetime
+import math
+
+import pytest
+
+from vedb_gaze_spark.plans.queries import ORACLES, QUERIES
+
+
+def canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, bool):
+                v = int(v)
+            elif isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+            elif isinstance(v, datetime.datetime):
+                v = v.isoformat()
+            elif isinstance(v, (list, tuple)):
+                v = tuple(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    sdf = QUERIES[name](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+
+    res = duck.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+
+    sc, dc = canon(srows, scols), canon(drows, dcols)
+    for i, (a, b) in enumerate(zip(sc, dc)):
+        assert a == b, f"{name}: row {i} differs:\n spark={a}\n duck ={b}"
+
+
+def test_every_query_has_entry():
+    assert set(ORACLES) <= set(QUERIES)

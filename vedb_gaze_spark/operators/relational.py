@@ -1,0 +1,125 @@
+"""Relational query surface — scan/filter/aggregate/join plans in the four
+canonical TPC-H shapes. These exercise the engine the way the reference's
+pipelines.py exercises its DAG: multi-stage dataflow over columnar inputs.
+
+Scale notes (100 TB):
+- every money aggregate runs on exact BIGINT cents (order-independent →
+  deterministic under any partitioning, and cheaper to shuffle than
+  decimals);
+- dimension joins (region/nation/supplier/customer) are explicitly
+  broadcast — no shuffle of the fact table on a dim key;
+- filters are plain column predicates on the scan so parquet pushdown and
+  partition pruning apply (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vedb_gaze_spark.functions.core import cents
+from vedb_gaze_spark.plans import params as P
+
+
+def q1_pricing_summary(lineitem: DataFrame, cutoff: str = P.Q1_CUTOFF) -> DataFrame:
+    """TPC-H Q1 shape: single-pass scan → filter → grouped aggregate.
+
+    Map-side partial aggregation collapses 100 TB of lineitem to a handful
+    of groups before the (tiny) shuffle; all sums are exact integers.
+    """
+    li = lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+    ep = cents("l_extendedprice")
+    disc1 = cents(1.0 - F.col("l_discount"))  # scale 100
+    tax1 = cents(1.0 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty"),
+            (F.sum(ep) / 100.0).alias("sum_base_price"),
+            (F.sum(ep * disc1) / 10000.0).alias("sum_disc_price"),
+            (F.sum(ep * disc1 * tax1) / 1000000.0).alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("long")) / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(ep) / F.count(F.lit(1)) / 100.0).alias("avg_price"),
+            (F.sum(cents("l_discount")) / F.count(F.lit(1)) / 100.0).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → grouped top-N.
+
+    customer(filtered) is broadcast into orders; lineitem joins on
+    o_orderkey (its natural clustering key). Top-N runs as a partial
+    per-partition limit before the single-row-group final sort.
+    """
+    cust = customer.where(F.col("c_mktsegment") == P.Q3_SEGMENT).select("c_custkey")
+    ords = orders.where(F.col("o_orderdate") < F.lit(P.Q3_DATE).cast("timestamp")).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.where(F.col("l_shipdate") > F.lit(P.Q3_DATE).cast("timestamp")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = cents("l_extendedprice") * cents(1.0 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join, dims broadcast, facts co-joined on
+    their natural keys; revenue per nation for one region-year."""
+    reg = region.where(F.col("r_name") == P.Q5_REGION)
+    nat = nation.join(F.broadcast(reg), nation.n_regionkey == reg.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(P.Q5_DATE_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(P.Q5_DATE_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    rev = cents("l_extendedprice") * cents(1.0 - F.col("l_discount"))
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        # customer is fact-sized at scale — shuffle join on the equi key,
+        # never broadcast (AQE may still downgrade it to broadcast at
+        # small SF, which is exactly the right call there).
+        .join(customer.select("c_custkey", "c_nationkey"),
+              (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q6_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan-side filters → scalar agg.
+    All four predicates reach the parquet reader as PushedFilters."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(P.Q6_DATE_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(P.Q6_DATE_TO).cast("timestamp"))
+        & (F.col("l_discount") >= P.Q6_DISCOUNT_LO)
+        & (F.col("l_discount") <= P.Q6_DISCOUNT_HI)
+        & (F.col("l_quantity") < P.Q6_QUANTITY)
+    )
+    rev = cents("l_extendedprice") * cents("l_discount")
+    return li.agg((F.sum(rev) / 10000.0).alias("revenue"))

@@ -1,0 +1,37 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the same
+builder applies (master comes from spark-submit). Defaults chosen for the
+100 TB target: AQE on (runtime coalesce + skew-join split), Arrow for every
+pandas exchange, and shuffle partitions sized by the environment rather
+than hardcoded in operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "vedb-gaze-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER_OVERRIDE_DISABLED"):
+        # In tests / local runs there is no cluster manager; on a real
+        # cluster spark-submit's --master wins because getOrCreate reuses
+        # the existing session.
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
