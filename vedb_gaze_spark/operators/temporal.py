@@ -1,0 +1,206 @@
+"""Temporal alignment & resampling operators.
+
+Spark-first re-expression of vedb_gaze/utils.py's time machinery:
+``match_time_points`` (utils.py:67), ``onoff_from_binary`` (utils.py:135),
+``get_frame_indices`` (utils.py:298), ``resample_data`` (utils.py:581).
+
+The reference loops over reference timestamps in Python (O(n·m) per
+session). Here every alignment is a single shuffle on the session key
+(user_id) + window functions inside the partition, so the same plan holds
+on 1000 executors: no driver loops, no cross joins, no global sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vedb_gaze_spark.functions.core import tsec
+from vedb_gaze_spark.plans import params as P
+
+
+def with_tsec(events: DataFrame) -> DataFrame:
+    """events + ``t`` = epoch seconds (double, exact integer-micros base)."""
+    return events.withColumn("t", tsec("ts"))
+
+
+def match_nearest(events: DataFrame, ref_type: str = "click", sig_type: str = "view") -> DataFrame:
+    """Nearest-in-time alignment — match_time_points with window=None
+    (utils.py:101 'Nearest frame selection', np.argmin(|t - frame_time|)).
+
+    One shuffle on user_id; prev/next signal rows come from two frames of
+    the same sorted window, so the sort is reused. Ties (equidistant
+    prev/next) resolve to the earlier signal, exactly like np.argmin takes
+    the first minimum.
+    """
+    e = (
+        with_tsec(events)
+        .where(F.col("event_type").isin(ref_type, sig_type))
+        .select("user_id", "event_id", "event_type", "t")
+    )
+    is_sig = F.col("event_type") == sig_type
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    nxt = w.rowsBetween(1, Window.unboundedFollowing)
+    sig_t = F.when(is_sig, F.col("t"))
+    sig_id = F.when(is_sig, F.col("event_id"))
+    matched = (
+        e.withColumn("prev_t", F.last(sig_t, ignorenulls=True).over(prev))
+        .withColumn("prev_id", F.last(sig_id, ignorenulls=True).over(prev))
+        .withColumn("next_t", F.first(sig_t, ignorenulls=True).over(nxt))
+        .withColumn("next_id", F.first(sig_id, ignorenulls=True).over(nxt))
+        .where(~is_sig)
+    )
+    d_prev = F.col("t") - F.col("prev_t")
+    d_next = F.col("next_t") - F.col("t")
+    use_prev = F.col("next_t").isNull() | (F.col("prev_t").isNotNull() & (d_prev <= d_next))
+    return (
+        matched.where(F.col("prev_t").isNotNull() | F.col("next_t").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.when(use_prev, F.col("prev_id")).otherwise(F.col("next_id")).alias("matched_event_id"),
+            F.round(F.when(use_prev, d_prev).otherwise(d_next), 6).alias("dist_sec"),
+        )
+    )
+
+
+def match_window_median(
+    events: DataFrame,
+    ref_type: str = "click",
+    sig_type: str = "view",
+    window_s: float = P.MATCH_WINDOW_S,
+) -> DataFrame:
+    """Windowed median alignment — match_time_points with window=w
+    (utils.py:106-114: all frames within `window`, reduced by fn=median).
+
+    Scale path: the band join is bucketized — each signal lands in bucket
+    floor(t/w); each reference probes buckets {b-1, b, b+1}. That turns an
+    O(n·m)-per-user range join into an equi shuffle join whose candidate
+    set per row is bounded by 3 buckets, independent of total data size.
+    """
+    e = with_tsec(events)
+    sig = e.where(F.col("event_type") == sig_type).select(
+        "user_id",
+        F.col("t").alias("sig_t"),
+        F.col("value").alias("sig_value"),
+        F.floor(F.col("t") / window_s).alias("bucket"),
+    )
+    ref = (
+        e.where(F.col("event_type") == ref_type)
+        .select("user_id", "event_id", "t")
+        .withColumn("bucket", F.explode(F.array(
+            F.floor(F.col("t") / window_s) - 1,
+            F.floor(F.col("t") / window_s),
+            F.floor(F.col("t") / window_s) + 1,
+        )))
+    )
+    joined = ref.join(sig, ["user_id", "bucket"]).where(
+        F.abs(F.col("sig_t") - F.col("t")) <= window_s
+    )
+    return (
+        joined.groupBy("user_id", "event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.round(F.median("sig_value"), 6).alias("med_value"),
+        )
+    )
+
+
+def run_length(events: DataFrame, flag_type: str = "error") -> DataFrame:
+    """Run-length encoding of a binary signal — onoff_from_binary
+    (utils.py:135): maximal runs of consecutive `flag_type` rows per user,
+    with onset/offset/duration. Gaps-and-islands with one shuffle."""
+    e = with_tsec(events).select(
+        "user_id", "event_id", "t", F.unix_micros("ts").alias("t_us"),
+        (F.col("event_type") == flag_type).cast("int").alias("flag"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    runs = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("flag") == 1)
+        .withColumn("grp", F.col("rn") - F.row_number().over(w))
+    )
+    return (
+        runs.groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").alias("start_event_id"),
+            F.max("event_id").alias("end_event_id"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("t_us").alias("onset_us"),
+            F.max("t_us").alias("offset_us"),
+            (F.max("t_us") - F.min("t_us")).alias("duration_us"),
+        )
+        .drop("grp")
+    )
+
+
+def time_slice(
+    events: DataFrame,
+    t_from: str = "2024-01-10",
+    t_to: str = "2024-01-20",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Time-range selection — get_frame_indices (utils.py:298) /
+    time_to_index (utils.py:216). A pure scan predicate: both bounds and
+    the type filter reach parquet as PushedFilters, so at 100 TB this
+    reads only the matching row groups / partitions."""
+    return events.where(
+        (F.col("ts") > F.lit(t_from).cast("timestamp"))
+        & (F.col("ts") < F.lit(t_to).cast("timestamp"))
+        & (F.col("event_type") == event_type)
+    ).select("event_id", "user_id", "ts", "value")
+
+
+def resample_linear(
+    events: DataFrame,
+    sig_type: str = "view",
+    step_s: float = P.RESAMPLE_STEP_S,
+) -> DataFrame:
+    """Uniform-grid linear interpolation — resample_data with
+    method='linear_interpolation' (utils.py:581-625).
+
+    The grid is generated per user with sequence() (no driver work), then
+    union-merged with the signal and swept with two frames of ONE sorted
+    window — prev/next non-null neighbors — which is the distributed
+    equivalent of scipy.interpolate.interp1d's bracketing. Single shuffle
+    on user_id for grid+signal together.
+    """
+    sig = (
+        with_tsec(events)
+        .where(F.col("event_type") == sig_type)
+        .select("user_id", "event_id", "t", "value")
+    )
+    step = F.lit(step_s)
+    bounds = sig.groupBy("user_id").agg(
+        F.ceil(F.min("t") / step).alias("h0"), F.floor(F.max("t") / step).alias("h1")
+    )
+    grid = (
+        bounds.where(F.col("h1") >= F.col("h0"))
+        .select("user_id", F.explode(F.sequence("h0", "h1")).alias("h"))
+        .select(
+            "user_id",
+            (F.col("h") * step).alias("t"),
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(-1).cast("long").alias("event_id"),
+        )
+    )
+    pts = sig.select("user_id", "t", F.lit(0).alias("tag"), "value", "event_id")
+    merged = pts.unionByName(grid)
+    w = Window.partitionBy("user_id").orderBy("t", "tag", "event_id")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    nxt = w.rowsBetween(1, Window.unboundedFollowing)
+    sig_v = F.when(F.col("tag") == 0, F.col("value"))
+    sig_t = F.when(F.col("tag") == 0, F.col("t"))
+    out = (
+        merged.withColumn("v0", F.last(sig_v, ignorenulls=True).over(prev))
+        .withColumn("t0", F.last(sig_t, ignorenulls=True).over(prev))
+        .withColumn("v1", F.first(sig_v, ignorenulls=True).over(nxt))
+        .withColumn("t1", F.first(sig_t, ignorenulls=True).over(nxt))
+        .where((F.col("tag") == 1) & F.col("t0").isNotNull() & F.col("t1").isNotNull())
+    )
+    interp = F.col("v0") + (F.col("v1") - F.col("v0")) * (F.col("t") - F.col("t0")) / (
+        F.col("t1") - F.col("t0")
+    )
+    return out.select("user_id", "t", F.round(interp, 6).alias("value_interp"))

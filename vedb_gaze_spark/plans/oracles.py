@@ -75,3 +75,233 @@ WHERE l_shipdate >= TIMESTAMP '{P.Q6_DATE_FROM}'
   AND l_discount <= {P.Q6_DISCOUNT_HI}
   AND l_quantity <  {P.Q6_QUANTITY}
 """
+
+
+# --- temporal alignment & resampling (SURVEY §2.A) ------------------------
+
+_T = "epoch_us(ts)/1000000.0"
+
+MATCH_NEAREST = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, {_T} AS t
+  FROM events WHERE event_type IN ('click','view')
+), m AS (
+  SELECT *,
+    last_value(CASE WHEN event_type='view' THEN t END IGNORE NULLS) OVER wp AS prev_t,
+    last_value(CASE WHEN event_type='view' THEN event_id END IGNORE NULLS) OVER wp AS prev_id,
+    first_value(CASE WHEN event_type='view' THEN t END IGNORE NULLS) OVER wn AS next_t,
+    first_value(CASE WHEN event_type='view' THEN event_id END IGNORE NULLS) OVER wn AS next_id
+  FROM e
+  WINDOW
+    wp AS (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    wn AS (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id,
+  CASE WHEN next_t IS NULL OR (prev_t IS NOT NULL AND (t - prev_t) <= (next_t - t))
+       THEN prev_id ELSE next_id END AS matched_event_id,
+  round(CASE WHEN next_t IS NULL OR (prev_t IS NOT NULL AND (t - prev_t) <= (next_t - t))
+       THEN t - prev_t ELSE next_t - t END, 6) AS dist_sec
+FROM m
+WHERE event_type = 'click' AND (prev_t IS NOT NULL OR next_t IS NOT NULL)
+"""
+
+MATCH_WINDOW_MEDIAN = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, {_T} AS t, value
+  FROM events WHERE event_type IN ('click','view')
+)
+SELECT r.user_id AS user_id, r.event_id AS event_id,
+       count(*) AS n_matched,
+       round(median(s.value), 6) AS med_value
+FROM e r JOIN e s
+  ON r.user_id = s.user_id AND s.event_type = 'view'
+ AND abs(s.t - r.t) <= {P.MATCH_WINDOW_S}
+WHERE r.event_type = 'click'
+GROUP BY r.user_id, r.event_id
+"""
+
+RUN_LENGTH = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us, {_T} AS t,
+         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS flag
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn FROM e
+), f AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS grp
+  FROM r WHERE flag = 1
+)
+SELECT user_id,
+       min(event_id) AS start_event_id,
+       max(event_id) AS end_event_id,
+       count(*) AS n_events,
+       min(t_us) AS onset_us,
+       max(t_us) AS offset_us,
+       max(t_us) - min(t_us) AS duration_us
+FROM f GROUP BY user_id, grp
+"""
+
+TIME_SLICE = """
+SELECT event_id, user_id, ts, value
+FROM events
+WHERE ts > TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+  AND event_type = 'purchase'
+"""
+
+RESAMPLE_LINEAR = f"""
+WITH sig AS (
+  SELECT user_id, event_id, {_T} AS t, value FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT user_id,
+         CAST(ceil(min(t)/{P.RESAMPLE_STEP_S}) AS BIGINT) AS h0,
+         CAST(floor(max(t)/{P.RESAMPLE_STEP_S}) AS BIGINT) AS h1
+  FROM sig GROUP BY user_id
+), grid AS (
+  SELECT user_id, h * {P.RESAMPLE_STEP_S} AS t, 1 AS tag,
+         CAST(NULL AS DOUBLE) AS value, CAST(-1 AS BIGINT) AS event_id
+  FROM b, unnest(generate_series(h0, h1)) AS g(h)
+  WHERE h1 >= h0
+), pts AS (
+  SELECT user_id, t, 0 AS tag, value, event_id FROM sig
+), m AS (
+  SELECT * FROM pts UNION ALL SELECT * FROM grid
+), wv AS (
+  SELECT *,
+    last_value(CASE WHEN tag=0 THEN value END IGNORE NULLS) OVER w0 AS v0,
+    last_value(CASE WHEN tag=0 THEN t END IGNORE NULLS) OVER w0 AS t0,
+    first_value(CASE WHEN tag=0 THEN value END IGNORE NULLS) OVER w1 AS v1,
+    first_value(CASE WHEN tag=0 THEN t END IGNORE NULLS) OVER w1 AS t1
+  FROM m
+  WINDOW
+    w0 AS (PARTITION BY user_id ORDER BY t, tag, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    w1 AS (PARTITION BY user_id ORDER BY t, tag, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, t, round(v0 + (v1 - v0) * (t - t0) / (t1 - t0), 6) AS value_interp
+FROM wv WHERE tag = 1 AND t0 IS NOT NULL AND t1 IS NOT NULL
+"""
+
+# --- cleaning & outliers (SURVEY §2.B) -------------------------------------
+
+OUTLIERS_Z = f"""
+WITH e AS (
+  SELECT user_id, event_id, value,
+         avg(value) OVER (PARTITION BY user_id) AS mu,
+         stddev_pop(value) OVER (PARTITION BY user_id) AS sigma
+  FROM events
+)
+SELECT user_id, event_id, value FROM e
+WHERE value >= {P.ABS_MIN} AND value <= {P.ABS_MAX}
+  AND abs((value - mu) / sigma) < {P.Z_THRESHOLD}
+"""
+
+DEDUP_TIMESTAMPS = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         count(*) OVER (PARTITION BY user_id, ts) AS n_at_ts
+  FROM events
+)
+SELECT user_id, event_id, t_us FROM e WHERE n_at_ts = 1
+"""
+
+BRIEF_DETECTIONS = f"""
+WITH det AS (
+  SELECT user_id, event_id, {_T} AS t FROM events WHERE event_type = 'error'
+), d1 AS (
+  SELECT *, count(*) OVER (PARTITION BY user_id, t) AS n_at_ts FROM det
+), d2 AS (
+  SELECT * FROM d1 WHERE n_at_ts = 1
+), d3 AS (
+  SELECT *,
+    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > {P.SESSION_GAP_S}
+         THEN 1 ELSE 0 END AS new_epoch
+  FROM d2 WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), d4 AS (
+  SELECT *, sum(new_epoch) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+  FROM d3
+), d5 AS (
+  SELECT *, max(t) OVER we - min(t) OVER we AS dur
+  FROM d4 WINDOW we AS (PARTITION BY user_id, epoch)
+)
+SELECT user_id, event_id FROM d5 WHERE dur > {P.BRIEF_MIN_S}
+"""
+
+SIZE_FILTER = f"""
+WITH p AS (
+  SELECT p_partkey, CAST(p_size AS DOUBLE) AS sx, p_retailprice/50.0 AS sy FROM part
+), p2 AS (
+  SELECT *, (sx + sy)/2.0 AS mksz, greatest(sx, sy)/least(sx, sy) AS aspect FROM p
+), s AS (
+  SELECT quantile_cont(mksz, 0.5) AS med_sz, stddev_pop(mksz) AS std_sz FROM p2
+)
+SELECT p_partkey FROM p2, s
+WHERE mksz > med_sz - {P.SIZE_STD_THRESHOLD} * std_sz
+  AND aspect < {P.ASPECT_RATIO_THRESHOLD}
+"""
+
+BIMODAL_FILTER = f"""
+WITH e AS (
+  SELECT user_id, event_id, value FROM events
+), c AS (
+  SELECT *,
+    row_number() OVER ws AS k,
+    sum(value) OVER wc AS s_k,
+    sum(value*value) OVER wc AS q_k
+  FROM e
+  WINDOW ws AS (PARTITION BY user_id ORDER BY value, event_id),
+         wc AS (PARTITION BY user_id ORDER BY value, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), c2 AS (
+  SELECT *,
+    count(*) OVER wf AS n,
+    last_value(s_k) OVER wf AS s_n,
+    last_value(q_k) OVER wf AS q_n
+  FROM c
+  WINDOW wf AS (PARTITION BY user_id ORDER BY value, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+), cand AS (
+  SELECT *,
+    s_k*s_k/k + (s_n-s_k)*(s_n-s_k)/(n-k) AS objective
+  FROM c2 WHERE k < n
+), best AS (
+  SELECT user_id, k AS split_k,
+    s_k/k AS c_lo,
+    sqrt(greatest(q_k/k - (s_k/k)*(s_k/k), 0.0)) AS std_lo,
+    (s_n-s_k)/(n-k) AS c_hi,
+    sqrt(greatest((q_n-q_k)/(n-k) - ((s_n-s_k)/(n-k))*((s_n-s_k)/(n-k)), 0.0)) AS std_hi
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY objective DESC, k) AS rnk FROM cand)
+  WHERE rnk = 1
+)
+SELECT e2.user_id AS user_id, e2.event_id AS event_id, e2.value AS value
+FROM c2 e2 JOIN best b ON e2.user_id = b.user_id
+WHERE NOT ((b.c_hi - {P.BIMODAL_STD_SEP}*b.std_hi) > (b.c_lo + {P.BIMODAL_STD_SEP}*b.std_lo))
+   OR e2.k > b.split_k
+"""
+
+# --- smoothing (SURVEY §2.B) -----------------------------------------------
+
+_DETREND_HALF_US = int(P.DETREND_WINDOW_S * 1_000_000) // 2
+
+DETREND_MEDIAN = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us, value FROM events
+)
+SELECT user_id, event_id,
+  round(value - median(value) OVER (PARTITION BY user_id ORDER BY t_us
+        RANGE BETWEEN {_DETREND_HALF_US} PRECEDING AND {_DETREND_HALF_US} FOLLOWING), 6) AS detrended
+FROM e
+"""
+
+SMOOTH_SAVGOL = f"""
+WITH e AS (
+  SELECT user_id, event_id, {_T} AS t, value FROM events
+), s AS (
+  SELECT user_id, event_id,
+    (-2.0*lag(value,3) OVER w + 3.0*lag(value,2) OVER w + 6.0*lag(value,1) OVER w
+     + 7.0*value
+     + 6.0*lead(value,1) OVER w + 3.0*lead(value,2) OVER w + -2.0*lead(value,3) OVER w) / 21.0 AS smoothed
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+)
+SELECT user_id, event_id, round(smoothed, 6) AS smoothed
+FROM s WHERE smoothed IS NOT NULL
+"""

