@@ -1,3 +1,3 @@
-from vedb_gaze_spark.plans.queries import QUERIES, ORACLES, flagship
-
-__all__ = ["QUERIES", "ORACLES", "flagship"]
+"""Query plans and DuckDB oracles (import submodules directly:
+``vedb_gaze_spark.plans.queries``, ``.oracles``, ``.params``) —
+kept lazy to avoid operators↔plans import cycles."""

@@ -305,3 +305,156 @@ WITH e AS (
 SELECT user_id, event_id, round(smoothed, 6) AS smoothed
 FROM s WHERE smoothed IS NOT NULL
 """
+
+
+# --- sessionization & clustering (SURVEY §2.C) ------------------------------
+
+SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, event_id, {_T} AS t FROM events
+), d AS (
+  SELECT *,
+    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > {P.SESSION_GAP_S}
+         THEN 1 ELSE 0 END AS new_epoch
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), s AS (
+  SELECT *, sum(new_epoch) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+  FROM d
+)
+SELECT user_id, epoch, min(t) AS t_start, max(t) AS t_end,
+       count(*) AS n_events, max(t) - min(t) AS duration_s
+FROM s GROUP BY user_id, epoch
+HAVING max(t) - min(t) > {P.SESSION_MIN_S} AND max(t) - min(t) < {P.SESSION_MAX_S}
+"""
+
+_GRID_CELLS = f"""
+  SELECT user_id, event_id, {_T} AS t, value,
+         CAST(floor(({_T}) / {P.GRID_T_EPS_S}) AS BIGINT) AS cell_t,
+         CAST(floor(value / {P.GRID_V_EPS}) AS BIGINT) AS cell_v
+  FROM events
+"""
+
+CLUSTER_GRID = f"""
+WITH c AS ({_GRID_CELLS}),
+n AS (SELECT *, count(*) OVER (PARTITION BY user_id, cell_t, cell_v) AS n_in_cell FROM c)
+SELECT user_id, event_id, cell_t, cell_v FROM n WHERE n_in_cell >= {P.GRID_MIN_PTS}
+"""
+
+CLUSTER_STATS = f"""
+WITH c AS ({_GRID_CELLS}),
+n AS (SELECT *, count(*) OVER (PARTITION BY user_id, cell_t, cell_v) AS n_in_cell FROM c),
+k AS (SELECT * FROM n WHERE n_in_cell >= {P.GRID_MIN_PTS})
+SELECT user_id, cell_t, cell_v,
+       count(*) AS n_points,
+       round(median(value), 6) AS med_value,
+       round(stddev_pop(value), 6) AS std_value,
+       round(max(t) - min(t), 6) AS duration_s
+FROM k GROUP BY user_id, cell_t, cell_v
+HAVING round(max(t) - min(t), 6) > {P.CLUSTER_MIN_T_S}
+   AND round(max(t) - min(t), 6) < {P.CLUSTER_MAX_T_S}
+   AND round(stddev_pop(value), 6) < {P.CLUSTER_MAX_STD}
+"""
+
+# --- labeling (SURVEY §2.F) --------------------------------------------------
+
+# Derived gaze-signal CTE — integer-arithmetic twin of sources/signals.py.
+GAZE_CTE = f"""
+  SELECT event_id, user_id, {_T} AS t,
+    ((event_id * 2654435761) % 1000) / 1000.0 AS px,
+    ((event_id * 40503) % 1000) / 1000.0 AS py,
+    0.1 + 0.8 * (((event_id * 2654435761) % 1000) / 1000.0) AS mx,
+    0.1 + 0.8 * (((event_id * 40503) % 1000) / 1000.0) AS my,
+    0.1 + 0.8 * (((event_id * 2654435761) % 1000) / 1000.0)
+        + (((event_id * 9176) % 21) - 10) / 500.0 AS gx,
+    0.1 + 0.8 * (((event_id * 40503) % 1000) / 1000.0)
+        + (((event_id * 7919) % 21) - 10) / 500.0 AS gy,
+    ((event_id * 104729) % 100) / 100.0 AS conf
+  FROM events
+"""
+
+_VEL = f"""
+  SELECT *,
+    sqrt( ((gx - lag(gx) OVER w) * {P.DEG_HORIZ}) * ((gx - lag(gx) OVER w) * {P.DEG_HORIZ})
+        + ((gy - lag(gy) OVER w) * {P.DEG_VERT}) * ((gy - lag(gy) OVER w) * {P.DEG_VERT}) )
+      / (t - lag(t) OVER w) AS vel,
+    t - lag(t) OVER w AS dt
+  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+"""
+
+EYE_VELOCITY = f"""
+WITH g AS ({GAZE_CTE}), v AS ({_VEL})
+SELECT user_id, event_id, round(vel, 6) AS vel_deg_s
+FROM v WHERE vel IS NOT NULL AND dt > 0
+"""
+
+DETECT_SACCADES = f"""
+WITH g AS ({GAZE_CTE}), v AS ({_VEL}),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+             CASE WHEN vel > {P.SACCADE_VEL_THRESHOLD} THEN 1 ELSE 0 END AS flag
+      FROM v),
+f AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS grp
+      FROM r WHERE flag = 1)
+SELECT user_id,
+       min(event_id) AS start_event_id,
+       max(event_id) AS end_event_id,
+       count(*) AS n_events,
+       max(t) - min(t) AS duration_s,
+       round(max(vel), 6) AS peak_vel,
+       round(sqrt( ((arg_max(gx, rn) - arg_min(gx, rn)) * {P.DEG_HORIZ})
+                 * ((arg_max(gx, rn) - arg_min(gx, rn)) * {P.DEG_HORIZ})
+                 + ((arg_max(gy, rn) - arg_min(gy, rn)) * {P.DEG_VERT})
+                 * ((arg_max(gy, rn) - arg_min(gy, rn)) * {P.DEG_VERT}) ), 6) AS amplitude_deg
+FROM f GROUP BY user_id, grp
+HAVING max(t) - min(t) >= {P.SACCADE_MIN_S} AND max(t) - min(t) <= {P.SACCADE_MAX_S}
+"""
+
+DETECT_BLINKS = f"""
+WITH g AS ({GAZE_CTE}),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn FROM g),
+f AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS grp
+      FROM r WHERE conf < {P.BLINK_CONF_THRESHOLD})
+SELECT user_id,
+       min(event_id) AS start_event_id,
+       max(event_id) AS end_event_id,
+       count(*) AS n_events,
+       max(t) - min(t) AS duration_s
+FROM f GROUP BY user_id, grp
+HAVING max(t) - min(t) >= {P.BLINK_MIN_S} AND max(t) - min(t) <= {P.BLINK_MAX_S}
+"""
+
+_RATE_HALF_US = int(P.RATE_WINDOW_S * 1_000_000) // 2
+
+SACCADE_RATE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events WHERE event_type = 'click'
+)
+SELECT user_id, event_id,
+  round(count(*) OVER (PARTITION BY user_id ORDER BY t_us
+        RANGE BETWEEN {_RATE_HALF_US} PRECEDING AND {_RATE_HALF_US} FOLLOWING)
+        / {P.RATE_WINDOW_S / 3600.0}, 6) AS rate_per_hour
+FROM e
+"""
+
+QUAT_TO_EULER = """
+WITH q AS (
+  SELECT event_id,
+    ((event_id * 7877) % 1000) / 1000.0 + 0.5 AS qw,
+    (((event_id * 104917) % 1000) - 500) / 500.0 AS qx,
+    (((event_id * 15485863) % 1000) - 500) / 500.0 AS qy,
+    (((event_id * 32452843) % 1000) - 500) / 500.0 AS qz
+  FROM events
+), n AS (
+  SELECT event_id,
+    qw / sqrt(qw*qw + qx*qx + qy*qy + qz*qz) AS w,
+    qx / sqrt(qw*qw + qx*qx + qy*qy + qz*qz) AS x,
+    qy / sqrt(qw*qw + qx*qx + qy*qy + qz*qz) AS y,
+    qz / sqrt(qw*qw + qx*qx + qy*qy + qz*qz) AS z
+  FROM q
+)
+SELECT event_id,
+  round(atan2(2.0*(w*x + y*z), 1.0 - 2.0*(x*x + y*y)), 6) AS roll,
+  round(asin(greatest(least(2.0*(w*y - x*z), 1.0), -1.0)), 6) AS pitch,
+  round(atan2(2.0*(w*z + x*y), 1.0 - 2.0*(y*y + z*z)), 6) AS yaw
+FROM n
+"""

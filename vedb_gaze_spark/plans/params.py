@@ -29,12 +29,12 @@ ASPECT_RATIO_THRESHOLD = 1.2
 BIMODAL_STD_SEP = 2.5
 
 # --- clustering (marker_parsing.py:299 cluster_marker_points) ------------
-GRID_T_EPS_S = 600.0            # grid cell size in time
-GRID_V_EPS = 25.0               # grid cell size in value
+GRID_T_EPS_S = 259200.0         # grid cell size in time (3 days)
+GRID_V_EPS = 100.0              # grid cell size in value
 GRID_MIN_PTS = 4                # core-cell density threshold
-CLUSTER_MIN_T_S = 60.0          # min_cluster_time
-CLUSTER_MAX_T_S = 3600.0        # max_cluster_time
-CLUSTER_MAX_STD = 60.0          # max_cluster_std (value units)
+CLUSTER_MIN_T_S = 3600.0        # min_cluster_time
+CLUSTER_MAX_T_S = 259200.0      # max_cluster_time
+CLUSTER_MAX_STD = 35.0          # max_cluster_std (value units)
 
 # --- gaze geometry (error_computation.py:18 compute_error) ---------------
 IMAGE_W = 2048
@@ -45,13 +45,13 @@ MIN_CONFIDENCE = 0.6
 ERROR_OUTLIER_STDS = 4.0
 HIST_BINS = 10                  # histogram2d weighting grid
 
-# --- labeling (labeling.py) ----------------------------------------------
-SACCADE_VEL_THRESHOLD = 0.15    # velocity threshold, units/s on event data
-SACCADE_MIN_S = 60.0
-SACCADE_MAX_S = 3600.0
+# --- labeling (labeling.py; thresholds scaled to event-data cadence) -----
+SACCADE_VEL_THRESHOLD = 0.003   # deg/s; ~p75 of derived velocity
+SACCADE_MIN_S = 3600.0
+SACCADE_MAX_S = 604800.0
 BLINK_CONF_THRESHOLD = 0.3      # detect_blinks_confidence (labeling.py:444)
-BLINK_MIN_S = 60.0
-BLINK_MAX_S = 7200.0
+BLINK_MIN_S = 43200.0
+BLINK_MAX_S = 1209600.0
 RATE_WINDOW_S = 86400.0         # get_saccade_rate window (labeling.py:508)
 
 # --- text / dedup ---------------------------------------------------------

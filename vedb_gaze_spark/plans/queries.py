@@ -12,7 +12,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from vedb_gaze_spark.operators import cleaning, relational, smoothing, temporal
+from vedb_gaze_spark.operators import (
+    cleaning,
+    clustering,
+    labeling,
+    relational,
+    smoothing,
+    temporal,
+)
 from vedb_gaze_spark.plans import oracles
 from vedb_gaze_spark.sources.tables import load_table
 
@@ -129,6 +136,55 @@ def _detrend_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("smooth_savgol", oracles.SMOOTH_SAVGOL)
 def _smooth_savgol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smoothing.smooth_savgol(load_table(spark, "events", sf_dir))
+
+
+# --- sessionization & clustering (SURVEY §2.C) ------------------------------
+
+@register("sessionize", oracles.SESSIONIZE)
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering.sessionize(load_table(spark, "events", sf_dir))
+
+
+@register("cluster_grid", oracles.CLUSTER_GRID)
+def _cluster_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering.cluster_grid(load_table(spark, "events", sf_dir))
+
+
+@register("cluster_stats", oracles.CLUSTER_STATS)
+def _cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering.cluster_stats(load_table(spark, "events", sf_dir))
+
+
+@register("cluster_dbscan")  # exact DBSCAN, not SQL-expressible → rows-only
+def _cluster_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering.cluster_dbscan(load_table(spark, "events", sf_dir))
+
+
+# --- labeling (SURVEY §2.F) --------------------------------------------------
+
+@register("eye_velocity", oracles.EYE_VELOCITY)
+def _eye_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return labeling.eye_velocity(load_table(spark, "events", sf_dir))
+
+
+@register("detect_saccades", oracles.DETECT_SACCADES)
+def _detect_saccades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return labeling.detect_saccades(load_table(spark, "events", sf_dir))
+
+
+@register("detect_blinks", oracles.DETECT_BLINKS)
+def _detect_blinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return labeling.detect_blinks(load_table(spark, "events", sf_dir))
+
+
+@register("saccade_rate", oracles.SACCADE_RATE)
+def _saccade_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return labeling.saccade_rate(load_table(spark, "events", sf_dir))
+
+
+@register("quat_to_euler", oracles.QUAT_TO_EULER)
+def _quat_to_euler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return labeling.quat_to_euler(load_table(spark, "events", sf_dir))
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
