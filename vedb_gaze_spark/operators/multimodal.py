@@ -1,0 +1,86 @@
+"""Multimodal (binary) column plumbing — SURVEY §2.G.
+
+The reference's frame-level detectors (pupil_detection_pl.py:11
+``plabs_detect_pupil``, marker_detection.py:50 ``find_concentric_circles``)
+consume video frames through OpenCV/pytorch. Neither library ships in this
+container, so the pixel math is STUBBED — but the Spark side is real:
+binary payload columns with typed metadata, Arrow-batched ``mapInPandas``
+with a bounded batch size, and a deterministic fake "decode" so the
+pipeline shape (schema, batching, partitioning) is testable end-to-end.
+
+At scale the payload column stays in parquet as binary; decode runs
+embarrassingly parallel with NO shuffle (mapInPandas preserves
+partitioning), and column pruning keeps payload bytes out of any query
+that only touches metadata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vedb_gaze_spark.functions.core import portable_hash60
+
+HAS_IMAGE_LIBS = False
+try:  # pragma: no cover - not present in this container
+    import cv2  # noqa: F401
+
+    HAS_IMAGE_LIBS = True
+except ImportError:
+    pass
+
+
+def multimodal_meta(documents: DataFrame) -> DataFrame:
+    """Typed metadata over an opaque binary payload (text bytes stand in
+    for image bytes): size, content hash, and decoded-shape fields derived
+    from the hash — all JVM-side, payload never leaves the scan."""
+    d = documents.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        portable_hash60("text").alias("h"),
+    )
+    return d.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        (F.col("h") % 1024 + 16).alias("width"),
+        (F.shiftright("h", 10) % 1024 + 16).alias("height"),
+        (F.col("h") % 3 + 1).alias("channels"),
+    )
+
+
+_DECODE_SCHEMA = "doc_id bigint, n_bytes int, mean_byte double, n_frames int"
+
+
+def decode_frames(documents: DataFrame, batch_size: int = 64) -> DataFrame:
+    """Arrow-batched decode over binary payloads via mapInPandas.
+
+    With image libs present this is where cv2.imdecode / frame sampling
+    would run (reference: marker_detection.py:29 _find_circles_frame reads
+    frames one by one in a Python loop; here frames stream through
+    executors in columnar batches). Without them, a clearly-marked
+    deterministic fake computes byte statistics so tests exercise the
+    exact batching/schema path.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"]
+            if HAS_IMAGE_LIBS:  # pragma: no cover
+                raise NotImplementedError("real decode requires cv2; see docstring")
+            n_bytes = payload.map(len)
+            mean_byte = payload.map(lambda b: (sum(b) / len(b)) if len(b) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int32"),
+                    "mean_byte": mean_byte.round(6),
+                    "n_frames": (n_bytes % 7 + 1).astype("int32"),
+                }
+            )
+
+    d = documents.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return d.mapInPandas(run, schema=_DECODE_SCHEMA)

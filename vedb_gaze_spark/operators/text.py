@@ -1,0 +1,119 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+First-class engine components alongside the gaze operators (SURVEY §2.G):
+language ID, quality scoring, token counting, winnowing fingerprints.
+Everything is JVM-side string/regex algebra — no Python UDFs — so the
+scan→project pipeline whole-stage-codegens and scales linearly with
+document count; nothing here shuffles except the final fingerprint
+distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vedb_gaze_spark.functions.core import portable_hash60
+from vedb_gaze_spark.plans import params as P
+
+_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    (letters runs | digit runs | single other symbol)."""
+    return documents.select(
+        "doc_id",
+        F.expr("size(split(trim(text), '\\\\s+'))").alias("ws_tokens"),
+        F.expr(
+            r"size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))"
+        ).alias("bpe_tokens"),
+    )
+
+
+def text_quality(documents: DataFrame) -> DataFrame:
+    """Quality scoring: length, stopword ratio, punctuation ratio, mean
+    word length, combined into one deterministic score in [0,1]."""
+    sw = ", ".join(f"'{s}'" for s in P.STOPWORDS)
+    d = documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.expr(f"size({_TOKENS})").alias("n_tokens"),
+        F.expr(f"size(filter({_TOKENS}, t -> t IN ({sw})))").alias("n_stop"),
+        F.expr("length(regexp_replace(lower(text), '[^a-z0-9 ]', ''))").alias("n_clean"),
+        F.expr("length(regexp_replace(lower(text), '[^a-z0-9]', ''))").alias("n_alnum"),
+    )
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    punct_ratio = (F.col("n_chars") - F.col("n_clean")) / F.col("n_chars")
+    mean_word_len = F.col("n_alnum") / F.col("n_tokens")
+    quality = (
+        0.4 * stop_ratio
+        + 0.3 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * F.least(mean_word_len / 8.0, F.lit(1.0))
+    ) * (1.0 - punct_ratio)
+    return d.where(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Language ID by marker-stopword counts (n-gram/stopword heuristic):
+    argmax over per-language marker hits, ties resolved by listing order."""
+    counts = {
+        lang: F.expr(
+            f"size(filter({_TOKENS}, t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in P.LANG_MARKERS.items()
+    }
+    d = documents.select(
+        "doc_id", *(c.alias(f"c_{lang}") for lang, c in counts.items())
+    )
+    c_en, c_de, c_es = F.col("c_en"), F.col("c_de"), F.col("c_es")
+    pred = (
+        F.when((c_de > c_en) & (c_de > c_es), "de")
+        .when((c_es > c_en) & (c_es > c_de), "es")
+        .otherwise("en")
+    )
+    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+def shingles(documents: DataFrame, k: int = P.SHINGLE_K) -> DataFrame:
+    """Distinct lowercase character k-shingles with position — shared
+    substrate for fingerprinting and every near-dup operator. Spark's
+    sequence() runs DESCENDING when end < start, so short docs are fenced
+    out explicitly (DuckDB's generate_series just returns empty)."""
+    return (
+        documents.select("doc_id", F.lower("text").alias("t"))
+        .where(F.length("t") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(f"transform(sequence(1, length(t)-{k - 1}), i -> substring(t, i, {k}))")
+            ).alias("pos", "sh"),
+        )
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Winnowing fingerprints: k-shingle hashes, then the minimum hash in
+    every sliding window of WINNOW_WINDOW positions, deduplicated. The
+    standard local document fingerprint (Schleimer et al.'s winnowing);
+    window-min is a per-document ROWS frame — partition key doc_id scales
+    with the corpus."""
+    sh = shingles(documents).withColumn("h", portable_hash60("sh"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(P.WINNOW_WINDOW - 1), 0)
+    )
+    return (
+        sh.withColumn("fp", F.min("h").over(w))
+        .where(F.col("pos") >= P.WINNOW_WINDOW - 1)  # full windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )

@@ -458,3 +458,226 @@ SELECT event_id,
   round(atan2(2.0*(w*z + x*y), 1.0 - 2.0*(y*y + z*z)), 6) AS yaw
 FROM n
 """
+
+
+# --- text analysis & dedup & similarity (SURVEY §2.G) -----------------------
+
+# Portable 60-bit hash (see functions/core.py:portable_hash60).
+def _h60(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+TOKEN_COUNT = r"""
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
+_SW = ", ".join(f"'{s}'" for s in P.STOPWORDS)
+
+TEXT_QUALITY = f"""
+WITH d AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len({_TOKENS_SQL}) AS n_tokens,
+    len(list_filter({_TOKENS_SQL}, t -> t IN ({_SW}))) AS n_stop,
+    length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_clean,
+    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+  round((n_chars - n_clean) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+  round(n_alnum / CAST(n_tokens AS DOUBLE), 6) AS mean_word_len,
+  round((0.4 * (n_stop / CAST(n_tokens AS DOUBLE))
+       + 0.3 * least(n_tokens / 100.0, 1.0)
+       + 0.3 * least((n_alnum / CAST(n_tokens AS DOUBLE)) / 8.0, 1.0))
+       * (1.0 - (n_chars - n_clean) / CAST(n_chars AS DOUBLE)), 6) AS quality
+FROM d WHERE n_tokens > 0
+"""
+
+_LANG_COUNTS = ",\n    ".join(
+    f"len(list_filter({_TOKENS_SQL}, t -> t IN ({', '.join(repr(m) for m in markers)}))) AS c_{lang}"
+    for lang, markers in P.LANG_MARKERS.items()
+)
+
+LANG_ID = f"""
+WITH d AS (
+  SELECT doc_id,
+    {_LANG_COUNTS}
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN c_de > c_en AND c_de > c_es THEN 'de'
+       WHEN c_es > c_en AND c_es > c_de THEN 'es'
+       ELSE 'en' END AS pred_lang
+FROM d
+"""
+
+_SHINGLES_POS = f"""
+  SELECT doc_id, i AS pos, substring(lower(text), i, {P.SHINGLE_K}) AS sh
+  FROM documents, unnest(generate_series(1, greatest(length(text)-{P.SHINGLE_K - 1}, 0))) AS g(i)
+  WHERE length(text) >= {P.SHINGLE_K}
+"""
+
+DOC_FINGERPRINT = f"""
+WITH sh AS ({_SHINGLES_POS}),
+h AS (SELECT doc_id, pos, {_h60('sh')} AS hh FROM sh),
+wm AS (
+  SELECT doc_id, pos,
+    min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN {P.WINNOW_WINDOW - 1} PRECEDING AND CURRENT ROW) AS fp
+  FROM h
+)
+SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= {P.WINNOW_WINDOW}
+"""
+
+_SHINGLE_SETS = f"SELECT DISTINCT doc_id, sh FROM ({_SHINGLES_POS})"
+
+_VERIFY_JACCARD = f"""
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY doc_id),
+common AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_common
+  FROM pairs p
+  JOIN shs sa ON sa.doc_id = p.doc_a
+  JOIN shs sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+  GROUP BY p.doc_a, p.doc_b
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+    round(c.n_common / CAST(na.n_sh + nb.n_sh - c.n_common AS DOUBLE), 6) AS jaccard
+  FROM common c
+  JOIN sizes na ON na.doc_id = c.doc_a
+  JOIN sizes nb ON nb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {P.JACCARD_THRESHOLD}
+"""
+
+DEDUP_NGRAM_JACCARD = f"""
+WITH shs AS ({_SHINGLE_SETS}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shs a JOIN shs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+{_VERIFY_JACCARD}
+"""
+
+_MH_AGGS = ",\n    ".join(
+    f"min(({a} * h31 + {b}) % {P.MINHASH_PRIME}) AS mh{i}"
+    for i, (a, b) in enumerate(P.MINHASH_AB)
+)
+_ROWS_PER_BAND = P.MINHASH_PERMS // P.MINHASH_BANDS
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    "SELECT doc_id, concat_ws('-', '{b}', {cols}) AS band_key FROM sig".format(
+        b=b,
+        cols=", ".join(f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)),
+    )
+    for b in range(P.MINHASH_BANDS)
+)
+
+DEDUP_MINHASH_LSH = f"""
+WITH shs AS ({_SHINGLE_SETS}),
+hs AS (SELECT doc_id, sh, {_h60('sh')} % {P.MINHASH_PRIME} AS h31 FROM shs),
+sig AS (
+  SELECT doc_id,
+    {_MH_AGGS}
+  FROM hs GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+{_VERIFY_JACCARD}
+"""
+
+_BIT_SUMS = ",\n    ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(P.SIMHASH_BITS)
+)
+_SIMHASH_EXPR = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+    for j in range(P.SIMHASH_BITS)
+)
+
+DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+h AS (SELECT doc_id, {_h60('tok')} AS h FROM toks),
+sums AS (
+  SELECT doc_id,
+    {_BIT_SUMS}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_EXPR} AS simhash FROM sums
+"""
+
+_COS = "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+
+DEDUP_EMBEDDING_COSINE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({_COS}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_COS}, 6) >= {P.COSINE_DUP_THRESHOLD}
+"""
+
+ANN_COSINE_TOPK = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, round({_COS}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < {P.ANN_N_QUERIES} AND b.vec_id >= {P.ANN_N_QUERIES}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {P.ANN_K}
+"""
+
+_PLANE_DOTS = " + ".join(
+    f"CASE WHEN list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * ({plane}::DOUBLE[])[i])) > 0 THEN {1 << p} ELSE 0 END"
+    for p, plane in enumerate(P.LSH_PLANES)
+)
+
+ANN_LSH = f"""
+WITH v AS (
+  SELECT vec_id, embedding, {_PLANE_DOTS} AS bucket FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+  FROM v a JOIN v b ON a.bucket = b.bucket
+   AND a.vec_id < {P.ANN_N_QUERIES} AND b.vec_id >= {P.ANN_N_QUERIES}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3
+"""
+
+VECTOR_NORM = """
+SELECT vec_id,
+  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS l2_norm
+FROM embeddings
+"""
+
+MULTIMODAL_META = f"""
+WITH d AS (
+  SELECT doc_id, encode(text) AS payload, {_h60('text')} AS h FROM documents
+)
+SELECT doc_id,
+  octet_length(payload) AS n_bytes,
+  md5(text) AS content_md5,
+  h % 1024 + 16 AS width,
+  (h >> 10) % 1024 + 16 AS height,
+  h % 3 + 1 AS channels
+FROM d JOIN documents USING (doc_id)
+"""

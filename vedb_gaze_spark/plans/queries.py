@@ -15,10 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 from vedb_gaze_spark.operators import (
     cleaning,
     clustering,
+    dedup,
     labeling,
+    multimodal,
     relational,
+    similarity,
     smoothing,
     temporal,
+    text,
 )
 from vedb_gaze_spark.plans import oracles
 from vedb_gaze_spark.sources.tables import load_table
@@ -185,6 +189,84 @@ def _saccade_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("quat_to_euler", oracles.QUAT_TO_EULER)
 def _quat_to_euler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeling.quat_to_euler(load_table(spark, "events", sf_dir))
+
+
+# --- text analysis (SURVEY §2.G) ---------------------------------------------
+
+@register("token_count", oracles.TOKEN_COUNT)
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(load_table(spark, "documents", sf_dir))
+
+
+@register("text_quality", oracles.TEXT_QUALITY)
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_quality(load_table(spark, "documents", sf_dir))
+
+
+@register("lang_id", oracles.LANG_ID)
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, "documents", sf_dir))
+
+
+@register("doc_fingerprint", oracles.DOC_FINGERPRINT)
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(load_table(spark, "documents", sf_dir))
+
+
+# --- dedup family (SURVEY §2.G) ----------------------------------------------
+
+@register("dedup_exact", oracles.DEDUP_EXACT)
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, "documents", sf_dir))
+
+
+@register("dedup_ngram_jaccard", oracles.DEDUP_NGRAM_JACCARD)
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_ngram_jaccard(load_table(spark, "documents", sf_dir))
+
+
+@register("dedup_minhash_lsh", oracles.DEDUP_MINHASH_LSH)
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_minhash_lsh(load_table(spark, "documents", sf_dir))
+
+
+@register("dedup_simhash", oracles.DEDUP_SIMHASH)
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_simhash(load_table(spark, "documents", sf_dir))
+
+
+# --- similarity search (SURVEY §2.G) -------------------------------------------
+
+@register("dedup_embedding_cosine", oracles.DEDUP_EMBEDDING_COSINE)
+def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.dedup_embedding_cosine(load_table(spark, "embeddings", sf_dir))
+
+
+@register("ann_cosine_topk", oracles.ANN_COSINE_TOPK)
+def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_cosine_topk(load_table(spark, "embeddings", sf_dir))
+
+
+@register("ann_lsh", oracles.ANN_LSH)
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_lsh(load_table(spark, "embeddings", sf_dir))
+
+
+@register("vector_norm", oracles.VECTOR_NORM)
+def _vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.vector_norm(load_table(spark, "embeddings", sf_dir))
+
+
+# --- multimodal plumbing (SURVEY §2.G) -----------------------------------------
+
+@register("multimodal_meta", oracles.MULTIMODAL_META)
+def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.multimodal_meta(load_table(spark, "documents", sf_dir))
+
+
+@register("multimodal_decode")  # stubbed pixel math → rows-only check
+def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_frames(load_table(spark, "documents", sf_dir))
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
