@@ -1,0 +1,55 @@
+"""Unit tests for the pure-numpy numeric kernels (TPS, DBSCAN) against
+their reference semantics on small synthetic data."""
+
+import numpy as np
+
+from vedb_gaze_spark.functions.tps import tps_eval, tps_fit, tps_fit_cv
+from vedb_gaze_spark.operators.clustering import _dbscan_numpy
+
+
+def test_tps_interpolates_at_zero_lambda():
+    rng = np.random.RandomState(0)
+    xy = rng.rand(12, 2)
+    v = np.sin(xy[:, 0] * 3) + xy[:, 1]
+    theta = tps_fit(xy, v, lambd=0.0)
+    pred = tps_eval(xy, xy, theta)
+    np.testing.assert_allclose(pred, v, atol=1e-8)
+
+
+def test_tps_recovers_affine_function():
+    rng = np.random.RandomState(1)
+    xy = rng.rand(20, 2)
+    v = 0.3 + 0.8 * xy[:, 0] - 0.2 * xy[:, 1]
+    theta = tps_fit(xy, v, lambd=0.1)
+    grid = rng.rand(10, 2)
+    np.testing.assert_allclose(tps_eval(grid, xy, theta), 0.3 + 0.8 * grid[:, 0] - 0.2 * grid[:, 1], atol=1e-6)
+
+
+def test_tps_cv_prefers_smoothing_on_noisy_affine():
+    rng = np.random.RandomState(2)
+    xy = rng.rand(15, 2)
+    v = 0.5 * xy[:, 0] + rng.randn(15) * 0.1
+    lam, rmse = tps_fit_cv(xy, v, np.array([1e-6, 1e-2, 1.0]))
+    assert lam > 1e-6  # pure interpolation overfits the noise
+    assert rmse < 0.5
+
+
+def test_dbscan_finds_two_blobs_and_noise():
+    rng = np.random.RandomState(3)
+    a = rng.randn(20, 2) * 0.05 + [0, 0]
+    b = rng.randn(20, 2) * 0.05 + [3, 3]
+    noise = np.array([[10.0, -10.0]])
+    X = np.vstack([a, b, noise])
+    labels = _dbscan_numpy(X, eps=0.5, min_samples=4)
+    assert len(set(labels[:20])) == 1 and labels[0] >= 0
+    assert len(set(labels[20:40])) == 1 and labels[20] >= 0
+    assert labels[0] != labels[20]
+    assert labels[-1] == -1
+
+
+def test_dbscan_deterministic():
+    rng = np.random.RandomState(4)
+    X = rng.rand(50, 2)
+    l1 = _dbscan_numpy(X, eps=0.15, min_samples=3)
+    l2 = _dbscan_numpy(X, eps=0.15, min_samples=3)
+    assert (l1 == l2).all()

@@ -1,0 +1,174 @@
+"""Calibration fitting & gaze mapping (SURVEY §2.D).
+
+Re-expresses vedb_gaze/calibration.py three ways, in ascending fidelity:
+
+- ``calibration_linear``: closed-form per-group OLS — the distributed
+  skeleton of Calibration.fit/.map (calibration.py:468). Pure aggregate
+  algebra (regr_slope/regr_intercept per user), fully SQL-oracled.
+- ``calibration_poly``: calibrate_2d_polynomial (calibration.py:102) with
+  the reference's 7-term basis (externals/calibrate_2d.py fit_poly_surface:
+  1, x, y, xy, x², y², x²y²) and its two-pass outlier cut — numpy lstsq
+  per user via applyInPandas.
+- ``calibration_tps``: _fit_tps_gaze_cv (calibration.py:350) — thin-plate
+  spline with leave-one-out lambda selection, on CLUSTER-MEDIAN-reduced
+  points (the reference's cluster_reduce_fn=np.median path,
+  calibration.py:472) so each group is a handful of points no matter the
+  raw data volume.
+
+Scale: groups are (user) == (session); applyInPandas fans them across the
+cluster. The mapping step is broadcast-able: fitted coefficients are a
+tiny table joined back on the partition key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vedb_gaze_spark.functions.tps import tps_fit, tps_eval, tps_fit_cv
+from vedb_gaze_spark.plans import params as P
+from vedb_gaze_spark.sources.signals import with_gaze
+
+LAMBDA_GRID = tuple(float(10.0**e) for e in range(-6, 2))  # 1e-6 .. 10
+
+
+def calibration_linear(events: DataFrame) -> DataFrame:
+    """Per-user OLS pupil→gaze mapping + in-sample RMSE. Confidence
+    filtering per parse_plab_data (calibration.py:58,
+    min_calibration_confidence)."""
+    g = with_gaze(events).where(F.col("conf") > P.MIN_CONFIDENCE)
+    fit = g.groupBy("user_id").agg(
+        F.regr_slope("gx", "px").alias("bx"),
+        F.regr_intercept("gx", "px").alias("ax"),
+        F.regr_slope("gy", "py").alias("by"),
+        F.regr_intercept("gy", "py").alias("ay"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    mapped = g.join(fit, "user_id")
+    ex = F.col("ax") + F.col("bx") * F.col("px") - F.col("gx")
+    ey = F.col("ay") + F.col("by") * F.col("py") - F.col("gy")
+    return (
+        mapped.groupBy("user_id")
+        .agg(
+            F.round(F.first("bx"), 6).alias("slope_x"),
+            F.round(F.first("ax"), 6).alias("intercept_x"),
+            F.round(F.first("by"), 6).alias("slope_y"),
+            F.round(F.first("ay"), 6).alias("intercept_y"),
+            F.first("n_points").alias("n_points"),
+            F.round(F.sqrt(F.avg(ex * ex + ey * ey)), 6).alias("rmse"),
+        )
+    )
+
+
+_POLY_SCHEMA = (
+    "user_id bigint, n_points int, n_inliers int, rmse_pass1 double, rmse_pass2 double"
+)
+
+
+def _poly_features(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """model_n=7 basis of externals/calibrate_2d.py fit_poly_surface."""
+    return np.column_stack(
+        [np.ones_like(x), x, y, x * y, x * x, y * y, x * x * y * y]
+    )
+
+
+def calibration_poly(
+    events: DataFrame, max_stds: float = 2.0
+) -> DataFrame:
+    """calibrate_2d_polynomial (calibration.py:102): fit on all points,
+    cut outliers at median + k*std of the error distance, refit on
+    inliers. Per-user groups via applyInPandas."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        px, py = pdf["px"].to_numpy(), pdf["py"].to_numpy()
+        gx, gy = pdf["gx"].to_numpy(), pdf["gy"].to_numpy()
+        X = _poly_features(px, py)
+        cx, *_ = np.linalg.lstsq(X, gx, rcond=None)
+        cy, *_ = np.linalg.lstsq(X, gy, rcond=None)
+        err = np.sqrt((X @ cx - gx) ** 2 + (X @ cy - gy) ** 2)
+        rmse1 = float(np.sqrt(np.mean(err**2)))
+        inliers = err < np.median(err) + max_stds * np.std(err)
+        if inliers.sum() >= 7:
+            Xi = X[inliers]
+            cx2, *_ = np.linalg.lstsq(Xi, gx[inliers], rcond=None)
+            cy2, *_ = np.linalg.lstsq(Xi, gy[inliers], rcond=None)
+            err2 = np.sqrt((Xi @ cx2 - gx[inliers]) ** 2 + (Xi @ cy2 - gy[inliers]) ** 2)
+            rmse2 = float(np.sqrt(np.mean(err2**2)))
+        else:
+            rmse2 = rmse1
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_points": [len(pdf)],
+                "n_inliers": [int(inliers.sum())],
+                "rmse_pass1": [round(rmse1, 6)],
+                "rmse_pass2": [round(rmse2, 6)],
+            }
+        )
+
+    g = with_gaze(events).where(F.col("conf") > P.MIN_CONFIDENCE)
+    return g.groupBy("user_id").applyInPandas(run, schema=_POLY_SCHEMA)
+
+
+_TPS_SCHEMA = (
+    "user_id bigint, n_clusters int, best_lambda double, cv_rmse double, train_rmse double"
+)
+
+
+def _cluster_medians(events: DataFrame) -> DataFrame:
+    """Cluster-median reduction before spline fitting — the reference's
+    cluster_reduce_fn=np.median step (calibration.py:472 via
+    marker_cluster_stat). Clusters are the time-grid cells; medians are
+    exact order statistics, one aggregation."""
+    g = with_gaze(events).where(F.col("conf") > P.MIN_CONFIDENCE)
+    g = g.withColumn("cluster", F.floor(F.col("t") / P.GRID_T_EPS_S))
+    return g.groupBy("user_id", "cluster").agg(
+        F.median("px").alias("px"),
+        F.median("py").alias("py"),
+        F.median("gx").alias("gx"),
+        F.median("gy").alias("gy"),
+    )
+
+
+def calibration_tps(events: DataFrame) -> DataFrame:
+    """_fit_tps_gaze_cv (calibration.py:350): TPS gx,gy ← (px,py) with
+    leave-one-out lambda selection on cluster-median points."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        xy = pdf[["px", "py"]].to_numpy()
+        n = len(xy)
+        if n < 5:
+            return pd.DataFrame(
+                columns=["user_id", "n_clusters", "best_lambda", "cv_rmse", "train_rmse"]
+            ).astype(
+                {
+                    "user_id": "int64",
+                    "n_clusters": "int32",
+                    "best_lambda": "float64",
+                    "cv_rmse": "float64",
+                    "train_rmse": "float64",
+                }
+            )
+        lams = np.array(LAMBDA_GRID)
+        gx = pdf["gx"].to_numpy()
+        gy = pdf["gy"].to_numpy()
+        lam_x, cv_x = tps_fit_cv(xy, gx, lams)
+        lam_y, cv_y = tps_fit_cv(xy, gy, lams)
+        tx = tps_fit(xy, gx, lam_x)
+        ty = tps_fit(xy, gy, lam_y)
+        rx = tps_eval(xy, xy, tx) - gx
+        ry = tps_eval(xy, xy, ty) - gy
+        train = float(np.sqrt(np.mean(rx**2 + ry**2)))
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_clusters": [n],
+                "best_lambda": [float(min(lam_x, lam_y))],
+                "cv_rmse": [round(float(np.sqrt((cv_x**2 + cv_y**2) / 2)), 6)],
+                "train_rmse": [round(train, 6)],
+            }
+        )
+
+    return _cluster_medians(events).groupBy("user_id").applyInPandas(run, schema=_TPS_SCHEMA)

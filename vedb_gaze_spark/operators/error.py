@@ -1,0 +1,126 @@
+"""Gaze-error computation (SURVEY §2.E).
+
+Re-expresses error_computation.py:18 ``compute_error``:
+
+- ``gaze_error``: the pointwise core — match gaze to markers, filter by
+  confidence (min_pupil_confidence, :107), pixel-space error magnitude in
+  degrees via the pixels-per-degree constant (:88-91), angle (:150), and
+  the median±k·std outlier cut (:133-143). Window aggregates per user; one
+  shuffle.
+- ``gaze_error_weighted``: the histogram2d weighting step (:204-213) —
+  gaze-density-weighted mean error per spatial bin.
+- ``error_surface_tps``: the TPS error surface on a coarse grid
+  (:173-198, method='tps'), numpy per user via applyInPandas on
+  cluster-reduced points.
+
+PPD is inlined as a Python literal so both engines parse the identical
+double (no cross-engine division-order drift).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vedb_gaze_spark.functions.tps import tps_fit, tps_eval
+from vedb_gaze_spark.plans import params as P
+from vedb_gaze_spark.sources.signals import with_gaze
+
+# mean of horizontal/vertical pixels-per-degree (error_computation.py:88)
+PPD = (P.IMAGE_W / P.DEG_HORIZ + P.IMAGE_H / P.DEG_VERT) / 2.0
+
+
+def _pointwise_error(events: DataFrame) -> DataFrame:
+    g = with_gaze(events).where(F.col("conf") > P.MIN_CONFIDENCE)
+    dx = (F.col("gx") - F.col("mx")) * P.IMAGE_W
+    dy = (F.col("gy") - F.col("my")) * P.IMAGE_H
+    err = F.sqrt(dx * dx + dy * dy) / F.lit(PPD)
+    return g.withColumn("err", err)
+
+
+def gaze_error(events: DataFrame, outlier_stds: float = P.ERROR_OUTLIER_STDS) -> DataFrame:
+    """Pointwise gaze error in degrees with the reference's outlier cut:
+    keep |err − median(err)| <= k·std(err), stats per user."""
+    e = _pointwise_error(events)
+    w = Window.partitionBy("user_id")
+    e = e.withColumn("med_err", F.median("err").over(w)).withColumn(
+        "std_err", F.stddev_pop("err").over(w)
+    )
+    return (
+        e.where(F.abs(F.col("err") - F.col("med_err")) <= outlier_stds * F.col("std_err"))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("err", 6).alias("err_deg"),
+            F.round(F.atan2(F.col("gx") - F.col("mx"), F.col("gy") - F.col("my")), 6).alias(
+                "err_angle"
+            ),
+        )
+    )
+
+
+def gaze_error_weighted(events: DataFrame, bins: int = P.HIST_BINS) -> DataFrame:
+    """histogram2d weighting (error_computation.py:204): bin gaze
+    positions on a bins×bins grid, mean error + gaze density per bin.
+    The bin key is bounded (user × bins²) — uniform shuffle."""
+    e = _pointwise_error(events)
+    bx = F.least(F.floor(F.col("gx") * bins), F.lit(bins - 1)).cast("int")
+    by = F.least(F.floor(F.col("gy") * bins), F.lit(bins - 1)).cast("int")
+    e = e.withColumn("bin_x", F.greatest(bx, F.lit(0))).withColumn(
+        "bin_y", F.greatest(by, F.lit(0))
+    )
+    wu = Window.partitionBy("user_id")
+    return (
+        e.withColumn("n_user", F.count(F.lit(1)).over(wu))
+        .groupBy("user_id", "bin_x", "bin_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("err"), 6).alias("mean_err"),
+            F.round(F.count(F.lit(1)) / F.first("n_user"), 6).alias("density"),
+        )
+    )
+
+
+_SURFACE_SCHEMA = "user_id bigint, grid_x double, grid_y double, err_est double"
+
+_GRID_X = np.linspace(0.1, 0.9, 8)
+_GRID_Y = np.linspace(0.1, 0.9, 6)
+
+
+def error_surface_tps(events: DataFrame, lambd: float = 0.01) -> DataFrame:
+    """TPS error surface evaluated on a coarse grid
+    (error_computation.py:173, method='tps'), per user on cluster-median
+    points. Output is user × 48 grid values — tiny at any scale."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 5:
+            return pd.DataFrame(
+                {"user_id": [], "grid_x": [], "grid_y": [], "err_est": []}
+            ).astype({"user_id": "int64", "grid_x": "float64", "grid_y": "float64", "err_est": "float64"})
+        xy = pdf[["mx", "my"]].to_numpy()
+        v = pdf["err"].to_numpy()
+        theta = tps_fit(xy, v, lambd)
+        gx, gy = np.meshgrid(_GRID_X, _GRID_Y)
+        pts = np.column_stack([gx.ravel(), gy.ravel()])
+        est = tps_eval(pts, xy, theta)
+        # reference floors the surface at the minimum observed error (:200)
+        est = np.maximum(est, v.min())
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "grid_x": pts[:, 0],
+                "grid_y": pts[:, 1],
+                "err_est": np.round(est, 6),
+            }
+        )
+
+    e = _pointwise_error(events)
+    e = e.withColumn("cluster", F.floor(F.col("t") / P.GRID_T_EPS_S))
+    reduced = e.groupBy("user_id", "cluster").agg(
+        F.median("mx").alias("mx"),
+        F.median("my").alias("my"),
+        F.median("err").alias("err"),
+    )
+    return reduced.groupBy("user_id").applyInPandas(run, schema=_SURFACE_SCHEMA)

@@ -681,3 +681,72 @@ SELECT doc_id,
   h % 3 + 1 AS channels
 FROM d JOIN documents USING (doc_id)
 """
+
+
+# --- calibration & gaze error (SURVEY §2.D/E) --------------------------------
+
+_PPD = repr((P.IMAGE_W / P.DEG_HORIZ + P.IMAGE_H / P.DEG_VERT) / 2.0)
+
+CALIBRATION_LINEAR = f"""
+WITH g AS ({GAZE_CTE}),
+f AS (SELECT * FROM g WHERE conf > {P.MIN_CONFIDENCE}),
+fit AS (
+  SELECT user_id,
+    regr_slope(gx, px) AS bx, regr_intercept(gx, px) AS ax,
+    regr_slope(gy, py) AS by, regr_intercept(gy, py) AS ay,
+    count(*) AS n_points
+  FROM f GROUP BY user_id
+),
+m AS (
+  SELECT f.user_id AS user_id,
+         ax + bx * px - gx AS ex, ay + by * py - gy AS ey,
+         bx, ax, by, ay, n_points
+  FROM f JOIN fit ON f.user_id = fit.user_id
+)
+SELECT user_id,
+  round(any_value(bx), 6) AS slope_x,
+  round(any_value(ax), 6) AS intercept_x,
+  round(any_value(by), 6) AS slope_y,
+  round(any_value(ay), 6) AS intercept_y,
+  any_value(n_points) AS n_points,
+  round(sqrt(avg(ex*ex + ey*ey)), 6) AS rmse
+FROM m GROUP BY user_id
+"""
+
+GAZE_ERROR = f"""
+WITH g AS ({GAZE_CTE}),
+f AS (SELECT * FROM g WHERE conf > {P.MIN_CONFIDENCE}),
+e AS (
+  SELECT *,
+    sqrt( ((gx-mx)*{P.IMAGE_W}) * ((gx-mx)*{P.IMAGE_W})
+        + ((gy-my)*{P.IMAGE_H}) * ((gy-my)*{P.IMAGE_H}) ) / {_PPD} AS err
+  FROM f
+),
+s AS (
+  SELECT *, median(err) OVER (PARTITION BY user_id) AS med_err,
+         stddev_pop(err) OVER (PARTITION BY user_id) AS std_err
+  FROM e
+)
+SELECT user_id, event_id, round(err, 6) AS err_deg,
+       round(atan2(gx - mx, gy - my), 6) AS err_angle
+FROM s WHERE abs(err - med_err) <= {P.ERROR_OUTLIER_STDS} * std_err
+"""
+
+GAZE_ERROR_WEIGHTED = f"""
+WITH g AS ({GAZE_CTE}),
+f AS (SELECT * FROM g WHERE conf > {P.MIN_CONFIDENCE}),
+e AS (
+  SELECT *,
+    sqrt( ((gx-mx)*{P.IMAGE_W}) * ((gx-mx)*{P.IMAGE_W})
+        + ((gy-my)*{P.IMAGE_H}) * ((gy-my)*{P.IMAGE_H}) ) / {_PPD} AS err,
+    greatest(least(CAST(floor(gx * {P.HIST_BINS}) AS INT), {P.HIST_BINS - 1}), 0) AS bin_x,
+    greatest(least(CAST(floor(gy * {P.HIST_BINS}) AS INT), {P.HIST_BINS - 1}), 0) AS bin_y
+  FROM f
+),
+n AS (SELECT *, count(*) OVER (PARTITION BY user_id) AS n_user FROM e)
+SELECT user_id, bin_x, bin_y,
+  count(*) AS n_points,
+  round(avg(err), 6) AS mean_err,
+  round(count(*) / CAST(any_value(n_user) AS DOUBLE), 6) AS density
+FROM n GROUP BY user_id, bin_x, bin_y
+"""

@@ -13,9 +13,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from vedb_gaze_spark.operators import (
+    calibration,
     cleaning,
     clustering,
     dedup,
+    error,
     labeling,
     multimodal,
     relational,
@@ -267,6 +269,40 @@ def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_decode")  # stubbed pixel math → rows-only check
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_frames(load_table(spark, "documents", sf_dir))
+
+
+# --- calibration & gaze mapping (SURVEY §2.D) ----------------------------------
+
+@register("calibration_linear", oracles.CALIBRATION_LINEAR)
+def _calibration_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return calibration.calibration_linear(load_table(spark, "events", sf_dir))
+
+
+@register("calibration_poly")  # numpy lstsq two-pass fit → rows-only
+def _calibration_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return calibration.calibration_poly(load_table(spark, "events", sf_dir))
+
+
+@register("calibration_tps")  # TPS + LOO CV → rows-only
+def _calibration_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return calibration.calibration_tps(load_table(spark, "events", sf_dir))
+
+
+# --- gaze error (SURVEY §2.E) ---------------------------------------------------
+
+@register("gaze_error", oracles.GAZE_ERROR)
+def _gaze_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return error.gaze_error(load_table(spark, "events", sf_dir))
+
+
+@register("gaze_error_weighted", oracles.GAZE_ERROR_WEIGHTED)
+def _gaze_error_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return error.gaze_error_weighted(load_table(spark, "events", sf_dir))
+
+
+@register("error_surface_tps")  # TPS grid surface → rows-only
+def _error_surface_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return error.error_surface_tps(load_table(spark, "events", sf_dir))
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
