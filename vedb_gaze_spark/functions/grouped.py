@@ -1,0 +1,41 @@
+"""Batched per-key applyInPandas.
+
+applyInPandas pays a fixed Python/Arrow cost per GROUP; with millions of
+small per-user groups that overhead dwarfs the numeric work (measured
+~18 ms/group → 27 s for 1500 trivial TPS fits at sf0.1). Grouping by a
+SALT of the key instead — and looping over the real keys inside one
+pandas call — amortizes that cost across ~n_buckets groups while keeping
+the exact same per-key semantics and parallelism up to n_buckets tasks.
+
+At cluster scale, size n_buckets ≳ 4× executor-core count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 128
+
+
+def apply_per_key(
+    df: DataFrame,
+    key: str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Run fn once per distinct value of `key`, batched by key-hash salt."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = [fn(g) for _, g in pdf.groupby(key, sort=True)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame({f.split()[0]: [] for f in schema.split(",")})
+        return pd.concat(outs, ignore_index=True)
+
+    salted = df.withColumn("__salt", F.pmod(F.hash(key), F.lit(n_buckets)))
+    return salted.groupBy("__salt").applyInPandas(run, schema=schema)

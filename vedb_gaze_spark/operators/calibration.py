@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vedb_gaze_spark.functions.grouped import apply_per_key
 from vedb_gaze_spark.functions.tps import tps_fit, tps_eval, tps_fit_cv
 from vedb_gaze_spark.plans import params as P
 from vedb_gaze_spark.sources.signals import with_gaze
@@ -109,7 +110,7 @@ def calibration_poly(
         )
 
     g = with_gaze(events).where(F.col("conf") > P.MIN_CONFIDENCE)
-    return g.groupBy("user_id").applyInPandas(run, schema=_POLY_SCHEMA)
+    return apply_per_key(g, "user_id", run, _POLY_SCHEMA)
 
 
 _TPS_SCHEMA = (
@@ -171,4 +172,4 @@ def calibration_tps(events: DataFrame) -> DataFrame:
             }
         )
 
-    return _cluster_medians(events).groupBy("user_id").applyInPandas(run, schema=_TPS_SCHEMA)
+    return apply_per_key(_cluster_medians(events), "user_id", run, _TPS_SCHEMA)

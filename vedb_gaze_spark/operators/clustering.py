@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vedb_gaze_spark.functions.grouped import apply_per_key
 from vedb_gaze_spark.operators.temporal import with_tsec
 from vedb_gaze_spark.plans import params as P
 
@@ -163,4 +164,4 @@ def cluster_dbscan(
         return out[out.cluster_id >= 0]
 
     e = with_tsec(events).select("user_id", "event_id", "t", "value")
-    return e.groupBy("user_id").applyInPandas(run, schema=_DBSCAN_SCHEMA)
+    return apply_per_key(e, "user_id", run, _DBSCAN_SCHEMA)

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vedb_gaze_spark.functions.grouped import apply_per_key
 from vedb_gaze_spark.functions.tps import tps_fit, tps_eval
 from vedb_gaze_spark.plans import params as P
 from vedb_gaze_spark.sources.signals import with_gaze
@@ -123,4 +124,4 @@ def error_surface_tps(events: DataFrame, lambd: float = 0.01) -> DataFrame:
         F.median("my").alias("my"),
         F.median("err").alias("err"),
     )
-    return reduced.groupBy("user_id").applyInPandas(run, schema=_SURFACE_SCHEMA)
+    return apply_per_key(reduced, "user_id", run, _SURFACE_SCHEMA)
