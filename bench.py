@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "calibration_tps",
+    "gaze_pipeline",
 ]
 
 

@@ -53,3 +53,27 @@ def test_dbscan_deterministic():
     l1 = _dbscan_numpy(X, eps=0.15, min_samples=3)
     l2 = _dbscan_numpy(X, eps=0.15, min_samples=3)
     assert (l1 == l2).all()
+
+
+def test_tps_cv_closed_form_matches_explicit_refits():
+    # the O(n^3)-per-lambda closed form must reproduce the reference's
+    # explicit leave-one-out refit loop (calibration.py:350) exactly
+    rng = np.random.RandomState(7)
+    xy = rng.rand(40, 2)
+    v = np.sin(3 * xy[:, 0]) + 0.1 * rng.randn(40)
+    lambdas = np.array([1e-6, 1e-3, 1e-1, 1.0])
+
+    n = len(xy)
+    naive = np.zeros(len(lambdas))
+    for li, lam in enumerate(lambdas):
+        pred = np.zeros(n)
+        for i in range(n):
+            keep = np.ones(n, dtype=bool)
+            keep[i] = False
+            theta = tps_fit(xy[keep], v[keep], lam)
+            pred[i] = tps_eval(xy[i : i + 1], xy[keep], theta)[0]
+        naive[li] = float(np.sqrt(np.mean((pred - v) ** 2)))
+
+    lam_best, rmse_best = tps_fit_cv(xy, v, lambdas)
+    assert lam_best == lambdas[int(np.argmin(naive))]
+    np.testing.assert_allclose(rmse_best, naive.min(), rtol=1e-8)

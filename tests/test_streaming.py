@@ -41,3 +41,66 @@ def test_streaming_matches_batch(op, spark, sf_dir):
         assert len(want) > 0
     finally:
         q.stop()
+
+
+def test_stateful_blinks_across_batches(spark, sf_dir, tmp_path):
+    """streaming_blinks must equal batch detect_blinks for every run that
+    CLOSES before end-of-stream, with state carrying open runs across
+    micro-batches (two time-split files, maxFilesPerTrigger=1)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.labeling import detect_blinks
+    from vedb_gaze_spark.sources.signals import with_gaze
+    from vedb_gaze_spark.streaming.stateful import streaming_blinks
+
+    batch = load_table(spark, "events", sf_dir)
+    mid = batch.agg(F.median(F.unix_micros("ts"))).collect()[0][0]
+
+    src = str(tmp_path / "stream_src")
+    early = batch.where(F.unix_micros("ts") <= mid)
+    late = batch.where(F.unix_micros("ts") > mid)
+    early.coalesce(1).write.parquet(os.path.join(src, "c0"))
+    late.coalesce(1).write.parquet(os.path.join(src, "c1"))
+    # force discovery order = time order (file source sorts by mod time)
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(src, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_blinks(stream)
+        .writeStream.format("memory")
+        .queryName("mem_blinks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {tuple(r) for r in spark.sql("SELECT * FROM mem_blinks").collect()}
+        # runs still open at the last sample of a user never close in the
+        # stream; exclude them from the batch expectation
+        last = with_gaze(batch).groupBy("user_id").agg(
+            F.max_by("event_id", F.struct("t", "event_id")).alias("last_id")
+        )
+        want = {
+            tuple(r)
+            for r in detect_blinks(batch)
+            .join(last, "user_id")
+            .where(F.col("end_event_id") != F.col("last_id"))
+            .select("user_id", "start_event_id", "end_event_id", "n_events", "duration_s")
+            .collect()
+        }
+        assert got == want
+        assert len(want) > 0
+    finally:
+        q.stop()

@@ -49,22 +49,59 @@ def tps_eval(xy_new: np.ndarray, xy: np.ndarray, theta: np.ndarray) -> np.ndarra
     return _u(d2) @ w + a[0] + xy_new @ a[1:]
 
 
+def tps_cv_multi(
+    xy: np.ndarray, V: np.ndarray, lambdas: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Leave-one-out CV over a lambda grid for k target columns at once —
+    semantics of the reference's _fit_tps_gaze_cv loop (calibration.py:350:
+    refit with one point held out, score RMSE of held-out predictions,
+    pick the best lambda), computed in closed form.
+
+    Deleting point i removes row/col i of the (n+3) system A(λ)θ = b,
+    which IS the (n−1)-point TPS system (the held-out point leaves both
+    the data and the kernel basis). Block-inversion of that deletion gives
+    the held-out residual exactly: v_i − pred_i = x_i / (A(λ)⁻¹)_ii with
+    x = A(λ)⁻¹b — so ONE stacked O(L·n³) inversion replaces L·n·k O(n³)
+    refits, identical up to float roundoff (tests/test_numerics.py checks
+    parity against the explicit loop). The per-call constant matters as
+    much as the asymptotics here: groups are ~10 cluster medians, so the
+    stacked LAPACK call amortizes numpy dispatch over all lambdas.
+
+    Returns (best_lambda[k], best_cv_rmse[k], theta[(n+3), k] at each
+    target's best lambda, train_pred[n, k]).
+    """
+    n = len(xy)
+    L = len(lambdas)
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    Pm = np.hstack([np.ones((n, 1)), xy])
+    A0 = np.zeros((n + 3, n + 3))
+    A0[:n, :n] = _u(d2)
+    A0[:n, n:] = Pm
+    A0[n:, :n] = Pm.T
+    A = np.broadcast_to(A0, (L, n + 3, n + 3)).copy()
+    idx = np.arange(n)
+    A[:, idx, idx] += np.asarray(lambdas)[:, None]
+    Ainv = np.linalg.inv(A)  # one stacked LAPACK call
+    B = np.vstack([V, np.zeros((3, V.shape[1]))])
+    X = Ainv @ B  # (L, n+3, k)
+    diag = Ainv[:, idx, idx]  # (L, n)
+    loo_resid = X[:, :n, :] / diag[:, :, None]
+    errs = np.sqrt(np.mean(loo_resid**2, axis=1))  # (L, k)
+    best = np.argmin(errs, axis=0)  # (k,)
+    ks = np.arange(V.shape[1])
+    theta = X[best, :, ks].T  # (n+3, k)
+    train_pred = A0[:n, :] @ theta
+    return (
+        np.asarray(lambdas)[best].astype(float),
+        errs[best, ks],
+        theta,
+        train_pred,
+    )
+
+
 def tps_fit_cv(
     xy: np.ndarray, v: np.ndarray, lambdas: np.ndarray
 ) -> tuple[float, float]:
-    """Leave-one-out cross-validation over a lambda grid, exactly the
-    reference's _fit_tps_gaze_cv loop (calibration.py:350): refit with one
-    point held out, score RMSE of held-out predictions, pick the best
-    lambda. Returns (best_lambda, best_cv_rmse)."""
-    n = len(xy)
-    errs = np.zeros(len(lambdas))
-    for li, lam in enumerate(lambdas):
-        pred = np.zeros(n)
-        for i in range(n):
-            keep = np.ones(n, dtype=bool)
-            keep[i] = False
-            theta = tps_fit(xy[keep], v[keep], lam)
-            pred[i] = tps_eval(xy[i : i + 1], xy[keep], theta)[0]
-        errs[li] = float(np.sqrt(np.mean((pred - v) ** 2)))
-    best = int(np.argmin(errs))
-    return float(lambdas[best]), float(errs[best])
+    """Single-target LOO CV — thin wrapper over tps_cv_multi."""
+    lam, err, _, _ = tps_cv_multi(xy, v[:, None], np.asarray(lambdas, dtype=float))
+    return float(lam[0]), float(err[0])

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vedb_gaze_spark.functions.grouped import apply_per_key
-from vedb_gaze_spark.functions.tps import tps_fit, tps_eval, tps_fit_cv
+from vedb_gaze_spark.functions.tps import tps_cv_multi
 from vedb_gaze_spark.plans import params as P
 from vedb_gaze_spark.sources.signals import with_gaze
 
@@ -153,15 +153,12 @@ def calibration_tps(events: DataFrame) -> DataFrame:
                 }
             )
         lams = np.array(LAMBDA_GRID)
-        gx = pdf["gx"].to_numpy()
-        gy = pdf["gy"].to_numpy()
-        lam_x, cv_x = tps_fit_cv(xy, gx, lams)
-        lam_y, cv_y = tps_fit_cv(xy, gy, lams)
-        tx = tps_fit(xy, gx, lam_x)
-        ty = tps_fit(xy, gy, lam_y)
-        rx = tps_eval(xy, xy, tx) - gx
-        ry = tps_eval(xy, xy, ty) - gy
-        train = float(np.sqrt(np.mean(rx**2 + ry**2)))
+        V = pdf[["gx", "gy"]].to_numpy()
+        best_lam, cv_rmse, _, train_pred = tps_cv_multi(xy, V, lams)
+        lam_x, lam_y = best_lam
+        cv_x, cv_y = cv_rmse
+        resid = train_pred - V
+        train = float(np.sqrt(np.mean(resid[:, 0] ** 2 + resid[:, 1] ** 2)))
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],

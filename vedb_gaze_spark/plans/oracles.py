@@ -540,7 +540,11 @@ wm AS (
 SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= {P.WINNOW_WINDOW}
 """
 
-_SHINGLE_SETS = f"SELECT DISTINCT doc_id, sh FROM ({_SHINGLES_POS})"
+# sh is the 60-bit md5 hash of the shingle text — identical to the Spark
+# side's _shingle_sets, so joins/sets over it match bit-for-bit
+_SHINGLE_SETS = (
+    f"SELECT DISTINCT doc_id, {_h60('sh')} AS sh FROM ({_SHINGLES_POS})"
+)
 
 _VERIFY_JACCARD = f"""
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY doc_id),
@@ -563,9 +567,21 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {P.JACCARD_THRESHOLD
 
 DEDUP_NGRAM_JACCARD = f"""
 WITH shs AS ({_SHINGLE_SETS}),
+dfs AS (SELECT sh, count(*) AS df FROM shs GROUP BY sh),
+doc_sizes AS (SELECT doc_id, count(*) AS n_sh FROM shs GROUP BY doc_id),
+prefix AS (
+  SELECT doc_id, sh FROM (
+    SELECT s.doc_id, s.sh, z.n_sh,
+           row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rnk
+    FROM shs s
+    JOIN dfs d USING (sh)
+    JOIN doc_sizes z USING (doc_id)
+  ) t
+  WHERE rnk <= n_sh - CAST(ceil({P.JACCARD_THRESHOLD} * n_sh) AS BIGINT) + 1
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM shs a JOIN shs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
 ),
 {_VERIFY_JACCARD}
 """
@@ -585,7 +601,7 @@ _BAND_SELECTS = "\n  UNION ALL\n".join(
 
 DEDUP_MINHASH_LSH = f"""
 WITH shs AS ({_SHINGLE_SETS}),
-hs AS (SELECT doc_id, sh, {_h60('sh')} % {P.MINHASH_PRIME} AS h31 FROM shs),
+hs AS (SELECT doc_id, sh, sh % {P.MINHASH_PRIME} AS h31 FROM shs),
 sig AS (
   SELECT doc_id,
     {_MH_AGGS}
@@ -749,4 +765,43 @@ SELECT user_id, bin_x, bin_y,
   round(avg(err), 6) AS mean_err,
   round(count(*) / CAST(any_value(n_user) AS DOUBLE), 6) AS density
 FROM n GROUP BY user_id, bin_x, bin_y
+"""
+
+
+# --- composed end-to-end pipeline (plans/pipeline.py) -----------------------
+
+GAZE_PIPELINE = f"""
+WITH g AS ({GAZE_CTE}),
+fit AS (
+  SELECT user_id,
+    regr_slope(gx, px) AS bx, regr_intercept(gx, px) AS ax,
+    regr_slope(gy, py) AS by, regr_intercept(gy, py) AS ay,
+    count(*) AS n_calib
+  FROM g WHERE conf > {P.MIN_CONFIDENCE}
+  GROUP BY user_id
+),
+lab AS (
+  SELECT g.user_id, f.n_calib,
+    sqrt( (((f.ax + f.bx * g.px) - g.mx) * {P.DEG_HORIZ})
+        * (((f.ax + f.bx * g.px) - g.mx) * {P.DEG_HORIZ})
+        + (((f.ay + f.by * g.py) - g.my) * {P.DEG_VERT})
+        * (((f.ay + f.by * g.py) - g.my) * {P.DEG_VERT}) ) AS err_deg,
+    sqrt( ((g.gx - lag(g.gx) OVER w) * {P.DEG_HORIZ})
+        * ((g.gx - lag(g.gx) OVER w) * {P.DEG_HORIZ})
+        + ((g.gy - lag(g.gy) OVER w) * {P.DEG_VERT})
+        * ((g.gy - lag(g.gy) OVER w) * {P.DEG_VERT}) )
+      / (g.t - lag(g.t) OVER w) AS vel,
+    CASE WHEN g.conf < {P.BLINK_CONF_THRESHOLD} THEN 1 ELSE 0 END AS is_blink
+  FROM g JOIN fit f USING (user_id)
+  WINDOW w AS (PARTITION BY g.user_id ORDER BY g.t, g.event_id)
+)
+SELECT user_id,
+  min(n_calib)                              AS n_calib,
+  count(*)                                  AS n_samples,
+  round(sqrt(avg(err_deg * err_deg)), 6)    AS rmse_deg,
+  round(median(err_deg), 6)                 AS median_err_deg,
+  round(avg(is_blink), 6)                   AS blink_frac,
+  round(median(vel), 6)                     AS median_vel_deg_s
+FROM lab
+GROUP BY user_id
 """

@@ -15,7 +15,7 @@ SESSION_GAP_S = 172800.0        # split_timecourse max_epoch_gap (marker_parsing
 SESSION_MIN_S = 259200.0        # min_epoch_length
 SESSION_MAX_S = 2592000.0       # max_epoch_length
 BRIEF_MIN_S = 259200.0          # remove_brief_detections duration_threshold (marker_parsing.py:53)
-RESAMPLE_STEP_S = 3600.0        # resample_data 1/fps (utils.py:581) — hourly for event data
+RESAMPLE_STEP_S = 21600.0       # resample_data 1/fps (utils.py:581) — 6-hourly, ~2x the signal cadence
 DETREND_WINDOW_S = 604800.0     # detrend_median window_seconds (labeling.py:773)
 
 # --- outliers (utils.py:545 remove_outliers) -----------------------------

@@ -307,3 +307,13 @@ def _error_surface_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, sf_dir)
+
+
+# --- composed end-to-end pipeline (SURVEY §2 flagship chain) -----------------
+
+from vedb_gaze_spark.plans import pipeline as _pipeline  # noqa: E402
+
+
+@register("gaze_pipeline", oracles.GAZE_PIPELINE)
+def _gaze_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline.gaze_pipeline(load_table(spark, "events", sf_dir))

@@ -26,7 +26,9 @@ def get_spark(app_name: str = "vedb-gaze-spark", shuffle_partitions: int | None 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode runs executors inside the driver JVM: size the heap
+        # for all $SPARK_GRAFT_CPUS task threads, not a lone driver
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_MASTER_OVERRIDE_DISABLED"):
