@@ -104,3 +104,35 @@ def test_stateful_blinks_across_batches(spark, sf_dir, tmp_path):
         assert len(want) > 0
     finally:
         q.stop()
+
+
+def test_streaming_dedup_exact(spark, sf_dir):
+    """Streamed exact dedup must surface exactly the batch-distinct set of
+    content hashes, one row each."""
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.streaming.sessions import streaming_dedup_exact
+
+    batch = load_table(spark, "documents", sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        streaming_dedup_exact(stream)
+        .writeStream.format("memory")
+        .queryName("mem_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = spark.sql("SELECT content_hash, count(*) c FROM mem_dedup GROUP BY 1")
+        got_hashes = {r["content_hash"] for r in got.collect()}
+        assert all(r["c"] == 1 for r in got.collect())
+        want = {r["content_hash"] for r in streaming_dedup_exact(batch).collect()}
+        assert got_hashes == want and len(want) > 0
+    finally:
+        q.stop()

@@ -69,3 +69,38 @@ def streaming_rate(
             "n_events",
         )
     )
+
+
+def streaming_dedup_exact(
+    documents: DataFrame,
+    watermark_s: float = 7 * 86400.0,
+) -> DataFrame:
+    """Streaming twin of operators/dedup.py:dedup_exact — emit each
+    distinct document content exactly once as it first arrives.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per content
+    hash and expires it once the event-time watermark passes, so state is
+    bounded by the dedup horizon instead of the stream's full history —
+    the standard incremental form of exact dedup for a training-data
+    ingest pipeline. The documents table carries no timestamp, so event
+    time derives deterministically from doc_id (ingest order). Which
+    duplicate row survives depends on stream arrival order; the
+    deterministic contract (and what tests compare) is the SET of
+    distinct content hashes. Batch DataFrames take a plain distinct."""
+    hashed = documents.select(
+        "doc_id",
+        # 2024-01-01 base: a doc_id-0 ts of exactly the epoch would equal
+        # the stream's initial watermark and be dropped as late
+        F.timestamp_micros((F.lit(1_704_067_200) + F.col("doc_id")) * 1_000_000).alias("ts"),
+        F.md5(F.col("text")).alias("content_hash"),
+    )
+    if documents.isStreaming:
+        return (
+            hashed.withWatermark("ts", f"{int(watermark_s)} seconds")
+            .dropDuplicatesWithinWatermark(["content_hash"])
+            .select("content_hash", "doc_id")
+        )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
