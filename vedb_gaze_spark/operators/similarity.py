@@ -175,3 +175,79 @@ def vector_norm(embeddings: DataFrame) -> DataFrame:
         F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
     return v.select("vec_id", F.round(norm, 6).alias("l2_norm"))
+
+
+def _centroid_dot(v: Column, cent: tuple) -> Column:
+    lit = F.array(*[F.lit(x) for x in cent])
+    return F.aggregate(
+        F.zip_with(v, lit, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _nearest_cell(v: Column) -> Column:
+    """argmax over centroid dot products, first-match tie-break — the IVF
+    coarse quantizer as a pure whole-stage-codegen expression."""
+    dots = [F.round(_centroid_dot(v, c), 6) for c in P.IVF_CENTROIDS]
+    mx = F.greatest(*dots)
+    cell = F.lit(None).cast("int")
+    for i in reversed(range(len(dots))):
+        cell = F.when(dots[i] == mx, F.lit(i)).otherwise(cell)
+    return cell
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    k: int = P.ANN_K,
+    n_queries: int = P.ANN_N_QUERIES,
+    n_probes: int = P.IVF_PROBES,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest coarse
+    centroid cell; each query probes its n_probes best cells and reranks
+    exactly inside them.
+
+    The scale shape of a real IVF index: the corpus partitions by cell
+    (a plain hash-partitioned column — at 100 TB, a partition/bucket
+    key), a query touches n_probes/n_cells of the data, and the rerank
+    is the brute-force kernel on that slice. Centroids here are fixed
+    literals (params.py) so both engines compute identical assignments;
+    swapping in trained k-means centroids changes numbers, not the plan.
+    Mirrors reference capability marker_parsing.py:299's density view of
+    clustering as bucketed search; complements ann_lsh (sign buckets)
+    and ann_cosine_topk (exact baseline)."""
+    v = _vecs(embeddings)
+    corpus = v.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        _nearest_cell(F.col("v")).alias("cell"),
+    )
+    qdots = F.array(
+        *[
+            F.struct(
+                F.round(_centroid_dot(F.col("v"), c), 6).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(P.IVF_CENTROIDS)
+        ]
+    )
+    probes = (
+        v.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(qdots).alias("e"),
+        )
+        .select("query_id", "qv", F.col("e.d").alias("d"), F.col("e.cell").alias("cell"))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("d"), "cell")
+    probed = probes.withColumn("pr", F.row_number().over(wprobe)).where(
+        F.col("pr") <= n_probes
+    )
+    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
+    scored = corpus.join(F.broadcast(probed.select("query_id", "qv", "cell")), "cell")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

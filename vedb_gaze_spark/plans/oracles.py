@@ -805,3 +805,53 @@ SELECT user_id,
 FROM lab
 GROUP BY user_id
 """
+
+
+# --- IVF ANN (operators/similarity.py:ann_ivf) ------------------------------
+
+def _ivf_dot(col: str, cent: tuple) -> str:
+    arr = "[" + ", ".join(repr(float(x)) for x in cent) + "]"
+    return (
+        f"round(list_sum(list_transform(range(1, 65), "
+        f"i -> {col}[i]::DOUBLE * ({arr}::DOUBLE[])[i])), 6)"
+    )
+
+
+_IVF_N = len(P.IVF_CENTROIDS)
+_IVF_DOTS = ",\n    ".join(
+    f"{_ivf_dot('embedding', c)} AS d{i}" for i, c in enumerate(P.IVF_CENTROIDS)
+)
+_IVF_MAX = "greatest(" + ", ".join(f"d{i}" for i in range(_IVF_N)) + ")"
+_IVF_CASE = (
+    "CASE " + " ".join(f"WHEN d{i} = mx THEN {i}" for i in range(_IVF_N)) + " END"
+)
+_IVF_PROBE_SELECTS = "\n  UNION ALL\n  ".join(
+    f"SELECT vec_id AS query_id, embedding, {_ivf_dot('embedding', c)} AS d, {i} AS cell "
+    f"FROM embeddings WHERE vec_id < {P.ANN_N_QUERIES}"
+    for i, c in enumerate(P.IVF_CENTROIDS)
+)
+
+ANN_IVF = f"""
+WITH dots AS (
+  SELECT vec_id, embedding,
+    {_IVF_DOTS}
+  FROM embeddings WHERE vec_id >= {P.ANN_N_QUERIES}
+), corpus AS (
+  SELECT vec_id AS neighbor_id, embedding, {_IVF_CASE} AS cell
+  FROM (SELECT *, {_IVF_MAX} AS mx FROM dots) t
+), qdots AS (
+  {_IVF_PROBE_SELECTS}
+), probed AS (
+  SELECT query_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cell) AS pr
+    FROM qdots
+  ) t WHERE pr <= {P.IVF_PROBES}
+), scored AS (
+  SELECT a.query_id, b.neighbor_id, round({_COS}, 6) AS cosine
+  FROM probed a JOIN corpus b ON a.cell = b.cell
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {P.ANN_K}
+"""

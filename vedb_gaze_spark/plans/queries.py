@@ -317,3 +317,8 @@ from vedb_gaze_spark.plans import pipeline as _pipeline  # noqa: E402
 @register("gaze_pipeline", oracles.GAZE_PIPELINE)
 def _gaze_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pipeline.gaze_pipeline(load_table(spark, "events", sf_dir))
+
+
+@register("ann_ivf", oracles.ANN_IVF)
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_ivf(load_table(spark, "embeddings", sf_dir))
