@@ -1,0 +1,111 @@
+"""Property tests (SURVEY §5.3): gaps-and-islands invariants that must
+hold for ANY input, not just the driver tables. A NumPy reimplementation
+of the reference semantics (utils.py:135 onoff_from_binary,
+marker_parsing.py:187 split_timecourse) is the ground truth; hypothesis
+drives the inputs. Spark examples are expensive, so examples are few but
+adversarial (duplicate timestamps, singleton runs, gap boundaries)."""
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from vedb_gaze_spark.operators.clustering import sessionize
+from vedb_gaze_spark.operators.temporal import run_length
+
+BASE_US = 1_700_000_000_000_000  # event-time base, micros
+
+# per-user lists of (t_offset_seconds, is_flagged)
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30 * 86400),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=40,
+)
+_users = st.lists(_events, min_size=1, max_size=3)
+
+
+def _df(spark, users):
+    rows = []
+    eid = 0
+    for uid, evs in enumerate(users):
+        for off_s, flag in evs:
+            rows.append(
+                (eid, BASE_US + off_s * 1_000_000, uid, "error" if flag else "view", 0.0, "")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, t_us long, user_id long, event_type string, value double, props string"
+    )
+    return df.select(
+        "event_id", F.timestamp_micros("t_us").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+
+
+def _runs_numpy(evs):
+    """Reference semantics: maximal runs of flagged rows in (t, event_id)
+    order (onoff_from_binary, utils.py:135)."""
+    order = sorted(range(len(evs)), key=lambda i: (evs[i][0], i))
+    runs, cur = [], []
+    for i in order:
+        if evs[i][1]:
+            cur.append(i)
+        elif cur:
+            runs.append(cur)
+            cur = []
+    if cur:
+        runs.append(cur)
+    return runs
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(users=_users)
+def test_run_length_matches_reference_semantics(spark, users):
+    got = {
+        (r["user_id"], r["start_event_id"], r["end_event_id"], r["n_events"])
+        for r in run_length(_df(spark, users)).collect()
+    }
+    want = set()
+    eid_base = 0
+    for uid, evs in enumerate(users):
+        for runs in [_runs_numpy(evs)]:
+            for run in runs:
+                ids = [eid_base + i for i in run]
+                want.add((uid, min(ids), max(ids), len(ids)))
+        eid_base += len(evs)
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(users=_users)
+def test_sessionize_invariants(spark, users):
+    gap, lo, hi = 86400.0, 0.0, 40 * 86400.0
+    out = sessionize(_df(spark, users), gap_s=gap, min_s=lo, max_s=hi).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r)
+        # epoch internal consistency
+        assert r["t_end"] >= r["t_start"]
+        assert abs(r["duration_s"] - (r["t_end"] - r["t_start"])) < 1e-6
+        assert lo < r["duration_s"] < hi
+    for uid, rs in per_user.items():
+        rs = sorted(rs, key=lambda r: r["t_start"])
+        # epochs are disjoint and separated by more than the gap
+        for a, b in zip(rs, rs[1:]):
+            assert b["t_start"] - a["t_end"] > gap
+        # independently recompute epoch boundaries from the raw input
+        ts = sorted(t for t, _ in users[uid])
+        epochs, cur = [], [ts[0]]
+        for prev, t in zip(ts, ts[1:]):
+            if t - prev > gap:
+                epochs.append(cur)
+                cur = []
+            cur.append(t)
+        epochs.append(cur)
+        kept = [e for e in epochs if lo < (e[-1] - e[0]) < hi]
+        assert len(kept) == len(rs)
+        for e, r in zip(kept, rs):
+            assert r["n_events"] == len(e)
