@@ -75,3 +75,37 @@ def test_no_cartesian_products(spark, sf_dir):
     for name, q in QUERIES.items():
         s = fmt(q(spark, sf_dir))
         assert "CartesianProduct" not in s, name
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on user_id must sort-merge-join with ZERO
+    Exchange operators — the co-location contract SURVEY §4 relies on for
+    every fact-fact join at scale."""
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.sources.bucketing import read_bucketed, write_bucketed
+    from vedb_gaze_spark.sources.tables import load_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckets LOCATION '{tmp_path}/wh'")
+    ev = load_table(spark, "events", sf_dir)
+    write_bucketed(ev.where(F.col("event_type") == "view"), "buckets.ev_view")
+    write_bucketed(ev.where(F.col("event_type") == "click"), "buckets.ev_click")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at sf the small side would auto-broadcast; disable it so the
+        # plan shows what a fact-fact join does at 100 TB, where neither
+        # side broadcasts and only bucketing avoids the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = read_bucketed(spark, "buckets.ev_view").select("user_id", "event_id", "value")
+        b = read_bucketed(spark, "buckets.ev_click").select("user_id", "ts")
+        joined = a.join(b, "user_id").groupBy("user_id").agg(F.sum("value"))
+        joined.collect()
+        s = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in s, s
+        assert "SortMergeJoin" in s, s
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS buckets.ev_view")
+        spark.sql("DROP TABLE IF EXISTS buckets.ev_click")
+        spark.sql("DROP DATABASE IF EXISTS buckets")

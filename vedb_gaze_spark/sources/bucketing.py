@@ -1,0 +1,39 @@
+"""Bucketed-table layout for shuffle-free co-located joins (SURVEY §4).
+
+At 100 TB the events-like fact tables are re-joined on user_id by nearly
+every pipeline stage (signal ⋈ calibration fit, pupil ⋈ marker streams,
+epochs ⋈ raw rows). Writing them ONCE bucketed by that key makes every
+subsequent equi-join and groupBy on user_id exchange-free: Spark reads
+each bucket as a pre-partitioned split, so two bucketed tables with the
+same bucket count sort-merge-join without a shuffle on either side.
+
+This is the lakehouse answer to the reference's per-session file layout
+(one npz per session, vedb_gaze/utils.py loaders): session == key range,
+but handled by the table format instead of filenames.
+
+tests/test_plans.py::test_bucketed_join_has_no_shuffle proves the plan
+contains no Exchange; bench-scale writes happen once per layout change,
+not per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str = "user_id",
+    n_buckets: int = 32,
+    sort_by: str | None = "ts",
+) -> None:
+    """Persist df as a bucketed+sorted managed table (idempotent)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_by is not None:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
