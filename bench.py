@@ -31,6 +31,8 @@ HEADLINE = [
     "gaze_error",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_ivf",
+    "dedup_embedding_cosine",
     "calibration_tps",
     "gaze_pipeline",
 ]
