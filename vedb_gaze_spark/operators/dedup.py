@@ -144,8 +144,16 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
     candidates; candidates get an exact Jaccard pass. Identical output to
     dedup_ngram_jaccard when LSH recall is 1 at the threshold — by very
     different (index-shaped) physical plans.
+
+    No distinct() anywhere: min-aggregates are idempotent under repeated
+    shingles and collect_set dedups inside the verify aggregation, so the
+    per-occurrence shingle stream feeds both paths without the 1M-row
+    pre-dedup exchange the naive plan would pay.
     """
-    sh = _shingle_sets(documents)
+    sh = (
+        shingles(documents)
+        .select("doc_id", portable_hash60("sh").alias("sh"))
+    )
     sig = _minhash_signatures(sh)
     rows = P.MINHASH_PERMS // P.MINHASH_BANDS
     bands = None
