@@ -84,3 +84,55 @@ def decode_frames(documents: DataFrame, batch_size: int = 64) -> DataFrame:
 
     d = documents.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return d.mapInPandas(run, schema=_DECODE_SCHEMA)
+
+
+def sample_frames(documents: DataFrame, stride: int = 3) -> DataFrame:
+    """Deterministic frame sampling: every stride-th frame index of each
+    payload's frame count (reference: pupil_detection_pl.py processes
+    start_frame..end_frame ranges). Pure JVM explode(sequence()) — the
+    flat-map shape a video pipeline uses to go clip → frame rows, with
+    NO Python involvement and no shuffle; downstream per-frame decode
+    joins on (doc_id, frame_idx)."""
+    d = documents.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    ).select(
+        "doc_id",
+        (F.octet_length("payload") % 7 + 1).alias("n_frames"),
+    )
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(stride))
+        ).alias("frame_idx"),
+    )
+
+
+_FEATURE_SCHEMA = "doc_id bigint, feature array<double>"
+_FEATURE_BINS = 16
+
+
+def extract_features(documents: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads: a 16-bin
+    L1-normalized byte histogram per payload — the stub for an image
+    embedding model (the reference's pupil network, pupil_detection_pl.py
+    :11, consumes frames the same way: batch in, fixed-dim vector out).
+    Deterministic, so tests can assert stability; swap the histogram for
+    a real model call without touching the plan (mapInPandas preserves
+    partitioning; batches bound executor memory)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if len(arr) == 0:
+                    feats.append([0.0] * _FEATURE_BINS)
+                    continue
+                hist = np.bincount(arr >> 4, minlength=_FEATURE_BINS)
+                feats.append((hist / hist.sum()).round(6).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    d = documents.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return d.mapInPandas(run, schema=_FEATURE_SCHEMA)

@@ -855,3 +855,9 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
   FROM scored
 ) t WHERE rank <= {P.ANN_K}
 """
+
+
+MULTIMODAL_SAMPLE = """
+SELECT doc_id, unnest(generate_series(0, (octet_length(encode(text)) % 7 + 1) - 1, 3)) AS frame_idx
+FROM documents
+"""

@@ -322,3 +322,13 @@ def _gaze_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_ivf", oracles.ANN_IVF)
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf(load_table(spark, "embeddings", sf_dir))
+
+
+@register("multimodal_sample", oracles.MULTIMODAL_SAMPLE)
+def _multimodal_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_frames(load_table(spark, "documents", sf_dir))
+
+
+@register("multimodal_features")  # stubbed embedding model → rows-only
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.extract_features(load_table(spark, "documents", sf_dir))
