@@ -136,3 +136,67 @@ def test_streaming_dedup_exact(spark, sf_dir):
         assert got_hashes == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_stateful_saccades_across_batches(spark, sf_dir, tmp_path):
+    """streaming_saccades must equal batch detect_saccades for every run
+    closed before end-of-stream; velocity state (previous gaze sample)
+    must survive the micro-batch boundary."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.labeling import detect_saccades
+    from vedb_gaze_spark.sources.signals import with_gaze
+    from vedb_gaze_spark.streaming.stateful import streaming_saccades
+
+    batch = load_table(spark, "events", sf_dir)
+    mid = batch.agg(F.median(F.unix_micros("ts"))).collect()[0][0]
+    src = str(tmp_path / "sacc_src")
+    batch.where(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "c0")
+    )
+    batch.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "c1")
+    )
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(src, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_saccades(stream)
+        .writeStream.format("memory")
+        .queryName("mem_saccades")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {tuple(r) for r in spark.sql("SELECT * FROM mem_saccades").collect()}
+        last = with_gaze(batch).groupBy("user_id").agg(
+            F.max_by("event_id", F.struct("t", "event_id")).alias("last_id")
+        )
+        want = {
+            tuple(r)
+            for r in detect_saccades(batch)
+            .join(last, "user_id")
+            .where(F.col("end_event_id") != F.col("last_id"))
+            .select(
+                "user_id", "start_event_id", "end_event_id", "n_events",
+                "duration_s", "peak_vel", "amplitude_deg",
+            )
+            .collect()
+        }
+        assert got == want
+        assert len(want) > 0
+    finally:
+        q.stop()

@@ -107,3 +107,120 @@ def streaming_blinks(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SAC_OUT_SCHEMA = (
+    "user_id bigint, start_event_id bigint, end_event_id bigint, "
+    "n_events bigint, duration_s double, peak_vel double, amplitude_deg double"
+)
+# previous sample (for velocity across batch boundaries) + open run
+_SAC_STATE_SCHEMA = (
+    "prev_t double, prev_gx double, prev_gy double, "
+    "open int, id0 bigint, id1 bigint, n bigint, t0 double, t1 double, "
+    "peak double, gx0 double, gy0 double, gx1 double, gy1 double"
+)
+
+
+def _make_saccade_fn(threshold: float, min_s: float, max_s: float):
+    deg_h, deg_v = P.DEG_HORIZ, P.DEG_VERT
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        user_id = key[0]
+        if state.exists:
+            (prev_t, prev_gx, prev_gy, open_run, id0, id1, n, t0, t1,
+             peak, gx0, gy0, gx1, gy1) = state.get
+            has_prev = True
+        else:
+            prev_t = prev_gx = prev_gy = 0.0
+            open_run, id0, id1, n = 0, 0, 0, 0
+            t0 = t1 = peak = gx0 = gy0 = gx1 = gy1 = 0.0
+            has_prev = False
+
+        closed: list[tuple] = []
+
+        def close():
+            dur = t1 - t0
+            if min_s <= dur <= max_s:
+                amp = math.sqrt(
+                    ((gx1 - gx0) * deg_h) ** 2 + ((gy1 - gy0) * deg_v) ** 2
+                )
+                closed.append(
+                    (user_id, id0, id1, n, dur, round(peak, 6), round(amp, 6))
+                )
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["t", "event_id"])
+        for t, eid, gx, gy in zip(
+            rows["t"], rows["event_id"], rows["gx"], rows["gy"]
+        ):
+            if has_prev:
+                dt = t - prev_t
+                dx = (gx - prev_gx) * deg_h
+                dy = (gy - prev_gy) * deg_v
+                dist = math.sqrt(dx * dx + dy * dy)
+                vel = dist / dt if dt != 0 else math.inf
+                flagged = vel > threshold
+            else:
+                flagged = False  # first-ever sample has no velocity
+            if flagged:
+                if open_run:
+                    id1, t1, n = eid, t, n + 1
+                    gx1, gy1 = gx, gy
+                    peak = max(peak, vel)
+                else:
+                    open_run = 1
+                    id0 = id1 = eid
+                    t0 = t1 = t
+                    n = 1
+                    peak = vel
+                    gx0, gy0 = gx, gy
+                    gx1, gy1 = gx, gy
+            elif open_run:
+                close()
+                open_run = 0
+            prev_t, prev_gx, prev_gy, has_prev = t, gx, gy, True
+
+        state.update((
+            float(prev_t), float(prev_gx), float(prev_gy), int(open_run),
+            int(id0), int(id1), int(n), float(t0), float(t1), float(peak),
+            float(gx0), float(gy0), float(gx1), float(gy1),
+        ))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "start_event_id", "end_event_id", "n_events",
+                    "duration_s", "peak_vel", "amplitude_deg",
+                ],
+            )
+
+    return fn
+
+
+def streaming_saccades(
+    events: DataFrame,
+    threshold: float = P.SACCADE_VEL_THRESHOLD,
+    min_s: float = P.SACCADE_MIN_S,
+    max_s: float = P.SACCADE_MAX_S,
+) -> DataFrame:
+    """Stateful streaming twin of operators/labeling.py:detect_saccades
+    (find_saccades, labeling.py:615). Velocity needs the PREVIOUS gaze
+    sample, which in a stream lives across micro-batch boundaries — so
+    state carries (last t, gx, gy) plus the open super-threshold run
+    with its running peak velocity and endpoint positions (for the
+    amplitude). O(1) state per user; emits a saccade row the moment its
+    run closes."""
+    g = with_gaze(events).select("user_id", "event_id", "t", "gx", "gy")
+    return g.groupBy("user_id").applyInPandasWithState(
+        _make_saccade_fn(threshold, min_s, max_s),
+        outputStructType=_SAC_OUT_SCHEMA,
+        stateStructType=_SAC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
