@@ -16,6 +16,11 @@ from vedb_gaze_spark.plans.queries import ORACLES, QUERIES
 
 
 def canon(rows, colnames):
+    """Type-SENSITIVE canonical form: the driver's value-hash works on
+    pandas-converted bytes, so an int64 1 and a float64 1.0 hash
+    differently even though Python's ``1 == 1.0``. Tagging every value
+    with its type makes local green imply driver green (caught r1: a
+    DuckDB windowed sum surfacing HUGEINT→float64 vs Spark bigint)."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
     for row in rows:
@@ -31,7 +36,7 @@ def canon(rows, colnames):
                 v = v.isoformat()
             elif isinstance(v, (list, tuple)):
                 v = tuple(v)
-            vals.append(v)
+            vals.append((v.__class__.__name__, v))
         out.append(tuple(vals))
     out.sort(key=repr)
     return out

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vedb_gaze_spark.functions.core import portable_hash60
+from vedb_gaze_spark.plans import params as P
 
 HAS_IMAGE_LIBS = False
 try:  # pragma: no cover - not present in this container
@@ -67,12 +68,19 @@ def decode_frames(documents: DataFrame, batch_size: int = 64) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             payload = pdf["payload"]
             if HAS_IMAGE_LIBS:  # pragma: no cover
                 raise NotImplementedError("real decode requires cv2; see docstring")
-            n_bytes = payload.map(len)
-            mean_byte = payload.map(lambda b: (sum(b) / len(b)) if len(b) else 0.0)
+            n_bytes = np.empty(len(payload), dtype=np.int64)
+            mean_byte = np.zeros(len(payload))
+            for i, b in enumerate(payload):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n_bytes[i] = arr.size
+                if arr.size:
+                    mean_byte[i] = arr.mean()
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -107,8 +115,7 @@ def sample_frames(documents: DataFrame, stride: int = 3) -> DataFrame:
     )
 
 
-_FEATURE_SCHEMA = "doc_id bigint, feature array<double>"
-_FEATURE_BINS = 16
+_FEATURE_SCHEMA = "doc_id bigint, bin_idx int, weight double"
 
 
 def extract_features(documents: DataFrame) -> DataFrame:
@@ -116,23 +123,36 @@ def extract_features(documents: DataFrame) -> DataFrame:
     L1-normalized byte histogram per payload — the stub for an image
     embedding model (the reference's pupil network, pupil_detection_pl.py
     :11, consumes frames the same way: batch in, fixed-dim vector out).
-    Deterministic, so tests can assert stability; swap the histogram for
-    a real model call without touching the plan (mapInPandas preserves
-    partitioning; batches bound executor memory)."""
+
+    Output is EXPLODED to (doc_id, bin_idx, weight) rows — one row per
+    histogram bin — rather than an array column: hashable for any
+    canonicalizer, SQL-oracle-able (the nibble histogram is expressible
+    over hex(payload) in DuckDB), and the shape a feature store actually
+    joins on. Weights use floor(x*1e6+0.5)/1e6 (HALF_UP for non-negative
+    x) so both engines round identically. Deterministic, so tests can
+    assert stability; swap the histogram for a real model call without
+    touching the plan (mapInPandas preserves partitioning; batches bound
+    executor memory)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        nb = P.FEATURE_BINS
         for pdf in batches:
-            feats = []
-            for b in pdf["payload"]:
+            ids = pdf["doc_id"].to_numpy()
+            W = np.zeros((len(ids), nb))
+            for i, b in enumerate(pdf["payload"]):
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
-                if len(arr) == 0:
-                    feats.append([0.0] * _FEATURE_BINS)
-                    continue
-                hist = np.bincount(arr >> 4, minlength=_FEATURE_BINS)
-                feats.append((hist / hist.sum()).round(6).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+                if arr.size:
+                    hist = np.bincount(arr >> 4, minlength=nb)
+                    W[i] = np.floor(hist / arr.size * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, nb),
+                    "bin_idx": np.tile(np.arange(nb, dtype=np.int32), len(ids)),
+                    "weight": W.ravel(),
+                }
+            )
 
     d = documents.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return d.mapInPandas(run, schema=_FEATURE_SCHEMA)

@@ -318,8 +318,10 @@ WITH e AS (
          THEN 1 ELSE 0 END AS new_epoch
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 ), s AS (
-  SELECT *, sum(new_epoch) OVER (PARTITION BY user_id ORDER BY t, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+  -- DuckDB windowed sum(int) is HUGEINT -> float64 in Arrow; cast to BIGINT
+  -- so the driver's value-hash matches Spark's bigint epoch.
+  SELECT *, CAST(sum(new_epoch) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS epoch
   FROM d
 )
 SELECT user_id, epoch, min(t) AS t_start, max(t) AS t_end,
@@ -860,4 +862,32 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 MULTIMODAL_SAMPLE = """
 SELECT doc_id, unnest(generate_series(0, (octet_length(encode(text)) % 7 + 1) - 1, 3)) AS frame_idx
 FROM documents
+"""
+
+
+# 16-bin byte histogram of the payload: bin = byte >> 4 = the first hex
+# digit of each byte pair in hex(payload). Weight rounding is the same
+# floor(x*1e6+0.5)/1e6 double arithmetic the Spark stub applies, so values
+# hash identically.
+MULTIMODAL_FEATURES = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+nib AS (
+  SELECT doc_id, strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1 AS bin_idx
+  FROM (SELECT doc_id, hx, n, unnest(generate_series(1, n)) AS i FROM b)
+),
+cnt AS (SELECT doc_id, bin_idx, count(*) AS c FROM nib GROUP BY doc_id, bin_idx),
+bins AS (
+  SELECT doc_id, n, unnest(generate_series(0, {P.FEATURE_BINS - 1})) AS bin_idx
+  FROM b
+)
+SELECT bins.doc_id AS doc_id, CAST(bins.bin_idx AS INT) AS bin_idx,
+  CASE WHEN bins.n = 0 THEN 0.0
+       ELSE floor(coalesce(cnt.c, 0) / CAST(bins.n AS DOUBLE) * 1000000 + 0.5)
+            / 1000000
+  END AS weight
+FROM bins LEFT JOIN cnt
+  ON bins.doc_id = cnt.doc_id AND bins.bin_idx = cnt.bin_idx
 """

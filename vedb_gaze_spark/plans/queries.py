@@ -329,6 +329,6 @@ def _multimodal_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(load_table(spark, "documents", sf_dir))
 
 
-@register("multimodal_features")  # stubbed embedding model → rows-only
+@register("multimodal_features", oracles.MULTIMODAL_FEATURES)
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(load_table(spark, "documents", sf_dir))
