@@ -77,6 +77,66 @@ def test_no_cartesian_products(spark, sf_dir):
         assert "CartesianProduct" not in s, name
 
 
+def test_q3_broadcasts_only_the_dim(spark, sf_dir):
+    """q3 must carry exactly ONE explicit broadcast hint (filtered
+    customer). Hinting the date-filtered orders side — fact-sized at
+    100 TB — forces a fact-table broadcast no matter the scale; AQE may
+    still CHOOSE to broadcast it at small SF, which is fine."""
+    df = QUERIES["q3_shipping_priority"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+
+
+def test_ann_topk_prunes_before_window(spark, sf_dir):
+    """ann_cosine_topk must reduce scored rows partition-locally (the
+    MapInPandas prune) before the per-query ranking window — without it,
+    all n·q scored rows shuffle onto q keys."""
+    s = fmt(QUERIES["ann_cosine_topk"](spark, sf_dir))
+    assert "MapInPandas" in s, s
+    assert s.index("Window") < s.index("MapInPandas"), (
+        "prune must sit below the ranking window"
+    )
+
+
+def test_embedding_lsh_is_subset_with_measured_recall(spark, sf_dir):
+    """dedup_embedding_lsh emits only exact pairs (subset of the exact
+    operator — every survivor is rescored with the same cosine) and its
+    recall on the test data matches the measured design point (~0.73 at
+    this adversarially-loose threshold; see params.DEDUP_LSH_*)."""
+    from vedb_gaze_spark.operators import similarity
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {
+        (r.vec_a, r.vec_b) for r in similarity.dedup_embedding_cosine(emb).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b) for r in similarity.dedup_embedding_lsh(emb).collect()
+    }
+    assert lsh <= exact, "LSH emitted a non-exact pair"
+    assert len(lsh) >= 0.6 * len(exact), (len(lsh), len(exact))
+
+
+def test_no_driver_collect_in_operators():
+    """No registered query may materialize data on the driver: a
+    .collect() inside an operator is a corpus-sized driver OOM at 100 TB.
+    The one allowed site is the explicitly opt-in broadcast-index verify
+    path, which no queries() entry uses."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
+    hits = []
+    for py in root.rglob("*.py"):
+        in_optin = False
+        for lineno, line in enumerate(py.read_text().splitlines(), 1):
+            if line.startswith("def "):
+                in_optin = line.startswith("def _verify_jaccard_broadcast")
+            code = line.split("#", 1)[0]
+            if ".collect()" in code and not in_optin:
+                hits.append(f"{py.name}:{lineno}: {line.strip()}")
+    assert not hits, "driver-side collect in operator code:\n" + "\n".join(hits)
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """Two tables bucketed on user_id must sort-merge-join with ZERO
     Exchange operators — the co-location contract SURVEY §4 relies on for

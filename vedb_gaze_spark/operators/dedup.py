@@ -53,31 +53,61 @@ def _shingle_sets(documents: DataFrame) -> DataFrame:
 
 
 def _verify_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard for the given candidate (doc_a < doc_b) pairs.
+    """Exact Jaccard for the given candidate (doc_a < doc_b) pairs — the
+    scale-safe DEFAULT verification path.
 
-    Verification joins each pair to two per-doc shingle ARRAYS and
-    intersects them JVM-side — two equi-joins on doc_id plus a linear
-    merge per pair. The row-per-shingle alternative (pairs ⋈ shingles ⋈
-    shingles, then count) materializes |pairs|·|doc set| rows — measured
-    2×10⁹ intermediates / 435 s at sf0.1 vs ~10 s this way, same exact
-    output. At cluster scale the doc-set side shards by doc_id; nothing
-    here needs a broadcast."""
-    doc_sets = sh.groupBy("doc_id").agg(F.collect_set("sh").alias("shset"))
-    a = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
-    b = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
-    n_common = F.size(F.array_intersect("set_a", "set_b"))
-    n_union = F.size("set_a") + F.size("set_b") - n_common
-    # broadcast the doc-set side: pairs then stream through two map-side
-    # hash joins and never shuffle an array column. (At corpus scales
-    # where doc_sets outgrows a broadcast, drop the hints — the same plan
-    # runs as equi shuffle joins on doc_id.)
-    return (
-        pairs.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
-        .withColumn("jaccard", F.round(n_common / n_union, 6))
-        .where(F.col("jaccard") >= P.JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+    Plain equi-joins (no hints, no driver state): each pair joins its two
+    per-doc SORTED shingle arrays on doc_id, then a vectorized numpy
+    searchsorted merge scores each joined row inside mapInPandas. The
+    doc-set side shards by doc_id at any corpus size; AQE still picks a
+    broadcast-hash join when the side is genuinely small (it is at
+    sf0.1), so small-scale speed is free rather than hard-coded.
+
+    Why not per-row JVM array_intersect: it rebuilds a hash set per pair
+    (measured sf0.1: ~45 s for 9.7 M candidates vs ~8 s for the numpy
+    merge). Why not a row-per-shingle join: |pairs|·|doc set| rows —
+    measured 2×10⁹ intermediates / 435 s. Rounding is
+    floor(x·1e6+0.5)/1e6 — HALF_UP for non-negative x, matching both
+    engines' round() on these values (power-of-two denominators are
+    exact in binary)."""
+    doc_sets = sh.groupBy("doc_id").agg(F.sort_array(F.collect_set("sh")).alias("s"))
+    a = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("set_a"))
+    b = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("set_b"))
+    joined = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", "set_a", "set_b")
     )
+    thr = P.JACCARD_THRESHOLD
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            jac = np.empty(n)
+            col_a, col_b = pdf["set_a"], pdf["set_b"]
+            for i in range(n):
+                sa = np.asarray(col_a.iloc[i], dtype=np.int64)
+                sb = np.asarray(col_b.iloc[i], dtype=np.int64)
+                if len(sa) > len(sb):
+                    sa, sb = sb, sa
+                pos = np.searchsorted(sb, sa)
+                ok = pos < len(sb)
+                inter = int(np.count_nonzero(sb[pos[ok]] == sa[ok]))
+                jac[i] = inter / (len(sa) + len(sb) - inter)
+            jr = np.floor(jac * 1e6 + 0.5) / 1e6
+            keep = jr >= thr
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"].to_numpy()[keep],
+                    "doc_b": pdf["doc_b"].to_numpy()[keep],
+                    "jaccard": jr[keep],
+                }
+            )
+
+    return joined.mapInPandas(run, "doc_a bigint, doc_b bigint, jaccard double")
 
 
 def _prefix_shingles(sh: DataFrame, threshold: float) -> DataFrame:
@@ -87,7 +117,11 @@ def _prefix_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     Joining prefixes instead of full sets is exact (no recall loss) and
     kills quadratic fanout on ubiquitous shingles: boilerplate present in
     most docs lands in nobody's prefix, so the hottest join keys are
-    bounded by true near-dup cluster sizes, not corpus size."""
+    bounded by true near-dup cluster sizes, not corpus size.
+
+    Keeps (rnk, n_sh) — the shingle's position in the global order within
+    its doc and the doc's set size — so candidate generation can apply
+    the positional and size filters on top of the prefix filter."""
     from pyspark.sql import Window
 
     dfs = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -101,24 +135,66 @@ def _prefix_shingles(sh: DataFrame, threshold: float) -> DataFrame:
             F.col("rnk")
             <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
         )
-        .select("doc_id", "sh")
+        .select("doc_id", "sh", "rnk", "n_sh")
+    )
+
+
+def _candidate_pairs(pre: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs from the prefix self-join, pruned
+    by the remaining exact PPJoin filters before any verification work:
+
+    - size filter: J(A,B) ≤ min(n_a,n_b)/max(n_a,n_b), so J ≥ t needs
+      t·n_a ≤ n_b ≤ n_a/t;
+    - positional filter: for the FIRST prefix match, at sorted positions
+      (i, j), no common shingle can precede it (an earlier common element
+      would itself be an earlier prefix match under the shared global
+      order), so |A∩B| ≤ 1 + min(n_a − i, n_b − j); J ≥ t needs
+      |A∩B| ≥ ceil(t/(1+t)·(n_a+n_b)).
+
+    Both are exact (no recall loss) and run inside the same groupBy the
+    old .distinct() already paid for — the verify stage then joins arrays
+    only for pairs that survive. Measured sf0.1: 9.7 M prefix-join rows →
+    ~3.1 M surviving candidate pairs."""
+    sa = pre.select(
+        F.col("doc_id").alias("doc_a"), "sh",
+        F.col("rnk").alias("rnk_a"), F.col("n_sh").alias("n_a"),
+    )
+    sb = pre.select(
+        F.col("doc_id").alias("doc_b"), "sh",
+        F.col("rnk").alias("rnk_b"), F.col("n_sh").alias("n_b"),
+    )
+    t = F.lit(threshold)
+    alpha = F.ceil(t / (1.0 + t) * (F.col("n_a") + F.col("n_b")))
+    ubound = 1 + F.least(
+        F.col("n_a") - F.col("min_ra"), F.col("n_b") - F.col("min_rb")
+    )
+    return (
+        sa.join(sb, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("rnk_a").alias("min_ra"),
+            F.min("rnk_b").alias("min_rb"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .where(
+            (F.col("n_b") >= t * F.col("n_a"))
+            & (F.col("n_a") >= t * F.col("n_b"))
+            & (ubound >= alpha)
+        )
+        .select("doc_a", "doc_b")
     )
 
 
 def _verify_jaccard_broadcast(pairs: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard via a broadcast doc-set index + numpy merge per
-    candidate. When candidates number in the millions, the per-row JVM
-    array_intersect (which rebuilds a hash set per pair) dominates the
-    query (measured sf0.1: ~45 s for 9.7 M pairs vs ~8 s this way); a
-    sorted-array searchsorted merge against a broadcast index does the
-    same exact work. The index here is the BROADCAST side of the join
-    (~8 MB at sf0.1 — doc_id → sorted 60-bit shingle hashes); if the
-    candidate-doc index outgrows a broadcast, _verify_jaccard is the
-    shuffle equi-join form of the identical semantics.
-
-    Rounding matches engine round() exactly: floor(x·1e6 + 0.5)/1e6 is
-    HALF_UP for non-negative x, and the only representable-boundary cases
-    (power-of-two set-size denominators) are exact in binary."""
+    """OPT-IN small-corpus fast path (NOT the default — it collects a
+    doc_id → sorted-shingle-array index to the driver, which only fits
+    when the corpus is known to be small): exact Jaccard via a broadcast
+    index + the same numpy searchsorted merge as _verify_jaccard. Saves
+    the two doc_id joins and ships only (doc_a, doc_b) rows to Python.
+    Use from notebooks/tests on bounded corpora; registered queries use
+    _verify_jaccard, which has no driver state at any scale."""
     import numpy as np
 
     spark = pairs.sparkSession
@@ -131,6 +207,7 @@ def _verify_jaccard_broadcast(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     }
     bc = spark.sparkContext.broadcast(index)
     thr = P.JACCARD_THRESHOLD
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
     def run(batches):
         import numpy as np
@@ -155,31 +232,29 @@ def _verify_jaccard_broadcast(pairs: DataFrame, sh: DataFrame) -> DataFrame:
                 {"doc_a": aa[keep], "doc_b": bb[keep], "jaccard": jr[keep]}
             )
 
-    return pairs.repartition(64).mapInPandas(
+    return pairs.repartition(n_part).mapInPandas(
         run, "doc_a bigint, doc_b bigint, jaccard double"
     )
 
 
-def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
+def dedup_ngram_jaccard(documents: DataFrame, verify: str = "join") -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs. Candidate generation uses
-    prefix filtering (see _prefix_shingles) — docs only pair through
-    their rarest shingles — then verification scores FULL shingle sets
-    against the broadcast doc-set index. Identical output to the naive
+    PPJoin prefix + positional + size filtering (_prefix_shingles /
+    _candidate_pairs) — docs only pair through their rarest shingles and
+    provably-infeasible pairs are dropped before any set is touched —
+    then verification scores FULL shingle sets with a numpy merge over
+    shuffle equi-joined arrays. Identical output to the naive
     shared-shingle blocking (measured sf0.1: 256 pairs both ways; ~450 s
-    naive vs ~21 s here — ubiquitous-shingle fanout plus per-pair JVM
-    set-rebuild are the difference), exact by the PPJoin prefix-filter
-    theorem."""
+    naive vs ~20 s here), exact by the PPJoin filter theorems.
+
+    verify="join" (default) has no driver-side state at any corpus size;
+    verify="broadcast_index" is the opt-in bounded-corpus fast path."""
     sh = _shingle_sets(documents)
     pre = _prefix_shingles(sh, P.JACCARD_THRESHOLD)
-    sa = pre.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = pre.select(F.col("doc_id").alias("doc_b"), "sh")
-    pairs = (
-        sa.join(sb, "sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    return _verify_jaccard_broadcast(pairs, sh)
+    pairs = _candidate_pairs(pre, P.JACCARD_THRESHOLD)
+    if verify == "broadcast_index":
+        return _verify_jaccard_broadcast(pairs, sh)
+    return _verify_jaccard(pairs, sh)
 
 
 def _minhash_signatures(sh: DataFrame) -> DataFrame:

@@ -64,8 +64,12 @@ def q3_shipping_priority(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     rev = cents("l_extendedprice") * cents(1.0 - F.col("l_discount"))
+    # only the filtered CUSTOMER dim is broadcast; the date-filtered orders
+    # side is fact-sized at scale, so lineitem⋈orders stays an equi shuffle
+    # join on o_orderkey (AQE still downgrades it to broadcast at small SF,
+    # where that is the right call — but never by construction).
     return (
-        li.join(F.broadcast(ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)),
+        li.join(ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(rev) / 10000.0).alias("revenue"))

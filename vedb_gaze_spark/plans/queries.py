@@ -244,6 +244,11 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.dedup_embedding_cosine(load_table(spark, "embeddings", sf_dir))
 
 
+@register("dedup_embedding_lsh", oracles.DEDUP_EMBEDDING_LSH)
+def _dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.dedup_embedding_lsh(load_table(spark, "embeddings", sf_dir))
+
+
 @register("ann_cosine_topk", oracles.ANN_COSINE_TOPK)
 def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_cosine_topk(load_table(spark, "embeddings", sf_dir))
