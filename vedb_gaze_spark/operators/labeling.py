@@ -36,14 +36,19 @@ def eye_velocity(events: DataFrame) -> DataFrame:
     )
 
 
-def _velocity_runs(events: DataFrame, threshold: float):
+def _velocity_runs(events: DataFrame, threshold: float, above: bool = True):
+    """Maximal runs of super- (above=True) or sub-threshold velocity via
+    gaps-and-islands; rows with undefined velocity (first sample per user)
+    never flag either way."""
     g = with_gaze(events)
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     dx = (F.col("gx") - F.lag("gx").over(w)) * P.DEG_HORIZ
     dy = (F.col("gy") - F.lag("gy").over(w)) * P.DEG_VERT
     dt = F.col("t") - F.lag("t").over(w)
+    vel = F.col("vel")
+    cond = (vel > threshold) if above else (vel <= threshold)
     g = g.withColumn("vel", F.sqrt(dx * dx + dy * dy) / dt).withColumn(
-        "flag", (F.col("vel") > threshold).cast("int")
+        "flag", cond.cast("int")
     )
     g = g.withColumn("rn", F.row_number().over(w))
     runs = g.where(F.col("flag") == 1).withColumn(
@@ -83,6 +88,49 @@ def detect_saccades(
             ).alias("amplitude_deg"),
         )
         .where((F.col("duration_s") >= min_s) & (F.col("duration_s") <= max_s))
+        .drop("grp")
+    )
+    return out
+
+
+def detect_fixations(
+    events: DataFrame,
+    threshold: float = P.SACCADE_VEL_THRESHOLD,
+    min_s: float = P.FIXATION_MIN_S,
+    max_s: float = P.FIXATION_MAX_S,
+    max_extent_deg: float = P.FIXATION_MAX_EXTENT_DEG,
+) -> DataFrame:
+    """Fixation detection — the third event class beside saccades and
+    blinks, and the one downstream analyses actually consume.
+
+    The reference declares the capability but leaves it unimplemented
+    (labeling.py:529 find_fixation_breaks is a pass stub; pipelines wire
+    saccade output toward it). Standard dispersion-threshold semantics,
+    as the complement of find_saccades (labeling.py:615): maximal runs of
+    SUB-threshold eye velocity, gated by duration bounds and a
+    position-stability cap (bounding-box diagonal extent in degrees),
+    with per-fixation centroid. Same single-shuffle gaps-and-islands
+    algebra as detect_saccades — one sorted window per user partition,
+    then one aggregation."""
+    runs = _velocity_runs(events, threshold, above=False)
+    ex_deg = (F.max("gx") - F.min("gx")) * P.DEG_HORIZ
+    ey_deg = (F.max("gy") - F.min("gy")) * P.DEG_VERT
+    out = (
+        runs.groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").alias("start_event_id"),
+            F.max("event_id").alias("end_event_id"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("t") - F.min("t")).alias("duration_s"),
+            F.round(F.avg("gx") * P.DEG_HORIZ, 6).alias("centroid_x_deg"),
+            F.round(F.avg("gy") * P.DEG_VERT, 6).alias("centroid_y_deg"),
+            F.round(F.sqrt(ex_deg * ex_deg + ey_deg * ey_deg), 6).alias("extent_deg"),
+        )
+        .where(
+            (F.col("duration_s") >= min_s)
+            & (F.col("duration_s") <= max_s)
+            & (F.col("extent_deg") <= max_extent_deg)
+        )
         .drop("grp")
     )
     return out

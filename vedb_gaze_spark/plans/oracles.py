@@ -411,6 +411,93 @@ FROM f GROUP BY user_id, grp
 HAVING max(t) - min(t) >= {P.SACCADE_MIN_S} AND max(t) - min(t) <= {P.SACCADE_MAX_S}
 """
 
+DETECT_FIXATIONS = f"""
+WITH g AS ({GAZE_CTE}), v AS ({_VEL}),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
+             CASE WHEN vel <= {P.SACCADE_VEL_THRESHOLD} THEN 1 ELSE 0 END AS flag
+      FROM v),
+f AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS grp
+      FROM r WHERE flag = 1),
+runs AS (
+  SELECT user_id,
+       min(event_id) AS start_event_id,
+       max(event_id) AS end_event_id,
+       count(*) AS n_events,
+       max(t) - min(t) AS duration_s,
+       round(avg(gx) * {P.DEG_HORIZ}, 6) AS centroid_x_deg,
+       round(avg(gy) * {P.DEG_VERT}, 6) AS centroid_y_deg,
+       round(sqrt( ((max(gx) - min(gx)) * {P.DEG_HORIZ}) * ((max(gx) - min(gx)) * {P.DEG_HORIZ})
+                 + ((max(gy) - min(gy)) * {P.DEG_VERT}) * ((max(gy) - min(gy)) * {P.DEG_VERT}) ), 6) AS extent_deg
+  FROM f GROUP BY user_id, grp
+  HAVING max(t) - min(t) >= {P.FIXATION_MIN_S} AND max(t) - min(t) <= {P.FIXATION_MAX_S}
+)
+SELECT * FROM runs WHERE extent_deg <= {P.FIXATION_MAX_EXTENT_DEG}
+"""
+
+_MC = P.MIN_CONFIDENCE
+
+GAZE_MAP_BINOCULAR = f"""
+WITH g AS ({GAZE_CTE}),
+ge AS (SELECT *, CAST(event_id % 2 AS INT) AS eye FROM g),
+fits AS (
+  SELECT user_id, eye,
+    regr_slope(gx, px) AS bx, regr_intercept(gx, px) AS ax,
+    regr_slope(gy, py) AS by, regr_intercept(gy, py) AS ay
+  FROM ge WHERE conf > {_MC} GROUP BY user_id, eye
+),
+base AS (
+  SELECT ge.user_id AS user_id, ge.eye AS eye, event_id, t, conf,
+         ax + bx * px AS map_x, ay + by * py AS map_y
+  FROM ge JOIN fits ON ge.user_id = fits.user_id AND ge.eye = fits.eye
+),
+m AS (
+  SELECT *,
+    last_value(CASE WHEN conf > {_MC} AND eye = 0 THEN t END IGNORE NULLS) OVER wp AS p0_t,
+    last_value(CASE WHEN conf > {_MC} AND eye = 0 THEN event_id END IGNORE NULLS) OVER wp AS p0_id,
+    first_value(CASE WHEN conf > {_MC} AND eye = 0 THEN t END IGNORE NULLS) OVER wn AS n0_t,
+    first_value(CASE WHEN conf > {_MC} AND eye = 0 THEN event_id END IGNORE NULLS) OVER wn AS n0_id,
+    last_value(CASE WHEN conf > {_MC} AND eye = 1 THEN t END IGNORE NULLS) OVER wp AS p1_t,
+    last_value(CASE WHEN conf > {_MC} AND eye = 1 THEN event_id END IGNORE NULLS) OVER wp AS p1_id,
+    first_value(CASE WHEN conf > {_MC} AND eye = 1 THEN t END IGNORE NULLS) OVER wn AS n1_t,
+    first_value(CASE WHEN conf > {_MC} AND eye = 1 THEN event_id END IGNORE NULLS) OVER wn AS n1_id
+  FROM base
+  WINDOW
+    wp AS (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    wn AS (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+cand AS (
+  SELECT *,
+    CASE WHEN eye = 0 THEN p1_t ELSE p0_t END AS cp_t,
+    CASE WHEN eye = 0 THEN p1_id ELSE p0_id END AS cp_id,
+    CASE WHEN eye = 0 THEN n1_t ELSE n0_t END AS cn_t,
+    CASE WHEN eye = 0 THEN n1_id ELSE n0_id END AS cn_id
+  FROM m
+),
+sel AS (
+  SELECT *,
+    CASE WHEN cn_t IS NULL OR (cp_t IS NOT NULL AND (t - cp_t) <= (cn_t - t))
+         THEN cp_id ELSE cn_id END AS pair_id,
+    CASE WHEN cn_t IS NULL OR (cp_t IS NOT NULL AND (t - cp_t) <= (cn_t - t))
+         THEN t - cp_t ELSE cn_t - t END AS pair_dt
+  FROM cand
+),
+src AS (
+  SELECT *,
+    CASE WHEN conf <= {_MC} THEN 'mono' || eye
+         WHEN pair_id IS NOT NULL AND pair_dt <= {P.BINOCULAR_CUTOFF_S} AND eye = 0 THEN 'binocular'
+         WHEN pair_id IS NOT NULL AND pair_dt <= {P.BINOCULAR_CUTOFF_S} AND eye = 1 THEN NULL
+         ELSE 'mono' || eye END AS source
+  FROM sel
+)
+SELECT s.user_id AS user_id, s.event_id AS event_id, s.source AS source,
+  CASE WHEN s.source = 'binocular' THEN (s.t + p.t) / 2.0 ELSE s.t END AS t_out,
+  round(CASE WHEN s.source = 'binocular' THEN (s.map_x + p.map_x) / 2.0 ELSE s.map_x END, 6) AS gaze_x,
+  round(CASE WHEN s.source = 'binocular' THEN (s.map_y + p.map_y) / 2.0 ELSE s.map_y END, 6) AS gaze_y,
+  round(CASE WHEN s.source = 'binocular' THEN (s.conf + p.conf) / 2.0 ELSE s.conf END, 6) AS conf_out
+FROM src s LEFT JOIN base p ON s.user_id = p.user_id AND s.pair_id = p.event_id
+WHERE s.source IS NOT NULL
+"""
+
 DETECT_BLINKS = f"""
 WITH g AS ({GAZE_CTE}),
 r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn FROM g),

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from vedb_gaze_spark.operators import (
+    binocular,
     calibration,
     cleaning,
     clustering,
@@ -176,6 +177,16 @@ def _eye_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("detect_saccades", oracles.DETECT_SACCADES)
 def _detect_saccades(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeling.detect_saccades(load_table(spark, "events", sf_dir))
+
+
+@register("detect_fixations", oracles.DETECT_FIXATIONS)
+def _detect_fixations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return labeling.detect_fixations(load_table(spark, "events", sf_dir))
+
+
+@register("gaze_map_binocular", oracles.GAZE_MAP_BINOCULAR)
+def _gaze_map_binocular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return binocular.gaze_map_binocular(load_table(spark, "events", sf_dir))
 
 
 @register("detect_blinks", oracles.DETECT_BLINKS)
