@@ -40,19 +40,27 @@ def test_dbscan_finds_two_blobs_and_noise():
     b = rng.randn(20, 2) * 0.05 + [3, 3]
     noise = np.array([[10.0, -10.0]])
     X = np.vstack([a, b, noise])
-    labels = _dbscan_numpy(X, eps=0.5, min_samples=4)
+    ids = np.arange(100, 100 + len(X))
+    labels = _dbscan_numpy(X, ids, eps=0.5, min_samples=4)
     assert len(set(labels[:20])) == 1 and labels[0] >= 0
     assert len(set(labels[20:40])) == 1 and labels[20] >= 0
     assert labels[0] != labels[20]
     assert labels[-1] == -1
+    # labels are the cluster's minimal point id
+    assert labels[0] == 100 and labels[20] == 120
 
 
-def test_dbscan_deterministic():
+def test_dbscan_order_independent():
+    """The min-id labeling must be invariant under input permutation —
+    the property that makes the operator distributable (shuffle order
+    cannot change results) and oracle-checkable."""
     rng = np.random.RandomState(4)
     X = rng.rand(50, 2)
-    l1 = _dbscan_numpy(X, eps=0.15, min_samples=3)
-    l2 = _dbscan_numpy(X, eps=0.15, min_samples=3)
-    assert (l1 == l2).all()
+    ids = np.arange(50)
+    l1 = _dbscan_numpy(X, ids, eps=0.15, min_samples=3)
+    perm = rng.permutation(50)
+    l2 = _dbscan_numpy(X[perm], ids[perm], eps=0.15, min_samples=3)
+    assert (l1[perm] == l2).all()
 
 
 def test_tps_cv_closed_form_matches_explicit_refits():

@@ -113,6 +113,84 @@ def calibration_poly(
     return apply_per_key(g, "user_id", run, _POLY_SCHEMA)
 
 
+def _fit3(g: DataFrame) -> DataFrame:
+    """Closed-form 2-regressor OLS per user — the exact least-squares
+    solution of the reference's model_n=3 basis (externals/calibrate_2d.py
+    make_model n==3: [X, Y, 1]) via population-moment normal equations.
+    Pure aggregate algebra: map-side partials, one tiny shuffle, no
+    Python."""
+    a = g.groupBy("user_id").agg(
+        F.var_pop("px").alias("sxx"),
+        F.var_pop("py").alias("syy"),
+        F.covar_pop("px", "py").alias("sxy"),
+        F.covar_pop("px", "gx").alias("sxgx"),
+        F.covar_pop("py", "gx").alias("sygx"),
+        F.covar_pop("px", "gy").alias("sxgy"),
+        F.covar_pop("py", "gy").alias("sygy"),
+        F.avg("px").alias("mpx"),
+        F.avg("py").alias("mpy"),
+        F.avg("gx").alias("mgx"),
+        F.avg("gy").alias("mgy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    det = F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy")
+    bx1 = (F.col("syy") * F.col("sxgx") - F.col("sxy") * F.col("sygx")) / det
+    bx2 = (F.col("sxx") * F.col("sygx") - F.col("sxy") * F.col("sxgx")) / det
+    by1 = (F.col("syy") * F.col("sxgy") - F.col("sxy") * F.col("sygy")) / det
+    by2 = (F.col("sxx") * F.col("sygy") - F.col("sxy") * F.col("sxgy")) / det
+    return a.select(
+        "user_id",
+        bx1.alias("bx1"),
+        bx2.alias("bx2"),
+        (F.col("mgx") - bx1 * F.col("mpx") - bx2 * F.col("mpy")).alias("ax"),
+        by1.alias("by1"),
+        by2.alias("by2"),
+        (F.col("mgy") - by1 * F.col("mpx") - by2 * F.col("mpy")).alias("ay"),
+        "n",
+    )
+
+
+def _err3():
+    ex = F.col("ax") + F.col("bx1") * F.col("px") + F.col("bx2") * F.col("py") - F.col("gx")
+    ey = F.col("ay") + F.col("by1") * F.col("px") + F.col("by2") * F.col("py") - F.col("gy")
+    return F.sqrt(ex * ex + ey * ey)
+
+
+def calibration_poly3(events: DataFrame, max_stds: float = 2.0) -> DataFrame:
+    """calibrate_2d_polynomial with the reference's LINEAR basis
+    (model_n=3, externals/calibrate_2d.py make_model) and the same
+    two-pass outlier cut (calibrate_2d.py:36-41: cut err_dist above
+    median + k·std, refit on inliers) — entirely in closed-form aggregate
+    algebra, so unlike the 7-term variant it is fully SQL-oracle-checked.
+    Complements calibration_poly (numpy lstsq, rows-only) rather than
+    replacing it."""
+    g = with_gaze(events).where(F.col("conf") > P.MIN_CONFIDENCE)
+    f1 = _fit3(g)
+    m1 = g.join(F.broadcast(f1), "user_id").withColumn("err", _err3())
+    thr = m1.groupBy("user_id").agg(
+        (F.median("err") + max_stds * F.stddev_pop("err")).alias("thr"),
+        F.round(F.sqrt(F.avg(F.col("err") * F.col("err"))), 6).alias("rmse_pass1"),
+    )
+    inl = m1.join(F.broadcast(thr), "user_id").where(F.col("err") < F.col("thr"))
+    f2 = _fit3(inl.select("user_id", "px", "py", "gx", "gy"))
+    out2 = (
+        inl.select("user_id", "px", "py", "gx", "gy")
+        .join(F.broadcast(f2), "user_id")
+        .withColumn("err2", _err3())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_inliers"),
+            F.round(F.sqrt(F.avg(F.col("err2") * F.col("err2"))), 6).alias("rmse_pass2"),
+        )
+    )
+    return (
+        f1.select("user_id", F.col("n").alias("n_points"))
+        .join(thr.select("user_id", "rmse_pass1"), "user_id")
+        .join(out2, "user_id")
+        .select("user_id", "n_points", "n_inliers", "rmse_pass1", "rmse_pass2")
+    )
+
+
 _TPS_SCHEMA = (
     "user_id bigint, n_clusters int, best_lambda double, cv_rmse double, train_rmse double"
 )

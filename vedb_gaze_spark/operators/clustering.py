@@ -105,35 +105,57 @@ def cluster_stats(events: DataFrame) -> DataFrame:
     )
 
 
-_DBSCAN_SCHEMA = "user_id bigint, event_id bigint, cluster_id int"
+_DBSCAN_SCHEMA = "user_id bigint, event_id bigint, cluster_id bigint"
 
 
-def _dbscan_numpy(X: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
-    """Textbook DBSCAN on a small point set (pure numpy, deterministic:
-    seeds expand in index order). Replaces sklearn.cluster.DBSCAN used at
-    marker_parsing.py:399 — this container has no sklearn."""
+def _dbscan_numpy(
+    X: np.ndarray, ids: np.ndarray, eps: float, min_samples: int
+) -> np.ndarray:
+    """Deterministic DBSCAN on a small point set (pure numpy). Replaces
+    sklearn.cluster.DBSCAN used at marker_parsing.py:399 — this container
+    has no sklearn.
+
+    Labeling rule: clusters are the connected components of the core-core
+    eps-graph, labeled by the component's minimal point id; a border
+    point takes the minimal label among its core neighbors; noise is -1.
+    Classic DBSCAN hands contested border points to whichever cluster's
+    scan reaches them first — visit-order-dependent, so not reproducible
+    across row orderings. This rule is order-INDEPENDENT: the same
+    partition and labels fall out of any permutation of the input, which
+    makes the operator distributable (shuffle order can't change results)
+    and SQL-oracle-checkable (components are a recursive CTE)."""
     n = len(X)
     d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
     neigh = d2 <= eps * eps
-    n_neigh = neigh.sum(1)
-    core = n_neigh >= min_samples
-    labels = np.full(n, -1, dtype=np.int32)
-    cid = 0
-    for i in range(n):
-        if labels[i] != -1 or not core[i]:
-            continue
-        stack = [i]
-        labels[i] = cid
-        while stack:
-            j = stack.pop()
-            if not core[j]:
-                continue
-            for k in np.flatnonzero(neigh[j]):
-                if labels[k] == -1:
-                    labels[k] = cid
-                    if core[k]:
-                        stack.append(int(k))
-        cid += 1
+    core = neigh.sum(1) >= min_samples
+
+    parent = np.arange(n)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return int(i)
+
+    core_idx = np.flatnonzero(core)
+    for i in core_idx:
+        for j in np.flatnonzero(neigh[i] & core):
+            if j > i:
+                ri, rj = find(int(i)), find(int(j))
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+
+    labels = np.full(n, -1, dtype=np.int64)
+    comp_min: dict[int, int] = {}
+    for i in core_idx:
+        r = find(int(i))
+        comp_min[r] = min(comp_min.get(r, int(ids[i])), int(ids[i]))
+    for i in core_idx:
+        labels[i] = comp_min[find(int(i))]
+    for i in np.flatnonzero(~core):
+        cn = np.flatnonzero(neigh[i] & core)
+        if len(cn):
+            labels[i] = min(labels[j] for j in cn)
     return labels
 
 
@@ -148,7 +170,9 @@ def cluster_dbscan(
     applyInPandas per user: each group is one session's detections —
     bounded size regardless of fleet scale, Arrow-batched, parallel across
     the cluster. Points labeled -1 (noise) are dropped
-    (cut_cluster_outliers=True).
+    (cut_cluster_outliers=True). cluster_id is the cluster's minimal
+    event_id (see _dbscan_numpy) — stable under any row ordering, so the
+    full assignment is value-hash oracle-checkable.
     """
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -157,7 +181,7 @@ def cluster_dbscan(
         tn = (t - t.min()) / 86400.0 + 2.0  # reference: /assumed_epoch + 2
         vn = v / 100.0
         X = np.column_stack([tn, vn])
-        labels = _dbscan_numpy(X, eps, min_samples)
+        labels = _dbscan_numpy(X, pdf["event_id"].to_numpy(), eps, min_samples)
         out = pd.DataFrame(
             {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "cluster_id": labels}
         )

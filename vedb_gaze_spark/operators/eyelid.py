@@ -1,0 +1,143 @@
+"""Eyelid-distance blink detection (SURVEY §2.F extension).
+
+Re-expresses the reference's PRIMARY blink path — ``detect_blinks``
+(labeling.py:373) over ``get_eyelid_distance`` (labeling.py:237) with
+``get_major_minor_axes_pca`` alignment (labeling.py:181) — beside the
+confidence-threshold variant already ported as ``detect_blinks``.
+
+Reference pipeline: DLC eyelid keypoints per frame → one PCA over the
+pooled point cloud (rotate the eye upright, keeping the original mean) →
+per-frame max distance between upper and lower lids → distance as a
+fraction of max eye opening → closing/opening detected from the signed
+VELOCITY of that fraction → blink = closing onset paired with the next
+opening, gated by duration bounds.
+
+Spark-first shape:
+- keypoints: the test tables carry no DLC output, so K points per lid
+  are derived deterministically from event_id (integer arithmetic, the
+  signals.py convention) — an explode(sequence) flat map, no Python;
+- PCA: 2-D principal axis in CLOSED FORM, θ = ½·atan2(2·Sxy, Sxx−Syy),
+  from population-covariance aggregates over the pooled cloud — the
+  sklearn PCA().fit call becomes one tiny per-user aggregate that
+  broadcasts back (labeling.py:193's fit is exactly this 2×2 eigen
+  problem);
+- distance/velocity/pairing: single sorted window per user; blink
+  pairing is "each opening offset takes its nearest preceding closing
+  onset" — the deterministic, order-independent re-statement of the
+  reference's sequential state machine (labeling.py:279+), with the same
+  duration gates.
+
+Every stage is SQL-expressible, so the whole chain is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vedb_gaze_spark.operators.temporal import with_tsec
+from vedb_gaze_spark.plans import params as P
+
+N_KPTS = 5
+
+
+def _keypoints(events: DataFrame) -> DataFrame:
+    """K deterministic keypoints per lid per event: (x, y_up) and
+    (x', y_lo) with lid-specific x jitter so PCA rotation genuinely
+    mixes the axes."""
+    e = with_tsec(events).select("user_id", "event_id", "t")
+    kp = e.select(
+        "user_id", "event_id", "t",
+        F.explode(F.sequence(F.lit(0), F.lit(N_KPTS - 1))).alias("j"),
+    )
+    k = F.col("event_id")
+    j = F.col("j")
+    xu = j * 10.0 + ((k * 7129 + j * 31) % 100) / 50.0
+    xl = j * 10.0 + ((k * 6037 + j * 37) % 100) / 50.0
+    yu = 20.0 + ((k * 8191 + j * 101) % 300) / 10.0
+    yl = -20.0 - ((k * 4099 + j * 103) % 300) / 10.0
+    return kp.select(
+        "user_id", "event_id", "t",
+        xu.alias("xu"), yu.alias("yu"), xl.alias("xl"), yl.alias("yl"),
+    )
+
+
+def _pca_angle(kp: DataFrame) -> DataFrame:
+    """Per-user principal-axis angle of the pooled (upper+lower) point
+    cloud: θ = ½·atan2(2·Sxy, Sxx − Syy) — the closed form of the 2×2
+    PCA the reference fits (labeling.py:193)."""
+    pooled = kp.select("user_id", F.col("xu").alias("x"), F.col("yu").alias("y")).unionByName(
+        kp.select("user_id", F.col("xl").alias("x"), F.col("yl").alias("y"))
+    )
+    m = pooled.groupBy("user_id").agg(
+        F.var_pop("x").alias("sxx"),
+        F.var_pop("y").alias("syy"),
+        F.covar_pop("x", "y").alias("sxy"),
+    )
+    theta = 0.5 * F.atan2(2.0 * F.col("sxy"), F.col("sxx") - F.col("syy"))
+    return m.select("user_id", F.cos(theta).alias("ct"), F.sin(theta).alias("st"))
+
+
+def eyelid_distance(events: DataFrame) -> DataFrame:
+    """get_eyelid_distance (labeling.py:237): per event, the maximum
+    PCA-aligned vertical gap between upper and lower lid keypoints
+    (the rotated-frame y difference; rotation mixes x into y exactly as
+    the reference's transform does)."""
+    kp = _keypoints(events)
+    ang = _pca_angle(kp)
+    k = kp.join(F.broadcast(ang), "user_id")
+    gap = (
+        F.col("ct") * (F.col("yu") - F.col("yl"))
+        - F.col("st") * (F.col("xu") - F.col("xl"))
+    )
+    return (
+        k.withColumn("gap", gap)
+        .groupBy("user_id", "event_id")
+        .agg(F.max("t").alias("t"), F.round(F.max("gap"), 6).alias("dist"))
+        .select("user_id", "event_id", "t", "dist")
+    )
+
+
+def detect_blinks_eyelid(
+    events: DataFrame,
+    neg_vel: float = P.EYELID_NEG_VEL,
+    pos_vel: float = P.EYELID_POS_VEL,
+    min_s: float = P.BLINK_MIN_S,
+    max_s: float = P.BLINK_MAX_S,
+) -> DataFrame:
+    """detect_blinks (labeling.py:373): eyelid distance as a fraction of
+    the user's max opening; closings where the fraction's velocity drops
+    below neg_vel, openings where it rises above pos_vel; each opening
+    pairs with its nearest preceding closing; blink duration gated to
+    [min_s, max_s]."""
+    d = eyelid_distance(events)
+    wu = Window.partitionBy("user_id")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    frac = F.col("dist") / F.max("dist").over(wu)
+    d = d.withColumn("frac", frac).withColumn(
+        "vel", (F.col("frac") - F.lag("frac").over(w)) / (F.col("t") - F.lag("t").over(w))
+    )
+    is_close = (F.col("vel") <= neg_vel) & (
+        F.lag("vel").over(w).isNull() | (F.lag("vel").over(w) > neg_vel)
+    )
+    is_open = (F.col("vel") >= pos_vel) & (
+        F.lead("vel").over(w).isNull() | (F.lead("vel").over(w) < pos_vel)
+    )
+    d = d.withColumn("is_close", is_close).withColumn("is_open", is_open)
+    prevw = w.rowsBetween(Window.unboundedPreceding, -1)
+    close_t = F.when(F.col("is_close"), F.col("t"))
+    close_id = F.when(F.col("is_close"), F.col("event_id"))
+    d = d.withColumn("on_t", F.last(close_t, ignorenulls=True).over(prevw)).withColumn(
+        "on_id", F.last(close_id, ignorenulls=True).over(prevw)
+    )
+    return (
+        d.where(F.col("is_open") & F.col("on_t").isNotNull())
+        .withColumn("duration_s", F.col("t") - F.col("on_t"))
+        .where((F.col("duration_s") >= min_s) & (F.col("duration_s") <= max_s))
+        .select(
+            "user_id",
+            F.col("on_id").alias("start_event_id"),
+            F.col("event_id").alias("end_event_id"),
+            "duration_s",
+        )
+    )

@@ -80,12 +80,15 @@ def decode_frames(documents: DataFrame, batch_size: int = 64) -> DataFrame:
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
                 n_bytes[i] = arr.size
                 if arr.size:
+                    # integer byte sums are exact in float64, so mean_byte
+                    # is the same double in every engine; HALF_UP rounding
+                    # (floor(x*1e6+0.5)/1e6) keeps it oracle-identical
                     mean_byte[i] = arr.mean()
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_bytes.astype("int32"),
-                    "mean_byte": mean_byte.round(6),
+                    "mean_byte": np.floor(mean_byte * 1e6 + 0.5) / 1e6,
                     "n_frames": (n_bytes % 7 + 1).astype("int32"),
                 }
             )

@@ -1,0 +1,62 @@
+"""Odometry kinematics (SURVEY §2.F extension).
+
+Re-expresses the derived-quantity path of ``load_odometry``
+(odometry.py:26): the head-tracker position stream becomes linear speed
+(the ``absolute_linear_velocity`` = np.linalg.norm(linear_velocity)
+computation at odometry.py:96, here derived from positions as a lag
+window) plus ``convert_speed`` (odometry.py:197) unit conversions.
+Savgol smoothing, quat→euler, and the vector norm of the velocity column
+are already separate operators (smooth_savgol, quat_to_euler,
+vector_norm); this covers the position→speed derivation the VERDICT
+flagged as unported.
+
+The test tables carry no position columns, so a 3-D position is derived
+deterministically from event_id with integer arithmetic (the signals.py
+convention) — both engines compute bit-identical inputs, making the
+operator fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vedb_gaze_spark.operators.temporal import with_tsec
+
+M_PER_MILE = 1609.34
+SEC_PER_HR = 3600.0
+
+
+def _positions(events: DataFrame) -> DataFrame:
+    k = F.col("event_id")
+    px = ((k * 48271) % 2000 - 1000) / 100.0
+    py = ((k * 69621) % 2000 - 1000) / 100.0
+    pz = ((k * 16807) % 400) / 100.0
+    return with_tsec(events).select(
+        "user_id", "event_id", "t", px.alias("x"), py.alias("y"), pz.alias("z")
+    )
+
+
+def odometry_speed(events: DataFrame) -> DataFrame:
+    """Per-user linear speed from consecutive positions (meters assumed),
+    with convert_speed's mph and minutes-per-mile views. One sorted
+    window per user partition — the same single-shuffle lag algebra as
+    eye_velocity."""
+    p = _positions(events)
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    dx = F.col("x") - F.lag("x").over(w)
+    dy = F.col("y") - F.lag("y").over(w)
+    dz = F.col("z") - F.lag("z").over(w)
+    dt = F.col("t") - F.lag("t").over(w)
+    mps = F.sqrt(dx * dx + dy * dy + dz * dz) / dt
+    out = p.withColumn("mps", mps).withColumn("dt", F.col("t") - F.lag("t").over(w))
+    return (
+        out.where(F.col("mps").isNotNull() & (F.col("dt") > 0))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("mps", 6).alias("speed_mps"),
+            F.round(F.col("mps") * SEC_PER_HR / M_PER_MILE, 6).alias("speed_mph"),
+            F.round(M_PER_MILE / F.col("mps") / 60.0, 6).alias("mins_per_mile"),
+        )
+    )

@@ -135,6 +135,48 @@ def run_length(events: DataFrame, flag_type: str = "error") -> DataFrame:
     )
 
 
+def onoff_expand(
+    events: DataFrame,
+    flag_type: str = "error",
+    step_s: float = P.RESAMPLE_STEP_S,
+) -> DataFrame:
+    """onoff_to_binary (utils.py:195): expand (onset, offset) event spans
+    back onto a uniform timeline as a binary mask — the inverse of
+    run_length, used by the reference's labeling to rebuild masks from
+    event lists.
+
+    Scale shape: a span maps DIRECTLY to the grid indices it covers
+    (sequence over ceil(onset/step)..floor(offset/step)) — no range join
+    at all; the grid left-joins those hits on the (user_id, grid index)
+    equi key. Work is O(covered grid points), the mask's own size."""
+    step_us = int(step_s * 1_000_000)
+    spans = run_length(events, flag_type).select("user_id", "onset_us", "offset_us")
+    e = with_tsec(events).select("user_id", F.unix_micros("ts").alias("t_us"))
+    bounds = e.groupBy("user_id").agg(
+        F.ceil(F.min("t_us") / float(step_us)).alias("h0"),
+        F.floor(F.max("t_us") / float(step_us)).alias("h1"),
+    )
+    grid = (
+        bounds.where(F.col("h1") >= F.col("h0"))
+        .select("user_id", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    s0 = F.ceil(F.col("onset_us") / float(step_us))
+    s1 = F.floor(F.col("offset_us") / float(step_us))
+    hits = (
+        spans.withColumn("h0", s0)
+        .withColumn("h1", s1)
+        .where(F.col("h1") >= F.col("h0"))
+        .select("user_id", F.explode(F.sequence("h0", "h1")).alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return grid.join(hits, ["user_id", "h"], "left").select(
+        "user_id",
+        (F.col("h") * step_us).alias("g_us"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("flag"),
+    )
+
+
 def time_slice(
     events: DataFrame,
     t_from: str = "2024-01-10",

@@ -343,6 +343,64 @@ n AS (SELECT *, count(*) OVER (PARTITION BY user_id, cell_t, cell_v) AS n_in_cel
 SELECT user_id, event_id, cell_t, cell_v FROM n WHERE n_in_cell >= {P.GRID_MIN_PTS}
 """
 
+# Deterministic DBSCAN (clustering._dbscan_numpy's exact semantics):
+# clusters = connected components of the core-core eps-graph labeled by
+# minimal event_id (recursive CTE), border points take the minimal label
+# among core neighbors. All distance arithmetic mirrors the numpy side
+# op-for-op, so the eps test decides identically.
+_DBSCAN_EPS2 = 0.25   # eps = 0.5
+_DBSCAN_MINPTS = 4
+
+CLUSTER_DBSCAN = f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id, epoch_us(ts)/1000000.0 AS t, value FROM events
+),
+p AS (
+  SELECT user_id, event_id,
+    (t - min(t) OVER (PARTITION BY user_id)) / 86400.0 + 2.0 AS tn,
+    value / 100.0 AS vn
+  FROM e
+),
+nb AS (
+  SELECT a.user_id AS user_id, a.event_id AS ea, b.event_id AS eb
+  FROM p a JOIN p b ON a.user_id = b.user_id
+   AND (a.tn - b.tn) * (a.tn - b.tn) + (a.vn - b.vn) * (a.vn - b.vn)
+       <= {_DBSCAN_EPS2}
+),
+core AS (
+  SELECT user_id, ea AS event_id FROM nb GROUP BY user_id, ea
+  HAVING count(*) >= {_DBSCAN_MINPTS}
+),
+cedge AS (
+  SELECT nb.user_id AS user_id, nb.ea AS src, nb.eb AS dst
+  FROM nb
+  JOIN core ca ON ca.user_id = nb.user_id AND ca.event_id = nb.ea
+  JOIN core cb ON cb.user_id = nb.user_id AND cb.event_id = nb.eb
+),
+reach(user_id, src, dst) AS (
+  SELECT user_id, event_id, event_id FROM core
+  UNION
+  SELECT reach.user_id, reach.src, cedge.dst
+  FROM reach JOIN cedge
+    ON cedge.user_id = reach.user_id AND cedge.src = reach.dst
+),
+clab AS (
+  SELECT user_id, src AS event_id, min(dst) AS cluster_id
+  FROM reach GROUP BY user_id, src
+),
+bord AS (
+  SELECT nb.user_id AS user_id, nb.ea AS event_id, min(cl.cluster_id) AS cluster_id
+  FROM nb
+  JOIN clab cl ON cl.user_id = nb.user_id AND cl.event_id = nb.eb
+  LEFT JOIN core c ON c.user_id = nb.user_id AND c.event_id = nb.ea
+  WHERE c.event_id IS NULL
+  GROUP BY nb.user_id, nb.ea
+)
+SELECT user_id, event_id, cluster_id FROM clab
+UNION ALL
+SELECT user_id, event_id, cluster_id FROM bord
+"""
+
 CLUSTER_STATS = f"""
 WITH c AS ({_GRID_CELLS}),
 n AS (SELECT *, count(*) OVER (PARTITION BY user_id, cell_t, cell_v) AS n_in_cell FROM c),
@@ -409,6 +467,62 @@ SELECT user_id,
                  * ((arg_max(gy, rn) - arg_min(gy, rn)) * {P.DEG_VERT}) ), 6) AS amplitude_deg
 FROM f GROUP BY user_id, grp
 HAVING max(t) - min(t) >= {P.SACCADE_MIN_S} AND max(t) - min(t) <= {P.SACCADE_MAX_S}
+"""
+
+_STEP_US = int(P.RESAMPLE_STEP_S * 1_000_000)
+
+ONOFF_EXPAND = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us, {_T} AS t,
+         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS flag
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn FROM e
+), f AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS grp
+  FROM r WHERE flag = 1
+), spans AS (
+  SELECT user_id, min(t_us) AS onset_us, max(t_us) AS offset_us
+  FROM f GROUP BY user_id, grp
+), b AS (
+  SELECT user_id,
+    CAST(ceil(min(t_us) / {_STEP_US}.0) AS BIGINT) AS h0,
+    CAST(floor(max(t_us) / {_STEP_US}.0) AS BIGINT) AS h1
+  FROM e GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM b WHERE h1 >= h0
+), hits AS (
+  SELECT DISTINCT user_id,
+    unnest(generate_series(CAST(ceil(onset_us / {_STEP_US}.0) AS BIGINT),
+                           CAST(floor(offset_us / {_STEP_US}.0) AS BIGINT))) AS h
+  FROM spans
+)
+SELECT g.user_id AS user_id, g.h * {_STEP_US} AS g_us,
+       CASE WHEN hits.h IS NULL THEN 0 ELSE 1 END AS flag
+FROM grid g LEFT JOIN hits ON g.user_id = hits.user_id AND g.h = hits.h
+"""
+
+ODOMETRY_SPEED = f"""
+WITH p AS (
+  SELECT user_id, event_id, {_T} AS t,
+    ((event_id * 48271) % 2000 - 1000) / 100.0 AS x,
+    ((event_id * 69621) % 2000 - 1000) / 100.0 AS y,
+    ((event_id * 16807) % 400) / 100.0 AS z
+  FROM events
+), v AS (
+  SELECT *,
+    sqrt( (x - lag(x) OVER w) * (x - lag(x) OVER w)
+        + (y - lag(y) OVER w) * (y - lag(y) OVER w)
+        + (z - lag(z) OVER w) * (z - lag(z) OVER w) )
+      / (t - lag(t) OVER w) AS mps,
+    t - lag(t) OVER w AS dt
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+)
+SELECT user_id, event_id,
+  round(mps, 6) AS speed_mps,
+  round(mps * 3600.0 / 1609.34, 6) AS speed_mph,
+  round(1609.34 / mps / 60.0, 6) AS mins_per_mile
+FROM v WHERE mps IS NOT NULL AND dt > 0
 """
 
 DETECT_FIXATIONS = f"""
@@ -496,6 +610,60 @@ SELECT s.user_id AS user_id, s.event_id AS event_id, s.source AS source,
   round(CASE WHEN s.source = 'binocular' THEN (s.conf + p.conf) / 2.0 ELSE s.conf END, 6) AS conf_out
 FROM src s LEFT JOIN base p ON s.user_id = p.user_id AND s.pair_id = p.event_id
 WHERE s.source IS NOT NULL
+"""
+
+# Eyelid path: deterministic keypoints → pooled closed-form 2-D PCA
+# (θ = ½·atan2(2Sxy, Sxx−Syy)) → per-event max aligned lid gap → fraction
+# of max opening → velocity-paired closings/openings with duration gates.
+DETECT_BLINKS_EYELID = f"""
+WITH e AS (SELECT user_id, event_id, {_T} AS t FROM events),
+kp AS (
+  SELECT user_id, event_id, t, j,
+    j * 10.0 + ((event_id * 7129 + j * 31) % 100) / 50.0 AS xu,
+    j * 10.0 + ((event_id * 6037 + j * 37) % 100) / 50.0 AS xl,
+    20.0 + ((event_id * 8191 + j * 101) % 300) / 10.0 AS yu,
+    -20.0 - ((event_id * 4099 + j * 103) % 300) / 10.0 AS yl
+  FROM (SELECT *, unnest(generate_series(0, 4)) AS j FROM e)
+),
+pooled AS (
+  SELECT user_id, xu AS x, yu AS y FROM kp UNION ALL SELECT user_id, xl, yl FROM kp
+),
+ang AS (
+  SELECT user_id, cos(0.5 * atan2(2.0 * covar_pop(x, y), var_pop(x) - var_pop(y))) AS ct,
+         sin(0.5 * atan2(2.0 * covar_pop(x, y), var_pop(x) - var_pop(y))) AS st
+  FROM pooled GROUP BY user_id
+),
+dist AS (
+  SELECT kp.user_id AS user_id, event_id, max(t) AS t,
+         round(max(ct * (yu - yl) - st * (xu - xl)), 6) AS dist
+  FROM kp JOIN ang ON kp.user_id = ang.user_id
+  GROUP BY kp.user_id, event_id
+),
+frc AS (
+  SELECT *, dist / max(dist) OVER (PARTITION BY user_id) AS frac FROM dist
+),
+v AS (
+  SELECT *, (frac - lag(frac) OVER w) / (t - lag(t) OVER w) AS vel
+  FROM frc WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+m AS (
+  SELECT *,
+    (vel <= {P.EYELID_NEG_VEL}) AND (lag(vel) OVER w2 IS NULL OR lag(vel) OVER w2 > {P.EYELID_NEG_VEL}) AS is_close,
+    (vel >= {P.EYELID_POS_VEL}) AND (lead(vel) OVER w2 IS NULL OR lead(vel) OVER w2 < {P.EYELID_POS_VEL}) AS is_open
+  FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+p AS (
+  SELECT *,
+    last_value(CASE WHEN is_close THEN t END IGNORE NULLS) OVER wp AS on_t,
+    last_value(CASE WHEN is_close THEN event_id END IGNORE NULLS) OVER wp AS on_id
+  FROM m
+  WINDOW wp AS (PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, on_id AS start_event_id, event_id AS end_event_id,
+       t - on_t AS duration_s
+FROM p
+WHERE is_open AND on_t IS NOT NULL
+  AND t - on_t >= {P.BLINK_MIN_S} AND t - on_t <= {P.BLINK_MAX_S}
 """
 
 DETECT_BLINKS = f"""
@@ -817,6 +985,71 @@ FROM d JOIN documents USING (doc_id)
 
 _PPD = repr((P.IMAGE_W / P.DEG_HORIZ + P.IMAGE_H / P.DEG_VERT) / 2.0)
 
+# model_n=3 basis with the two-pass outlier cut: closed-form normal
+# equations on population moments — coefficient expression trees mirror
+# the Spark plan token-for-token so both engines walk the same arithmetic.
+_C3 = """
+  SELECT user_id,
+    (syy * sxgx - sxy * sygx) / (sxx * syy - sxy * sxy) AS bx1,
+    (sxx * sygx - sxy * sxgx) / (sxx * syy - sxy * sxy) AS bx2,
+    (syy * sxgy - sxy * sygy) / (sxx * syy - sxy * sxy) AS by1,
+    (sxx * sygy - sxy * sxgy) / (sxx * syy - sxy * sxy) AS by2,
+    mpx, mpy, mgx, mgy, n
+  FROM {src}
+"""
+
+_MOM3 = """
+  SELECT user_id,
+    var_pop(px) AS sxx, var_pop(py) AS syy, covar_pop(px, py) AS sxy,
+    covar_pop(px, gx) AS sxgx, covar_pop(py, gx) AS sygx,
+    covar_pop(px, gy) AS sxgy, covar_pop(py, gy) AS sygy,
+    avg(px) AS mpx, avg(py) AS mpy, avg(gx) AS mgx, avg(gy) AS mgy,
+    count(*) AS n
+  FROM {src} GROUP BY user_id
+"""
+
+_ERR3 = (
+    "sqrt( (ax + bx1*px + bx2*py - gx)*(ax + bx1*px + bx2*py - gx)"
+    "    + (ay + by1*px + by2*py - gy)*(ay + by1*px + by2*py - gy) )"
+)
+
+CALIBRATION_POLY3 = f"""
+WITH g AS ({GAZE_CTE}),
+f AS (SELECT * FROM g WHERE conf > {P.MIN_CONFIDENCE}),
+mo1 AS ({_MOM3.format(src="f")}),
+c1 AS ({_C3.format(src="mo1")}),
+c1b AS (SELECT *, mgx - bx1*mpx - bx2*mpy AS ax, mgy - by1*mpx - by2*mpy AS ay FROM c1),
+e1 AS (
+  SELECT f.user_id AS user_id, px, py, gx, gy, n, {_ERR3} AS err
+  FROM f JOIN c1b ON f.user_id = c1b.user_id
+),
+t1 AS (
+  SELECT user_id, median(err) + 2.0 * stddev_pop(err) AS thr,
+         round(sqrt(avg(err*err)), 6) AS rmse_pass1,
+         any_value(n) AS n_points
+  FROM e1 GROUP BY user_id
+),
+inl AS (
+  SELECT e1.user_id AS user_id, px, py, gx, gy
+  FROM e1 JOIN t1 ON e1.user_id = t1.user_id WHERE err < thr
+),
+mo2 AS ({_MOM3.format(src="inl")}),
+c2 AS ({_C3.format(src="mo2")}),
+c2b AS (SELECT *, mgx - bx1*mpx - bx2*mpy AS ax, mgy - by1*mpx - by2*mpy AS ay FROM c2),
+e2 AS (
+  SELECT inl.user_id AS user_id, {_ERR3} AS err2
+  FROM inl JOIN c2b ON inl.user_id = c2b.user_id
+),
+o2 AS (
+  SELECT user_id, count(*) AS n_inliers,
+         round(sqrt(avg(err2*err2)), 6) AS rmse_pass2
+  FROM e2 GROUP BY user_id
+)
+SELECT t1.user_id AS user_id, CAST(n_points AS BIGINT) AS n_points,
+       CAST(n_inliers AS BIGINT) AS n_inliers, rmse_pass1, rmse_pass2
+FROM t1 JOIN o2 ON t1.user_id = o2.user_id
+"""
+
 CALIBRATION_LINEAR = f"""
 WITH g AS ({GAZE_CTE}),
 f AS (SELECT * FROM g WHERE conf > {P.MIN_CONFIDENCE}),
@@ -974,6 +1207,29 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 MULTIMODAL_SAMPLE = """
 SELECT doc_id, unnest(generate_series(0, (octet_length(encode(text)) % 7 + 1) - 1, 3)) AS frame_idx
 FROM documents
+"""
+
+
+# Decode stub oracle: byte value i = 16*hi_nibble + lo_nibble of hex pair
+# i in hex(payload); mean_byte is an exact-integer sum / n in both engines
+# (integer sums are exact in float64), HALF_UP-rounded identically.
+MULTIMODAL_DECODE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+byt AS (
+  SELECT doc_id,
+    (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 AS bv
+  FROM (SELECT doc_id, hx, n, unnest(generate_series(1, n)) AS i FROM b)
+),
+agg AS (SELECT doc_id, avg(bv) AS mb FROM byt GROUP BY doc_id)
+SELECT b.doc_id AS doc_id,
+  CAST(b.n AS INT) AS n_bytes,
+  floor(coalesce(agg.mb, 0.0) * 1000000 + 0.5) / 1000000 AS mean_byte,
+  CAST(b.n % 7 + 1 AS INT) AS n_frames
+FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id
 """
 
 

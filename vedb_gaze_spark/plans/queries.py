@@ -19,8 +19,10 @@ from vedb_gaze_spark.operators import (
     clustering,
     dedup,
     error,
+    eyelid,
     labeling,
     multimodal,
+    odometry,
     relational,
     similarity,
     smoothing,
@@ -101,6 +103,16 @@ def _time_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.time_slice(load_table(spark, "events", sf_dir))
 
 
+@register("onoff_expand", oracles.ONOFF_EXPAND)
+def _onoff_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.onoff_expand(load_table(spark, "events", sf_dir))
+
+
+@register("odometry_speed", oracles.ODOMETRY_SPEED)
+def _odometry_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return odometry.odometry_speed(load_table(spark, "events", sf_dir))
+
+
 @register("resample_linear", oracles.RESAMPLE_LINEAR)
 def _resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.resample_linear(load_table(spark, "events", sf_dir))
@@ -162,7 +174,7 @@ def _cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_stats(load_table(spark, "events", sf_dir))
 
 
-@register("cluster_dbscan")  # exact DBSCAN, not SQL-expressible → rows-only
+@register("cluster_dbscan", oracles.CLUSTER_DBSCAN)
 def _cluster_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_dbscan(load_table(spark, "events", sf_dir))
 
@@ -192,6 +204,11 @@ def _gaze_map_binocular(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("detect_blinks", oracles.DETECT_BLINKS)
 def _detect_blinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeling.detect_blinks(load_table(spark, "events", sf_dir))
+
+
+@register("detect_blinks_eyelid", oracles.DETECT_BLINKS_EYELID)
+def _detect_blinks_eyelid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return eyelid.detect_blinks_eyelid(load_table(spark, "events", sf_dir))
 
 
 @register("saccade_rate", oracles.SACCADE_RATE)
@@ -282,7 +299,7 @@ def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_meta(load_table(spark, "documents", sf_dir))
 
 
-@register("multimodal_decode")  # stubbed pixel math → rows-only check
+@register("multimodal_decode", oracles.MULTIMODAL_DECODE)
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_frames(load_table(spark, "documents", sf_dir))
 
@@ -297,6 +314,11 @@ def _calibration_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("calibration_poly")  # numpy lstsq two-pass fit → rows-only
 def _calibration_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration.calibration_poly(load_table(spark, "events", sf_dir))
+
+
+@register("calibration_poly3", oracles.CALIBRATION_POLY3)
+def _calibration_poly3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return calibration.calibration_poly3(load_table(spark, "events", sf_dir))
 
 
 @register("calibration_tps")  # TPS + LOO CV → rows-only
