@@ -63,6 +63,43 @@ def test_dbscan_order_independent():
     assert (l1[perm] == l2).all()
 
 
+def test_rbf_cv_closed_form_matches_explicit_refits():
+    """The stacked-inverse LOO must reproduce the reference's explicit
+    hold-one-out refit loop (calibration.py:257 LeaveOneOutXval) for
+    every (smoothness, method) cell."""
+    from vedb_gaze_spark.functions.rbf import _kernel, rbf_cv
+
+    rng = np.random.RandomState(11)
+    xy = rng.rand(18, 2)
+    V = np.column_stack([np.sin(3 * xy[:, 0]), np.cos(2 * xy[:, 1])])
+    methods = ("multiquadric", "linear")
+    smooth = np.array([0.01, 0.5])
+
+    n = len(xy)
+    D = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1))
+    eps = float(D[np.triu_indices(n, 1)].mean())
+    explicit = np.zeros((len(smooth), len(methods)))
+    for si, s in enumerate(smooth):
+        for mi, m in enumerate(methods):
+            est = np.zeros_like(V)
+            for i in range(n):
+                keep = np.ones(n, dtype=bool)
+                keep[i] = False
+                K = _kernel(D[np.ix_(keep, keep)], m, eps) - s * np.eye(n - 1)
+                w = np.linalg.solve(K, V[keep])
+                est[i] = _kernel(D[i, keep], m, eps) @ w
+            explicit[si, mi] = np.sqrt(np.mean((est - V) ** 2))
+
+    best_method, best_smooth, cv_rmse, train_rmse = rbf_cv(
+        xy, V, methods=methods, smoothnesses=smooth
+    )
+    si, mi = np.unravel_index(int(np.argmin(explicit)), explicit.shape)
+    assert best_method == methods[mi]
+    assert best_smooth == smooth[si]
+    assert abs(cv_rmse - explicit[si, mi]) < 1e-8
+    assert train_rmse >= 0
+
+
 def test_tps_cv_closed_form_matches_explicit_refits():
     # the O(n^3)-per-lambda closed form must reproduce the reference's
     # explicit leave-one-out refit loop (calibration.py:350) exactly

@@ -118,19 +118,22 @@ def test_embedding_lsh_is_subset_with_measured_recall(spark, sf_dir):
 
 
 def test_no_driver_collect_in_operators():
-    """No registered query may materialize data on the driver: a
+    """No registered query may materialize DATA on the driver: a
     .collect() inside an operator is a corpus-sized driver OOM at 100 TB.
-    The one allowed site is the explicitly opt-in broadcast-index verify
-    path, which no queries() entry uses."""
+    Allowed sites: the explicitly opt-in broadcast-index verify path
+    (unused by queries()), and k-means training, which collects O(k·dim)
+    MODEL STATE per iteration (the MLlib iterative pattern), never rows
+    of the corpus."""
     import pathlib
 
+    allowed = ("def _verify_jaccard_broadcast", "def ivf_train_centroids")
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []
     for py in root.rglob("*.py"):
         in_optin = False
         for lineno, line in enumerate(py.read_text().splitlines(), 1):
             if line.startswith("def "):
-                in_optin = line.startswith("def _verify_jaccard_broadcast")
+                in_optin = line.startswith(allowed)
             code = line.split("#", 1)[0]
             if ".collect()" in code and not in_optin:
                 hits.append(f"{py.name}:{lineno}: {line.strip()}")

@@ -200,3 +200,74 @@ def test_stateful_saccades_across_batches(spark, sf_dir, tmp_path):
         assert len(want) > 0
     finally:
         q.stop()
+
+
+def test_stateful_fixations_across_batches(spark, sf_dir, tmp_path):
+    """streaming_fixations must equal batch detect_fixations for every
+    run closed before end-of-stream (a run whose last sample is the
+    user's final event stays open in the stream and is excluded)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.labeling import detect_fixations
+    from vedb_gaze_spark.sources.signals import with_gaze
+    from vedb_gaze_spark.streaming.stateful import streaming_fixations
+
+    batch = load_table(spark, "events", sf_dir)
+    mid = batch.agg(F.median(F.unix_micros("ts"))).collect()[0][0]
+    src = str(tmp_path / "fix_src")
+    batch.where(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "c0")
+    )
+    batch.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "c1")
+    )
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(src, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_fixations(stream)
+        .writeStream.format("memory")
+        .queryName("mem_fixations")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            (r.user_id, r.start_event_id, r.end_event_id): r
+            for r in spark.sql("SELECT * FROM mem_fixations").collect()
+        }
+        last = with_gaze(batch).groupBy("user_id").agg(
+            F.max_by("event_id", F.struct("t", "event_id")).alias("last_id")
+        )
+        want = {
+            (r.user_id, r.start_event_id, r.end_event_id): r
+            for r in detect_fixations(batch)
+            .join(last, "user_id")
+            .where(F.col("end_event_id") != F.col("last_id"))
+            .collect()
+        }
+        assert set(got) == set(want)
+        assert len(want) > 0
+        for k, w in want.items():
+            g = got[k]
+            assert g.n_events == w.n_events and g.duration_s == w.duration_s, k
+            # centroid sums run in different orders (window agg vs
+            # sequential fold) — compare to float tolerance
+            assert abs(g.centroid_x_deg - w.centroid_x_deg) < 1e-4, k
+            assert abs(g.centroid_y_deg - w.centroid_y_deg) < 1e-4, k
+            assert abs(g.extent_deg - w.extent_deg) < 1e-6, k
+    finally:
+        q.stop()

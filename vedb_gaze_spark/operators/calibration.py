@@ -211,6 +211,57 @@ def _cluster_medians(events: DataFrame) -> DataFrame:
     )
 
 
+_RBF_SCHEMA = (
+    "user_id bigint, n_clusters int, best_method string, "
+    "best_smoothness double, cv_rmse double, train_rmse double"
+)
+
+
+def calibration_rbf(events: DataFrame) -> DataFrame:
+    """_fit_rbf_cv (calibration.py:239): RBF gaze interpolators
+    cross-validated over KERNEL FAMILIES (thin-plate/multiquadric/linear/
+    cubic) × the reference's 100-point smoothness grid, via the
+    closed-form LOO of functions/rbf.py — where the TPS operator
+    cross-validates one kernel's λ, this one picks the kernel itself,
+    exactly as the reference's grid does. Per-user bounded groups on
+    cluster medians; rows-only oracle (LAPACK solves are not SQL)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from vedb_gaze_spark.functions.rbf import rbf_cv
+
+        xy = pdf[["px", "py"]].to_numpy()
+        if len(xy) < 5:
+            return pd.DataFrame(
+                columns=[
+                    "user_id", "n_clusters", "best_method",
+                    "best_smoothness", "cv_rmse", "train_rmse",
+                ]
+            ).astype(
+                {
+                    "user_id": "int64",
+                    "n_clusters": "int32",
+                    "best_method": "object",
+                    "best_smoothness": "float64",
+                    "cv_rmse": "float64",
+                    "train_rmse": "float64",
+                }
+            )
+        V = pdf[["gx", "gy"]].to_numpy()
+        method, smooth, cv_rmse, train_rmse = rbf_cv(xy, V)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_clusters": [len(xy)],
+                "best_method": [method],
+                "best_smoothness": [round(smooth, 6)],
+                "cv_rmse": [round(cv_rmse, 6)],
+                "train_rmse": [round(train_rmse, 6)],
+            }
+        )
+
+    return apply_per_key(_cluster_medians(events), "user_id", run, _RBF_SCHEMA)
+
+
 def calibration_tps(events: DataFrame) -> DataFrame:
     """_fit_tps_gaze_cv (calibration.py:350): TPS gx,gy ← (px,py) with
     leave-one-out lambda selection on cluster-median points."""

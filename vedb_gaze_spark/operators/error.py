@@ -55,9 +55,17 @@ def gaze_error(events: DataFrame, outlier_stds: float = P.ERROR_OUTLIER_STDS) ->
             "user_id",
             "event_id",
             F.round("err", 6).alias("err_deg"),
-            F.round(F.atan2(F.col("gx") - F.col("mx"), F.col("gy") - F.col("my")), 6).alias(
-                "err_angle"
-            ),
+            # atan2 over PIXEL-scaled deltas, matching the reference's
+            # arctan2 on the pixel error vector (error_computation.py) —
+            # with IMAGE_W != IMAGE_H the normalized-coordinate angle
+            # would be aspect-distorted
+            F.round(
+                F.atan2(
+                    (F.col("gx") - F.col("mx")) * P.IMAGE_W,
+                    (F.col("gy") - F.col("my")) * P.IMAGE_H,
+                ),
+                6,
+            ).alias("err_angle"),
         )
     )
 

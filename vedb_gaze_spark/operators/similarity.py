@@ -342,6 +342,110 @@ def _centroid_dots_expr(vec_col: str) -> str:
     )
 
 
+def _dots_expr_for(cents: list[list[float]], vec_col: str) -> str:
+    """Centroid dot products as ONE literal-matrix expression (the
+    _centroid_dots_expr lesson) for an arbitrary centroid set."""
+    mat = ", ".join(
+        "array(" + ", ".join(repr(float(x)) for x in c) + ")" for c in cents
+    )
+    return (
+        f"transform(array({mat}), c -> "
+        f"round(aggregate(zip_with({vec_col}, c, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, x) -> acc + x), 6))"
+    )
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame, k: int = 16, iters: int = 5
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for IVF coarse centroids — the
+    production path params.IVF_CENTROIDS stands in for (its comment:
+    "a production index would k-means these").
+
+    Each iteration is ONE Spark job: assign every vector to its argmax-dot
+    centroid (single literal-matrix expression, whole-stage codegen), then
+    posexplode to (cell, dim, component) and average — map-side partial
+    aggregation collapses the corpus before the k·dim-row shuffle. The
+    driver holds only MODEL STATE (k·dim floats) between iterations —
+    that is the legitimate iterative-algorithm pattern (MLlib's KMeans
+    does the same aggregate-collect per step), not a data collect.
+    Deterministic init: the first k vectors by vec_id."""
+    import numpy as np
+
+    v = _vecs(embeddings)
+    init = (
+        v.where(F.col("vec_id") < k).orderBy("vec_id").select("v").collect()
+    )
+    cents = [list(map(float, r["v"])) for r in init]
+    for _ in range(iters):
+        cell = (
+            F.expr(f"array_position(d, array_max(d))").cast("int") - 1
+        )
+        assigned = (
+            v.withColumn("d", F.expr(_dots_expr_for(cents, "v")))
+            .select("vec_id", "v", cell.alias("cell"))
+            .select("cell", F.posexplode("v").alias("dim", "x"))
+        )
+        rows = (
+            assigned.groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        M = np.zeros((k, len(cents[0])))
+        for r in rows:
+            M[r["cell"], r["dim"]] = r["m"]
+        nrm = np.sqrt((M * M).sum(1))
+        nrm[nrm == 0] = 1.0
+        M = M / nrm[:, None]
+        cents = [[round(float(x), 6) for x in row] for row in M]
+    return cents
+
+
+def ann_ivf_trained(
+    embeddings: DataFrame,
+    k: int = P.ANN_K,
+    n_queries: int = P.ANN_N_QUERIES,
+    n_probes: int = P.IVF_PROBES,
+    n_cells: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """ann_ivf with TRAINED coarse centroids (ivf_train_centroids)
+    instead of the fixed literals — identical plan shape (assign → probe
+    → exact rerank), different cell geometry. Rows-only oracle: the
+    trained centroids depend on float summation order inside avg(), so
+    cell boundaries are not bit-reproducible across engines, but the
+    output is always n_queries·k rows with the exact rerank semantics."""
+    cents = ivf_train_centroids(embeddings, k=n_cells, iters=iters)
+    v = _vecs(embeddings).withColumn("dots", F.expr(_dots_expr_for(cents, "v")))
+    cell = (F.expr("array_position(dots, array_max(dots))") - 1).cast("int")
+    corpus = v.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        cell.alias("cell"),
+    )
+    probes = (
+        v.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.posexplode("dots").alias("cell", "d"),
+        )
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("d"), "cell")
+    probed = probes.withColumn("pr", F.row_number().over(wprobe)).where(
+        F.col("pr") <= n_probes
+    )
+    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
+    scored = corpus.join(F.broadcast(probed.select("query_id", "qv", "cell")), "cell")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def ann_ivf(
     embeddings: DataFrame,
     k: int = P.ANN_K,

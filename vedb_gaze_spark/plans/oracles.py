@@ -525,6 +525,108 @@ SELECT user_id, event_id,
 FROM v WHERE mps IS NOT NULL AND dt > 0
 """
 
+# find_epochs (marker_parsing.py:470) composed end-to-end: dup-ts removal
+# → brief-episode pre-check → bimodality keep → re-sessionize → in-epoch
+# grid clusters with quality gates → per-epoch summary. Every stage
+# reuses the fragment already proven green standalone.
+MARKER_PIPELINE = f"""
+WITH det0 AS (
+  SELECT user_id, event_id, {_T} AS t, value FROM events WHERE event_type = 'error'
+),
+det AS (
+  SELECT user_id, event_id, t, value FROM (
+    SELECT *, count(*) OVER (PARTITION BY user_id, t) AS n_at_ts FROM det0
+  ) WHERE n_at_ts = 1
+),
+e1 AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > {P.SESSION_GAP_S}
+         THEN 1 ELSE 0 END AS new_epoch
+  FROM det WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+e2 AS (
+  SELECT *, CAST(sum(new_epoch) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS epoch
+  FROM e1
+),
+s1 AS (
+  SELECT user_id, event_id, t, value FROM (
+    SELECT *, max(t) OVER we - min(t) OVER we AS ep_dur
+    FROM e2 WINDOW we AS (PARTITION BY user_id, epoch)
+  ) WHERE ep_dur > {P.BRIEF_MIN_S}
+),
+c AS (
+  SELECT *, row_number() OVER ws AS k, sum(value) OVER wc AS s_k,
+         sum(value*value) OVER wc AS q_k
+  FROM s1
+  WINDOW ws AS (PARTITION BY user_id ORDER BY value, event_id),
+         wc AS (PARTITION BY user_id ORDER BY value, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c2 AS (
+  SELECT *, count(*) OVER wf AS n, last_value(s_k) OVER wf AS s_n,
+         last_value(q_k) OVER wf AS q_n
+  FROM c WINDOW wf AS (PARTITION BY user_id ORDER BY value, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+cand AS (SELECT *, s_k*s_k/k + (s_n-s_k)*(s_n-s_k)/(n-k) AS objective FROM c2 WHERE k < n),
+best AS (
+  SELECT user_id, k AS split_k, s_k/k AS c_lo,
+    sqrt(greatest(q_k/k - (s_k/k)*(s_k/k), 0.0)) AS std_lo,
+    (s_n-s_k)/(n-k) AS c_hi,
+    sqrt(greatest((q_n-q_k)/(n-k) - ((s_n-s_k)/(n-k))*((s_n-s_k)/(n-k)), 0.0)) AS std_hi
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY objective DESC, k) AS rnk FROM cand)
+  WHERE rnk = 1
+),
+s2 AS (
+  SELECT x.user_id AS user_id, x.event_id AS event_id, x.t AS t, x.value AS value
+  FROM c2 x JOIN best b ON x.user_id = b.user_id
+  WHERE NOT ((b.c_hi - {P.BIMODAL_STD_SEP}*b.std_hi) > (b.c_lo + {P.BIMODAL_STD_SEP}*b.std_lo))
+     OR x.k > b.split_k
+),
+f1 AS (
+  SELECT *, CASE WHEN lag(t) OVER w2 IS NULL OR t - lag(t) OVER w2 > {P.SESSION_GAP_S}
+         THEN 1 ELSE 0 END AS new_epoch
+  FROM s2 WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+f2 AS (
+  SELECT *, CAST(sum(new_epoch) OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS epoch
+  FROM f1
+),
+s3 AS (
+  SELECT user_id, event_id, t, value, epoch FROM (
+    SELECT *, max(t) OVER wep - min(t) OVER wep AS ep_dur
+    FROM f2 WINDOW wep AS (PARTITION BY user_id, epoch)
+  ) WHERE ep_dur > {P.SESSION_MIN_S} AND ep_dur < {P.SESSION_MAX_S}
+),
+cells AS (
+  SELECT *, floor(t / {P.GRID_T_EPS_S}) AS cell_t, floor(value / {P.GRID_V_EPS}) AS cell_v
+  FROM s3
+),
+clus AS (
+  SELECT user_id, epoch, cell_t, cell_v, count(*) AS n_in_cell,
+         median(value) AS c_med
+  FROM cells GROUP BY user_id, epoch, cell_t, cell_v
+  HAVING count(*) >= {P.GRID_MIN_PTS}
+     AND max(t) - min(t) > {P.CLUSTER_MIN_T_S}
+     AND max(t) - min(t) < {P.CLUSTER_MAX_T_S}
+     AND stddev_pop(value) < {P.CLUSTER_MAX_STD}
+),
+ep AS (
+  SELECT user_id, epoch, min(t) AS t_start, max(t) AS t_end, count(*) AS n_points
+  FROM s3 GROUP BY user_id, epoch
+),
+cl AS (
+  SELECT user_id, epoch, count(*) AS n_clusters,
+         round(median(c_med), 6) AS med_cluster_value
+  FROM clus GROUP BY user_id, epoch
+)
+SELECT ep.user_id AS user_id, ep.epoch AS epoch, t_start, t_end, n_points,
+       n_clusters, med_cluster_value
+FROM ep JOIN cl ON ep.user_id = cl.user_id AND ep.epoch = cl.epoch
+WHERE n_clusters >= {P.MARKER_MIN_CLUSTERS}
+"""
+
 DETECT_FIXATIONS = f"""
 WITH g AS ({GAZE_CTE}), v AS ({_VEL}),
 r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn,
@@ -1091,7 +1193,7 @@ s AS (
   FROM e
 )
 SELECT user_id, event_id, round(err, 6) AS err_deg,
-       round(atan2(gx - mx, gy - my), 6) AS err_angle
+       round(atan2((gx - mx) * {P.IMAGE_W}, (gy - my) * {P.IMAGE_H}), 6) AS err_angle
 FROM s WHERE abs(err - med_err) <= {P.ERROR_OUTLIER_STDS} * std_err
 """
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vedb_gaze_spark.operators.cleaning import bimodal_filter
+from vedb_gaze_spark.operators.temporal import with_tsec
 from vedb_gaze_spark.plans import params as P
 from vedb_gaze_spark.sources.signals import with_gaze
 
@@ -73,4 +75,106 @@ def gaze_pipeline(events: DataFrame) -> DataFrame:
         F.round(F.median("err_deg"), 6).alias("median_err_deg"),
         F.round(F.avg("is_blink"), 6).alias("blink_frac"),
         F.round(F.median("vel"), 6).alias("median_vel_deg_s"),
+    )
+
+
+def _epochs(df: DataFrame, gap_s: float) -> DataFrame:
+    """Gap sessionization columns (split_timecourse's cumsum-of-breaks,
+    marker_parsing.py:187) over an already-filtered detection stream."""
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    lag_t = F.lag("t").over(w)
+    return df.withColumn(
+        "new_epoch",
+        F.when(lag_t.isNull() | (F.col("t") - lag_t > gap_s), 1).otherwise(0),
+    ).withColumn(
+        "epoch", F.sum("new_epoch").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+
+def marker_pipeline(events: DataFrame) -> DataFrame:
+    """find_epochs (marker_parsing.py:470) as ONE declarative plan — the
+    full marker chain the reference composes imperatively:
+
+    1. duration pre-check: drop duplicate timestamps, then episodes
+       shorter than the brief-detection threshold (remove_brief_detections,
+       marker_parsing.py:53);
+    2. bimodality filter on the surviving detection sizes
+       (_bimodality_check via remove_small_detections, :31/:114 — the
+       exact 1-D 2-means split of operators/cleaning.py);
+    3. RE-split the cleaned stream into epochs (split_timecourse, :187)
+       with the epoch duration gates — splitting after filtering, exactly
+       as find_epochs orders its stages;
+    4. grid-density clusters within each epoch with the per-cluster
+       quality gates (cluster_marker_points/marker_cluster_stat,
+       :299/:261);
+    5. one row per surviving epoch with its passing-cluster count,
+       gated by min_n_clusters (:485).
+
+    Catalyst sees all five stages at once: the detection scan happens
+    once, every window shares the user_id partitioning, and the epoch
+    aggregation reuses the same shuffle — the pydra DAG's disk-written
+    intermediates become pipelined exchanges."""
+    det = with_tsec(events).where(F.col("event_type") == "error")
+    # 1a. duplicate-timestamp removal (find_duplicates mode='all')
+    wts = Window.partitionBy("user_id", "t")
+    det = det.withColumn("n_at_ts", F.count(F.lit(1)).over(wts)).where(
+        F.col("n_at_ts") == 1
+    )
+    # 1b. brief-episode pre-check
+    we = Window.partitionBy("user_id", "epoch")
+    s1 = (
+        _epochs(det, P.SESSION_GAP_S)
+        .withColumn("ep_dur", F.max("t").over(we) - F.min("t").over(we))
+        .where(F.col("ep_dur") > P.BRIEF_MIN_S)
+        .select("user_id", "event_id", "t", "value")
+    )
+    # 2. bimodality keep-rule on the survivors' values
+    s2 = s1.join(
+        bimodal_filter(s1).select("user_id", "event_id"), ["user_id", "event_id"]
+    )
+    # 3. re-sessionize the cleaned stream, epoch duration gates
+    s3 = _epochs(s2.select("user_id", "event_id", "t", "value"), P.SESSION_GAP_S)
+    wep = Window.partitionBy("user_id", "epoch")
+    s3 = s3.withColumn(
+        "ep_dur", F.max("t").over(wep) - F.min("t").over(wep)
+    ).where(
+        (F.col("ep_dur") > P.SESSION_MIN_S) & (F.col("ep_dur") < P.SESSION_MAX_S)
+    )
+    # 4. grid clusters within each epoch + cluster quality gates
+    cells = s3.withColumn("cell_t", F.floor(F.col("t") / P.GRID_T_EPS_S)).withColumn(
+        "cell_v", F.floor(F.col("value") / P.GRID_V_EPS)
+    )
+    clus = (
+        cells.groupBy("user_id", "epoch", "cell_t", "cell_v")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_cell"),
+            F.min("t").alias("c_t0"),
+            F.max("t").alias("c_t1"),
+            F.median("value").alias("c_med"),
+            F.stddev_pop("value").alias("c_std"),
+        )
+        .where(
+            (F.col("n_in_cell") >= P.GRID_MIN_PTS)
+            & (F.col("c_t1") - F.col("c_t0") > P.CLUSTER_MIN_T_S)
+            & (F.col("c_t1") - F.col("c_t0") < P.CLUSTER_MAX_T_S)
+            & (F.col("c_std") < P.CLUSTER_MAX_STD)
+        )
+    )
+    # 5. per-epoch summary, min_n_clusters gate
+    ep = s3.groupBy("user_id", "epoch").agg(
+        F.min("t").alias("t_start"),
+        F.max("t").alias("t_end"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    cl = clus.groupBy("user_id", "epoch").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.round(F.median("c_med"), 6).alias("med_cluster_value"),
+    )
+    return (
+        ep.join(cl, ["user_id", "epoch"])
+        .where(F.col("n_clusters") >= P.MARKER_MIN_CLUSTERS)
+        .select(
+            "user_id", "epoch", "t_start", "t_end",
+            "n_points", "n_clusters", "med_cluster_value",
+        )
     )

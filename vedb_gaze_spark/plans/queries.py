@@ -321,6 +321,11 @@ def _calibration_poly3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration.calibration_poly3(load_table(spark, "events", sf_dir))
 
 
+@register("calibration_rbf")  # RBF kernel-family CV (LAPACK) → rows-only
+def _calibration_rbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return calibration.calibration_rbf(load_table(spark, "events", sf_dir))
+
+
 @register("calibration_tps")  # TPS + LOO CV → rows-only
 def _calibration_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration.calibration_tps(load_table(spark, "events", sf_dir))
@@ -357,9 +362,19 @@ def _gaze_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pipeline.gaze_pipeline(load_table(spark, "events", sf_dir))
 
 
+@register("marker_pipeline", oracles.MARKER_PIPELINE)
+def _marker_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline.marker_pipeline(load_table(spark, "events", sf_dir))
+
+
 @register("ann_ivf", oracles.ANN_IVF)
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf(load_table(spark, "embeddings", sf_dir))
+
+
+@register("ann_ivf_trained")  # trained centroids (float-order dependent) → rows-only
+def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_ivf_trained(load_table(spark, "embeddings", sf_dir))
 
 
 @register("multimodal_sample", oracles.MULTIMODAL_SAMPLE)

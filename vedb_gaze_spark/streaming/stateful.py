@@ -203,6 +203,128 @@ def _make_saccade_fn(threshold: float, min_s: float, max_s: float):
     return fn
 
 
+_FIX_OUT_SCHEMA = (
+    "user_id bigint, start_event_id bigint, end_event_id bigint, "
+    "n_events bigint, duration_s double, centroid_x_deg double, "
+    "centroid_y_deg double, extent_deg double"
+)
+_FIX_STATE_SCHEMA = (
+    "prev_t double, prev_gx double, prev_gy double, "
+    "open int, id0 bigint, id1 bigint, n bigint, t0 double, t1 double, "
+    "sgx double, sgy double, mnx double, mxx double, mny double, mxy double"
+)
+
+
+def _make_fixation_fn(
+    threshold: float, min_s: float, max_s: float, max_extent: float
+):
+    deg_h, deg_v = P.DEG_HORIZ, P.DEG_VERT
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        user_id = key[0]
+        if state.exists:
+            (prev_t, prev_gx, prev_gy, open_run, id0, id1, n, t0, t1,
+             sgx, sgy, mnx, mxx, mny, mxy) = state.get
+            has_prev = True
+        else:
+            prev_t = prev_gx = prev_gy = 0.0
+            open_run, id0, id1, n = 0, 0, 0, 0
+            t0 = t1 = sgx = sgy = mnx = mxx = mny = mxy = 0.0
+            has_prev = False
+
+        closed: list[tuple] = []
+
+        def close():
+            dur = t1 - t0
+            ex = (mxx - mnx) * deg_h
+            ey = (mxy - mny) * deg_v
+            extent = math.sqrt(ex * ex + ey * ey)
+            if min_s <= dur <= max_s and extent <= max_extent:
+                closed.append((
+                    user_id, id0, id1, n, dur,
+                    round(sgx / n * deg_h, 6), round(sgy / n * deg_v, 6),
+                    round(extent, 6),
+                ))
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["t", "event_id"])
+        for t, eid, gx, gy in zip(
+            rows["t"], rows["event_id"], rows["gx"], rows["gy"]
+        ):
+            if has_prev:
+                dt = t - prev_t
+                dx = (gx - prev_gx) * deg_h
+                dy = (gy - prev_gy) * deg_v
+                dist = math.sqrt(dx * dx + dy * dy)
+                vel = dist / dt if dt != 0 else math.inf
+                flagged = vel <= threshold
+            else:
+                flagged = False  # first-ever sample has no velocity
+            if flagged:
+                if open_run:
+                    id1, t1, n = eid, t, n + 1
+                    sgx, sgy = sgx + gx, sgy + gy
+                    mnx, mxx = min(mnx, gx), max(mxx, gx)
+                    mny, mxy = min(mny, gy), max(mxy, gy)
+                else:
+                    open_run = 1
+                    id0 = id1 = eid
+                    t0 = t1 = t
+                    n = 1
+                    sgx, sgy = gx, gy
+                    mnx = mxx = gx
+                    mny = mxy = gy
+            elif open_run:
+                close()
+                open_run = 0
+            prev_t, prev_gx, prev_gy, has_prev = t, gx, gy, True
+
+        state.update((
+            float(prev_t), float(prev_gx), float(prev_gy), int(open_run),
+            int(id0), int(id1), int(n), float(t0), float(t1),
+            float(sgx), float(sgy), float(mnx), float(mxx), float(mny), float(mxy),
+        ))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "start_event_id", "end_event_id", "n_events",
+                    "duration_s", "centroid_x_deg", "centroid_y_deg",
+                    "extent_deg",
+                ],
+            )
+
+    return fn
+
+
+def streaming_fixations(
+    events: DataFrame,
+    threshold: float = P.SACCADE_VEL_THRESHOLD,
+    min_s: float = P.FIXATION_MIN_S,
+    max_s: float = P.FIXATION_MAX_S,
+    max_extent: float = P.FIXATION_MAX_EXTENT_DEG,
+) -> DataFrame:
+    """Stateful streaming twin of operators/labeling.py:detect_fixations:
+    the complement-of-saccade run (velocity <= threshold) with running
+    centroid sums and bounding box in state, emitted with the same
+    duration + extent gates the moment the run closes. O(1) state per
+    user (15 scalars)."""
+    g = with_gaze(events).select("user_id", "event_id", "t", "gx", "gy")
+    return g.groupBy("user_id").applyInPandasWithState(
+        _make_fixation_fn(threshold, min_s, max_s, max_extent),
+        outputStructType=_FIX_OUT_SCHEMA,
+        stateStructType=_FIX_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_saccades(
     events: DataFrame,
     threshold: float = P.SACCADE_VEL_THRESHOLD,
