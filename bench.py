@@ -35,6 +35,12 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "calibration_tps",
     "gaze_pipeline",
+    # r2 additions
+    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
+    "marker_pipeline",
+    "gaze_map_binocular",
+    "detect_fixations",
 ]
 
 

@@ -122,3 +122,25 @@ def test_tps_cv_closed_form_matches_explicit_refits():
     lam_best, rmse_best = tps_fit_cv(xy, v, lambdas)
     assert lam_best == lambdas[int(np.argmin(naive))]
     np.testing.assert_allclose(rmse_best, naive.min(), rtol=1e-8)
+
+
+def test_calibration_3d_recovers_known_rotation(spark, sf_dir):
+    """The Kabsch solve must recover the fixed ground-truth rotation to
+    within the jitter floor, with residual under the success gate."""
+    from vedb_gaze_spark.operators.calib3d import _R_TRUE, calibration_3d
+    from vedb_gaze_spark.sources.tables import load_table
+
+    rows = calibration_3d(load_table(spark, "events", sf_dir)).collect()
+    assert len(rows) > 0
+    # pupil normals were planted as p = R_TRUE r, so the recovered eye
+    # pose (pupil -> world) is R_TRUE's inverse/transpose
+    R_pose = _R_TRUE.T
+    pitch_t = float(np.arcsin(np.clip(-R_pose[2, 0], -1, 1)))
+    roll_t = float(np.arctan2(R_pose[2, 1], R_pose[2, 2]))
+    yaw_t = float(np.arctan2(R_pose[1, 0], R_pose[0, 0]))
+    for r in rows:
+        assert r.success, r
+        assert r.residual_deg < 1.0, r
+        assert abs(r.roll - roll_t) < 0.01
+        assert abs(r.pitch - pitch_t) < 0.01
+        assert abs(r.yaw - yaw_t) < 0.01

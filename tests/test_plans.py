@@ -140,6 +140,53 @@ def test_no_driver_collect_in_operators():
     assert not hits, "driver-side collect in operator code:\n" + "\n".join(hits)
 
 
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """Injected hot key: 60% of lineitem rows collapse onto one join key.
+    With AQE skew handling tuned to the test data volume, the executed
+    sort-merge join must mark the hot partition as skew-split
+    (isSkew=true) — the runtime re-plan SURVEY §4 relies on instead of
+    manual salting for skewed equi-joins at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    hot = F.when(F.col("l_orderkey") % 10 < 6, F.lit(0)).otherwise(
+        F.col("l_orderkey")
+    )
+    # repartition first: a skewed reduce partition is split by MAP-OUTPUT
+    # ranges, so the join's shuffle needs >1 mapper (the test file is one
+    # parquet row group = one scan task; a real 100 TB table has
+    # thousands of mappers and hits the same rule for free)
+    a = li.select(hot.alias("k"), "l_quantity").repartition(16)
+    b = li.select(hot.alias("k"), "l_extendedprice").repartition(16)
+    saved = {
+        c: spark.conf.get(c)
+        for c in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        joined = a.join(b, "k").agg(
+            F.sum(F.col("l_quantity") + F.col("l_extendedprice")).alias("s")
+        )
+        joined.collect()
+        s = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in s, s
+    finally:
+        for c, v in saved.items():
+            spark.conf.set(c, v)
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """Two tables bucketed on user_id must sort-merge-join with ZERO
     Exchange operators — the co-location contract SURVEY §4 relies on for

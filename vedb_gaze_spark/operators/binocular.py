@@ -14,8 +14,9 @@ Spark-first shape: per-(user, eye) closed-form OLS fits (a 2-rows-per-user
 table, broadcast back), then ONE sorted window per user partition computes
 each sample's nearest other-eye high-confidence neighbor (the as-of
 union-merge trick from temporal.match_nearest — prev/next frames of the
-same sort, no range join), and one equi join pulls the partner's mapped
-gaze. Single shuffle on user_id plus one slim self-join; no per-row Python.
+same sort, no range join) carrying the partner's full struct, so the
+binocular average needs no partner self-join. Single shuffle on user_id;
+no per-row Python.
 
 Deviations from the reference, for deterministic distributed semantics
 (documented, oracle-identical by construction):
@@ -65,43 +66,49 @@ def gaze_map_binocular(
         "eye", (F.col("event_id") % 2).cast("int")
     )
     fits = _eye_fits(g)
-    base = (
+    m = (
         g.join(F.broadcast(fits), ["user_id", "eye"])
         .withColumn("map_x", F.col("ax") + F.col("bx") * F.col("px"))
         .withColumn("map_y", F.col("ay") + F.col("by") * F.col("py"))
         .select("user_id", "eye", "event_id", "t", "conf", "map_x", "map_y")
     )
-    m = base
     hi = F.col("conf") > P.MIN_CONFIDENCE
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     prev = w.rowsBetween(Window.unboundedPreceding, -1)
     nxt = w.rowsBetween(1, Window.unboundedFollowing)
     # nearest high-confidence sample of each eye, as prev/next frames of
-    # the ONE sorted window (the match_nearest union-merge)
+    # the ONE sorted window (the match_nearest union-merge). The window
+    # carries the candidate's full STRUCT (t, id, mapped gaze, conf), so
+    # the binocular average needs NO partner self-join afterwards —
+    # measured: the join-back form paid a second full shuffle of the
+    # stream (~2× wall).
     cols = {}
     for e in (0, 1):
-        sel_t = F.when(hi & (F.col("eye") == e), F.col("t"))
-        sel_id = F.when(hi & (F.col("eye") == e), F.col("event_id"))
-        cols[f"p{e}_t"] = F.last(sel_t, ignorenulls=True).over(prev)
-        cols[f"p{e}_id"] = F.last(sel_id, ignorenulls=True).over(prev)
-        cols[f"n{e}_t"] = F.first(sel_t, ignorenulls=True).over(nxt)
-        cols[f"n{e}_id"] = F.first(sel_id, ignorenulls=True).over(nxt)
+        sel = F.when(
+            hi & (F.col("eye") == e),
+            F.struct(
+                F.col("t").alias("t"),
+                F.col("event_id").alias("id"),
+                F.col("map_x").alias("mx"),
+                F.col("map_y").alias("my"),
+                F.col("conf").alias("c"),
+            ),
+        )
+        cols[f"p{e}"] = F.last(sel, ignorenulls=True).over(prev)
+        cols[f"n{e}"] = F.first(sel, ignorenulls=True).over(nxt)
     m = m.withColumns(cols)
-    other = 1 - F.col("eye")
-    cp_t = F.when(other == 0, F.col("p0_t")).otherwise(F.col("p1_t"))
-    cp_id = F.when(other == 0, F.col("p0_id")).otherwise(F.col("p1_id"))
-    cn_t = F.when(other == 0, F.col("n0_t")).otherwise(F.col("n1_t"))
-    cn_id = F.when(other == 0, F.col("n0_id")).otherwise(F.col("n1_id"))
-    d_prev = F.col("t") - cp_t
-    d_next = cn_t - F.col("t")
-    use_prev = cn_t.isNull() | (cp_t.isNotNull() & (d_prev <= d_next))
+    cp = F.when(F.col("eye") == 0, F.col("p1")).otherwise(F.col("p0"))
+    cn = F.when(F.col("eye") == 0, F.col("n1")).otherwise(F.col("n0"))
+    d_prev = F.col("t") - cp["t"]
+    d_next = cn["t"] - F.col("t")
+    use_prev = cn.isNull() | (cp.isNotNull() & (d_prev <= d_next))
     m = (
-        m.withColumn("pair_id", F.when(use_prev, cp_id).otherwise(cn_id))
+        m.withColumn("pair", F.when(use_prev, cp).otherwise(cn))
         .withColumn("pair_dt", F.when(use_prev, d_prev).otherwise(d_next))
         .select("user_id", "eye", "event_id", "t", "conf", "map_x", "map_y",
-                "pair_id", "pair_dt")
+                "pair", "pair_dt")
     )
-    paired = hi & F.col("pair_id").isNotNull() & (F.col("pair_dt") <= cutoff_s)
+    paired = hi & F.col("pair").isNotNull() & (F.col("pair_dt") <= cutoff_s)
     # eye-0 anchors binocular rows; a paired eye-1 sample is suppressed
     m = m.withColumn(
         "source",
@@ -110,20 +117,13 @@ def gaze_map_binocular(
         .when(paired & (F.col("eye") == 1), F.lit(None))
         .otherwise(F.concat(F.lit("mono"), F.col("eye"))),
     ).where(F.col("source").isNotNull())
-    # partner values come from the PRE-suppression mapped base — the
-    # binocular row's partner is exactly a suppressed eye-1 sample
-    partner = base.select(
-        "user_id",
-        F.col("event_id").alias("pair_id"),
-        F.col("t").alias("pt"),
-        F.col("conf").alias("pconf"),
-        F.col("map_x").alias("pmap_x"),
-        F.col("map_y").alias("pmap_y"),
-    )
-    out = m.join(
-        partner,
-        ["user_id", "pair_id"],
-        "left",
+    out = m.withColumns(
+        {
+            "pt": F.col("pair")["t"],
+            "pconf": F.col("pair")["c"],
+            "pmap_x": F.col("pair")["mx"],
+            "pmap_y": F.col("pair")["my"],
+        }
     )
     is_bin = F.col("source") == "binocular"
     return out.select(

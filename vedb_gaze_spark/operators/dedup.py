@@ -187,6 +187,81 @@ def _candidate_pairs(pre: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _verify_jaccard_grid(pairs: DataFrame, sh: DataFrame, grid: int = 8) -> DataFrame:
+    """Exact Jaccard verify for HIGH candidate volumes — block-replicated
+    cogroup, no driver state.
+
+    The equi-join form (_verify_jaccard) ships BOTH doc-set arrays per
+    pair: |pairs|·2·|set| bytes (measured sf0.1: 3 M candidates × ~1.6 KB
+    arrays ≈ 10 GB through shuffle+Arrow, ~130 s). Here pairs shuffle
+    once as bare ids onto an (A×B) grid cell — cell = (hash(doc_a)%A,
+    hash(doc_b)%B) — and each doc's sorted array ships A+B times with a
+    role tag, INDEPENDENT of pair count: |pairs|·16 B + |sets|·(A+B).
+    Inside each of the A·B cogroup cells a dict of that cell's sets
+    rebuilds locally and the same numpy searchsorted merge scores the
+    cell's pairs. A and B scale with the cluster (cells are uniform by
+    construction); this is the classic block-nested replication join."""
+    import numpy as np
+    import pandas as pd
+
+    A = B = grid
+    thr = P.JACCARD_THRESHOLD
+    pk = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.pmod(F.hash("doc_a"), A).alias("ga"),
+        F.pmod(F.hash("doc_b"), B).alias("gb"),
+    )
+    ds = sh.groupBy("doc_id").agg(F.sort_array(F.collect_set("sh")).alias("s"))
+    ra = ds.select(
+        "doc_id", "s", F.lit(0).alias("role"),
+        F.pmod(F.hash("doc_id"), A).alias("ga"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("gb"),
+    )
+    rb = ds.select(
+        "doc_id", "s", F.lit(1).alias("role"),
+        F.explode(F.sequence(F.lit(0), F.lit(A - 1))).alias("ga"),
+        F.pmod(F.hash("doc_id"), B).alias("gb"),
+    )
+    sets = ra.unionByName(rb, allowMissingColumns=False).select(
+        "ga", "gb", "doc_id", "s", "role"
+    )
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "jaccard": pd.Series(dtype="float64")}
+            )
+        da: dict = {}
+        db: dict = {}
+        for doc, s, role in zip(right["doc_id"], right["s"], right["role"]):
+            (da if role == 0 else db)[doc] = np.asarray(s, dtype=np.int64)
+        aa = left["doc_a"].to_numpy()
+        bb = left["doc_b"].to_numpy()
+        jac = np.empty(len(aa))
+        for i in range(len(aa)):
+            sa, sb = da[aa[i]], db[bb[i]]
+            if len(sa) > len(sb):
+                sa, sb = sb, sa
+            pos = np.searchsorted(sb, sa)
+            ok = pos < len(sb)
+            inter = int(np.count_nonzero(sb[pos[ok]] == sa[ok]))
+            jac[i] = inter / (len(sa) + len(sb) - inter)
+        jr = np.floor(jac * 1e6 + 0.5) / 1e6
+        keep = jr >= thr
+        return pd.DataFrame(
+            {"doc_a": aa[keep], "doc_b": bb[keep], "jaccard": jr[keep]}
+        )
+
+    return (
+        pk.groupby("ga", "gb")
+        .cogroup(sets.groupby("ga", "gb"))
+        .applyInPandas(fn, "doc_a bigint, doc_b bigint, jaccard double")
+    )
+
+
 def _verify_jaccard_broadcast(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """OPT-IN small-corpus fast path (NOT the default — it collects a
     doc_id → sorted-shingle-array index to the driver, which only fits
@@ -237,7 +312,7 @@ def _verify_jaccard_broadcast(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(documents: DataFrame, verify: str = "join") -> DataFrame:
+def dedup_ngram_jaccard(documents: DataFrame, verify: str = "grid") -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs. Candidate generation uses
     PPJoin prefix + positional + size filtering (_prefix_shingles /
     _candidate_pairs) — docs only pair through their rarest shingles and
@@ -247,14 +322,19 @@ def dedup_ngram_jaccard(documents: DataFrame, verify: str = "join") -> DataFrame
     shared-shingle blocking (measured sf0.1: 256 pairs both ways; ~450 s
     naive vs ~20 s here), exact by the PPJoin filter theorems.
 
-    verify="join" (default) has no driver-side state at any corpus size;
+    verify="grid" (default) and verify="join" have no driver-side state
+    at any corpus size — grid replicates doc sets A+B× instead of
+    per-pair (the winner at this operator's millions-of-candidates
+    volume; measured sf0.1: ~130 s join-form verify → ~15 s);
     verify="broadcast_index" is the opt-in bounded-corpus fast path."""
     sh = _shingle_sets(documents)
     pre = _prefix_shingles(sh, P.JACCARD_THRESHOLD)
     pairs = _candidate_pairs(pre, P.JACCARD_THRESHOLD)
     if verify == "broadcast_index":
         return _verify_jaccard_broadcast(pairs, sh)
-    return _verify_jaccard(pairs, sh)
+    if verify == "join":
+        return _verify_jaccard(pairs, sh)
+    return _verify_jaccard_grid(pairs, sh)
 
 
 def _minhash_signatures(sh: DataFrame) -> DataFrame:

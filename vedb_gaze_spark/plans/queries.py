@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from vedb_gaze_spark.operators import (
     binocular,
+    calib3d,
     calibration,
     cleaning,
     clustering,
@@ -319,6 +320,11 @@ def _calibration_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("calibration_poly3", oracles.CALIBRATION_POLY3)
 def _calibration_poly3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration.calibration_poly3(load_table(spark, "events", sf_dir))
+
+
+@register("calibration_3d")  # Kabsch/SVD eye-orientation solve → rows-only
+def _calibration_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return calib3d.calibration_3d(load_table(spark, "events", sf_dir))
 
 
 @register("calibration_rbf")  # RBF kernel-family CV (LAPACK) → rows-only
