@@ -38,30 +38,33 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_sets(documents: DataFrame) -> DataFrame:
-    """Distinct (doc_id, 60-bit shingle hash). Hashing at the source makes
-    every downstream shuffle/join key and set element a LONG instead of a
-    k-char string — smaller exchanges, cheap array intersections — and
-    both engines derive the identical md5-based value, so oracle parity
-    is bit-for-bit (set semantics are unchanged unless two shingles of
-    the same doc pair collide in 60 bits, ~2⁻⁶⁰ per pair)."""
+def _doc_sets(documents: DataFrame) -> DataFrame:
+    """(doc_id, sorted array of 60-bit shingle hashes) — THE materialized
+    form every dedup stage derives from. The md5 hashing pass over every
+    shingle occurrence is the dominant scan cost (measured sf0.1: ~6 M
+    md5s); building this table first and deriving the per-shingle stream,
+    set sizes, document frequencies, AND verification sets from it means
+    Catalyst reuses ONE exchange (ReusedExchange) instead of re-hashing
+    the corpus once per consuming branch."""
     return (
         shingles(documents)
         .select("doc_id", portable_hash60("sh").alias("sh"))
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("sh")).alias("s"))
     )
 
 
-def _verify_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+def _verify_jaccard(pairs: DataFrame, doc_sets: DataFrame) -> DataFrame:
     """Exact Jaccard for the given candidate (doc_a < doc_b) pairs — the
-    scale-safe DEFAULT verification path.
+    scale-safe equi-join verification path for MODERATE candidate counts.
 
     Plain equi-joins (no hints, no driver state): each pair joins its two
-    per-doc SORTED shingle arrays on doc_id, then a vectorized numpy
-    searchsorted merge scores each joined row inside mapInPandas. The
-    doc-set side shards by doc_id at any corpus size; AQE still picks a
-    broadcast-hash join when the side is genuinely small (it is at
-    sf0.1), so small-scale speed is free rather than hard-coded.
+    per-doc SORTED shingle arrays (doc_sets = _doc_sets output) on
+    doc_id, then a vectorized numpy searchsorted merge scores each joined
+    row inside mapInPandas. The doc-set side shards by doc_id at any
+    corpus size; AQE still picks a broadcast-hash join when the side is
+    genuinely small (it is at sf0.1), so small-scale speed is free rather
+    than hard-coded.
 
     Why not per-row JVM array_intersect: it rebuilds a hash set per pair
     (measured sf0.1: ~45 s for 9.7 M candidates vs ~8 s for the numpy
@@ -70,7 +73,6 @@ def _verify_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     floor(x·1e6+0.5)/1e6 — HALF_UP for non-negative x, matching both
     engines' round() on these values (power-of-two denominators are
     exact in binary)."""
-    doc_sets = sh.groupBy("doc_id").agg(F.sort_array(F.collect_set("sh")).alias("s"))
     a = doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("set_a"))
     b = doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("set_b"))
     joined = (
@@ -110,7 +112,7 @@ def _verify_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     return joined.mapInPandas(run, "doc_a bigint, doc_b bigint, jaccard double")
 
 
-def _prefix_shingles(sh: DataFrame, threshold: float) -> DataFrame:
+def _prefix_shingles(doc_sets: DataFrame, threshold: float) -> DataFrame:
     """PPJoin prefix filtering (Xiao et al. 2008): under a global
     (document-frequency, shingle) ordering, any pair with Jaccard ≥ t
     shares at least one of each doc's n − ceil(t·n) + 1 RAREST shingles.
@@ -119,17 +121,21 @@ def _prefix_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     most docs lands in nobody's prefix, so the hottest join keys are
     bounded by true near-dup cluster sizes, not corpus size.
 
+    Derives the per-shingle stream AND set sizes from the doc-set table
+    (size(s) is free; explode(s) re-reads the same exchange), so the
+    corpus-hashing scan behind _doc_sets runs once for the whole query.
     Keeps (rnk, n_sh) — the shingle's position in the global order within
     its doc and the doc's set size — so candidate generation can apply
     the positional and size filters on top of the prefix filter."""
     from pyspark.sql import Window
 
+    sh = doc_sets.select(
+        "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("sh")
+    )
     dfs = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     w = Window.partitionBy("doc_id").orderBy("df", "sh")
     return (
         sh.join(dfs, "sh")
-        .join(sizes, "doc_id")
         .withColumn("rnk", F.row_number().over(w))
         .where(
             F.col("rnk")
@@ -187,7 +193,7 @@ def _candidate_pairs(pre: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _verify_jaccard_grid(pairs: DataFrame, sh: DataFrame, grid: int = 8) -> DataFrame:
+def _verify_jaccard_grid(pairs: DataFrame, doc_sets: DataFrame, grid: int = 8) -> DataFrame:
     """Exact Jaccard verify for HIGH candidate volumes — block-replicated
     cogroup, no driver state.
 
@@ -212,7 +218,7 @@ def _verify_jaccard_grid(pairs: DataFrame, sh: DataFrame, grid: int = 8) -> Data
         F.pmod(F.hash("doc_a"), A).alias("ga"),
         F.pmod(F.hash("doc_b"), B).alias("gb"),
     )
-    ds = sh.groupBy("doc_id").agg(F.sort_array(F.collect_set("sh")).alias("s"))
+    ds = doc_sets
     ra = ds.select(
         "doc_id", "s", F.lit(0).alias("role"),
         F.pmod(F.hash("doc_id"), A).alias("ga"),
@@ -262,7 +268,7 @@ def _verify_jaccard_grid(pairs: DataFrame, sh: DataFrame, grid: int = 8) -> Data
     )
 
 
-def _verify_jaccard_broadcast(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+def _verify_jaccard_broadcast(pairs: DataFrame, doc_sets: DataFrame) -> DataFrame:
     """OPT-IN small-corpus fast path (NOT the default — it collects a
     doc_id → sorted-shingle-array index to the driver, which only fits
     when the corpus is known to be small): exact Jaccard via a broadcast
@@ -273,9 +279,6 @@ def _verify_jaccard_broadcast(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     import numpy as np
 
     spark = pairs.sparkSession
-    doc_sets = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("sh")).alias("s")
-    )
     index = {
         int(r["doc_id"]): np.asarray(r["s"], dtype=np.int64)
         for r in doc_sets.collect()
@@ -326,26 +329,33 @@ def dedup_ngram_jaccard(documents: DataFrame, verify: str = "grid") -> DataFrame
     at any corpus size — grid replicates doc sets A+B× instead of
     per-pair (the winner at this operator's millions-of-candidates
     volume; measured sf0.1: ~130 s join-form verify → ~15 s);
-    verify="broadcast_index" is the opt-in bounded-corpus fast path."""
-    sh = _shingle_sets(documents)
-    pre = _prefix_shingles(sh, P.JACCARD_THRESHOLD)
+    verify="broadcast_index" is the opt-in bounded-corpus fast path.
+    Every stage derives from ONE _doc_sets exchange (ReusedExchange), so
+    the corpus is md5-hashed exactly once."""
+    ds = _doc_sets(documents)
+    pre = _prefix_shingles(ds, P.JACCARD_THRESHOLD)
     pairs = _candidate_pairs(pre, P.JACCARD_THRESHOLD)
     if verify == "broadcast_index":
-        return _verify_jaccard_broadcast(pairs, sh)
+        return _verify_jaccard_broadcast(pairs, ds)
     if verify == "join":
-        return _verify_jaccard(pairs, sh)
-    return _verify_jaccard_grid(pairs, sh)
+        return _verify_jaccard(pairs, ds)
+    return _verify_jaccard_grid(pairs, ds)
 
 
-def _minhash_signatures(sh: DataFrame) -> DataFrame:
-    # sh is already the 60-bit hash (see _shingle_sets); materialize the
-    # reduced value once rather than inside all 16 min-aggregates
-    hashed = sh.withColumn("h31", F.col("sh") % P.MINHASH_PRIME)
-    aggs = [
-        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % P.MINHASH_PRIME).alias(f"mh{i}")
+def _minhash_signatures(doc_sets: DataFrame) -> DataFrame:
+    """Signatures as pure ARRAY expressions over the doc-set table: each
+    permutation's min is array_min(transform(s, ...)) — no aggregation at
+    all (min over the distinct set equals min over occurrences), so the
+    only shuffle in the whole signature path is _doc_sets' groupBy, which
+    verification reuses (ReusedExchange)."""
+    prime = P.MINHASH_PRIME
+    exprs = [
+        F.expr(
+            f"array_min(transform(s, x -> ({a} * (x % {prime}) + {b}) % {prime}))"
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(P.MINHASH_AB)
     ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return doc_sets.select("doc_id", *exprs)
 
 
 def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
@@ -356,16 +366,13 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
     dedup_ngram_jaccard when LSH recall is 1 at the threshold — by very
     different (index-shaped) physical plans.
 
-    No distinct() anywhere: min-aggregates are idempotent under repeated
-    shingles and collect_set dedups inside the verify aggregation, so the
-    per-occurrence shingle stream feeds both paths without the 1M-row
-    pre-dedup exchange the naive plan would pay.
+    The signature path has NO aggregation of its own: permutation minima
+    are array expressions over _doc_sets (min over the distinct set
+    equals min over occurrences), and the verify stage reuses the same
+    exchange — the corpus is hashed and shuffled exactly once.
     """
-    sh = (
-        shingles(documents)
-        .select("doc_id", portable_hash60("sh").alias("sh"))
-    )
-    sig = _minhash_signatures(sh)
+    ds = _doc_sets(documents)
+    sig = _minhash_signatures(ds)
     rows = P.MINHASH_PERMS // P.MINHASH_BANDS
     bands = None
     for b in range(P.MINHASH_BANDS):
@@ -382,7 +389,7 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_jaccard(cand, sh)
+    return _verify_jaccard(cand, ds)
 
 
 def dedup_simhash(documents: DataFrame) -> DataFrame:

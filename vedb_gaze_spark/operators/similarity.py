@@ -129,32 +129,6 @@ def _exact_rescore(cand: DataFrame, v: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_dots_expr(vec_col: str) -> str:
-    """All 32 banded-LSH plane dot products as ONE expression over a
-    single literal plane matrix (the _centroid_dots_expr lesson: per-plane
-    expression copies blow up Catalyst analysis time)."""
-    mat = ", ".join(
-        "array(" + ", ".join(repr(float(x)) for x in p) + ")"
-        for p in P.DEDUP_LSH_PLANES
-    )
-    return (
-        f"transform(array({mat}), p -> "
-        f"aggregate(zip_with({vec_col}, p, (x, y) -> x * y), "
-        f"cast(0.0 as double), (acc, x) -> acc + x))"
-    )
-
-
-def _band_keys_expr(dots_col: str) -> str:
-    """Band keys from the sign bits of the plane dots: band b's key packs
-    bits b·BITS .. b·BITS+BITS-1 (arrays are 1-indexed in Spark SQL)."""
-    bits = P.DEDUP_LSH_BITS
-    key = " + ".join(
-        f"IF(element_at({dots_col}, b * {bits} + {j + 1}) > 0D, {1 << j}, 0)"
-        for j in range(bits)
-    )
-    return f"transform(sequence(0, {P.DEDUP_LSH_BANDS - 1}), b -> {key})"
-
-
 def dedup_embedding_lsh(embeddings: DataFrame) -> DataFrame:
     """Embedding near-dup pairs via banded sign-LSH buckets — the SCALE
     path beside the exact (inherently quadratic) dedup_embedding_cosine.
@@ -181,8 +155,6 @@ def dedup_embedding_lsh(embeddings: DataFrame) -> DataFrame:
     # expression into every element_at reference — measured 50 s of
     # Catalyst/codegen at sf0.1 vs ~2 s this way; the scan stays a
     # narrow no-shuffle map either way.
-    planes = None
-
     def keygen(batches):
         import numpy as np
         import pandas as pd
@@ -191,26 +163,26 @@ def dedup_embedding_lsh(embeddings: DataFrame) -> DataFrame:
         bands, bits = P.DEDUP_LSH_BANDS, P.DEDUP_LSH_BITS
         weights = 1 << np.arange(bits)
         for pdf in batches:
-            M = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
-            if len(M) == 0:
+            if len(pdf) == 0:
                 continue
+            M = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
             B = (M @ W.T) > 0  # (n, 32)
             keys = (
                 B.reshape(len(M), bands, bits) * weights
             ).sum(-1)  # (n, bands)
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
-                    "v": [x for x in pdf["v"] for _ in range(bands)],
-                    "band": np.tile(np.arange(bands, dtype=np.int32), len(M)),
-                    "key": keys.astype(np.int32).ravel(),
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "keys": [k for k in keys.astype(np.int32)],
                 }
             )
-            yield out
 
+    # one row per vector leaves Python; the ×bands replication happens
+    # JVM-side (posexplode), so Arrow traffic is one corpus pass
     keyed = v.mapInPandas(
-        keygen, "vec_id bigint, v array<double>, band int, key int"
-    )
+        keygen, "vec_id bigint, v array<double>, keys array<int>"
+    ).select("vec_id", "v", F.posexplode("keys").alias("band", "key"))
     buckets = keyed.groupBy("band", "key").agg(
         F.collect_list(F.struct("vec_id", "v")).alias("items")
     )

@@ -117,3 +117,54 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Shannon entropy of each document's character distribution — the
+    zero-dependency perplexity proxy a quality-filtering pipeline uses to
+    drop degenerate text (low entropy = repeated boilerplate, high =
+    random noise). H = −Σ p·log2 p over characters, plus the character
+    count and alphabet size.
+
+    Characters come from split(text, '') — identical to per-byte on this
+    ASCII corpus; a UTF-8 corpus would see code points, which is usually
+    the better unit anyway. Two aggregations over the (doc, char) key:
+    map-side partials collapse each partition's character counts first,
+    so shuffle volume is O(docs × alphabet), not O(corpus chars)."""
+    ch = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    ).where(F.col("c") != "")
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    w = Window.partitionBy("doc_id")
+    p = F.col("k") / F.sum("k").over(w)
+    term = p * F.log2(p)
+    per = cnt.withColumn("term", term)
+    return per.groupBy("doc_id").agg(
+        F.sum("k").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_alphabet"),
+        (F.floor(-F.sum("term") * 1e6 + 0.5) / 1e6).alias("entropy_bits"),
+    )
+
+
+_STOP_RE = "\\\\b(" + "|".join(P.STOPWORDS) + ")\\\\b"
+
+
+def scrub_stopwords(documents: DataFrame) -> DataFrame:
+    """Boilerplate-token scrubbing — the redaction/cleaning shape of a
+    training-data pipeline (PII scrub, boilerplate strip) on the tokens
+    this corpus actually contains: remove stopword tokens, report the
+    removal count and the md5 of the normalized cleaned text. Pure JVM
+    regex algebra; the same RE runs identically under Java regex and
+    DuckDB's RE2 (word-boundary + alternation only)."""
+    clean = F.expr(
+        f"trim(regexp_replace(regexp_replace(lower(text), '{_STOP_RE}', ''),"
+        " ' +', ' '))"
+    )
+    n_removed = F.expr(
+        f"size(regexp_extract_all(lower(text), '{_STOP_RE}', 0))"
+    )
+    return documents.select(
+        "doc_id",
+        n_removed.alias("n_removed"),
+        F.md5(clean).alias("clean_md5"),
+    )

@@ -887,6 +887,31 @@ _SHINGLES_POS = f"""
   WHERE length(text) >= {P.SHINGLE_K}
 """
 
+CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+cnt AS (SELECT doc_id, c, count(*) AS k FROM ch WHERE c != '' GROUP BY doc_id, c),
+per AS (
+  SELECT *, (k / CAST(sum(k) OVER (PARTITION BY doc_id) AS DOUBLE))
+            * log2(k / CAST(sum(k) OVER (PARTITION BY doc_id) AS DOUBLE)) AS term
+  FROM cnt
+)
+SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars, count(*) AS n_alphabet,
+       floor(-sum(term) * 1000000 + 0.5) / 1000000 AS entropy_bits
+FROM per GROUP BY doc_id
+"""
+
+_STOP_RE_SQL = "\\b(" + "|".join(P.STOPWORDS) + ")\\b"
+
+SCRUB_STOPWORDS = f"""
+SELECT doc_id,
+  len(regexp_extract_all(lower(text), '{_STOP_RE_SQL}')) AS n_removed,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '{_STOP_RE_SQL}', '', 'g'),
+           ' +', ' ', 'g'))) AS clean_md5
+FROM documents
+"""
+
 DOC_FINGERPRINT = f"""
 WITH sh AS ({_SHINGLES_POS}),
 h AS (SELECT doc_id, pos, {_h60('sh')} AS hh FROM sh),

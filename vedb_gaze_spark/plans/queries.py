@@ -239,6 +239,16 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(load_table(spark, "documents", sf_dir))
 
 
+@register("char_entropy", oracles.CHAR_ENTROPY)
+def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.char_entropy(load_table(spark, "documents", sf_dir))
+
+
+@register("scrub_stopwords", oracles.SCRUB_STOPWORDS)
+def _scrub_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.scrub_stopwords(load_table(spark, "documents", sf_dir))
+
+
 @register("doc_fingerprint", oracles.DOC_FINGERPRINT)
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(load_table(spark, "documents", sf_dir))
