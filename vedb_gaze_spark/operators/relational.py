@@ -115,6 +115,86 @@ def q5_local_supplier(
     )
 
 
+def q18_large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty: float = P.Q18_QUANTITY,
+) -> DataFrame:
+    """TPC-H Q18 shape: group-HAVING semi-join — the 'find the heavy
+    keys, then fetch their context' pattern. The heavy-key set comes from
+    one map-side-combined aggregation of the fact table; orders/customer
+    join it on their keys (all equi shuffle joins — every side here is
+    fact-sized at 100 TB; AQE broadcasts the tiny heavy-key set at small
+    SF on its own). Quantities are integral, so the double sum and the
+    HAVING threshold compare identically on any engine."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > qty)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+def q7_volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 shape: two-nation volume shipping — disjunctive dim
+    predicate across TWO roles of the same dimension. nation broadcasts
+    twice (supplier-side and customer-side aliases); the facts chain on
+    their natural keys as shuffle joins; the (A,B)|(B,A) filter runs
+    after both nation names are attached, then a 3-key rollup by year."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(P.Q7_DATE_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(P.Q7_DATE_TO).cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    rev = cents("l_extendedprice") * cents(1.0 - F.col("l_discount"))
+    ab = (
+        (F.col("supp_nation") == P.Q7_NATION_A)
+        & (F.col("cust_nation") == P.Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == P.Q7_NATION_B)
+        & (F.col("cust_nation") == P.Q7_NATION_A)
+    )
+    return (
+        li.join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(ab)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 def q6_revenue(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q6 shape: highly selective scan-side filters → scalar agg.
     All four predicates reach the parquet reader as PushedFilters."""

@@ -32,6 +32,37 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
+Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > {P.Q18_QUANTITY}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(total_qty AS DOUBLE) AS sum_qty
+FROM orders JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       sum({_EP} * {_DISC1}) / 10000.0 AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{P.Q7_DATE_FROM}'
+  AND l_shipdate < TIMESTAMP '{P.Q7_DATE_TO}'
+  AND ((n1.n_name = '{P.Q7_NATION_A}' AND n2.n_name = '{P.Q7_NATION_B}')
+    OR (n1.n_name = '{P.Q7_NATION_B}' AND n2.n_name = '{P.Q7_NATION_A}'))
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
 Q3 = f"""
 SELECT
   l_orderkey,

@@ -77,6 +77,26 @@ def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q18_large_orders", oracles.Q18)
+def _q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q18_large_orders(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+    )
+
+
+@register("q7_volume_shipping", oracles.Q7)
+def _q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q7_volume_shipping(
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+
+
 @register("q6_revenue", oracles.Q6)
 def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.q6_revenue(load_table(spark, "lineitem", sf_dir))
