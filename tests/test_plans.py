@@ -117,6 +117,19 @@ def test_embedding_lsh_is_subset_with_measured_recall(spark, sf_dir):
     assert len(lsh) >= 0.6 * len(exact), (len(lsh), len(exact))
 
 
+def test_dedup_reuses_doc_set_exchange(spark, sf_dir):
+    """The md5 pass over every shingle occurrence is the dominant dedup
+    scan cost; all consuming branches (prefix stream, doc frequencies,
+    sizes, verification arrays, minhash signatures) must derive from ONE
+    _doc_sets exchange. ReusedExchange in the executed plan is the
+    proof; its absence means the corpus is being re-hashed per branch."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh"):
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        s = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in s, name
+
+
 def test_no_driver_collect_in_operators():
     """No registered query may materialize DATA on the driver: a
     .collect() inside an operator is a corpus-sized driver OOM at 100 TB.
