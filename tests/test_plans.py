@@ -232,3 +232,35 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS buckets.ev_view")
         spark.sql("DROP TABLE IF EXISTS buckets.ev_click")
         spark.sql("DROP DATABASE IF EXISTS buckets")
+
+
+def test_jaccard_verify_strategies_agree(spark, sf_dir):
+    """The three verification physical strategies (grid cogroup, equi
+    join, opt-in broadcast index) implement ONE semantics — identical
+    (doc_a, doc_b, jaccard) sets on the same candidates. Guards the
+    r2 strategy rework: a divergence means a pairing/rounding bug in
+    exactly one path."""
+    from vedb_gaze_spark.operators import dedup
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    outs = {
+        s: {tuple(r) for r in dedup.dedup_ngram_jaccard(docs, verify=s).collect()}
+        for s in ("grid", "join", "broadcast_index")
+    }
+    assert outs["grid"] == outs["join"] == outs["broadcast_index"]
+    assert len(outs["grid"]) > 0
+
+
+def test_minhash_pairs_subset_of_exact_ngram(spark, sf_dir):
+    """Banded-LSH candidates can only MISS pairs, never invent them:
+    dedup_minhash_lsh output must be a subset of the exact PPJoin
+    operator's (here equal — LSH recall is 1 on the planted near-dups)."""
+    from vedb_gaze_spark.operators import dedup
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    exact = {tuple(r) for r in dedup.dedup_ngram_jaccard(docs).collect()}
+    lsh = {tuple(r) for r in dedup.dedup_minhash_lsh(docs).collect()}
+    assert lsh <= exact
+    assert len(lsh) > 0
