@@ -64,6 +64,22 @@ def test_every_query_has_entry():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_gate_order_is_explicit_and_r2_gap_first():
+    """The r2 driver gate truncated at registry position 50, so iteration
+    order is part of the driver contract: the 14 entries with no r2
+    correctness row must come first, and every registered query must be
+    consciously placed in _GATE_ORDER (a new query landing unlisted would
+    silently register at the tail)."""
+    from vedb_gaze_spark.plans.queries import _GATE_ORDER
+
+    names = list(QUERIES)
+    assert names == [n for n in _GATE_ORDER if n in QUERIES] + [
+        n for n in names if n not in _GATE_ORDER
+    ]
+    assert set(names) == set(_GATE_ORDER)
+    assert names[:14] == _GATE_ORDER[:14]
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_query_runs(name, spark, sf_dir):
     """Non-SQL-expressible ops get the driver's weaker check: runs, has a

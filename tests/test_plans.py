@@ -77,6 +77,20 @@ def test_no_cartesian_products(spark, sf_dir):
         assert "CartesianProduct" not in s, name
 
 
+def test_q7_prefilters_both_nation_roles(spark, sf_dir):
+    """Q7's `n_name IN (A, B)` is implied by the (A,B)|(B,A) disjunction;
+    it must be applied to BOTH broadcast nation aliases so non-qualifying
+    fact rows (~23/25 at uniform nation mix) die at their first dim join
+    instead of riding through supplier→orders→customer."""
+    s = fmt(QUERIES["q7_volume_shipping"](spark, sf_dir))
+    # both scans of the nation dim must carry the two-nation IN filter
+    assert s.count("n_name") >= 2
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]*n_name[^\]]*\]", s)
+    assert len(pushed) >= 2, s
+
+
 def test_q3_broadcasts_only_the_dim(spark, sf_dir):
     """q3 must carry exactly ONE explicit broadcast hint (filtered
     customer). Hinting the date-filtered orders side — fact-sized at
@@ -87,14 +101,18 @@ def test_q3_broadcasts_only_the_dim(spark, sf_dir):
     assert analyzed.count("ResolvedHint") == 1, analyzed
 
 
-def test_ann_topk_prunes_before_window(spark, sf_dir):
-    """ann_cosine_topk must reduce scored rows partition-locally (the
+@pytest.mark.parametrize(
+    "name", ["ann_cosine_topk", "ann_lsh", "ann_ivf", "ann_ivf_trained"]
+)
+def test_ann_prunes_before_window(spark, sf_dir, name):
+    """Every ANN variant must reduce scored rows partition-locally (the
     MapInPandas prune) before the per-query ranking window — without it,
-    all n·q scored rows shuffle onto q keys."""
-    s = fmt(QUERIES["ann_cosine_topk"](spark, sf_dir))
+    all scored rows shuffle onto q keys. Formatted plans print top-down,
+    so the prune (a child of the window) appears AFTER the Window line."""
+    s = fmt(QUERIES[name](spark, sf_dir))
     assert "MapInPandas" in s, s
-    assert s.index("Window") < s.index("MapInPandas"), (
-        "prune must sit below the ranking window"
+    assert s.index("Window") < s.rindex("MapInPandas"), (
+        f"{name}: prune must sit below the ranking window"
     )
 
 

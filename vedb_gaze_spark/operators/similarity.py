@@ -166,7 +166,10 @@ def dedup_embedding_lsh(embeddings: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             M = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
-            B = (M @ W.T) > 0  # (n, 32)
+            # round-6 BEFORE the sign test, mirrored in the DuckDB
+            # oracle: a dot within float drift of 0 would otherwise
+            # bucket differently per engine (summation-order dependent)
+            B = np.round(M @ W.T, 6) > 0  # (n, 32)
             keys = (
                 B.reshape(len(M), bands, bits) * weights
             ).sum(-1)  # (n, bands)
@@ -281,14 +284,19 @@ def ann_cosine_topk(
 
 def _bucket(v: Column) -> Column:
     """Sign-bit bucket from the fixed hyperplanes: bit p set iff
-    dot(v, plane_p) > 0."""
+    round(dot(v, plane_p), 6) > 0 — the dot is quantized before the sign
+    test (mirrored in the oracle) so summation-order float drift cannot
+    flip a bucket in one engine only."""
     bucket = F.lit(0)
     for p, plane in enumerate(P.LSH_PLANES):
         lit_plane = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(v, lit_plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        dot = F.round(
+            F.aggregate(
+                F.zip_with(v, lit_plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
@@ -310,9 +318,12 @@ def ann_lsh(
     )
     cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
     scored = corpus.join(F.broadcast(queries), "bucket").withColumn("cosine", cos)
+    # in-bucket volume is ≈ corpus/buckets per query, but the same
+    # q-reducer window bottleneck applies — prune partition-locally first
+    pruned = _partial_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
@@ -439,11 +450,15 @@ def ann_ivf_trained(
         F.col("pr") <= n_probes
     )
     cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
-    scored = corpus.join(F.broadcast(probed.select("query_id", "qv", "cell")), "cell")
+    scored = corpus.join(
+        F.broadcast(probed.select("query_id", "qv", "cell")), "cell"
+    ).withColumn("cosine", cos)
+    # prune each scan partition to ≤ q·k rows BEFORE the per-query window
+    # (post-probe volume is ≈ n_probes/n_cells of the corpus per query)
+    pruned = _partial_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        scored.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
@@ -490,11 +505,15 @@ def ann_ivf(
         F.col("pr") <= n_probes
     )
     cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
-    scored = corpus.join(F.broadcast(probed.select("query_id", "qv", "cell")), "cell")
+    scored = corpus.join(
+        F.broadcast(probed.select("query_id", "qv", "cell")), "cell"
+    ).withColumn("cosine", cos)
+    # prune each scan partition to ≤ q·k rows BEFORE the per-query window
+    # (post-probe volume is ≈ n_probes/n_cells of the corpus per query)
+    pruned = _partial_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        scored.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )

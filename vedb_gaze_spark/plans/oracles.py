@@ -1062,13 +1062,23 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({_COS}, 6) >= {P.COSINE_DUP_THRESHOLD}
 """
 
+def _lit(arr) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in arr) + "]"
+
+
 # Banded sign-LSH near-dup: same 32 literal planes as the Spark plan;
 # candidates share a 4-bit sign bucket in ANY of the 8 bands, then the
 # exact rounded cosine decides. Output = the LSH-reachable subset of
-# DEDUP_EMBEDDING_COSINE (deterministic: planes are shared literals).
+# DEDUP_EMBEDDING_COSINE (deterministic: planes are shared literals, and
+# both engines round the plane dot to 6 decimals BEFORE the sign test so
+# float summation-order drift cannot flip a bucket in one engine only).
+# Candidates come from per-band equi-joins over an exploded (band, key)
+# relation, not an OR-of-bands nested loop: the OR form forced DuckDB to
+# re-evaluate the 16 band-key expressions per PAIR (measured 31.6 s ->
+# 0.2 s at sf0.01 for identical output).
 _LSH_BAND_KEYS = ", ".join(
     " + ".join(
-        f"CASE WHEN list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * ({plane}::DOUBLE[])[i])) > 0 THEN {1 << j} ELSE 0 END"
+        f"CASE WHEN round(list_inner_product(embedding::DOUBLE[], {_lit(plane)}::DOUBLE[]), 6) > 0 THEN {1 << j} ELSE 0 END"
         for j, plane in enumerate(
             P.DEDUP_LSH_PLANES[b * P.DEDUP_LSH_BITS : (b + 1) * P.DEDUP_LSH_BITS]
         )
@@ -1077,13 +1087,26 @@ _LSH_BAND_KEYS = ", ".join(
     for b in range(P.DEDUP_LSH_BANDS)
 )
 
-DEDUP_EMBEDDING_LSH = f"""
-WITH v AS (
-  SELECT vec_id, embedding, {_LSH_BAND_KEYS} FROM embeddings a
+_LSH_BAND_ROWS = "\n  UNION ALL\n  ".join(
+    f"SELECT vec_id, {b} AS band, k{b} AS key FROM v"
+    for b in range(P.DEDUP_LSH_BANDS)
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({_COS}, 6) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
- AND ({" OR ".join(f"a.k{b} = b.k{b}" for b in range(P.DEDUP_LSH_BANDS))})
+
+DEDUP_EMBEDDING_LSH = f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, embedding, {_LSH_BAND_KEYS} FROM embeddings
+),
+e AS MATERIALIZED (
+  {_LSH_BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM e x JOIN e y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+)
+SELECT c.vec_a, c.vec_b, round({_COS}, 6) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
 WHERE round({_COS}, 6) >= {P.COSINE_DUP_THRESHOLD}
 """
 
@@ -1100,12 +1123,12 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {P.ANN_K}
 """
 
 _PLANE_DOTS = " + ".join(
-    f"CASE WHEN list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * ({plane}::DOUBLE[])[i])) > 0 THEN {1 << p} ELSE 0 END"
+    f"CASE WHEN round(list_inner_product(embedding::DOUBLE[], {_lit(plane)}::DOUBLE[]), 6) > 0 THEN {1 << p} ELSE 0 END"
     for p, plane in enumerate(P.LSH_PLANES)
 )
 
 ANN_LSH = f"""
-WITH v AS (
+WITH v AS MATERIALIZED (
   SELECT vec_id, embedding, {_PLANE_DOTS} AS bucket FROM embeddings
 ), scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -1315,11 +1338,13 @@ GROUP BY user_id
 # --- IVF ANN (operators/similarity.py:ann_ivf) ------------------------------
 
 def _ivf_dot(col: str, cent: tuple) -> str:
+    # native inner product, not list_transform over a literal array:
+    # DuckDB re-constructs a `(arr::DOUBLE[])[i]` literal per ELEMENT
+    # access, which made the 16-centroid dot block ~100x slower than the
+    # built-in (measured 7.4 s -> 0.07 s for the whole ANN_IVF oracle).
+    # round-6 keeps the value identical to Spark's sequential fold.
     arr = "[" + ", ".join(repr(float(x)) for x in cent) + "]"
-    return (
-        f"round(list_sum(list_transform(range(1, 65), "
-        f"i -> {col}[i]::DOUBLE * ({arr}::DOUBLE[])[i])), 6)"
-    )
+    return f"round(list_inner_product({col}::DOUBLE[], {arr}::DOUBLE[]), 6)"
 
 
 _IVF_N = len(P.IVF_CENTROIDS)
@@ -1337,14 +1362,14 @@ _IVF_PROBE_SELECTS = "\n  UNION ALL\n  ".join(
 )
 
 ANN_IVF = f"""
-WITH dots AS (
+WITH dots AS MATERIALIZED (
   SELECT vec_id, embedding,
     {_IVF_DOTS}
   FROM embeddings WHERE vec_id >= {P.ANN_N_QUERIES}
-), corpus AS (
+), corpus AS MATERIALIZED (
   SELECT vec_id AS neighbor_id, embedding, {_IVF_CASE} AS cell
   FROM (SELECT *, {_IVF_MAX} AS mx FROM dots) t
-), qdots AS (
+), qdots AS MATERIALIZED (
   {_IVF_PROBE_SELECTS}
 ), probed AS (
   SELECT query_id, embedding, cell FROM (
