@@ -135,6 +135,42 @@ def test_embedding_lsh_is_subset_with_measured_recall(spark, sf_dir):
     assert len(lsh) >= 0.6 * len(exact), (len(lsh), len(exact))
 
 
+def test_ann_lsh_multiprobe_lifts_recall_and_stays_exact(spark, sf_dir):
+    """Multi-probe (Hamming-1) ann_lsh must (a) never return a pair the
+    single-probe form could 'invent' — every returned cosine equals the
+    brute-force cosine of those ids (exact rerank), (b) reach at least
+    the single-probe recall vs the exact top-3, and (c) fill k rows per
+    query on this data."""
+    from vedb_gaze_spark.operators import similarity
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = similarity.ann_cosine_topk(emb, k=3).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    single = similarity.ann_lsh(emb, multiprobe=False).collect()
+    multi = similarity.ann_lsh(emb, multiprobe=True).collect()
+    s_pairs = {(r.query_id, r.neighbor_id) for r in single}
+    m_pairs = {(r.query_id, r.neighbor_id) for r in multi}
+    recall_s = len(s_pairs & exact_pairs) / len(exact_pairs)
+    recall_m = len(m_pairs & exact_pairs) / len(exact_pairs)
+    assert recall_m >= recall_s, (recall_m, recall_s)
+    # every query fills its k=3 slots under multi-probe on this data
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in multi)
+    assert all(v == 3 for v in per_q.values()), per_q
+    # exactness: multi-probe cosines match the brute-force cosine of the
+    # same (query, neighbor) ids computed by the exact operator's scorer
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    for r in multi:
+        a, b = vecs[r.query_id], vecs[r.neighbor_id]
+        c = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cosine - round(c, 6)) <= 1e-6, r
+
+
 def test_dedup_reuses_doc_set_exchange(spark, sf_dir):
     """The md5 pass over every shingle occurrence is the dominant dedup
     scan cost; all consuming branches (prefix stream, doc frequencies,
@@ -250,6 +286,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS buckets.ev_view")
         spark.sql("DROP TABLE IF EXISTS buckets.ev_click")
         spark.sql("DROP DATABASE IF EXISTS buckets")
+
+
+def test_jaccard_grid_autosizes_with_cluster_and_corpus(spark):
+    """The verify grid must be DERIVED, not hardcoded: it grows with the
+    configured reduce parallelism (finer grid on a bigger cluster) and
+    with the corpus (bounded per-cell doc-set payload at any scale)."""
+    from vedb_gaze_spark.operators.dedup import _verify_grid_size
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        g32 = _verify_grid_size(spark)
+        spark.conf.set("spark.sql.shuffle.partitions", "2048")
+        g2048 = _verify_grid_size(spark)
+        assert g32 < g2048, (g32, g2048)
+        # memory ceiling: 10 M docs needs a grid bounding 2n/G cell payload
+        big = _verify_grid_size(spark, n_docs=10_000_000)
+        assert big >= 2 * 10_000_000 / 20_000
+        # small corpus on a small cluster still gets a sane grid
+        assert _verify_grid_size(spark, n_docs=500) >= 1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def test_jaccard_verify_strategies_agree(spark, sf_dir):

@@ -10,10 +10,16 @@ package (`bundle_adjustment.BundleAdjustment`, a scipy least-squares
 dependency not vendored in the repo and absent from this container); its
 own initialization step (`utils.get_initial_eye_camera_rotation`,
 calibrate_3d.py:59) is the closed-form orthogonal-Procrustes/Kabsch
-alignment between the two direction bundles — that closed form IS the
-least-squares-optimal rotation for the spherical-camera residual with
-fixed targets, so we implement it exactly (one SVD per session) and
-report the same angular residual the bundle adjustment would minimize.
+alignment between the two direction bundles. Kabsch is globally optimal
+for the squared CHORD distance ‖R·p − r‖²; the bundle adjustment's loss
+is the squared ANGLE arccos(R·p · r) — a different functional whose
+optimum differs slightly under anisotropic jitter. We therefore follow
+the reference's two-stage shape inside one applyInPandas group: Kabsch
+initializer (one SVD), then a Levenberg–Marquardt polish on the angular
+residuals over the 3 axis-angle parameters (pure numpy — scipy is not
+in this container; the group-local LM on 3 parameters is ~30 lines and
+numerically identical in role to least_squares(method="lm")). Both
+residuals are reported so the refinement gain is observable.
 
 The test tables carry no 3-D normals, so reference directions derive
 deterministically from event_id (azimuth/elevation integer math) and
@@ -49,9 +55,70 @@ _R_TRUE = _rot(_AXIS, _ANGLE)
 
 _C3D_SCHEMA = (
     "user_id bigint, n_points int, residual_deg double, "
+    "residual_kabsch_deg double, "
     "roll double, pitch double, yaw double, success boolean"
 )
 _RESIDUAL_THRESHOLD_DEG = 3.0
+
+
+def _angles(Rm: np.ndarray, Pn: np.ndarray, Rf: np.ndarray) -> np.ndarray:
+    """Angular residuals (radians) between rotated pupil normals and
+    reference directions."""
+    cosang = np.clip((Pn @ Rm.T * Rf).sum(1), -1.0, 1.0)
+    return np.arccos(cosang)
+
+
+def _lm_refine(
+    R0: np.ndarray, Pn: np.ndarray, Rf: np.ndarray, iters: int = 20
+) -> np.ndarray:
+    """Levenberg–Marquardt over the 3 axis-angle parameters of a left
+    perturbation exp([ω]×)·R0, minimizing Σ θ_i² (the bundle-adjustment
+    loss). Numeric central-difference Jacobian — 6 extra evaluations of
+    an (n,3) matmul per step, on a per-user group that is already
+    bounded; 3×3 normal equations solve. Returns the refined rotation
+    (falls back to R0 if no step improves)."""
+    w = np.zeros(3)
+    lam = 1e-3
+    cost = float((_angles(R0, Pn, Rf) ** 2).sum())
+    R_best = R0
+    eps = 1e-6
+    for _ in range(iters):
+        f0 = _angles(R_best, Pn, Rf)
+        J = np.empty((len(f0), 3))
+        for j in range(3):
+            d = np.zeros(3)
+            d[j] = eps
+            fp = _angles(_rot_vec(d) @ R_best, Pn, Rf)
+            fm = _angles(_rot_vec(-d) @ R_best, Pn, Rf)
+            J[:, j] = (fp - fm) / (2 * eps)
+        g = J.T @ f0
+        H = J.T @ J
+        stepped = False
+        for _try in range(8):
+            try:
+                delta = np.linalg.solve(H + lam * np.eye(3), -g)
+            except np.linalg.LinAlgError:
+                lam *= 10
+                continue
+            R_new = _rot_vec(delta) @ R_best
+            c_new = float((_angles(R_new, Pn, Rf) ** 2).sum())
+            if c_new < cost:
+                R_best, cost = R_new, c_new
+                lam = max(lam * 0.3, 1e-12)
+                stepped = True
+                break
+            lam *= 10
+        if not stepped or float(np.linalg.norm(delta)) < 1e-12:
+            break
+    return R_best
+
+
+def _rot_vec(w: np.ndarray) -> np.ndarray:
+    """Rotation matrix exp([w]×) from an axis-angle vector."""
+    ang = float(np.linalg.norm(w))
+    if ang < 1e-15:
+        return np.eye(3)
+    return _rot(w / ang, ang)
 
 
 def _ref_dirs(events: DataFrame) -> DataFrame:
@@ -91,10 +158,12 @@ def calibration_3d(events: DataFrame) -> DataFrame:
         U, _, Vt = np.linalg.svd(H)
         d = np.sign(np.linalg.det(Vt.T @ U.T))
         D = np.diag([1.0, 1.0, d])
-        R_est = Vt.T @ D @ U.T  # maps pupil normals -> ref dirs
-        aligned = P @ R_est.T
-        cosang = np.clip((aligned * R).sum(1), -1.0, 1.0)
-        residual = float(np.rad2deg(np.arccos(cosang)).mean())
+        R_kab = Vt.T @ D @ U.T  # maps pupil normals -> ref dirs
+        res_kab = float(np.rad2deg(_angles(R_kab, P, R)).mean())
+        # LM polish on the ANGULAR loss (the reference's bundle-adjustment
+        # functional) from the Kabsch initializer
+        R_est = _lm_refine(R_kab, P, R)
+        residual = float(np.rad2deg(_angles(R_est, P, R)).mean())
         # ZYX euler of R_est
         pitch = float(np.arcsin(np.clip(-R_est[2, 0], -1.0, 1.0)))
         roll = float(np.arctan2(R_est[2, 1], R_est[2, 2]))
@@ -104,6 +173,7 @@ def calibration_3d(events: DataFrame) -> DataFrame:
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_points": [len(pdf)],
                 "residual_deg": [round(residual, 6)],
+                "residual_kabsch_deg": [round(res_kab, 6)],
                 "roll": [round(roll, 6)],
                 "pitch": [round(pitch, 6)],
                 "yaw": [round(yaw, 6)],

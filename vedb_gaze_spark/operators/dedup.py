@@ -151,16 +151,22 @@ def _candidate_pairs(pre: DataFrame, threshold: float) -> DataFrame:
 
     - size filter: J(A,B) ≤ min(n_a,n_b)/max(n_a,n_b), so J ≥ t needs
       t·n_a ≤ n_b ≤ n_a/t;
-    - positional filter: for the FIRST prefix match, at sorted positions
-      (i, j), no common shingle can precede it (an earlier common element
-      would itself be an earlier prefix match under the shared global
-      order), so |A∩B| ≤ 1 + min(n_a − i, n_b − j); J ≥ t needs
-      |A∩B| ≥ ceil(t/(1+t)·(n_a+n_b)).
+    - suffix-count bound (positional filter taken to the LAST prefix
+      match): per-doc ranks are consistent with the ONE global
+      (document-frequency, shingle) order, so any common shingle globally
+      before the last prefix match m* would sit inside BOTH prefixes and
+      be counted among the c prefix matches; every uncounted common
+      shingle therefore lies after m* in both docs, giving
+      |A∩B| ≤ c + min(n_a − max_ra, n_b − max_rb). This subsumes the
+      first-match form 1 + min(n_a − min_ra, n_b − min_rb) (the c matches
+      occupy c distinct ranks between min and max, so the new bound is
+      never looser) and cuts candidates harder when prefixes share
+      several shingles but the suffix remainder can't reach
+      α = ceil(t/(1+t)·(n_a+n_b)).
 
-    Both are exact (no recall loss) and run inside the same groupBy the
+    All exact (no recall loss) and computed inside the same groupBy the
     old .distinct() already paid for — the verify stage then joins arrays
-    only for pairs that survive. Measured sf0.1: 9.7 M prefix-join rows →
-    ~3.1 M surviving candidate pairs."""
+    only for pairs that survive."""
     sa = pre.select(
         F.col("doc_id").alias("doc_a"), "sh",
         F.col("rnk").alias("rnk_a"), F.col("n_sh").alias("n_a"),
@@ -171,16 +177,17 @@ def _candidate_pairs(pre: DataFrame, threshold: float) -> DataFrame:
     )
     t = F.lit(threshold)
     alpha = F.ceil(t / (1.0 + t) * (F.col("n_a") + F.col("n_b")))
-    ubound = 1 + F.least(
-        F.col("n_a") - F.col("min_ra"), F.col("n_b") - F.col("min_rb")
+    ubound = F.col("c") + F.least(
+        F.col("n_a") - F.col("max_ra"), F.col("n_b") - F.col("max_rb")
     )
     return (
         sa.join(sb, "sh")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(
-            F.min("rnk_a").alias("min_ra"),
-            F.min("rnk_b").alias("min_rb"),
+            F.count(F.lit(1)).alias("c"),
+            F.max("rnk_a").alias("max_ra"),
+            F.max("rnk_b").alias("max_rb"),
             F.first("n_a").alias("n_a"),
             F.first("n_b").alias("n_b"),
         )
@@ -193,7 +200,38 @@ def _candidate_pairs(pre: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _verify_jaccard_grid(pairs: DataFrame, doc_sets: DataFrame, grid: int = 8) -> DataFrame:
+def _verify_grid_size(
+    spark, n_docs: int | None = None, target_cell_docs: int = 20_000
+) -> int:
+    """Derive the verify grid side G = A = B so per-cell doc-set payload
+    stays BOUNDED as corpus and cluster grow, instead of a fixed default:
+
+    - cluster floor: A·B cells should cover the configured reduce
+      parallelism, so G ≥ ceil(sqrt(spark.sql.shuffle.partitions)) — a
+      1000-executor cluster gets a finer grid for free;
+    - memory ceiling: each cell materializes ~(n/A + n/B) = 2n/G doc
+      sets in one Python cogroup, so G ≥ ceil(2·n_docs /
+      target_cell_docs) keeps that payload ≤ target_cell_docs sets
+      (~32 MB at the observed ~1.6 KB/set) no matter the corpus size.
+
+    The max of the two bounds wins; replication cost grows only as
+    O(sqrt(cells)), so oversizing is cheap while undersizing is an
+    executor OOM at 100×."""
+    import math
+
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    g = math.ceil(math.sqrt(max(par, 1)))
+    if n_docs:
+        g = max(g, math.ceil(2 * n_docs / target_cell_docs))
+    return max(g, 1)
+
+
+def _verify_jaccard_grid(
+    pairs: DataFrame,
+    doc_sets: DataFrame,
+    grid: int | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
     """Exact Jaccard verify for HIGH candidate volumes — block-replicated
     cogroup, no driver state.
 
@@ -205,12 +243,14 @@ def _verify_jaccard_grid(pairs: DataFrame, doc_sets: DataFrame, grid: int = 8) -
     role tag, INDEPENDENT of pair count: |pairs|·16 B + |sets|·(A+B).
     Inside each of the A·B cogroup cells a dict of that cell's sets
     rebuilds locally and the same numpy searchsorted merge scores the
-    cell's pairs. A and B scale with the cluster (cells are uniform by
-    construction); this is the classic block-nested replication join."""
+    cell's pairs. A and B are DERIVED (_verify_grid_size) from the
+    configured parallelism and the corpus size so cell payload is bounded
+    at any scale (cells are uniform by construction); this is the classic
+    block-nested replication join."""
     import numpy as np
     import pandas as pd
 
-    A = B = grid
+    A = B = grid or _verify_grid_size(pairs.sparkSession, n_docs)
     thr = P.JACCARD_THRESHOLD
     pk = pairs.select(
         "doc_a",
@@ -339,7 +379,9 @@ def dedup_ngram_jaccard(documents: DataFrame, verify: str = "grid") -> DataFrame
         return _verify_jaccard_broadcast(pairs, ds)
     if verify == "join":
         return _verify_jaccard(pairs, ds)
-    return _verify_jaccard_grid(pairs, ds)
+    # corpus row count for grid sizing: a zero-column parquet count
+    # (metadata-weight, no text bytes read), NOT a pass over _doc_sets
+    return _verify_jaccard_grid(pairs, ds, n_docs=documents.count())
 
 
 def _minhash_signatures(doc_sets: DataFrame) -> DataFrame:

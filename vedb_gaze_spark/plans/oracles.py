@@ -1127,14 +1127,22 @@ _PLANE_DOTS = " + ".join(
     for p, plane in enumerate(P.LSH_PLANES)
 )
 
+# multi-probe: each query probes its own bucket + the 8 Hamming-1
+# neighbors (matches operators/similarity.py:ann_lsh multiprobe=True)
+_PROBE_LIST = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << p})" for p in range(len(P.LSH_PLANES))
+) + "]"
+
 ANN_LSH = f"""
 WITH v AS MATERIALIZED (
   SELECT vec_id, embedding, {_PLANE_DOTS} AS bucket FROM embeddings
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qemb, unnest({_PROBE_LIST}) AS bucket
+  FROM v WHERE vec_id < {P.ANN_N_QUERIES}
 ), scored AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-  FROM v a JOIN v b ON a.bucket = b.bucket
-   AND a.vec_id < {P.ANN_N_QUERIES} AND b.vec_id >= {P.ANN_N_QUERIES}
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qemb::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+  FROM probes p JOIN v b ON p.bucket = b.bucket AND b.vec_id >= {P.ANN_N_QUERIES}
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
