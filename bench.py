@@ -58,13 +58,17 @@ def main() -> None:
     # best-of-2 full executions per query: a single pass is hostage to
     # one stray GC pause / host stall (observed: the same query 2.4 s and
     # 54 s across runs on an otherwise idle box); the min of two passes
-    # is still a complete end-to-end execution.
+    # is still a complete end-to-end execution. ALL passes are reported
+    # (pass_detail) so cross-round comparisons can normalize for the
+    # min-of-2 methodology instead of conflating it with plan changes.
     per_query: dict[str, float] = {}
+    pass_detail: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(2):
         for name in names:
             t0 = time.perf_counter()
             QUERIES[name](spark, SF_DIR).collect()
             dt = round(time.perf_counter() - t0, 3)
+            pass_detail[name].append(dt)
             per_query[name] = min(per_query.get(name, dt), dt)
             # Spark's ContextCleaner only drops finished queries' shuffle
             # files / broadcasts on driver GC; without this, state from 20
@@ -73,14 +77,36 @@ def main() -> None:
             spark._jvm.System.gc()
 
     total = round(sum(per_query.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "pass_detail": pass_detail,
         "passes": 2,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # delta vs the recorded local baseline (BASELINE_local.json — r2's
+    # best-of-2 run on this host), per query and total, so regressions
+    # are judged against an artifact rather than memory. Same-host,
+    # same-methodology numbers only; skipped when SF differs.
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_local.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh)
+        if base.get("sf") == out["sf"]:
+            common = [n for n in per_query if n in base.get("queries", {})]
+            out["baseline_total_common"] = round(
+                sum(base["queries"][n] for n in common), 3
+            )
+            out["total_common"] = round(
+                sum(per_query[n] for n in common), 3
+            )
+            out["delta_vs_local_baseline"] = round(
+                out["total_common"] - out["baseline_total_common"], 3
+            )
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -154,6 +154,24 @@ def test_calibration_3d_recovers_known_rotation(spark, sf_dir):
         assert r.residual_deg <= r.residual_kabsch_deg + 1e-3, r
 
 
+def test_rbf_cv_all_singular_returns_sentinel():
+    """If every kernel family's stacked inversion fails, rbf_cv must
+    return the explicit failure sentinel instead of KeyError-ing on the
+    argmin of an all-inf error grid."""
+    import numpy as np
+
+    from vedb_gaze_spark.functions.rbf import rbf_cv
+
+    method, smooth, cv_rmse, train_rmse = rbf_cv(
+        np.zeros((2, 2)),
+        np.zeros((2, 2)),
+        methods=("linear",),
+        smoothnesses=np.array([0.0]),
+    )
+    assert method == "none"
+    assert np.isnan(smooth) and np.isinf(cv_rmse) and np.isinf(train_rmse)
+
+
 def test_lm_refine_improves_angular_loss_off_optimum():
     """Pure-numpy check that the LM polish does real work: start it from
     a deliberately perturbed rotation (NOT the Kabsch optimum) and it

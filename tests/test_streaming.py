@@ -138,6 +138,82 @@ def test_streaming_dedup_exact(spark, sf_dir):
         q.stop()
 
 
+def test_stateful_binocular_across_batches(spark, sf_dir, tmp_path):
+    """streaming_binocular must equal the batch operator in its
+    pairing="past" mode (the reference's online on_pupil_datum view) on
+    every row, with the last-high-conf-sample-per-eye state surviving the
+    micro-batch boundary."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.binocular import _eye_fits, gaze_map_binocular
+    from vedb_gaze_spark.sources.signals import with_gaze
+    from vedb_gaze_spark.streaming.stateful import streaming_binocular
+
+    batch = load_table(spark, "events", sf_dir)
+    g = with_gaze(batch).withColumn("eye", (F.col("event_id") % 2).cast("int"))
+    fits = {
+        (r.user_id, r.eye): (r.ax, r.bx, r.ay, r.by)
+        for r in _eye_fits(g).collect()
+        if r.ax is not None and r.bx is not None
+    }
+    assert fits
+
+    mid = batch.agg(F.median(F.unix_micros("ts"))).collect()[0][0]
+    src = str(tmp_path / "bin_src")
+    batch.where(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "c0")
+    )
+    batch.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "c1")
+    )
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(src, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_binocular(stream, fits)
+        .writeStream.format("memory")
+        .queryName("mem_binocular")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            r.event_id: r
+            for r in spark.sql("SELECT * FROM mem_binocular").collect()
+        }
+        want = {
+            r.event_id: r
+            for r in gaze_map_binocular(batch, pairing="past").collect()
+        }
+        assert set(got) == set(want)
+        assert len(want) > 0
+        assert {r.source for r in want.values()} >= {"binocular", "mono0", "mono1"}
+        for k, w in want.items():
+            gr = got[k]
+            assert gr.user_id == w.user_id and gr.source == w.source, k
+            assert gr.t_out == w.t_out, k
+            # JVM round (BigDecimal HALF_UP) vs Python round at the 6th
+            # decimal — compare to a half-ulp-of-rounding tolerance
+            assert abs(gr.gaze_x - w.gaze_x) <= 1e-6, k
+            assert abs(gr.gaze_y - w.gaze_y) <= 1e-6, k
+            assert abs(gr.conf_out - w.conf_out) <= 1e-6, k
+    finally:
+        q.stop()
+
+
 def test_stateful_saccades_across_batches(spark, sf_dir, tmp_path):
     """streaming_saccades must equal batch detect_saccades for every run
     closed before end-of-stream; velocity state (previous gaze sample)

@@ -74,6 +74,12 @@ def rbf_cv(
         errs[:, mi] = e
         solves[mi] = W
     si, mi = np.unravel_index(int(np.argmin(errs)), errs.shape)
+    if mi not in solves or not np.isfinite(errs[si, mi]):
+        # every family's stacked inversion failed (or produced no finite
+        # residual): np.argmin over all-inf returns (0,0), which would
+        # KeyError into solves — return an explicit failure sentinel the
+        # caller can gate on instead.
+        return "none", float("nan"), float("inf"), float("inf")
     best_method = methods[mi]
     best_smooth = float(smoothnesses[si])
     cv_rmse = float(errs[si, mi])

@@ -26,7 +26,12 @@ Deviations from the reference, for deterministic distributed semantics
 - a high-confidence sample of eye 1 is suppressed (its data lives in the
   eye-0 anchored binocular row) whenever ITS nearest high-confidence
   eye-0 sample is within the cutoff — the symmetric single-pass rule —
-  rather than "was popped from a deque by a specific eye-0 datum".
+  rather than "was popped from a deque by a specific eye-0 datum";
+- an eye with NO high-confidence samples at all has no fit row, so the
+  inner fit join drops that eye's samples entirely (they cannot be
+  mapped "through their own eye's fit" — no fit exists). The reference
+  would raise during calibration in this case; here the other eye keeps
+  flowing monocularly. The oracle mirrors the same inner join.
 """
 
 from __future__ import annotations
@@ -55,13 +60,22 @@ def _eye_fits(g: DataFrame) -> DataFrame:
 
 
 def gaze_map_binocular(
-    events: DataFrame, cutoff_s: float = P.BINOCULAR_CUTOFF_S
+    events: DataFrame,
+    cutoff_s: float = P.BINOCULAR_CUTOFF_S,
+    pairing: str = "nearest",
 ) -> DataFrame:
     """Map two interleaved eye streams to gaze: binocular (average of the
     two per-eye mapped positions, mean timestamp/confidence) where both
     eyes have a high-confidence sample within cutoff_s, monocular through
     the sample's own eye fit otherwise. Eye identity is the deterministic
-    event_id parity split of the user's stream."""
+    event_id parity split of the user's stream.
+
+    ``pairing="nearest"`` (default, the registered/oracled form) pairs
+    with the temporally nearest other-eye sample in EITHER direction;
+    ``pairing="past"`` restricts to the most recent PRECEDING sample —
+    the reference's online ``on_pupil_datum`` view of the stream and the
+    exact semantics of streaming/stateful.py:streaming_binocular, whose
+    cross-batch parity test compares against this mode."""
     g = with_gaze(events).withColumn(
         "eye", (F.col("event_id") % 2).cast("int")
     )
@@ -99,6 +113,8 @@ def gaze_map_binocular(
     m = m.withColumns(cols)
     cp = F.when(F.col("eye") == 0, F.col("p1")).otherwise(F.col("p0"))
     cn = F.when(F.col("eye") == 0, F.col("n1")).otherwise(F.col("n0"))
+    if pairing == "past":
+        cn = F.lit(None).cast(m.schema["p0"].dataType)
     d_prev = F.col("t") - cp["t"]
     d_next = cn["t"] - F.col("t")
     use_prev = cn.isNull() | (cp.isNotNull() & (d_prev <= d_next))

@@ -325,6 +325,121 @@ def streaming_fixations(
     )
 
 
+_BIN_OUT_SCHEMA = (
+    "user_id bigint, event_id bigint, source string, t_out double, "
+    "gaze_x double, gaze_y double, conf_out double"
+)
+# last high-confidence MAPPED sample per eye: 2 structs of 5 scalars
+_BIN_STATE_SCHEMA = (
+    "t0 double, id0 bigint, mx0 double, my0 double, c0 double, has0 int, "
+    "t1 double, id1 bigint, mx1 double, my1 double, c1 double, has1 int"
+)
+
+
+def _make_binocular_fn(
+    fits: dict, cutoff_s: float, min_conf: float
+):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        if state.exists:
+            (t0, id0, mx0, my0, c0, has0,
+             t1, id1, mx1, my1, c1, has1) = state.get
+        else:
+            t0 = mx0 = my0 = c0 = 0.0
+            t1 = mx1 = my1 = c1 = 0.0
+            id0 = id1 = 0
+            has0 = has1 = 0
+        last = {
+            0: [t0, id0, mx0, my0, c0, has0],
+            1: [t1, id1, mx1, my1, c1, has1],
+        }
+
+        out: list[tuple] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["t", "event_id"])
+        for t, eid, conf, px, py in zip(
+            rows["t"], rows["event_id"], rows["conf"], rows["px"], rows["py"]
+        ):
+            eye = int(eid % 2)
+            f = fits.get((user_id, eye))
+            if f is None:
+                # no fit for this eye: the batch form's inner fit join
+                # drops these samples too
+                continue
+            ax, bx, ay, by = f
+            mxv = ax + bx * px
+            myv = ay + by * py
+            if conf <= min_conf:
+                out.append((user_id, eid, f"mono{eye}", t,
+                            round(mxv, 6), round(myv, 6), round(conf, 6)))
+                continue
+            ot, _oid, omx, omy, oc, ohas = last[1 - eye]
+            paired = bool(ohas) and (t - ot) <= cutoff_s
+            if paired and eye == 0:
+                out.append((
+                    user_id, eid, "binocular", (t + ot) / 2.0,
+                    round((mxv + omx) / 2.0, 6),
+                    round((myv + omy) / 2.0, 6),
+                    round((conf + oc) / 2.0, 6),
+                ))
+            elif not paired:
+                out.append((user_id, eid, f"mono{eye}", t,
+                            round(mxv, 6), round(myv, 6), round(conf, 6)))
+            # paired eye-1 sample: suppressed (lives in an eye-0 row)
+            last[eye] = [t, eid, mxv, myv, conf, 1]
+
+        state.update((
+            float(last[0][0]), int(last[0][1]), float(last[0][2]),
+            float(last[0][3]), float(last[0][4]), int(last[0][5]),
+            float(last[1][0]), int(last[1][1]), float(last[1][2]),
+            float(last[1][3]), float(last[1][4]), int(last[1][5]),
+        ))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "event_id", "source", "t_out",
+                    "gaze_x", "gaze_y", "conf_out",
+                ],
+            )
+
+    return fn
+
+
+def streaming_binocular(
+    events: DataFrame,
+    fits: dict,
+    cutoff_s: float = P.BINOCULAR_CUTOFF_S,
+    min_conf: float = P.MIN_CONFIDENCE,
+) -> DataFrame:
+    """Stateful streaming twin of operators/binocular.py:
+    gaze_map_binocular(pairing="past") — the reference's online
+    ``on_pupil_datum`` semantics (externals/gaze_mappers.py:103): each
+    high-confidence sample pairs with the most recent high-confidence
+    sample of the OTHER eye if within the cutoff (binocular average,
+    anchored on eye 0; the paired eye-1 datum is suppressed), else maps
+    monocularly through its own eye's fit.
+
+    ``fits`` is the calibration MODEL — {(user_id, eye): (ax, bx, ay,
+    by)} from a prior calibration run (operators/binocular.py:_eye_fits)
+    — shipped to executors in the task closure exactly like any inference
+    model; there is no per-row driver traffic. State per user is two
+    5-scalar structs (last high-confidence mapped sample per eye), O(1)
+    for any stream length, sharded by user_id."""
+    g = with_gaze(events).select("user_id", "event_id", "t", "conf", "px", "py")
+    return g.groupBy("user_id").applyInPandasWithState(
+        _make_binocular_fn(fits, cutoff_s, min_conf),
+        outputStructType=_BIN_OUT_SCHEMA,
+        stateStructType=_BIN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_saccades(
     events: DataFrame,
     threshold: float = P.SACCADE_VEL_THRESHOLD,
