@@ -98,6 +98,135 @@ def eyelid_distance(events: DataFrame) -> DataFrame:
     )
 
 
+def eyelid_distance_c2f(
+    events: DataFrame,
+    coarse: int = 100,
+    fine: int = 100,
+) -> DataFrame:
+    """get_eyelid_distance_coarse_to_fine (labeling.py:200): the
+    reference's two-resolution search over CONTINUOUS lid curves, kept
+    faithful where ``eyelid_distance`` takes the keypoint max directly.
+
+    1. per-(event, lid) QUADRATIC lid fit through the K keypoints —
+       closed-form least squares (Cramer's rule on the degree-4 moment
+       matrix), pure JVM aggregates; the reference gets its coefficients
+       from pylids' fits, this derives them from the same keypoints;
+    2. coarse pass: |up(x) − lo(x)| on a C-point uniform grid over the
+       event's keypoint x-span; argmax with the reference's first-match
+       tie-break;
+    3. fine pass: F points on [x_{j*−1}, x_{j*}] — including the
+       reference's wrap-around quirk (np indexing: argmax 0 → the LAST
+       coarse point, a descending span linspace handles);
+    4. the fine maximum is the reported distance (coarse values are only
+       a search aid, exactly as in the reference).
+
+    Both passes are bounded explode(sequence) flat maps — (C+F)× row
+    expansion, the same per-frame evaluation count the reference pays —
+    and every expression is shared token-for-token with the SQL oracle.
+    """
+    kp = _keypoints(events)
+    up = kp.select(
+        "user_id", "event_id", "t", F.lit(0).alias("lid"),
+        F.col("xu").alias("x"), F.col("yu").alias("y"),
+    )
+    lo = kp.select(
+        "user_id", "event_id", "t", F.lit(1).alias("lid"),
+        F.col("xl").alias("x"), F.col("yl").alias("y"),
+    )
+    pts = up.unionByName(lo)
+
+    def mom(lid: int, expr) -> F.Column:
+        return F.sum(F.when(F.col("lid") == lid, expr).otherwise(F.lit(0.0)))
+
+    aggs = []
+    for lid, tag in ((0, "u"), (1, "l")):
+        x, y = F.col("x"), F.col("y")
+        aggs += [
+            mom(lid, F.lit(1.0)).alias(f"s0{tag}"),
+            mom(lid, x).alias(f"s1{tag}"),
+            mom(lid, x * x).alias(f"s2{tag}"),
+            mom(lid, x * x * x).alias(f"s3{tag}"),
+            mom(lid, x * x * x * x).alias(f"s4{tag}"),
+            mom(lid, y).alias(f"t0{tag}"),
+            mom(lid, x * y).alias(f"t1{tag}"),
+            mom(lid, x * x * y).alias(f"t2{tag}"),
+        ]
+    m = pts.groupBy("user_id", "event_id").agg(
+        F.max("t").alias("t"),
+        F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+        *aggs,
+    )
+
+    # Cramer's rule for [[s0,s1,s2],[s1,s2,s3],[s2,s3,s4]]·(a,b,c) = (t0,t1,t2)
+    def coefs(tag: str) -> dict[str, F.Column]:
+        s0, s1, s2 = F.col(f"s0{tag}"), F.col(f"s1{tag}"), F.col(f"s2{tag}")
+        s3, s4 = F.col(f"s3{tag}"), F.col(f"s4{tag}")
+        t0, t1, t2 = F.col(f"t0{tag}"), F.col(f"t1{tag}"), F.col(f"t2{tag}")
+        det = (
+            s0 * (s2 * s4 - s3 * s3)
+            - s1 * (s1 * s4 - s3 * s2)
+            + s2 * (s1 * s3 - s2 * s2)
+        )
+        da = (
+            t0 * (s2 * s4 - s3 * s3)
+            - s1 * (t1 * s4 - s3 * t2)
+            + s2 * (t1 * s3 - s2 * t2)
+        )
+        db = (
+            s0 * (t1 * s4 - s3 * t2)
+            - t0 * (s1 * s4 - s3 * s2)
+            + s2 * (s1 * t2 - t1 * s2)
+        )
+        dc = (
+            s0 * (s2 * t2 - t1 * s3)
+            - s1 * (s1 * t2 - t1 * s2)
+            + t0 * (s1 * s3 - s2 * s2)
+        )
+        return {f"a{tag}": da / det, f"b{tag}": db / det, f"c{tag}": dc / det}
+
+    m = m.withColumns({**coefs("u"), **coefs("l")}).select(
+        "user_id", "event_id", "t", "x0", "x1",
+        "au", "bu", "cu", "al", "bl", "cl",
+    )
+
+    step = (F.col("x1") - F.col("x0")) / float(coarse - 1)
+    xj = F.col("x0") + F.col("j") * step
+    gap = F.abs(
+        (F.col("au") + F.col("bu") * xj + F.col("cu") * xj * xj)
+        - (F.col("al") + F.col("bl") * xj + F.col("cl") * xj * xj)
+    )
+    co = m.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(coarse - 1))).alias("j")
+    ).withColumn("gap", gap)
+    wbest = Window.partitionBy("user_id", "event_id").orderBy(
+        F.desc("gap"), "j"
+    )
+    best = co.withColumn("rn", F.row_number().over(wbest)).where(F.col("rn") == 1)
+
+    # fine span: [coarse point j*−1 (wrapped, the np-indexing quirk), j*]
+    xs = F.col("x0") + F.pmod(F.col("j") - 1, F.lit(coarse)) * step
+    xe = F.col("x0") + F.col("j") * step
+    best = best.select(
+        "user_id", "event_id", "t",
+        "au", "bu", "cu", "al", "bl", "cl",
+        xs.alias("xs"), xe.alias("xe"),
+    )
+    xk = F.col("xs") + F.col("k") * (F.col("xe") - F.col("xs")) / float(fine - 1)
+    fgap = F.abs(
+        (F.col("au") + F.col("bu") * xk + F.col("cu") * xk * xk)
+        - (F.col("al") + F.col("bl") * xk + F.col("cl") * xk * xk)
+    )
+    fi = best.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(fine - 1))).alias("k")
+    ).withColumn("fgap", fgap)
+    return (
+        fi.groupBy("user_id", "event_id")
+        .agg(F.max("t").alias("t"), F.round(F.max("fgap"), 6).alias("dist"))
+        .select("user_id", "event_id", "t", "dist")
+    )
+
+
 def detect_blinks_eyelid(
     events: DataFrame,
     neg_vel: float = P.EYELID_NEG_VEL,

@@ -559,9 +559,11 @@ FROM v WHERE mps IS NOT NULL AND dt > 0
 # find_epochs (marker_parsing.py:470) composed end-to-end: dup-ts removal
 # → brief-episode pre-check → bimodality keep → re-sessionize → in-epoch
 # grid clusters with quality gates → per-epoch summary. Every stage
-# reuses the fragment already proven green standalone.
-MARKER_PIPELINE = f"""
-WITH det0 AS (
+# reuses the fragment already proven green standalone. The det0..s2
+# cleaning chain and the f1..s3 epoch-gate chain are shared with the
+# filter_and_split / filter_and_cluster variants below (exactly as the
+# reference's variants compose the same stages, marker_parsing.py:625/:661).
+_MARKER_CLEANED_CTES = f"""det0 AS (
   SELECT user_id, event_id, {_T} AS t, value FROM events WHERE event_type = 'error'
 ),
 det AS (
@@ -613,8 +615,9 @@ s2 AS (
   FROM c2 x JOIN best b ON x.user_id = b.user_id
   WHERE NOT ((b.c_hi - {P.BIMODAL_STD_SEP}*b.std_hi) > (b.c_lo + {P.BIMODAL_STD_SEP}*b.std_lo))
      OR x.k > b.split_k
-),
-f1 AS (
+)"""
+
+_MARKER_EPOCH_CTES = f"""f1 AS (
   SELECT *, CASE WHEN lag(t) OVER w2 IS NULL OR t - lag(t) OVER w2 > {P.SESSION_GAP_S}
          THEN 1 ELSE 0 END AS new_epoch
   FROM s2 WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)
@@ -629,7 +632,11 @@ s3 AS (
     SELECT *, max(t) OVER wep - min(t) OVER wep AS ep_dur
     FROM f2 WINDOW wep AS (PARTITION BY user_id, epoch)
   ) WHERE ep_dur > {P.SESSION_MIN_S} AND ep_dur < {P.SESSION_MAX_S}
-),
+)"""
+
+MARKER_PIPELINE = f"""
+WITH {_MARKER_CLEANED_CTES},
+{_MARKER_EPOCH_CTES},
 cells AS (
   SELECT *, floor(t / {P.GRID_T_EPS_S}) AS cell_t, floor(value / {P.GRID_V_EPS}) AS cell_v
   FROM s3
@@ -656,6 +663,44 @@ SELECT ep.user_id AS user_id, ep.epoch AS epoch, t_start, t_end, n_points,
        n_clusters, med_cluster_value
 FROM ep JOIN cl ON ep.user_id = cl.user_id AND ep.epoch = cl.epoch
 WHERE n_clusters >= {P.MARKER_MIN_CLUSTERS}
+"""
+
+# filter_and_split (marker_parsing.py:625): clean → split → epoch gates,
+# one summary row per epoch, no clustering.
+MARKER_FILTER_SPLIT = f"""
+WITH {_MARKER_CLEANED_CTES},
+{_MARKER_EPOCH_CTES}
+SELECT user_id, epoch, min(t) AS t_start, max(t) AS t_end,
+       max(t) - min(t) AS duration_s, count(*) AS n_points
+FROM s3 GROUP BY user_id, epoch
+"""
+
+# filter_and_cluster (marker_parsing.py:661): clean → cluster the WHOLE
+# stream (no epoch split) with the per-cluster quality gates and the
+# per-user min_n_clusters session gate.
+MARKER_FILTER_CLUSTER = f"""
+WITH {_MARKER_CLEANED_CTES},
+cells AS (
+  SELECT *, CAST(floor(t / {P.GRID_T_EPS_S}) AS BIGINT) AS cell_t,
+         CAST(floor(value / {P.GRID_V_EPS}) AS BIGINT) AS cell_v
+  FROM s2
+),
+clus AS (
+  SELECT user_id, cell_t, cell_v, count(*) AS n_in_cell,
+         min(t) AS t_start, max(t) AS t_end,
+         round(median(value), 6) AS med_value
+  FROM cells GROUP BY user_id, cell_t, cell_v
+  HAVING count(*) >= {P.GRID_MIN_PTS}
+     AND max(t) - min(t) > {P.CLUSTER_MIN_T_S}
+     AND max(t) - min(t) < {P.CLUSTER_MAX_T_S}
+     AND stddev_pop(value) < {P.CLUSTER_MAX_STD}
+),
+ok AS (
+  SELECT user_id FROM clus GROUP BY user_id
+  HAVING count(*) >= {P.MARKER_MIN_CLUSTERS}
+)
+SELECT c.user_id AS user_id, cell_t, cell_v, n_in_cell, t_start, t_end, med_value
+FROM clus c JOIN ok USING (user_id)
 """
 
 DETECT_FIXATIONS = f"""
@@ -748,8 +793,8 @@ WHERE s.source IS NOT NULL
 # Eyelid path: deterministic keypoints → pooled closed-form 2-D PCA
 # (θ = ½·atan2(2Sxy, Sxx−Syy)) → per-event max aligned lid gap → fraction
 # of max opening → velocity-paired closings/openings with duration gates.
-DETECT_BLINKS_EYELID = f"""
-WITH e AS (SELECT user_id, event_id, {_T} AS t FROM events),
+# The keypoint CTEs are shared with EYELID_DISTANCE_C2F below.
+_EYELID_KP_CTES = f"""e AS (SELECT user_id, event_id, {_T} AS t FROM events),
 kp AS (
   SELECT user_id, event_id, t, j,
     j * 10.0 + ((event_id * 7129 + j * 31) % 100) / 50.0 AS xu,
@@ -757,7 +802,10 @@ kp AS (
     20.0 + ((event_id * 8191 + j * 101) % 300) / 10.0 AS yu,
     -20.0 - ((event_id * 4099 + j * 103) % 300) / 10.0 AS yl
   FROM (SELECT *, unnest(generate_series(0, 4)) AS j FROM e)
-),
+)"""
+
+DETECT_BLINKS_EYELID = f"""
+WITH {_EYELID_KP_CTES},
 pooled AS (
   SELECT user_id, xu AS x, yu AS y FROM kp UNION ALL SELECT user_id, xl, yl FROM kp
 ),
@@ -797,6 +845,99 @@ SELECT user_id, on_id AS start_event_id, event_id AS end_event_id,
 FROM p
 WHERE is_open AND on_t IS NOT NULL
   AND t - on_t >= {P.BLINK_MIN_S} AND t - on_t <= {P.BLINK_MAX_S}
+"""
+
+
+def _cramer(tag: str) -> str:
+    """Quadratic least-squares coefficients (Cramer on degree-4 moments)
+    as SQL select-list entries a{tag}, b{tag}, c{tag} — expression trees
+    mirror operators/eyelid.py:eyelid_distance_c2f token-for-token."""
+    s0, s1, s2 = f"s0{tag}", f"s1{tag}", f"s2{tag}"
+    s3, s4 = f"s3{tag}", f"s4{tag}"
+    t0, t1, t2 = f"t0{tag}", f"t1{tag}", f"t2{tag}"
+    det = (
+        f"({s0} * ({s2} * {s4} - {s3} * {s3})"
+        f" - {s1} * ({s1} * {s4} - {s3} * {s2})"
+        f" + {s2} * ({s1} * {s3} - {s2} * {s2}))"
+    )
+    da = (
+        f"({t0} * ({s2} * {s4} - {s3} * {s3})"
+        f" - {s1} * ({t1} * {s4} - {s3} * {t2})"
+        f" + {s2} * ({t1} * {s3} - {s2} * {t2}))"
+    )
+    db = (
+        f"({s0} * ({t1} * {s4} - {s3} * {t2})"
+        f" - {t0} * ({s1} * {s4} - {s3} * {s2})"
+        f" + {s2} * ({s1} * {t2} - {t1} * {s2}))"
+    )
+    dc = (
+        f"({s0} * ({s2} * {t2} - {t1} * {s3})"
+        f" - {s1} * ({s1} * {t2} - {t1} * {s2})"
+        f" + {t0} * ({s1} * {s3} - {s2} * {s2}))"
+    )
+    return (
+        f"{da} / {det} AS a{tag}, {db} / {det} AS b{tag}, "
+        f"{dc} / {det} AS c{tag}"
+    )
+
+
+def _lid_moments(tag: str, x: str, y: str) -> str:
+    return (
+        f"sum(1.0) AS s0{tag}, sum({x}) AS s1{tag}, "
+        f"sum({x}*{x}) AS s2{tag}, sum({x}*{x}*{x}) AS s3{tag}, "
+        f"sum({x}*{x}*{x}*{x}) AS s4{tag}, "
+        f"sum({y}) AS t0{tag}, sum({x}*{y}) AS t1{tag}, "
+        f"sum({x}*{x}*{y}) AS t2{tag}"
+    )
+
+
+_C2F_C = 100  # coarse resolution (reference default, labeling.py:200)
+_C2F_F = 100  # fine resolution
+_C2F_GAP = (
+    "abs((au + bu * {x} + cu * {x} * {x})"
+    " - (al + bl * {x} + cl * {x} * {x}))"
+)
+
+# get_eyelid_distance_coarse_to_fine (labeling.py:200): quadratic lid
+# fits through the keypoints (closed-form LSQ), coarse C-point gap grid,
+# argmax (first-match), fine F-point pass over [x_{j*-1}, x_{j*}]
+# including the reference's np-indexing wrap at argmax 0.
+EYELID_DISTANCE_C2F = f"""
+WITH {_EYELID_KP_CTES},
+m AS (
+  SELECT user_id, event_id, max(t) AS t,
+    least(min(xu), min(xl)) AS x0, greatest(max(xu), max(xl)) AS x1,
+    {_lid_moments("u", "xu", "yu")},
+    {_lid_moments("l", "xl", "yl")}
+  FROM kp GROUP BY user_id, event_id
+),
+cf AS (
+  SELECT user_id, event_id, t, x0, x1, {_cramer("u")}, {_cramer("l")} FROM m
+),
+co AS (
+  SELECT *, x0 + j * ((x1 - x0) / {float(_C2F_C - 1)}) AS xj
+  FROM (SELECT *, unnest(generate_series(0, {_C2F_C - 1})) AS j FROM cf)
+),
+cg AS (
+  SELECT *, {_C2F_GAP.format(x="xj")} AS gap FROM co
+),
+best AS (
+  SELECT user_id, event_id, t, au, bu, cu, al, bl, cl,
+    x0 + (((j - 1) % {_C2F_C} + {_C2F_C}) % {_C2F_C}) * ((x1 - x0) / {float(_C2F_C - 1)}) AS xs,
+    x0 + j * ((x1 - x0) / {float(_C2F_C - 1)}) AS xe
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_id
+                                 ORDER BY gap DESC, j) AS rn
+    FROM cg
+  ) WHERE rn = 1
+),
+fi AS (
+  SELECT *, xs + k * (xe - xs) / {float(_C2F_F - 1)} AS xk
+  FROM (SELECT *, unnest(generate_series(0, {_C2F_F - 1})) AS k FROM best)
+)
+SELECT user_id, event_id, max(t) AS t,
+       round(max({_C2F_GAP.format(x="xk")}), 6) AS dist
+FROM fi GROUP BY user_id, event_id
 """
 
 DETECT_BLINKS = f"""

@@ -91,6 +91,45 @@ def _epochs(df: DataFrame, gap_s: float) -> DataFrame:
     )
 
 
+def _marker_cleaned(events: DataFrame) -> DataFrame:
+    """Stages 1-2 of the marker chain, shared by marker_pipeline and the
+    filter_and_split / filter_and_cluster variants (marker_parsing.py:
+    625/:661 compose exactly these stages before diverging): duplicate-
+    timestamp removal → brief-episode pre-check → bimodality keep-rule.
+    Returns the cleaned (user_id, event_id, t, value) stream."""
+    det = with_tsec(events).where(F.col("event_type") == "error")
+    # 1a. duplicate-timestamp removal (find_duplicates mode='all')
+    wts = Window.partitionBy("user_id", "t")
+    det = det.withColumn("n_at_ts", F.count(F.lit(1)).over(wts)).where(
+        F.col("n_at_ts") == 1
+    )
+    # 1b. brief-episode pre-check
+    we = Window.partitionBy("user_id", "epoch")
+    s1 = (
+        _epochs(det, P.SESSION_GAP_S)
+        .withColumn("ep_dur", F.max("t").over(we) - F.min("t").over(we))
+        .where(F.col("ep_dur") > P.BRIEF_MIN_S)
+        .select("user_id", "event_id", "t", "value")
+    )
+    # 2. bimodality keep-rule on the survivors' values
+    return s1.join(
+        bimodal_filter(s1).select("user_id", "event_id"), ["user_id", "event_id"]
+    )
+
+
+def _marker_epochs_gated(s2: DataFrame) -> DataFrame:
+    """Stage 3: re-sessionize the cleaned stream (split AFTER filtering,
+    exactly as find_epochs orders its stages) and apply the epoch
+    duration gates."""
+    s3 = _epochs(s2.select("user_id", "event_id", "t", "value"), P.SESSION_GAP_S)
+    wep = Window.partitionBy("user_id", "epoch")
+    return s3.withColumn(
+        "ep_dur", F.max("t").over(wep) - F.min("t").over(wep)
+    ).where(
+        (F.col("ep_dur") > P.SESSION_MIN_S) & (F.col("ep_dur") < P.SESSION_MAX_S)
+    )
+
+
 def marker_pipeline(events: DataFrame) -> DataFrame:
     """find_epochs (marker_parsing.py:470) as ONE declarative plan — the
     full marker chain the reference composes imperatively:
@@ -114,32 +153,7 @@ def marker_pipeline(events: DataFrame) -> DataFrame:
     once, every window shares the user_id partitioning, and the epoch
     aggregation reuses the same shuffle — the pydra DAG's disk-written
     intermediates become pipelined exchanges."""
-    det = with_tsec(events).where(F.col("event_type") == "error")
-    # 1a. duplicate-timestamp removal (find_duplicates mode='all')
-    wts = Window.partitionBy("user_id", "t")
-    det = det.withColumn("n_at_ts", F.count(F.lit(1)).over(wts)).where(
-        F.col("n_at_ts") == 1
-    )
-    # 1b. brief-episode pre-check
-    we = Window.partitionBy("user_id", "epoch")
-    s1 = (
-        _epochs(det, P.SESSION_GAP_S)
-        .withColumn("ep_dur", F.max("t").over(we) - F.min("t").over(we))
-        .where(F.col("ep_dur") > P.BRIEF_MIN_S)
-        .select("user_id", "event_id", "t", "value")
-    )
-    # 2. bimodality keep-rule on the survivors' values
-    s2 = s1.join(
-        bimodal_filter(s1).select("user_id", "event_id"), ["user_id", "event_id"]
-    )
-    # 3. re-sessionize the cleaned stream, epoch duration gates
-    s3 = _epochs(s2.select("user_id", "event_id", "t", "value"), P.SESSION_GAP_S)
-    wep = Window.partitionBy("user_id", "epoch")
-    s3 = s3.withColumn(
-        "ep_dur", F.max("t").over(wep) - F.min("t").over(wep)
-    ).where(
-        (F.col("ep_dur") > P.SESSION_MIN_S) & (F.col("ep_dur") < P.SESSION_MAX_S)
-    )
+    s3 = _marker_epochs_gated(_marker_cleaned(events))
     # 4+5. ONE pass: cell-level aggregates roll up to the epoch level
     # (epoch t_start/t_end/n_points are exact unions of their cells'
     # min/max/counts), with the cluster quality gates applied as
@@ -175,5 +189,63 @@ def marker_pipeline(events: DataFrame) -> DataFrame:
         .select(
             "user_id", "epoch", "t_start", "t_end",
             "n_points", "n_clusters", "med_cluster_value",
+        )
+    )
+
+
+def marker_filter_split(events: DataFrame) -> DataFrame:
+    """filter_and_split (marker_parsing.py:625): the marker chain's
+    clean-then-split re-ordering WITHOUT clustering — duration pre-check
+    → bimodal size filter → split_timecourse with the epoch duration
+    gates, one summary row per surviving epoch. Same shared stages as
+    marker_pipeline (one detection scan, one user_id partitioning); the
+    chain simply stops before the cluster rollup."""
+    s3 = _marker_epochs_gated(_marker_cleaned(events))
+    return (
+        s3.groupBy("user_id", "epoch")
+        .agg(
+            F.min("t").alias("t_start"),
+            F.max("t").alias("t_end"),
+            (F.max("t") - F.min("t")).alias("duration_s"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .select("user_id", "epoch", "t_start", "t_end", "duration_s", "n_points")
+    )
+
+
+def marker_filter_cluster(events: DataFrame) -> DataFrame:
+    """filter_and_cluster (marker_parsing.py:661): clean then cluster the
+    WHOLE stream — no epoch splitting — with the per-cluster quality
+    gates (marker_cluster_stat, :261) and the reference's min_n_clusters
+    session gate (a user whose surviving clusters number fewer than the
+    minimum yields None there; here their clusters drop out). One row per
+    surviving grid cluster."""
+    s2 = _marker_cleaned(events)
+    cells = s2.withColumn(
+        "cell_t", F.floor(F.col("t") / P.GRID_T_EPS_S)
+    ).withColumn("cell_v", F.floor(F.col("value") / P.GRID_V_EPS))
+    clus = (
+        cells.groupBy("user_id", "cell_t", "cell_v")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_cell"),
+            F.min("t").alias("t_start"),
+            F.max("t").alias("t_end"),
+            F.round(F.median("value"), 6).alias("med_value"),
+            F.stddev_pop("value").alias("c_std"),
+        )
+        .where(
+            (F.col("n_in_cell") >= P.GRID_MIN_PTS)
+            & (F.col("t_end") - F.col("t_start") > P.CLUSTER_MIN_T_S)
+            & (F.col("t_end") - F.col("t_start") < P.CLUSTER_MAX_T_S)
+            & (F.col("c_std") < P.CLUSTER_MAX_STD)
+        )
+    )
+    wn = Window.partitionBy("user_id")
+    return (
+        clus.withColumn("n_user_clusters", F.count(F.lit(1)).over(wn))
+        .where(F.col("n_user_clusters") >= P.MARKER_MIN_CLUSTERS)
+        .select(
+            "user_id", "cell_t", "cell_v", "n_in_cell",
+            "t_start", "t_end", "med_value",
         )
     )

@@ -232,6 +232,11 @@ def _detect_blinks_eyelid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eyelid.detect_blinks_eyelid(load_table(spark, "events", sf_dir))
 
 
+@register("eyelid_distance_c2f", oracles.EYELID_DISTANCE_C2F)
+def _eyelid_distance_c2f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return eyelid.eyelid_distance_c2f(load_table(spark, "events", sf_dir))
+
+
 @register("saccade_rate", oracles.SACCADE_RATE)
 def _saccade_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeling.saccade_rate(load_table(spark, "events", sf_dir))
@@ -403,6 +408,16 @@ def _marker_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pipeline.marker_pipeline(load_table(spark, "events", sf_dir))
 
 
+@register("marker_filter_split", oracles.MARKER_FILTER_SPLIT)
+def _marker_filter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline.marker_filter_split(load_table(spark, "events", sf_dir))
+
+
+@register("marker_filter_cluster", oracles.MARKER_FILTER_CLUSTER)
+def _marker_filter_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline.marker_filter_cluster(load_table(spark, "events", sf_dir))
+
+
 @register("ann_ivf", oracles.ANN_IVF)
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf(load_table(spark, "embeddings", sf_dir))
@@ -448,6 +463,10 @@ _GATE_ORDER = [
     "ann_ivf_trained",
     "multimodal_sample",
     "multimodal_features",
+    # -- new in r3 (no prior correctness record either) -----------------
+    "marker_filter_split",
+    "marker_filter_cluster",
+    "eyelid_distance_c2f",
     # -- r2-recorded, ascending measured gate cost ----------------------
     "multimodal_meta",
     "vector_norm",
