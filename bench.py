@@ -41,6 +41,11 @@ HEADLINE = [
     "marker_pipeline",
     "gaze_map_binocular",
     "detect_fixations",
+    # r3 additions
+    "marker_filter_split",
+    "marker_filter_cluster",
+    "eyelid_distance_c2f",
+    "ann_lsh",
 ]
 
 

@@ -416,15 +416,27 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
     ds = _doc_sets(documents)
     sig = _minhash_signatures(ds)
     rows = P.MINHASH_PERMS // P.MINHASH_BANDS
-    bands = None
-    for b in range(P.MINHASH_BANDS):
-        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        one = sig.select(
-            "doc_id", F.concat_ws("-", F.lit(str(b)), *cols).alias("band_key")
-        )
-        bands = one if bands is None else bands.unionByName(one)
-    ba = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
-    bb = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
+    # ALL band keys in one projection, exploded JVM-side — not a 4-way
+    # union of per-band selects: the union form re-evaluated the 16
+    # array_min(transform) signature expressions once per branch per
+    # join side (up to 8× the corpus hash work, measured ~5 s of the
+    # query's 7.4 s at sf0.1). Exploding from one projection computes
+    # them once, and the band self-join's shuffle sits AFTER the key
+    # computation so both sides reuse ONE exchange (ReusedExchange,
+    # test-pinned).
+    key_arr = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+            )
+            for b in range(P.MINHASH_BANDS)
+        ]
+    )
+    e = sig.select("doc_id", F.explode(key_arr).alias("band_key"))
+    ba = e.select(F.col("doc_id").alias("doc_a"), "band_key")
+    bb = e.select(F.col("doc_id").alias("doc_b"), "band_key")
     cand = (
         ba.join(bb, "band_key")
         .where(F.col("doc_a") < F.col("doc_b"))
