@@ -79,6 +79,52 @@ def test_run_length_matches_reference_semantics(spark, users):
     assert got == want
 
 
+# small alphabet + short strings force heavy shingle sharing, so the
+# prefix/size/suffix-count candidate filters all get exercised near
+# their boundaries
+_texts = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=30),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_texts)
+def test_ppjoin_filters_lose_no_true_pair(spark, texts):
+    """The PPJoin candidate filters (prefix, size, suffix-count bound —
+    operators/dedup.py:_candidate_pairs) are EXACT: for any corpus, every
+    pair whose round-6 Jaccard over hashed shingle sets reaches the
+    threshold must appear in dedup_ngram_jaccard's output with the
+    brute-force score, and no sub-threshold pair may appear. Guards the
+    r3 suffix-count upgrade against an over-tight bound."""
+    import math
+
+    from vedb_gaze_spark.operators import dedup
+    from vedb_gaze_spark.plans import params as P
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sets = {r["doc_id"]: set(r["s"]) for r in dedup._doc_sets(df).collect()}
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_ngram_jaccard(df, verify="join").collect()
+    }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            jr = math.floor(j * 1e6 + 0.5) / 1e6
+            if jr >= P.JACCARD_THRESHOLD:
+                want[(a, b)] = jr
+    assert got == want
+
+
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(users=_users)
 def test_sessionize_invariants(spark, users):
