@@ -145,9 +145,12 @@ def dedup_embedding_lsh(embeddings: DataFrame) -> DataFrame:
     where real near-dup corpora live — this config exceeds 0.99).
 
     At 100 TB: band/bucket keys are uniform by construction (sign bits of
-    random projections), a hot bucket is capped by recursively splitting
-    on extra planes — same plan shape, and the bucket GEMM is the same
-    work unit the exact operator shards by block."""
+    random projections), so no bucket is hot by key skew; if embedding
+    CORRELATION ever concentrated a bucket past executor memory, the
+    remedy is re-splitting that bucket on extra planes (same plan shape —
+    not implemented here because measured bucket occupancy is geometric
+    in the plane count), and the bucket GEMM is the same work unit the
+    exact operator shards by block."""
     v = _vecs(embeddings)
     # band keys via one vectorized numpy pass (mapInPandas): sign bits of
     # the 32 plane dots, packed 4 per band. The expression form
