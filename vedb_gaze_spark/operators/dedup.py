@@ -180,9 +180,17 @@ def _candidate_pairs(pre: DataFrame, threshold: float) -> DataFrame:
     ubound = F.col("c") + F.least(
         F.col("n_a") - F.col("max_ra"), F.col("n_b") - F.col("max_rb")
     )
+    # size filter applied per JOINED ROW, before the pair groupBy — it is
+    # pair-level (invariant under the aggregation), so filtering here is
+    # identical but cuts the shuffle feeding the groupBy; this is where
+    # PPJoin's length filter sits in the index probe too
     return (
         sa.join(sb, "sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_b") >= t * F.col("n_a"))
+            & (F.col("n_a") >= t * F.col("n_b"))
+        )
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("c"),
@@ -191,11 +199,7 @@ def _candidate_pairs(pre: DataFrame, threshold: float) -> DataFrame:
             F.first("n_a").alias("n_a"),
             F.first("n_b").alias("n_b"),
         )
-        .where(
-            (F.col("n_b") >= t * F.col("n_a"))
-            & (F.col("n_a") >= t * F.col("n_b"))
-            & (ubound >= alpha)
-        )
+        .where(ubound >= alpha)
         .select("doc_a", "doc_b")
     )
 
