@@ -199,10 +199,27 @@ def eyelid_distance_c2f(
     co = m.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(coarse - 1))).alias("j")
     ).withColumn("gap", gap)
-    wbest = Window.partitionBy("user_id", "event_id").orderBy(
-        F.desc("gap"), "j"
+    # coarse argmax as a struct-MAX aggregation, not a row_number window:
+    # struct comparison is lexicographic, so max(struct(gap, -j, ...))
+    # is "largest gap, then smallest j" — np.argmax's first-match
+    # tie-break exactly — and the aggregation partial-combines map-side,
+    # so the shuffle carries ONE row per event instead of the C-times
+    # exploded grid (the window form would shuffle all C·|events| rows).
+    payload = [
+        "t", "x0", "x1", "au", "bu", "cu", "al", "bl", "cl", "j",
+    ]
+    best = (
+        co.groupBy("user_id", "event_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("gap"), (-F.col("j")).alias("nj"),
+                    *[F.col(c) for c in payload],
+                )
+            ).alias("w")
+        )
+        .select("user_id", "event_id", *[F.col(f"w.{c}").alias(c) for c in payload])
     )
-    best = co.withColumn("rn", F.row_number().over(wbest)).where(F.col("rn") == 1)
 
     # fine span: [coarse point j*−1 (wrapped, the np-indexing quirk), j*]
     xs = F.col("x0") + F.pmod(F.col("j") - 1, F.lit(coarse)) * step
