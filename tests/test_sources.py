@@ -1,0 +1,47 @@
+"""Source-edge tests: the pupil-labs CSV ingest reader."""
+
+import os
+
+
+def _write_csv(path: str, header: list[str], rows: list[list]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write(",".join(header) + "\n")
+        for r in rows:
+            fh.write(",".join(str(v) for v in r) + "\n")
+
+
+def test_read_gaze_csv_by_name_with_extras_and_reorder(spark, tmp_path):
+    """Columns must bind by NAME: a reordered header with extra exporter
+    columns still reads correctly, and a missing canonical column
+    surfaces as typed nulls (pd.read_csv name semantics, distributed)."""
+    from vedb_gaze_spark.sources.plab_csv import gaze_csv_path, read_gaze_csv
+
+    session = str(tmp_path / "sess")
+    path = gaze_csv_path(session, 0)
+    assert path.endswith(os.path.join("exports", "000", "gaze_positions.csv"))
+    # reordered vs canonical, one extra column, gaze_point_3d_* missing
+    _write_csv(
+        path,
+        ["confidence", "gaze_timestamp", "extra_col", "norm_pos_x",
+         "norm_pos_y", "world_index", "base_data"],
+        [
+            [0.98, 1234.5, "x", 0.25, 0.75, 7, "eye0"],
+            [0.10, 1235.0, "y", 0.50, 0.50, 8, "eye1"],
+        ],
+    )
+    df = read_gaze_csv(spark, session, 0)
+    assert [f.name for f in df.schema.fields][:4] == [
+        "gaze_timestamp", "world_index", "confidence", "norm_pos_x",
+    ]
+    rows = {r.world_index: r for r in df.collect()}
+    assert rows[7].gaze_timestamp == 1234.5
+    assert rows[7].confidence == 0.98
+    assert rows[8].norm_pos_x == 0.5
+    assert rows[7].base_data == "eye0"
+    assert rows[7].gaze_point_3d_x is None
+    assert "extra_col" not in df.columns
+    # types are enforced, not inferred
+    assert dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[
+        "world_index"
+    ] == "bigint"

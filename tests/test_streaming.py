@@ -138,6 +138,64 @@ def test_streaming_dedup_exact(spark, sf_dir):
         q.stop()
 
 
+def test_stateful_odometry_across_batches(spark, sf_dir, tmp_path):
+    """streaming_odometry must equal batch odometry_speed on every row
+    (the first sample per user emits nothing in both forms), with the
+    previous-position state surviving the micro-batch boundary."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.odometry import odometry_speed
+    from vedb_gaze_spark.streaming.stateful import streaming_odometry
+
+    batch = load_table(spark, "events", sf_dir)
+    mid = batch.agg(F.median(F.unix_micros("ts"))).collect()[0][0]
+    src = str(tmp_path / "odo_src")
+    batch.where(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "c0")
+    )
+    batch.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "c1")
+    )
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(src, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_odometry(stream)
+        .writeStream.format("memory")
+        .queryName("mem_odo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {r.event_id: r for r in spark.sql("SELECT * FROM mem_odo").collect()}
+        want = {r.event_id: r for r in odometry_speed(batch).collect()}
+        assert set(got) == set(want)
+        assert len(want) > 0
+        for k, w in want.items():
+            g = got[k]
+            assert g.user_id == w.user_id, k
+            # floor(x*1e6+0.5)/1e6 vs JVM BigDecimal HALF_UP — equal for
+            # these positive magnitudes; compare to rounding tolerance
+            assert abs(g.speed_mps - w.speed_mps) <= 1e-6, k
+            assert abs(g.speed_mph - w.speed_mph) <= 1e-6, k
+            assert abs(g.mins_per_mile - w.mins_per_mile) <= 1e-6, k
+    finally:
+        q.stop()
+
+
 def test_stateful_binocular_across_batches(spark, sf_dir, tmp_path):
     """streaming_binocular must equal the batch operator in its
     pairing="past" mode (the reference's online on_pupil_datum view) on

@@ -325,6 +325,86 @@ def streaming_fixations(
     )
 
 
+_ODO_OUT_SCHEMA = (
+    "user_id bigint, event_id bigint, speed_mps double, "
+    "speed_mph double, mins_per_mile double"
+)
+_ODO_STATE_SCHEMA = "prev_t double, px double, py double, pz double"
+
+
+def _make_odometry_fn():
+    from vedb_gaze_spark.operators.odometry import M_PER_MILE, SEC_PER_HR
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        user_id = key[0]
+        if state.exists:
+            prev_t, px, py, pz = state.get
+            has_prev = True
+        else:
+            prev_t = px = py = pz = 0.0
+            has_prev = False
+
+        def r6(v: float) -> float:
+            # HALF_UP at 6 decimals for positive values — the JVM
+            # F.round arithmetic the batch operator applies
+            return math.floor(v * 1e6 + 0.5) / 1e6
+
+        out: list[tuple] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["t", "event_id"])
+        for t, eid, x, y, z in zip(
+            rows["t"], rows["event_id"], rows["x"], rows["y"], rows["z"]
+        ):
+            if has_prev and t - prev_t > 0:
+                dt = t - prev_t
+                mps = math.sqrt(
+                    (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
+                ) / dt
+                out.append((
+                    user_id, eid, r6(mps),
+                    r6(mps * SEC_PER_HR / M_PER_MILE),
+                    r6(M_PER_MILE / mps / 60.0) if mps > 0 else float("inf"),
+                ))
+            prev_t, px, py, pz, has_prev = t, x, y, z, True
+
+        state.update((float(prev_t), float(px), float(py), float(pz)))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "event_id", "speed_mps",
+                    "speed_mph", "mins_per_mile",
+                ],
+            )
+
+    return fn
+
+
+def streaming_odometry(events: DataFrame) -> DataFrame:
+    """Stateful streaming twin of operators/odometry.py:odometry_speed:
+    linear speed needs the PREVIOUS position sample, which in a stream
+    lives across micro-batch boundaries — state is one (t, x, y, z)
+    tuple per user. Rows with no predecessor or non-advancing timestamps
+    emit nothing (the batch operator's null-lag / dt>0 gates), but the
+    previous-sample state still advances, exactly like the batch lag."""
+    from vedb_gaze_spark.operators.odometry import _positions
+
+    g = _positions(events)
+    return g.groupBy("user_id").applyInPandasWithState(
+        _make_odometry_fn(),
+        outputStructType=_ODO_OUT_SCHEMA,
+        stateStructType=_ODO_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _BIN_OUT_SCHEMA = (
     "user_id bigint, event_id bigint, source string, t_out double, "
     "gaze_x double, gaze_y double, conf_out double"
