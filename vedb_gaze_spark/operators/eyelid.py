@@ -135,34 +135,22 @@ def eyelid_distance_c2f(
     )
     pts = up.unionByName(lo)
 
-    def mom(lid: int, expr) -> F.Column:
-        return F.sum(F.when(F.col("lid") == lid, expr).otherwise(F.lit(0.0)))
-
-    aggs = []
-    for lid, tag in ((0, "u"), (1, "l")):
+    # The Cramer formulas live INSIDE the aggregate's result expressions,
+    # not a projection on top of it: aggregate output is a hard boundary
+    # CollapseProject cannot merge a downstream projection into, so the
+    # coefficient rational trees are GUARANTEED to evaluate once per
+    # event — never re-inlined into the 100x-exploded gap expression by a
+    # projection merge, whatever later optimizer rules do. Identical
+    # F.sum terms dedupe into one moment aggregate each.
+    def coefs(lid: int) -> tuple[F.Column, F.Column, F.Column]:
         x, y = F.col("x"), F.col("y")
-        aggs += [
-            mom(lid, F.lit(1.0)).alias(f"s0{tag}"),
-            mom(lid, x).alias(f"s1{tag}"),
-            mom(lid, x * x).alias(f"s2{tag}"),
-            mom(lid, x * x * x).alias(f"s3{tag}"),
-            mom(lid, x * x * x * x).alias(f"s4{tag}"),
-            mom(lid, y).alias(f"t0{tag}"),
-            mom(lid, x * y).alias(f"t1{tag}"),
-            mom(lid, x * x * y).alias(f"t2{tag}"),
-        ]
-    m = pts.groupBy("user_id", "event_id").agg(
-        F.max("t").alias("t"),
-        F.min("x").alias("x0"),
-        F.max("x").alias("x1"),
-        *aggs,
-    )
 
-    # Cramer's rule for [[s0,s1,s2],[s1,s2,s3],[s2,s3,s4]]·(a,b,c) = (t0,t1,t2)
-    def coefs(tag: str) -> dict[str, F.Column]:
-        s0, s1, s2 = F.col(f"s0{tag}"), F.col(f"s1{tag}"), F.col(f"s2{tag}")
-        s3, s4 = F.col(f"s3{tag}"), F.col(f"s4{tag}")
-        t0, t1, t2 = F.col(f"t0{tag}"), F.col(f"t1{tag}"), F.col(f"t2{tag}")
+        def mom(expr) -> F.Column:
+            return F.sum(F.when(F.col("lid") == lid, expr).otherwise(F.lit(0.0)))
+
+        s0, s1, s2 = mom(F.lit(1.0)), mom(x), mom(x * x)
+        s3, s4 = mom(x * x * x), mom(x * x * x * x)
+        t0, t1, t2 = mom(y), mom(x * y), mom(x * x * y)
         det = (
             s0 * (s2 * s4 - s3 * s3)
             - s1 * (s1 * s4 - s3 * s2)
@@ -183,11 +171,16 @@ def eyelid_distance_c2f(
             - s1 * (s1 * t2 - t1 * s2)
             + t0 * (s1 * s3 - s2 * s2)
         )
-        return {f"a{tag}": da / det, f"b{tag}": db / det, f"c{tag}": dc / det}
+        return da / det, db / det, dc / det
 
-    m = m.withColumns({**coefs("u"), **coefs("l")}).select(
-        "user_id", "event_id", "t", "x0", "x1",
-        "au", "bu", "cu", "al", "bl", "cl",
+    au, bu, cu = coefs(0)
+    al, bl, cl = coefs(1)
+    m = pts.groupBy("user_id", "event_id").agg(
+        F.max("t").alias("t"),
+        F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+        au.alias("au"), bu.alias("bu"), cu.alias("cu"),
+        al.alias("al"), bl.alias("bl"), cl.alias("cl"),
     )
 
     step = (F.col("x1") - F.col("x0")) / float(coarse - 1)

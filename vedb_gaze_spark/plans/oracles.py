@@ -911,7 +911,7 @@ m AS (
     {_lid_moments("l", "xl", "yl")}
   FROM kp GROUP BY user_id, event_id
 ),
-cf AS (
+cf AS MATERIALIZED (
   SELECT user_id, event_id, t, x0, x1, {_cramer("u")}, {_cramer("l")} FROM m
 ),
 co AS (
