@@ -26,6 +26,12 @@ def get_spark(app_name: str = "vedb-gaze-spark", shuffle_partitions: int | None 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the generated-class cache defaults to 100 entries; a session
+        # running the full registry (60+ queries x several codegen stages
+        # each) thrashes it, so later queries re-compile every stage and
+        # compute-dense plans run on cold, un-JITed classes (measured:
+        # the same query 3.4 s early in a 24-query session, 31 s late)
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # local mode runs executors inside the driver JVM: size the heap
         # for all $SPARK_GRAFT_CPUS task threads, not a lone driver
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
