@@ -340,3 +340,42 @@ def test_minhash_pairs_subset_of_exact_ngram(spark, sf_dir):
     lsh = {tuple(r) for r in dedup.dedup_minhash_lsh(docs).collect()}
     assert lsh <= exact
     assert len(lsh) > 0
+
+
+def test_dedup_clusters_components(spark):
+    """Min-label propagation must find exact components on a graph with a
+    3-chain (needs >1 round: the min reaches the far end transitively), a
+    lone pair, and a star — labels are component-min doc_ids."""
+    from vedb_gaze_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20), (20, 22), (20, 23)],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup.dedup_clusters(None, pairs=pairs).collect()
+    }
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 2), 11: (10, 2),
+        20: (20, 4), 21: (20, 4), 22: (20, 4), 23: (20, 4),
+    }
+
+
+def test_dedup_prune_keeps_canonical_and_unique(spark):
+    from vedb_gaze_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    kept = {
+        r.doc_id: r.status
+        for r in dedup.dedup_prune(
+            docs, clusters=dedup.dedup_clusters(None, pairs=pairs)
+        ).collect()
+    }
+    assert kept == {1: "canonical", 10: "canonical", 99: "unique"}

@@ -474,3 +474,102 @@ def dedup_simhash(documents: DataFrame) -> DataFrame:
         F.lit(0).cast("long"),
     )
     return sums.select("doc_id", simhash.alias("simhash"))
+
+
+def dedup_clusters(
+    documents: DataFrame, pairs: DataFrame | None = None, max_iters: int = 50
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc that
+    appears in a verified pair, labeled with its component's minimum
+    doc_id (`cluster_id`) plus the component size — the step that turns
+    pairwise dedup output into actionable duplicate GROUPS.
+
+    Pairs default to dedup_minhash_lsh (the scale path); any
+    (doc_a, doc_b) relation plugs in.
+
+    Algorithm: distributed min-label propagation. Each round every node
+    takes min(own label, neighbors' labels) — two equi shuffles on
+    doc_id-uniform keys per round, lineage truncated per round, and the
+    only driver state is the scalar changed-row count (the Lloyd's-loop
+    pattern ann_ivf_trained established). Rounds needed = graph diameter
+    /2; near-dup components are stars/quasi-cliques around a common
+    source (diameter 2-4 measured here), which makes propagation CHEAPER
+    than the O(log n)-round large-star/small-star alternation (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC 2014)
+    that only pays off on adversarial long-path graphs. At 100 TB the
+    input is LSH-verified pairs — orders of magnitude smaller than the
+    corpus — and every step shards by doc_id.
+    """
+    if pairs is None:
+        pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)  # truncate the (possibly LSH-sized) lineage
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_min"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        # localCheckpoint each round: iterative self-joins otherwise grow
+        # the lineage (and the optimizer's work) linearly with rounds; at
+        # cluster scale swap for checkpoint() on a reliable store.
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .where(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size")
+    )
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    )
+
+
+def dedup_prune(documents: DataFrame, clusters: DataFrame | None = None) -> DataFrame:
+    """Corpus compaction — the end-to-end 'dedup the training set' step:
+    keep every doc that is either in no near-dup cluster ('unique') or is
+    its cluster's canonical representative, the minimum doc_id
+    ('canonical'). One left join of the corpus against the (tiny) cluster
+    assignment; at 100 TB the cluster table broadcasts."""
+    if clusters is None:
+        clusters = dedup_clusters(documents)
+    lab = clusters.select("doc_id", "cluster_id")
+    return (
+        documents.select("doc_id")
+        .join(lab, "doc_id", "left")
+        .where(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select(
+            "doc_id",
+            F.when(F.col("cluster_id").isNull(), F.lit("unique"))
+            .otherwise(F.lit("canonical"))
+            .alias("status"),
+        )
+    )

@@ -200,6 +200,216 @@ def q7_volume_shipping(
     )
 
 
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → LEFT SEMI join. Orders in a quarter that
+    have at least one returned lineitem, counted by priority.
+
+    The semi join never materializes matched lineitem rows — each orders
+    partition emits a row at the FIRST probe hit, so the join output is
+    bounded by the (date-filtered) orders side no matter how many
+    lineitems match. Both sides are fact-sized at 100 TB: equi shuffle on
+    the order key, never a broadcast by construction (this schema has no
+    l_commitdate, so the EXISTS predicate is l_returnflag = 'R')."""
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(P.Q4_DATE_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(P.Q4_DATE_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority")
+    returned = lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        ords.join(returned, ords.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q10_returned_item(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue in a quarter —
+    multi-join rollup to a per-customer top-N.
+
+    lineitem('R') ⋈ orders(quarter) ⋈ customer are all fact-sized equi
+    shuffle joins on their natural keys; only nation broadcasts. The
+    top-N is a global sort of an already-aggregated (per-customer) set —
+    at most |customer| rows reach it, and Spark's TakeOrdered keeps it a
+    per-partition heap, never a full sort."""
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(P.Q10_DATE_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(P.Q10_DATE_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    rev = cents("l_extendedprice") * cents(1.0 - F.col("l_discount"))
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(
+            customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(P.Q10_TOPN)
+    )
+
+
+def q12_priority_class(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape: CASE-conditional aggregation after a fact-fact
+    join — one pass computes both the high- and low-priority counts per
+    group (no self-join, no second scan). Grouping is by l_returnflag
+    (this schema has no l_shipmode); the high/low split is the classic
+    URGENT/HIGH test."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(P.Q12_DATE_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(P.Q12_DATE_TO).cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin(*P.Q12_HIGH)
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: ratio aggregate over a join — promo revenue share
+    for one month. Both the numerator's CASE sum and the denominator run
+    in the SAME aggregation pass on exact cents, so the single float op
+    is the final division (bit-identical on any engine, any row order).
+    part scales with SF (it is NOT a broadcastable dim by construction) —
+    plain equi join; AQE broadcasts it at small SF where that's right."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(P.Q14_DATE_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(P.Q14_DATE_TO).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    rev = cents("l_extendedprice") * cents(1.0 - F.col("l_discount"))
+    promo = F.col("p_type") == P.Q14_PROMO_TYPE
+    return (
+        li.join(part.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(promo, rev).otherwise(F.lit(0)))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q16_supplier_count(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN → LEFT ANTI join + count distinct. How
+    many distinct suppliers ship each qualifying (brand, type, size),
+    excluding flagged suppliers.
+
+    This schema has no partsupp table; the observed (l_partkey,
+    l_suppkey) pairs play its role. The part predicate prunes ~5/6 of
+    parts before the join; the exclusion set (negative-balance suppliers)
+    is tiny and broadcasts into a LEFT ANTI join — each pair row probes
+    and drops without materializing anything. countDistinct runs as the
+    standard two-level expand (partial distinct per partition, then
+    merge) — no row explosion beyond the distinct pairs themselves."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    pt = part.where(
+        (F.col("p_brand") != P.Q16_EXCL_BRAND)
+        & (F.col("p_type") != P.Q16_EXCL_TYPE)
+        & F.col("p_size").isin(*P.Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excl = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(pt, pairs.l_partkey == pt.p_partkey)
+        .join(F.broadcast(excl), pairs.l_suppkey == excl.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-column join predicate. Revenue
+    over three (brand, size-range, quantity-range) disjuncts.
+
+    The disjunction itself can only run AFTER the join (it crosses
+    tables), but its conjunctive HULL pushes to both scans: part prunes
+    to the three brands and the max size bound, lineitem to the overall
+    quantity envelope — the Q7 pre-filter lesson applied to ranges. At
+    uniform data that kills ~7/8 of part and ~2/5 of lineitem before the
+    shuffle."""
+    brands = [t[0] for t in P.Q19_TRIPLES]
+    max_size = max(t[2] for t in P.Q19_TRIPLES)
+    min_qty = min(t[3] for t in P.Q19_TRIPLES)
+    max_qty = max(t[4] for t in P.Q19_TRIPLES)
+    li = lineitem.where(
+        (F.col("l_quantity") >= min_qty) & (F.col("l_quantity") <= max_qty)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    pt = part.where(
+        F.col("p_brand").isin(*brands) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_brand", "p_size")
+    disjunct = None
+    for brand, slo, shi, qlo, qhi in P.Q19_TRIPLES:
+        arm = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= slo)
+            & (F.col("p_size") <= shi)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+        )
+        disjunct = arm if disjunct is None else (disjunct | arm)
+    rev = cents("l_extendedprice") * cents(1.0 - F.col("l_discount"))
+    return (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .where(disjunct)
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+    )
+
+
+def q22_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join.
+    Rich customers (balance above the positive-balance average) with no
+    recent order, rolled up per nation key.
+
+    The average cutoff is compared in pure integers — cents(balance) ·
+    count > sum(cents) — so no engine's float-average rounding can flip a
+    boundary row. The (sum, count) scalar broadcasts; the anti join
+    probes the date-filtered orders side on c_custkey (fact-sized equi
+    shuffle at 100 TB). Output sums are exact cents."""
+    bal = cents("c_acctbal")
+    stats = customer.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("sum_cents"), F.count(F.lit(1)).alias("n_pos")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(P.Q22_ORDER_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    rich = (
+        customer.select("c_custkey", "c_nationkey", bal.alias("bal_cents"))
+        .join(F.broadcast(stats))
+        .where(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
+    )
+    return (
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_cents") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def q6_revenue(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q6 shape: highly selective scan-side filters → scalar agg.
     All four predicates reach the parquet reader as PushedFilters."""

@@ -107,6 +107,101 @@ WHERE l_shipdate >= TIMESTAMP '{P.Q6_DATE_FROM}'
   AND l_quantity <  {P.Q6_QUANTITY}
 """
 
+Q4 = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{P.Q4_DATE_FROM}'
+  AND o_orderdate <  TIMESTAMP '{P.Q4_DATE_TO}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       sum({_EP} * {_DISC1}) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{P.Q10_DATE_FROM}'
+  AND o_orderdate <  TIMESTAMP '{P.Q10_DATE_TO}'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT {P.Q10_TOPN}
+"""
+
+_Q12_HIGH = ", ".join(f"'{x}'" for x in P.Q12_HIGH)
+
+Q12 = f"""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ({_Q12_HIGH}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ({_Q12_HIGH}) THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{P.Q12_DATE_FROM}'
+  AND l_shipdate <  TIMESTAMP '{P.Q12_DATE_TO}'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+Q14 = f"""
+SELECT 100.0 * sum(CASE WHEN p_type = '{P.Q14_PROMO_TYPE}'
+                        THEN {_EP} * {_DISC1} ELSE 0 END)
+       / sum({_EP} * {_DISC1}) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{P.Q14_DATE_FROM}'
+  AND l_shipdate <  TIMESTAMP '{P.Q14_DATE_TO}'
+"""
+
+_Q16_SIZES = ", ".join(str(s) for s in P.Q16_SIZES)
+
+Q16 = f"""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON ps.l_partkey = p_partkey
+WHERE p_brand <> '{P.Q16_EXCL_BRAND}'
+  AND p_type <> '{P.Q16_EXCL_TYPE}'
+  AND p_size IN ({_Q16_SIZES})
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_Q19_ARMS = "\n   OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+    f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in P.Q19_TRIPLES
+)
+
+Q19 = f"""
+SELECT sum({_EP} * {_DISC1}) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_Q19_ARMS}
+"""
+
+_BAL = "CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)"
+
+Q22 = f"""
+WITH stats AS (
+  SELECT CAST(sum({_BAL}) AS BIGINT) AS sum_cents, count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       sum({_BAL}) / 100.0 AS totacctbal
+FROM customer, stats
+WHERE {_BAL} * n_pos > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{P.Q22_ORDER_CUTOFF}')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
 
 # --- temporal alignment & resampling (SURVEY §2.A) ------------------------
 
@@ -1171,6 +1266,47 @@ pairs AS (
   FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 {_VERIFY_JACCARD}
+"""
+
+# Connected components over the minhash-LSH pair graph: min reachable id
+# per node via the same recursive-CTE pattern as CLUSTER_DBSCAN; the dup
+# CTE is the full (nested-WITH) pair query verbatim.
+_COMPONENTS = f"""
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM dup
+  UNION ALL
+  SELECT doc_b, doc_a FROM dup
+),
+nodes AS (SELECT DISTINCT s AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+),
+lab AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+"""
+
+DEDUP_CLUSTERS = f"""
+WITH RECURSIVE dup AS (
+{DEDUP_MINHASH_LSH}
+),
+{_COMPONENTS}
+SELECT l.doc_id, l.cluster_id, CAST(c.cnt AS INT) AS cluster_size
+FROM lab l
+JOIN (SELECT cluster_id, count(*) AS cnt FROM lab GROUP BY cluster_id) c
+  USING (cluster_id)
+"""
+
+DEDUP_PRUNE = f"""
+WITH RECURSIVE dup AS (
+{DEDUP_MINHASH_LSH}
+),
+{_COMPONENTS}
+SELECT d.doc_id,
+       CASE WHEN l.doc_id IS NULL THEN 'unique' ELSE 'canonical' END AS status
+FROM documents d
+LEFT JOIN lab l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
 """
 
 _BIT_SUMS = ",\n    ".join(

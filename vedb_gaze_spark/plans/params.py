@@ -142,6 +142,32 @@ Q7_NATION_A = "NATION_1"
 Q7_NATION_B = "NATION_2"
 Q7_DATE_FROM = "1995-01-01"
 Q7_DATE_TO = "1997-01-01"
+# Q4/Q12 adapt the classic shapes to this schema (no l_commitdate /
+# l_shipmode columns): the EXISTS predicate is a returned-item lineitem,
+# the Q12 grouping column is l_returnflag, the "high priority" class is
+# the classic urgent/high split.
+Q4_DATE_FROM = "1996-01-01"
+Q4_DATE_TO = "1996-04-01"
+Q10_DATE_FROM = "1996-01-01"
+Q10_DATE_TO = "1996-04-01"
+Q10_TOPN = 20
+Q12_DATE_FROM = "1996-01-01"
+Q12_DATE_TO = "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+Q14_DATE_FROM = "1996-01-01"
+Q14_DATE_TO = "1996-02-01"
+Q14_PROMO_TYPE = "PROMO"
+Q16_EXCL_BRAND = "Brand#1"
+Q16_EXCL_TYPE = "PROMO"
+Q16_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
+# (brand, size_lo, size_hi, qty_lo, qty_hi) disjuncts — classic Q19
+# minus the container/shipmode columns this schema doesn't carry.
+Q19_TRIPLES = (
+    ("Brand#3", 1, 5, 1.0, 11.0),
+    ("Brand#14", 1, 10, 10.0, 20.0),
+    ("Brand#21", 1, 15, 20.0, 30.0),
+)
+Q22_ORDER_CUTOFF = "2000-01-01"  # "no recent order" anti-join horizon
 
 # Deterministic synthetic gaze-signal derivation (integer arithmetic only,
 # so Spark and DuckDB agree exactly). Multipliers are arbitrary primes.

@@ -102,6 +102,65 @@ def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.q6_revenue(load_table(spark, "lineitem", sf_dir))
 
 
+@register("q4_order_priority", oracles.Q4)
+def _q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q4_order_priority(
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+    )
+
+
+@register("q10_returned_item", oracles.Q10)
+def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q10_returned_item(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+
+
+@register("q12_priority_class", oracles.Q12)
+def _q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q12_priority_class(
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "lineitem", sf_dir),
+    )
+
+
+@register("q14_promo_revenue", oracles.Q14)
+def _q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q14_promo_revenue(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+    )
+
+
+@register("q16_supplier_count", oracles.Q16)
+def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q16_supplier_count(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+    )
+
+
+@register("q19_discounted_revenue", oracles.Q19)
+def _q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q19_discounted_revenue(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+    )
+
+
+@register("q22_sales_opportunity", oracles.Q22)
+def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q22_sales_opportunity(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+    )
+
+
 # --- temporal alignment & resampling (SURVEY §2.A) ------------------------
 
 @register("match_nearest", oracles.MATCH_NEAREST)
@@ -301,6 +360,16 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_simhash(load_table(spark, "documents", sf_dir))
 
 
+@register("dedup_clusters", oracles.DEDUP_CLUSTERS)
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_clusters(load_table(spark, "documents", sf_dir))
+
+
+@register("dedup_prune", oracles.DEDUP_PRUNE)
+def _dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_prune(load_table(spark, "documents", sf_dir))
+
+
 # --- similarity search (SURVEY §2.G) -------------------------------------------
 
 @register("dedup_embedding_cosine", oracles.DEDUP_EMBEDDING_COSINE)
@@ -467,6 +536,15 @@ _GATE_ORDER = [
     "marker_filter_split",
     "marker_filter_cluster",
     "eyelid_distance_c2f",
+    "q4_order_priority",
+    "q10_returned_item",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q16_supplier_count",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "dedup_clusters",
+    "dedup_prune",
     # -- r2-recorded, ascending measured gate cost ----------------------
     "multimodal_meta",
     "vector_norm",
