@@ -527,21 +527,21 @@ def dedup_clusters(
         )
         # localCheckpoint each round: iterative self-joins otherwise grow
         # the lineage (and the optimizer's work) linearly with rounds; at
-        # cluster scale swap for checkpoint() on a reliable store.
+        # cluster scale swap for checkpoint() on a reliable store. The
+        # changed flag rides in the SAME pass, so convergence costs one
+        # cheap count over checkpointed rows, not a join against the old
+        # labels.
         new_labels = (
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("label"),
+                (F.col("nbr_min") < F.col("label")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .where(F.col("label") < F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     edges.unpersist()
