@@ -398,3 +398,60 @@ def test_stateful_fixations_across_batches(spark, sf_dir, tmp_path):
             assert abs(g.extent_deg - w.extent_deg) < 1e-6, k
     finally:
         q.stop()
+
+
+def test_stateful_match_asof_across_batches(spark, sf_dir, tmp_path):
+    """streaming_match_asof must equal batch match_asof on EVERY row (the
+    as-of join is past-only, so no open-run exclusions), with the
+    last-signal state surviving the micro-batch boundary."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.temporal import match_asof
+    from vedb_gaze_spark.streaming.stateful import streaming_match_asof
+
+    batch = load_table(spark, "events", sf_dir)
+    mid = batch.agg(F.median(F.unix_micros("ts"))).collect()[0][0]
+    src = str(tmp_path / "asof_src")
+    batch.where(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "c0")
+    )
+    batch.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "c1")
+    )
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(src, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_match_asof(stream)
+        .writeStream.format("memory")
+        .queryName("mem_asof")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {r.event_id: r for r in spark.sql("SELECT * FROM mem_asof").collect()}
+        want = {r.event_id: r for r in match_asof(batch).collect()}
+        assert set(got) == set(want)
+        assert len(want) > 0
+        for k, w in want.items():
+            g = got[k]
+            assert g.user_id == w.user_id, k
+            assert g.matched_event_id == w.matched_event_id, k
+            # floor(x*1e6+0.5)/1e6 vs JVM BigDecimal HALF_UP — compare to
+            # rounding tolerance like the odometry twin
+            assert abs(g.dist_sec - w.dist_sec) <= 1e-6, k
+    finally:
+        q.stop()

@@ -65,6 +65,50 @@ def match_nearest(events: DataFrame, ref_type: str = "click", sig_type: str = "v
     )
 
 
+def match_asof(
+    events: DataFrame,
+    ref_type: str = "click",
+    sig_type: str = "view",
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Backward as-of join: each ref event takes the LATEST signal event
+    with sig_t <= ref_t (optionally within ``tolerance`` seconds) — the
+    one-sided, causality-respecting variant of match_nearest
+    (utils.py:67 match_time_points), and the semantics a stream can
+    compute incrementally (streaming/stateful.py:streaming_match_asof is
+    the twin; match_nearest needs the FUTURE signal, so it has none).
+
+    Signals sort before refs at equal t, so a same-instant signal
+    qualifies; among equal-t signals the max event_id wins. One shuffle
+    on user_id, one sorted window — the standard distributed as-of plan
+    (no range join, no per-ref probe).
+    """
+    e = (
+        with_tsec(events)
+        .where(F.col("event_type").isin(ref_type, sig_type))
+        .select("user_id", "event_id", "event_type", "t")
+    )
+    is_sig = F.col("event_type") == sig_type
+    kind = F.when(is_sig, 0).otherwise(1)
+    prev = Window.partitionBy("user_id").orderBy("t", kind, "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    matched = (
+        e.withColumn("sig_t", F.last(F.when(is_sig, F.col("t")), ignorenulls=True).over(prev))
+        .withColumn("sig_id", F.last(F.when(is_sig, F.col("event_id")), ignorenulls=True).over(prev))
+        .where(~is_sig & F.col("sig_t").isNotNull())
+    )
+    dist = F.col("t") - F.col("sig_t")
+    if tolerance is not None:
+        matched = matched.where(dist <= tolerance)
+    return matched.select(
+        "user_id",
+        "event_id",
+        F.col("sig_id").alias("matched_event_id"),
+        F.round(dist, 6).alias("dist_sec"),
+    )
+
+
 def match_window_median(
     events: DataFrame,
     ref_type: str = "click",

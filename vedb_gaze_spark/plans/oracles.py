@@ -231,6 +231,26 @@ FROM m
 WHERE event_type = 'click' AND (prev_t IS NOT NULL OR next_t IS NOT NULL)
 """
 
+MATCH_ASOF = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, {_T} AS t
+  FROM events WHERE event_type IN ('click','view')
+), m AS (
+  SELECT *,
+    last_value(CASE WHEN event_type='view' THEN t END IGNORE NULLS) OVER wp AS sig_t,
+    last_value(CASE WHEN event_type='view' THEN event_id END IGNORE NULLS) OVER wp AS sig_id
+  FROM e
+  WINDOW wp AS (
+    PARTITION BY user_id
+    ORDER BY t, CASE WHEN event_type='view' THEN 0 ELSE 1 END, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, sig_id AS matched_event_id,
+       round(t - sig_t, 6) AS dist_sec
+FROM m
+WHERE event_type = 'click' AND sig_t IS NOT NULL
+"""
+
 MATCH_WINDOW_MEDIAN = f"""
 WITH e AS (
   SELECT user_id, event_id, event_type, {_T} AS t, value

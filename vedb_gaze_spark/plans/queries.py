@@ -173,6 +173,11 @@ def _match_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.match_window_median(load_table(spark, "events", sf_dir))
 
 
+@register("match_asof", oracles.MATCH_ASOF)
+def _match_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.match_asof(load_table(spark, "events", sf_dir))
+
+
 @register("run_length", oracles.RUN_LENGTH)
 def _run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.run_length(load_table(spark, "events", sf_dir))
@@ -545,6 +550,7 @@ _GATE_ORDER = [
     "q22_sales_opportunity",
     "dedup_clusters",
     "dedup_prune",
+    "match_asof",
     # -- r2-recorded, ascending measured gate cost ----------------------
     "multimodal_meta",
     "vector_norm",

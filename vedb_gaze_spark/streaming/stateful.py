@@ -27,6 +27,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from vedb_gaze_spark.plans import params as P
@@ -538,6 +539,82 @@ def streaming_saccades(
         _make_saccade_fn(threshold, min_s, max_s),
         outputStructType=_SAC_OUT_SCHEMA,
         stateStructType=_SAC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_ASOF_OUT_SCHEMA = (
+    "user_id bigint, event_id bigint, matched_event_id bigint, dist_sec double"
+)
+# latest signal event per user: (t, event_id, seen-flag)
+_ASOF_STATE_SCHEMA = "sig_t double, sig_id bigint, has int"
+
+
+def _make_asof_fn(sig_type: str, tolerance: float | None):
+    import math
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        if state.exists:
+            sig_t, sig_id, has = state.get
+        else:
+            sig_t, sig_id, has = 0.0, 0, 0
+
+        out: list[tuple] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # signals sort before refs at equal t — the batch operator's
+        # same-instant-qualifies contract
+        rows = rows.assign(_k=(rows["event_type"] != sig_type).astype(int))
+        rows = rows.sort_values(["t", "_k", "event_id"])
+        for t, eid, k in zip(rows["t"], rows["event_id"], rows["_k"]):
+            if k == 0:
+                sig_t, sig_id, has = float(t), int(eid), 1
+            elif has and (tolerance is None or t - sig_t <= tolerance):
+                d = t - sig_t
+                out.append(
+                    (user_id, int(eid), sig_id, math.floor(d * 1e6 + 0.5) / 1e6)
+                )
+
+        if has:
+            state.update((float(sig_t), int(sig_id), 1))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "event_id", "matched_event_id", "dist_sec"],
+            )
+
+    return fn
+
+
+def streaming_match_asof(
+    events: DataFrame,
+    ref_type: str = "click",
+    sig_type: str = "view",
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Stateful streaming twin of operators/temporal.py:match_asof — the
+    stream-stream backward as-of join Structured Streaming lacks as a
+    built-in. State is the latest signal event per user (2 scalars +
+    flag); every ref row joins against that state the moment it arrives,
+    so emission is immediate and exact (the batch operator is past-only
+    by construction, so cross-batch parity is row-exact, not
+    closed-runs-only like the run-labeling twins)."""
+    from vedb_gaze_spark.operators.temporal import with_tsec
+
+    e = (
+        with_tsec(events)
+        .where(F.col("event_type").isin(ref_type, sig_type))
+        .select("user_id", "event_id", "event_type", "t")
+    )
+    return e.groupBy("user_id").applyInPandasWithState(
+        _make_asof_fn(sig_type, tolerance),
+        outputStructType=_ASOF_OUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
