@@ -379,3 +379,43 @@ def test_dedup_prune_keeps_canonical_and_unique(spark):
         ).collect()
     }
     assert kept == {1: "canonical", 10: "canonical", 99: "unique"}
+
+
+def test_new_relational_shapes_plan_pins(spark, sf_dir):
+    """The r3 relational shapes must keep their defining physical form:
+    Q4's EXISTS is a LEFT SEMI join (never a materializing inner join +
+    distinct), Q16/Q22's NOT IN / NOT EXISTS are LEFT ANTI joins, and
+    Q19's conjunctive hull reaches both parquet scans ahead of the
+    disjunction."""
+    s4 = fmt(QUERIES["q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in s4, s4
+    s16 = fmt(QUERIES["q16_supplier_count"](spark, sf_dir))
+    assert "LeftAnti" in s16, s16
+    s22 = fmt(QUERIES["q22_sales_opportunity"](spark, sf_dir))
+    assert "LeftAnti" in s22, s22
+    s19 = fmt(QUERIES["q19_discounted_revenue"](spark, sf_dir))
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]+\]", s19)
+    assert any("p_brand" in p for p in pushed), s19
+    assert any("l_quantity" in p for p in pushed), s19
+
+
+def test_bucketed_corpus_makes_doc_sets_shuffle_free(spark, sf_dir):
+    """The doc-set build (groupBy doc_id over the exploded shingle
+    stream) is the dominant shuffle of every text-dedup family. A corpus
+    stored bucketed by doc_id feeds it pre-partitioned — explode and
+    projection preserve partitioning — so the executed plan has ZERO
+    Exchange operators: at 100 TB the full shingle stream never crosses
+    the wire."""
+    from vedb_gaze_spark.operators import dedup
+    from vedb_gaze_spark.sources.bucketing import write_bucketed
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    write_bucketed(docs, "t_docs_bucketed", key="doc_id", n_buckets=8,
+                   sort_by="doc_id")
+    ds = dedup._doc_sets(spark.table("t_docs_bucketed"))
+    ds.collect()
+    s = ds._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in s, s

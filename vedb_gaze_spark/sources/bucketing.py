@@ -14,6 +14,13 @@ but handled by the table format instead of filenames.
 tests/test_plans.py::test_bucketed_join_has_no_shuffle proves the plan
 contains no Exchange; bench-scale writes happen once per layout change,
 not per query.
+
+The same layout serves the dedup families: a documents corpus bucketed
+by doc_id feeds the doc-set build (groupBy doc_id over the exploded
+shingle stream — the dominant dedup shuffle) pre-partitioned, so the
+executed plan is Exchange-free (test_bucketed_corpus_makes_doc_sets_
+shuffle_free). At 100 TB that keeps the full shingle stream off the
+wire for every dedup/minhash/fingerprint pass over a stored corpus.
 """
 
 from __future__ import annotations
