@@ -205,3 +205,29 @@ def test_lm_refine_improves_angular_loss_off_optimum():
     refined = _lm_refine(start, pup, ref)
     assert cost(refined) < cost(start) * 0.999
     assert cost(refined) <= cost(R_kab) + 1e-12
+
+
+def test_resample_tps_reproduces_linear_signal(spark):
+    """A degree-1 polynomial tail means the local TPS interpolant is
+    EXACT on linear signals (RBF weights vanish); the grid bounds must
+    match resample_linear's convention."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators.temporal import resample_tps
+
+    rng = np.random.default_rng(7)
+    t = np.sort(rng.uniform(100.0, 140.0, 300))
+    rows = [
+        (int(i), int(round(tt * 1e6)), 1, "view", float(3.0 * tt + 2.0))
+        for i, tt in enumerate(t)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, event_type string, value double"
+    )
+    import pyspark.sql.functions as F
+
+    df = df.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")
+    out = resample_tps(df, step_s=0.5).collect()
+    assert len(out) > 50
+    for r in out:
+        assert abs(r.value_interp - (3.0 * r.t + 2.0)) < 1e-3, r

@@ -179,6 +179,99 @@ def run_length(events: DataFrame, flag_type: str = "error") -> DataFrame:
     )
 
 
+def resample_tps(
+    events: DataFrame,
+    sig_type: str = "view",
+    step_s: float = P.RESAMPLE_STEP_S,
+    neighbors: int = 7,
+) -> DataFrame:
+    """Uniform-grid thin-plate-spline resampling — resample_data with
+    method='thin-plate_spline' (utils.py:618-621, the RBFInterpolator
+    branch, with the neighbors=7 locality its docstring hints at).
+
+    Per grid point: take the k nearest samples (contiguous in 1-D),
+    solve the local TPS system φ(r) = r²·log r with a degree-1
+    polynomial tail, evaluate. The neighborhoods are shifted to the
+    query point before solving — the TPS interpolant is shift-invariant,
+    so this is pure conditioning, not a semantics change. All solves for
+    a user batch into ONE stacked (G, k+2, k+2) LAPACK call inside
+    applyInPandas; groups are per-user and embarrassingly parallel, the
+    same distribution shape as the calibration fits. Grid bounds match
+    resample_linear's (ceil(min/step) … floor(max/step)).
+
+    LAPACK-bound — rows-only oracle, like calibration_tps.
+    """
+    sig = (
+        with_tsec(events)
+        .where(F.col("event_type") == sig_type)
+        .select("user_id", "event_id", "t", "value")
+    )
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["t", "event_id"]).drop_duplicates("t", keep="first")
+        t = pdf["t"].to_numpy(dtype=np.float64)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(t)
+        if n < 2:
+            return pd.DataFrame(columns=["user_id", "t", "value_interp"])
+        h0 = int(np.ceil(t[0] / step_s))
+        h1 = int(np.floor(t[-1] / step_s))
+        if h1 < h0:
+            return pd.DataFrame(columns=["user_id", "t", "value_interp"])
+        g = np.arange(h0, h1 + 1, dtype=np.float64) * step_s
+        k = min(neighbors, n)
+        # k nearest in 1-D: pick from the 2k samples bracketing the
+        # insertion point (argpartition over a (G, 2k) candidate strip)
+        idx = np.searchsorted(t, g)
+        lo = np.clip(idx - k, 0, n)
+        cand = np.clip(lo[:, None] + np.arange(2 * k)[None, :], 0, n - 1)
+        d = np.abs(t[cand] - g[:, None])
+        # duplicate clipped indices must not win twice: push them out
+        dup = np.zeros_like(d, dtype=bool)
+        dup[:, 1:] = cand[:, 1:] == cand[:, :-1]
+        d[dup] = np.inf
+        take = np.argpartition(d, k - 1, axis=1)[:, :k]
+        nb = np.take_along_axis(cand, take, axis=1)  # (G, k)
+        tn = t[nb] - g[:, None]  # shift to the query point
+        vn = v[nb]
+        r = np.abs(tn[:, :, None] - tn[:, None, :])  # (G, k, k)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            K = np.where(r > 0, r * r * np.log(r, where=r > 0), 0.0)
+        G_, kk = tn.shape
+        A = np.zeros((G_, kk + 2, kk + 2))
+        A[:, :kk, :kk] = K
+        A[:, :kk, kk] = 1.0
+        A[:, :kk, kk + 1] = tn
+        A[:, kk, :kk] = 1.0
+        A[:, kk + 1, :kk] = tn
+        b = np.zeros((G_, kk + 2))
+        b[:, :kk] = vn
+        try:
+            sol = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError:
+            sol = np.stack(
+                [np.linalg.lstsq(A[i], b[i], rcond=None)[0] for i in range(G_)]
+            )
+        rg = np.abs(tn)  # query sits at 0 after the shift
+        with np.errstate(divide="ignore", invalid="ignore"):
+            phi = np.where(rg > 0, rg * rg * np.log(rg, where=rg > 0), 0.0)
+        out = (sol[:, :kk] * phi).sum(axis=1) + sol[:, kk]  # + c1·0
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "t": g,
+                "value_interp": np.round(out, 6),
+            }
+        )
+
+    return sig.groupBy("user_id").applyInPandas(
+        fit, "user_id bigint, t double, value_interp double"
+    )
+
+
 def onoff_expand(
     events: DataFrame,
     flag_type: str = "error",

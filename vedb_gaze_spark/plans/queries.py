@@ -178,6 +178,11 @@ def _match_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.match_asof(load_table(spark, "events", sf_dir))
 
 
+@register("resample_tps")  # LAPACK-bound (stacked local TPS solves): rows-only
+def _resample_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.resample_tps(load_table(spark, "events", sf_dir))
+
+
 @register("run_length", oracles.RUN_LENGTH)
 def _run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.run_length(load_table(spark, "events", sf_dir))
@@ -551,6 +556,7 @@ _GATE_ORDER = [
     "dedup_clusters",
     "dedup_prune",
     "match_asof",
+    "resample_tps",
     # -- r2-recorded, ascending measured gate cost ----------------------
     "multimodal_meta",
     "vector_norm",
