@@ -46,6 +46,10 @@ HEADLINE = [
     "marker_filter_cluster",
     "eyelid_distance_c2f",
     "ann_lsh",
+    "match_asof",
+    "q16_supplier_count",
+    "resample_tps",
+    "dedup_clusters",
 ]
 
 

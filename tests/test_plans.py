@@ -401,7 +401,7 @@ def test_new_relational_shapes_plan_pins(spark, sf_dir):
     assert any("l_quantity" in p for p in pushed), s19
 
 
-def test_bucketed_corpus_makes_doc_sets_shuffle_free(spark, sf_dir):
+def test_bucketed_corpus_makes_doc_sets_shuffle_free(spark, sf_dir, tmp_path):
     """The doc-set build (groupBy doc_id over the exploded shingle
     stream) is the dominant shuffle of every text-dedup family. A corpus
     stored bucketed by doc_id feeds it pre-partitioned — explode and
@@ -412,10 +412,11 @@ def test_bucketed_corpus_makes_doc_sets_shuffle_free(spark, sf_dir):
     from vedb_gaze_spark.sources.bucketing import write_bucketed
     from vedb_gaze_spark.sources.tables import load_table
 
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS dbuckets LOCATION '{tmp_path}/wh'")
     docs = load_table(spark, "documents", sf_dir)
-    write_bucketed(docs, "t_docs_bucketed", key="doc_id", n_buckets=8,
+    write_bucketed(docs, "dbuckets.docs_bucketed", key="doc_id", n_buckets=8,
                    sort_by="doc_id")
-    ds = dedup._doc_sets(spark.table("t_docs_bucketed"))
+    ds = dedup._doc_sets(spark.table("dbuckets.docs_bucketed"))
     ds.collect()
     s = ds._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in s, s
