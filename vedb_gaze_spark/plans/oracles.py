@@ -1329,6 +1329,32 @@ LEFT JOIN lab l ON d.doc_id = l.doc_id
 WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
 """
 
+CURATION_PIPELINE = f"""
+WITH RECURSIVE dup AS (
+{DEDUP_MINHASH_LSH}
+),
+{_COMPONENTS},
+tq AS ({TEXT_QUALITY}),
+lg AS ({LANG_ID}),
+en AS ({CHAR_ENTROPY}),
+keep AS (
+  SELECT d.doc_id,
+         CASE WHEN l.doc_id IS NULL THEN 'unique' ELSE 'canonical' END AS status
+  FROM documents d
+  LEFT JOIN lab l ON d.doc_id = l.doc_id
+  WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
+)
+SELECT tq.doc_id, tq.n_tokens, tq.quality, en.entropy_bits, keep.status
+FROM tq
+JOIN lg ON tq.doc_id = lg.doc_id
+JOIN en ON tq.doc_id = en.doc_id
+JOIN keep ON tq.doc_id = keep.doc_id
+WHERE lg.pred_lang = '{P.CURATION_LANG}'
+  AND tq.n_tokens >= {P.CURATION_MIN_TOKENS}
+  AND tq.quality >= {P.CURATION_MIN_QUALITY}
+  AND en.entropy_bits BETWEEN {P.CURATION_ENTROPY_LO} AND {P.CURATION_ENTROPY_HI}
+"""
+
 _BIT_SUMS = ",\n    ".join(
     f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
     for j in range(P.SIMHASH_BITS)

@@ -169,6 +169,15 @@ Q19_TRIPLES = (
 )
 Q22_ORDER_CUTOFF = "2000-01-01"  # "no recent order" anti-join horizon
 
+# --- corpus curation pipeline gates ---------------------------------------
+# Chosen against the sf0.01 metric distributions (quality median ≈ 0.36,
+# entropy 3.7-4.2 bits) so each gate is live but not empty.
+CURATION_LANG = "en"
+CURATION_MIN_TOKENS = 20
+CURATION_MIN_QUALITY = 0.3
+CURATION_ENTROPY_LO = 3.5
+CURATION_ENTROPY_HI = 6.0
+
 # Deterministic synthetic gaze-signal derivation (integer arithmetic only,
 # so Spark and DuckDB agree exactly). Multipliers are arbitrary primes.
 GAZE_DERIVE = {

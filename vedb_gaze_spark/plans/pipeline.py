@@ -249,3 +249,44 @@ def marker_filter_cluster(events: DataFrame) -> DataFrame:
             "t_start", "t_end", "med_value",
         )
     )
+
+
+def curation_pipeline(documents: DataFrame) -> DataFrame:
+    """Training-corpus curation as ONE declarative plan — the LLM-data
+    analog of gaze_pipeline's composed DAG (reference pipelines.py wires
+    stages through pydra; here Catalyst sees the whole chain):
+
+    1. language gate        (lang_id: marker-stopword argmax)
+    2. quality-score gate   (text_quality composite ≥ threshold)
+    3. entropy band         (char_entropy: degenerate/noise cut)
+    4. near-dup prune       (dedup_prune: canonical-per-cluster + unique)
+
+    emitting every surviving doc with its metrics and dedup status.
+
+    Scale shape: the quality and language branches are stateless
+    projections; entropy is the one aggregation branch (O(docs ×
+    alphabet) shuffle); the prune table is pair-graph-sized, so its join
+    broadcasts under AQE. Every join key is doc_id — on a corpus stored
+    bucketed by doc_id (sources/bucketing.py) the whole plan runs
+    without exchanging the corpus once.
+    """
+    from vedb_gaze_spark.operators.dedup import dedup_prune
+    from vedb_gaze_spark.operators.text import char_entropy, lang_id, text_quality
+
+    q = text_quality(documents)
+    lg = lang_id(documents)
+    en = char_entropy(documents)
+    keep = dedup_prune(documents)
+    return (
+        q.join(lg, "doc_id")
+        .join(en, "doc_id")
+        .join(keep, "doc_id")
+        .where(
+            (F.col("pred_lang") == P.CURATION_LANG)
+            & (F.col("n_tokens") >= P.CURATION_MIN_TOKENS)
+            & (F.col("quality") >= P.CURATION_MIN_QUALITY)
+            & (F.col("entropy_bits") >= P.CURATION_ENTROPY_LO)
+            & (F.col("entropy_bits") <= P.CURATION_ENTROPY_HI)
+        )
+        .select("doc_id", "n_tokens", "quality", "entropy_bits", "status")
+    )

@@ -380,6 +380,13 @@ def _dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_prune(load_table(spark, "documents", sf_dir))
 
 
+@register("curation_pipeline", oracles.CURATION_PIPELINE)
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vedb_gaze_spark.plans.pipeline import curation_pipeline
+
+    return curation_pipeline(load_table(spark, "documents", sf_dir))
+
+
 # --- similarity search (SURVEY §2.G) -------------------------------------------
 
 @register("dedup_embedding_cosine", oracles.DEDUP_EMBEDDING_COSINE)
@@ -557,6 +564,7 @@ _GATE_ORDER = [
     "dedup_prune",
     "match_asof",
     "resample_tps",
+    "curation_pipeline",
     # -- r2-recorded, ascending measured gate cost ----------------------
     "multimodal_meta",
     "vector_norm",
