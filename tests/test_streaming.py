@@ -455,3 +455,37 @@ def test_stateful_match_asof_across_batches(spark, sf_dir, tmp_path):
             assert abs(g.dist_sec - w.dist_sec) <= 1e-6, k
     finally:
         q.stop()
+
+
+def test_streaming_stateless_text_gates(spark, sf_dir):
+    """The stateless text family (quality scoring, language ID, token
+    counting, stopword scrub) composes over a document STREAM unchanged —
+    pure projections need no state, no watermark, no output-mode caveats.
+    Streamed results must equal the batch operator row-for-row."""
+    from vedb_gaze_spark.operators.text import lang_id, text_quality
+
+    batch = load_table(spark, "documents", sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    df = text_quality(stream).join(lang_id(stream), "doc_id")
+    q = (
+        df.writeStream.format("memory")
+        .queryName("mem_textgates")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {tuple(r) for r in spark.sql("SELECT * FROM mem_textgates").collect()}
+        want = {
+            tuple(r)
+            for r in text_quality(batch).join(lang_id(batch), "doc_id").collect()
+        }
+        assert got == want
+        assert len(want) > 0
+    finally:
+        q.stop()

@@ -168,3 +168,30 @@ def scrub_stopwords(documents: DataFrame) -> DataFrame:
         n_removed.alias("n_removed"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+def ngram_topk(documents: DataFrame, n: int = 2, k: int = 25) -> DataFrame:
+    """Corpus-wide top-k word n-grams — the vocabulary/boilerplate
+    analysis pass a training-data pipeline runs before choosing filters
+    (and the classic map-side-combine showcase: per-partition partial
+    counts collapse the n-gram stream before the only shuffle, and the
+    final top-k is a TakeOrdered heap over the aggregated vocabulary,
+    never a full sort). Ties break lexicographically so the cut is
+    deterministic on any engine."""
+    # sequence(1, 0) DESCENDS in Spark (see shingles); fence short docs out
+    grams = documents.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({_TOKENS}) >= {n} THEN "
+                f"transform(sequence(1, size({_TOKENS}) - {n - 1}),"
+                f" i -> array_join(slice({_TOKENS}, i, {n}), ' ')) "
+                f"ELSE array() END"
+            )
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "ngram")
+        .limit(k)
+    )

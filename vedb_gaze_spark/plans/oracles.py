@@ -1329,6 +1329,21 @@ LEFT JOIN lab l ON d.doc_id = l.doc_id
 WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
 """
 
+NGRAM_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+),
+grams AS (
+  SELECT array_to_string(list_slice(t, i, i + 1), ' ') AS ngram
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+)
+SELECT ngram, count(*) AS freq
+FROM grams GROUP BY ngram
+ORDER BY freq DESC, ngram
+LIMIT 25
+"""
+
 CURATION_PIPELINE = f"""
 WITH RECURSIVE dup AS (
 {DEDUP_MINHASH_LSH}

@@ -338,6 +338,11 @@ def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.char_entropy(load_table(spark, "documents", sf_dir))
 
 
+@register("ngram_topk", oracles.NGRAM_TOPK)
+def _ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_topk(load_table(spark, "documents", sf_dir))
+
+
 @register("scrub_stopwords", oracles.SCRUB_STOPWORDS)
 def _scrub_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.scrub_stopwords(load_table(spark, "documents", sf_dir))
@@ -565,6 +570,7 @@ _GATE_ORDER = [
     "match_asof",
     "resample_tps",
     "curation_pipeline",
+    "ngram_topk",
     # -- r2-recorded, ascending measured gate cost ----------------------
     "multimodal_meta",
     "vector_norm",
