@@ -155,3 +155,55 @@ def test_sessionize_invariants(spark, users):
         assert len(kept) == len(rs)
         for e, r in zip(kept, rs):
             assert r["n_events"] == len(e)
+
+
+# (t_offset_seconds, is_signal) rows; signals and refs interleave freely,
+# including exact timestamp collisions (the as-of tie case)
+_asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=600),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=_asof_events)
+def test_match_asof_invariants(spark, evs):
+    """For ANY input: (a) every ref with at least one signal at-or-before
+    it emits exactly one row, refs before the first signal emit none;
+    (b) the match is the LATEST qualifying signal (max t, then max
+    event_id); (c) dist_sec ≥ 0."""
+    from vedb_gaze_spark.operators.temporal import match_asof
+
+    rows = []
+    for eid, (off_s, is_sig) in enumerate(evs):
+        rows.append(
+            (eid, BASE_US + off_s * 1_000_000, 0,
+             "view" if is_sig else "click", 0.0, "")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, t_us long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", F.timestamp_micros("t_us").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    got = {r.event_id: r for r in match_asof(df).collect()}
+
+    sigs = [(off, eid) for eid, (off, s) in enumerate(evs) if s]
+    for eid, (off, is_sig) in enumerate(evs):
+        if is_sig:
+            assert eid not in got
+            continue
+        qual = [(o, i) for o, i in sigs if o <= off]
+        if not qual:
+            assert eid not in got
+            continue
+        want_off, want_id = max(qual)
+        r = got[eid]
+        assert r.matched_event_id == want_id, (eid, r)
+        assert r.dist_sec == float(off - want_off), (eid, r)
