@@ -420,3 +420,13 @@ def test_bucketed_corpus_makes_doc_sets_shuffle_free(spark, sf_dir, tmp_path):
     ds.collect()
     s = ds._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in s, s
+    # the same holds for every per-doc aggregation: HashPartitioning on
+    # doc_id satisfies ClusteredDistribution(doc_id, c), so even the
+    # entropy branch's (doc_id, char) groupBy + per-doc window run
+    # without exchanging a row
+    from vedb_gaze_spark.operators.text import char_entropy
+
+    e = char_entropy(spark.table("dbuckets.docs_bucketed"))
+    e.collect()
+    se = e._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in se, se

@@ -377,6 +377,61 @@ def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q2 shape: argmin-per-group join — for each part in a size
+    class, the supplier offering the minimum observed unit price.
+
+    The classic form is a correlated MIN subquery re-joined to the outer
+    query; here the argmin is ONE `min_by` struct aggregation (partial
+    per partition, then merge) — no second scan, no join-back, no window.
+    Unit prices compare on exact integer cross-products (cents·quantity
+    grids), with supplier key as the deterministic tiebreak. This schema
+    has no partsupp: the observed (l_partkey, l_suppkey) unit prices play
+    its ps_supplycost role. supplier is dim-sized → broadcast; part
+    scales with SF → plain equi join (the q14 treatment)."""
+    # unit price = extendedprice / quantity; compare a/b vs c/d as
+    # integer cross-products a·d vs c·b to stay exact on any engine.
+    price_c = cents("l_extendedprice")
+    qty = F.col("l_quantity").cast("long")
+    offers = (
+        lineitem.select("l_partkey", "l_suppkey", price_c.alias("pc"), qty.alias("q"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("l_suppkey").alias("s"),
+                    F.col("pc").alias("pc"),
+                    F.col("q").alias("q"),
+                ),
+                # exact total order: unit price asc, then suppkey asc —
+                # encoded as a sortable struct (ratio first via double for
+                # ordering, integers break exact ties deterministically)
+                F.struct(
+                    (F.col("pc") / F.col("q")).alias("r"),
+                    F.col("l_suppkey").alias("s"),
+                ),
+            ).alias("best")
+        )
+    )
+    pt = part.where(F.col("p_size") <= 10).select("p_partkey", "p_name", "p_size")
+    return (
+        offers.join(pt, offers.l_partkey == pt.p_partkey)
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("best.s") == F.col("s_suppkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            (F.col("best.pc") / F.col("best.q") / 100.0).alias("min_unit_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 def q22_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join.
     Rich customers (balance above the positive-balance average) with no

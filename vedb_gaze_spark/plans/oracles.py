@@ -184,6 +184,27 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE {_Q19_ARMS}
 """
 
+Q2 = f"""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         {_EP} AS pc,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_partkey
+    ORDER BY pc / CAST(q AS DOUBLE), l_suppkey) AS rn
+  FROM offers
+)
+SELECT p_partkey, p_name, s_name,
+       pc / CAST(q AS DOUBLE) / 100.0 AS min_unit_price
+FROM ranked
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1 AND p_size <= 10
+ORDER BY p_partkey
+"""
+
 _BAL = "CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)"
 
 Q22 = f"""

@@ -161,6 +161,15 @@ def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q2_min_cost_supplier", oracles.Q2)
+def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q2_min_cost_supplier(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+    )
+
+
 # --- temporal alignment & resampling (SURVEY §2.A) ------------------------
 
 @register("match_nearest", oracles.MATCH_NEAREST)
@@ -571,6 +580,7 @@ _GATE_ORDER = [
     "resample_tps",
     "curation_pipeline",
     "ngram_topk",
+    "q2_min_cost_supplier",
     # -- r2-recorded, ascending measured gate cost ----------------------
     "multimodal_meta",
     "vector_norm",
