@@ -465,6 +465,32 @@ def q22_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — the
+    histogram-of-counts pattern (how many customers placed exactly N
+    qualifying orders, INCLUDING N = 0, which an inner join would lose).
+
+    Level 1 groups the join output per customer (fact-fact equi shuffle
+    on custkey; null order keys count 0 via count(col)); level 2 is a
+    tiny re-aggregation over the distinct counts. The qualifying-order
+    predicate stands in for the classic comment NOT LIKE (this schema
+    has no o_comment): non-urgent priorities only."""
+    qual = orders.where(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(qual, customer.c_custkey == qual.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 def q6_revenue(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q6 shape: highly selective scan-side filters → scalar agg.
     All four predicates reach the parquet reader as PushedFilters."""

@@ -184,6 +184,20 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE {_Q19_ARMS}
 """
 
+Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
 Q2 = f"""
 WITH offers AS (
   SELECT l_partkey, l_suppkey,

@@ -170,6 +170,14 @@ def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q13_customer_distribution", oracles.Q13)
+def _q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q13_customer_distribution(
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "orders", sf_dir),
+    )
+
+
 # --- temporal alignment & resampling (SURVEY §2.A) ------------------------
 
 @register("match_nearest", oracles.MATCH_NEAREST)
@@ -581,6 +589,7 @@ _GATE_ORDER = [
     "curation_pipeline",
     "ngram_topk",
     "q2_min_cost_supplier",
+    "q13_customer_distribution",
     # -- r2-recorded, ascending measured gate cost ----------------------
     "multimodal_meta",
     "vector_norm",
