@@ -465,6 +465,62 @@ def q22_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def q8_market_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q8 shape: share-of-group ratio by year — one nation's slice
+    of a region's market for one product type. Numerator (CASE on the
+    supplier-side nation) and denominator ride the SAME aggregation pass
+    on exact cents, so the only float op is the final division. nation
+    plays two roles (supplier nation for the share test, customer nation
+    → region for the market filter); both broadcast, the region gate
+    pre-filters the customer-side alias before its join. part is
+    SF-proportional → plain equi join (q14 treatment); the p_type filter
+    pushes to its scan."""
+    pt = part.where(F.col("p_type") == P.Q8_TYPE).select("p_partkey")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    n1 = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == P.Q8_REGION)),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("n1_key"))
+    )
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(P.Q8_DATE_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(P.Q8_DATE_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    vol = cents("l_extendedprice") * cents(1.0 - F.col("l_discount"))
+    in_nation = F.col("supp_nation") == P.Q8_NATION
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount")
+        .join(pt, F.col("l_partkey") == pt.p_partkey)
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(in_nation, vol).otherwise(F.lit(0))) / F.sum(vol)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
 def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — the
     histogram-of-counts pattern (how many customers placed exactly N

@@ -184,6 +184,25 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE {_Q19_ARMS}
 """
 
+Q8 = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       sum(CASE WHEN n2.n_name = '{P.Q8_NATION}'
+                THEN {_EP} * {_DISC1} ELSE 0 END)
+       / sum({_EP} * {_DISC1}) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = '{P.Q8_TYPE}'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = '{P.Q8_REGION}'
+WHERE o_orderdate >= TIMESTAMP '{P.Q8_DATE_FROM}'
+  AND o_orderdate <  TIMESTAMP '{P.Q8_DATE_TO}'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
 Q13 = """
 WITH per_cust AS (
   SELECT c_custkey, count(o_orderkey) AS c_count

@@ -169,6 +169,12 @@ Q19_TRIPLES = (
 )
 Q22_ORDER_CUTOFF = "2000-01-01"  # "no recent order" anti-join horizon
 
+Q8_REGION = "ASIA"
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_1"
+Q8_DATE_FROM = "1995-01-01"
+Q8_DATE_TO = "1997-01-01"
+
 # --- corpus curation pipeline gates ---------------------------------------
 # Chosen against the sf0.01 metric distributions (quality median ≈ 0.36,
 # entropy 3.7-4.2 bits) so each gate is live but not empty.

@@ -178,6 +178,19 @@ def _q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q8_market_share", oracles.Q8)
+def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q8_market_share(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "customer", sf_dir),
+        load_table(spark, "nation", sf_dir),
+        load_table(spark, "region", sf_dir),
+    )
+
+
 # --- temporal alignment & resampling (SURVEY §2.A) ------------------------
 
 @register("match_nearest", oracles.MATCH_NEAREST)
@@ -590,6 +603,7 @@ _GATE_ORDER = [
     "ngram_topk",
     "q2_min_cost_supplier",
     "q13_customer_distribution",
+    "q8_market_share",
     # -- r2-recorded, ascending measured gate cost ----------------------
     "multimodal_meta",
     "vector_norm",
