@@ -199,8 +199,13 @@ def resample_tps(
     same distribution shape as the calibration fits. Grid bounds match
     resample_linear's (ceil(min/step) … floor(max/step)).
 
-    LAPACK-bound — rows-only oracle, like calibration_tps.
+    LAPACK-bound — rows-only oracle, like calibration_tps. Groups are
+    salt-batched (functions/grouped.py) — thousands of small per-user
+    groups would otherwise pay the ~18 ms/group applyInPandas fixed cost
+    (measured 6.8 s → 2.9 s at sf0.1's 1500 users).
     """
+    from vedb_gaze_spark.functions.grouped import apply_per_key
+
     sig = (
         with_tsec(events)
         .where(F.col("event_type") == sig_type)
@@ -267,8 +272,8 @@ def resample_tps(
             }
         )
 
-    return sig.groupBy("user_id").applyInPandas(
-        fit, "user_id bigint, t double, value_interp double"
+    return apply_per_key(
+        sig, "user_id", fit, "user_id bigint, t double, value_interp double"
     )
 
 
