@@ -531,6 +531,8 @@ def dedup_clusters(
         # changed flag rides in the SAME pass, so convergence costs one
         # cheap count over checkpointed rows, not a join against the old
         # labels.
+        # lazy checkpoint: the convergence count below is the action that
+        # materializes it, so each round costs ONE job, not two
         new_labels = (
             labels.join(nbr, "doc_id", "left")
             .select(
@@ -538,7 +540,7 @@ def dedup_clusters(
                 F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("label"),
                 (F.col("nbr_min") < F.col("label")).alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where("chg").count()
         labels = new_labels.drop("chg")
