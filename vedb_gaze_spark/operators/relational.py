@@ -521,6 +521,30 @@ def q8_market_share(
     )
 
 
+def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: per-group-average correlated threshold — revenue
+    from orders smaller than half their part's average quantity.
+
+    The classic correlated scalar subquery becomes ONE aggregate over the
+    fact table joined back on its own key (map-side partial average, then
+    an equi shuffle both sides already need). Quantities are integral, so
+    every engine's average is exact regardless of summation order, and
+    the 0.5·avg threshold compares identically. Brand filter prunes part
+    before its join."""
+    thr = lineitem.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("thr")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    pt = part.where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    ep = cents("l_extendedprice")
+    return (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(pt, F.col("l_partkey") == pt.p_partkey)
+        .join(thr, F.col("l_partkey") == thr.t_partkey)
+        .where(F.col("l_quantity") < F.col("thr"))
+        .agg((F.sum(ep) / 700.0).alias("avg_yearly"))
+    )
+
+
 def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — the
     histogram-of-counts pattern (how many customers placed exactly N

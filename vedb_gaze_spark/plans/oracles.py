@@ -203,6 +203,18 @@ GROUP BY o_year
 ORDER BY o_year
 """
 
+Q17 = f"""
+WITH pa AS (
+  SELECT l_partkey AS t_partkey, 0.5 * avg(l_quantity) AS thr
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT sum({_EP}) / 700.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+JOIN pa ON l_partkey = t_partkey
+WHERE l_quantity < thr
+"""
+
 Q13 = """
 WITH per_cust AS (
   SELECT c_custkey, count(o_orderkey) AS c_count

@@ -178,6 +178,14 @@ def _q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q17_small_quantity_revenue", oracles.Q17)
+def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q17_small_quantity_revenue(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+    )
+
+
 @register("q8_market_share", oracles.Q8)
 def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.q8_market_share(
@@ -604,6 +612,7 @@ _GATE_ORDER = [
     "q2_min_cost_supplier",
     "q13_customer_distribution",
     "q8_market_share",
+    "q17_small_quantity_revenue",
     # -- r2-recorded, ascending measured gate cost ----------------------
     "multimodal_meta",
     "vector_norm",
