@@ -207,3 +207,49 @@ def test_match_asof_invariants(spark, evs):
         r = got[eid]
         assert r.matched_event_id == want_id, (eid, r)
         assert r.dist_sec == float(off - want_off), (eid, r)
+
+
+_edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ).map(lambda p: (min(p), max(p))).filter(lambda p: p[0] < p[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=_edge_lists)
+def test_dedup_clusters_equals_union_find(spark, edges):
+    """Min-label propagation must equal a reference union-find on ANY
+    pair graph — including chains, cycles, duplicate edges, and
+    multi-component mixes hypothesis produces."""
+    from vedb_gaze_spark.operators.dedup import dedup_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {}
+    for members in comps.values():
+        root = min(members)
+        for n in members:
+            want[n] = (root, len(members))
+
+    pairs = spark.createDataFrame(list(set(edges)), "doc_a long, doc_b long")
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup_clusters(None, pairs=pairs).collect()
+    }
+    assert got == want

@@ -159,3 +159,52 @@ def extract_features(documents: DataFrame) -> DataFrame:
 
     d = documents.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return d.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+_RESIZE_SCHEMA = "doc_id bigint, thumb_md5 string, mean_px double, n_src_bytes int"
+
+
+def resize_thumbnail(documents: DataFrame, target: int = 16) -> DataFrame:
+    """Arrow-batched 'resize' over binary payloads: evenly-spaced byte
+    subsampling to a fixed-length thumbnail (position i reads source
+    byte floor(i·n/target)) — the nearest-neighbor downsample a real
+    image resize reduces to on a 1-D payload, with cv2.resize slotting
+    into the same batch loop when present. Emits the thumbnail's md5 and
+    mean pixel value, so the output is SQL-oracle-able (character codes
+    over the same positions in DuckDB) while exercising the exact
+    mapInPandas batching/schema path a production resize uses. Integer
+    byte sums are exact in float64 → mean_px is engine-identical under
+    HALF_UP rounding."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            md5s = np.empty(len(ids), dtype=object)
+            means = np.zeros(len(ids))
+            sizes = np.zeros(len(ids), dtype=np.int32)
+            keep = np.ones(len(ids), dtype=bool)
+            for i, b in enumerate(pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = arr.size
+                sizes[i] = n
+                if n == 0:
+                    keep[i] = False
+                    continue
+                pos = (np.arange(target) * n) // target
+                thumb = arr[pos]
+                md5s[i] = hashlib.md5(thumb.tobytes()).hexdigest()
+                means[i] = np.floor(thumb.mean() * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[keep],
+                    "thumb_md5": md5s[keep],
+                    "mean_px": means[keep],
+                    "n_src_bytes": sizes[keep],
+                }
+            )
+
+    d = documents.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return d.mapInPandas(run, schema=_RESIZE_SCHEMA)

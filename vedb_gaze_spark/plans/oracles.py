@@ -1808,6 +1808,30 @@ FROM documents
 # Decode stub oracle: byte value i = 16*hi_nibble + lo_nibble of hex pair
 # i in hex(payload); mean_byte is an exact-integer sum / n in both engines
 # (integer sums are exact in float64), HALF_UP-rounded identically.
+# Evenly-spaced thumbnail sampling: this corpus is pure ASCII
+# (octet_length(encode(text)) == length(text) at every SF), so the
+# character at position p IS the byte at position p and md5 of the
+# concatenated characters equals md5 of the sampled byte array.
+MULTIMODAL_RESIZE = """
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+),
+picks AS (
+  SELECT doc_id, i,
+         substring(text, CAST((i * n) // 16 AS INT) + 1, 1) AS ch
+  FROM (SELECT doc_id, text, n, unnest(generate_series(0, 15)) AS i FROM b)
+),
+agg AS (
+  SELECT doc_id,
+         md5(string_agg(ch, '' ORDER BY i)) AS thumb_md5,
+         floor(avg(ascii(ch)) * 1000000 + 0.5) / 1000000 AS mean_px
+  FROM picks GROUP BY doc_id
+)
+SELECT b.doc_id AS doc_id, agg.thumb_md5, agg.mean_px,
+       CAST(b.n AS INT) AS n_src_bytes
+FROM b JOIN agg ON b.doc_id = agg.doc_id
+"""
+
 MULTIMODAL_DECODE = """
 WITH b AS (
   SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n

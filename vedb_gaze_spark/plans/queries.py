@@ -469,6 +469,11 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_frames(load_table(spark, "documents", sf_dir))
 
 
+@register("multimodal_resize", oracles.MULTIMODAL_RESIZE)
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.resize_thumbnail(load_table(spark, "documents", sf_dir))
+
+
 # --- calibration & gaze mapping (SURVEY §2.D) ----------------------------------
 
 @register("calibration_linear", oracles.CALIBRATION_LINEAR)
@@ -613,6 +618,7 @@ _GATE_ORDER = [
     "q13_customer_distribution",
     "q8_market_share",
     "q17_small_quantity_revenue",
+    "multimodal_resize",
     # -- r2-recorded, ascending measured gate cost ----------------------
     "multimodal_meta",
     "vector_norm",
