@@ -509,11 +509,20 @@ def dedup_clusters(
         )
         .persist()
     )
-    labels = (
+    # Reliable checkpoints when the cluster has a checkpoint dir (executor
+    # loss mid-iteration replays from storage, not from the whole LSH
+    # lineage); local checkpoints otherwise — right for local mode, where
+    # there is no executor to lose.
+    sc = pairs.sparkSession.sparkContext
+    use_reliable = sc.getCheckpointDir() is not None
+
+    def ckpt(df, eager=True):
+        return df.checkpoint(eager) if use_reliable else df.localCheckpoint(eager)
+
+    labels = ckpt(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)  # truncate the (possibly LSH-sized) lineage
     )
     for _ in range(max_iters):
         nbr = (
@@ -525,22 +534,19 @@ def dedup_clusters(
             .agg(F.min("nl").alias("nbr_min"))
             .withColumnRenamed("src", "doc_id")
         )
-        # localCheckpoint each round: iterative self-joins otherwise grow
-        # the lineage (and the optimizer's work) linearly with rounds; at
-        # cluster scale swap for checkpoint() on a reliable store. The
-        # changed flag rides in the SAME pass, so convergence costs one
-        # cheap count over checkpointed rows, not a join against the old
-        # labels.
-        # lazy checkpoint: the convergence count below is the action that
-        # materializes it, so each round costs ONE job, not two
-        new_labels = (
+        # checkpoint each round: iterative self-joins otherwise grow the
+        # lineage (and the optimizer's work) linearly with rounds. The
+        # changed flag rides in the SAME pass and the checkpoint is lazy,
+        # so the convergence count below is the one job that both
+        # materializes the round and tests it.
+        new_labels = ckpt(
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("label"),
                 (F.col("nbr_min") < F.col("label")).alias("chg"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
         changed = new_labels.where("chg").count()
         labels = new_labels.drop("chg")
