@@ -45,3 +45,59 @@ def test_read_gaze_csv_by_name_with_extras_and_reorder(spark, tmp_path):
     assert dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[
         "world_index"
     ] == "bigint"
+
+
+def test_events_loader_normalizes_both_ts_layouts(spark, tmp_path):
+    """The driver has shipped events.parquet with TIMESTAMP(NANOS) and
+    with naive TIMESTAMP(MICROS) across rounds; batch and streaming
+    loaders must surface the SAME micros-since-epoch instants for both
+    layouts, independent of session time zone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.sources.tables import load_events_stream, load_table
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([0, 0], pa.int64()),
+        "event_type": pa.array(["view", "click"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["", ""]),
+    }
+    for unit, vals in (
+        ("ns", [m * 1000 for m in micros]),
+        ("us", micros),
+    ):
+        d = str(tmp_path / unit)
+        import os
+
+        os.makedirs(d)
+        tbl = pa.table({**base, "ts": pa.array(vals, pa.timestamp(unit))})
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        got = {
+            r.event_id: r.us
+            for r in load_table(spark, "events", d)
+            .select("event_id", F.unix_micros("ts").alias("us"))
+            .collect()
+        }
+        assert got == {1: micros[0], 2: micros[1]}, (unit, got)
+        q = (
+            load_events_stream(spark, d)
+            .select("event_id", F.unix_micros("ts").alias("us"))
+            .writeStream.format("memory")
+            .queryName(f"mem_ts_{unit}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        try:
+            got_s = {
+                r.event_id: r.us
+                for r in spark.sql(f"SELECT * FROM mem_ts_{unit}").collect()
+            }
+            assert got_s == got, (unit, got_s)
+        finally:
+            q.stop()
