@@ -430,3 +430,24 @@ def test_bucketed_corpus_makes_doc_sets_shuffle_free(spark, sf_dir, tmp_path):
     e.collect()
     se = e._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in se, se
+
+
+def test_ngram_df_cap_is_subset_of_exact(spark, sf_dir):
+    """Stop-shingle removal can only MISS pairs, never invent them:
+    verification is identical full-set Jaccard, so capped output ⊆ exact
+    output for ANY cap. (Recall under a cap is corpus-dependent — this
+    synthetic corpus draws from a tiny template vocabulary, median
+    shared-shingle df ≈ 67/500 docs, so a tight cap legitimately drops
+    most pairs; on the 10× copy-corpus the same cap keeps 100% recall at
+    a fraction of the exact run's cost — see PERF_NOTES.)"""
+    from vedb_gaze_spark.operators import dedup
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    exact = {tuple(r) for r in dedup.dedup_ngram_jaccard(docs).collect()}
+    capped = {
+        tuple(r)
+        for r in dedup.dedup_ngram_jaccard(docs, df_cap_frac=0.02).collect()
+    }
+    assert capped <= exact
+    assert len(exact) > 0

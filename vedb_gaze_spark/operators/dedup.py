@@ -112,7 +112,9 @@ def _verify_jaccard(pairs: DataFrame, doc_sets: DataFrame) -> DataFrame:
     return joined.mapInPandas(run, "doc_a bigint, doc_b bigint, jaccard double")
 
 
-def _prefix_shingles(doc_sets: DataFrame, threshold: float) -> DataFrame:
+def _prefix_shingles(
+    doc_sets: DataFrame, threshold: float, df_cap: int | None = None
+) -> DataFrame:
     """PPJoin prefix filtering (Xiao et al. 2008): under a global
     (document-frequency, shingle) ordering, any pair with Jaccard ≥ t
     shares at least one of each doc's n − ceil(t·n) + 1 RAREST shingles.
@@ -126,17 +128,36 @@ def _prefix_shingles(doc_sets: DataFrame, threshold: float) -> DataFrame:
     corpus-hashing scan behind _doc_sets runs once for the whole query.
     Keeps (rnk, n_sh) — the shingle's position in the global order within
     its doc and the doc's set size — so candidate generation can apply
-    the positional and size filters on top of the prefix filter."""
+    the positional and size filters on top of the prefix filter.
+
+    With ``df_cap`` set, shingles whose document frequency exceeds the
+    cap are dropped from the candidate-generation universe (stop-shingle
+    removal): per-doc sizes, ranks, and every downstream filter then
+    operate on the capped vocabulary, and verification still scores
+    EXACT Jaccard over full sets. Pairs similar only through ubiquitous
+    shingles are missed — the documented trade that removes the df²
+    fanout term on repetitive corpora (measured: a 10× copy-corpus
+    whose exact run is superlinear drops back to near-linear; see
+    PERF_NOTES). Default None = fully exact."""
     from pyspark.sql import Window
 
-    sh = doc_sets.select(
-        "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("sh")
-    )
-    dfs = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    if df_cap is None:
+        sh = doc_sets.select(
+            "doc_id", F.size("s").alias("n_sh"), F.explode("s").alias("sh")
+        )
+        dfs = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(dfs, "sh")
+    else:
+        sh = doc_sets.select("doc_id", F.explode("s").alias("sh"))
+        dfs = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(dfs, "sh")
+            .where(F.col("df") <= df_cap)
+            .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        )
     w = Window.partitionBy("doc_id").orderBy("df", "sh")
     return (
-        sh.join(dfs, "sh")
-        .withColumn("rnk", F.row_number().over(w))
+        sh.withColumn("rnk", F.row_number().over(w))
         .where(
             F.col("rnk")
             <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
@@ -359,7 +380,11 @@ def _verify_jaccard_broadcast(pairs: DataFrame, doc_sets: DataFrame) -> DataFram
     )
 
 
-def dedup_ngram_jaccard(documents: DataFrame, verify: str = "grid") -> DataFrame:
+def dedup_ngram_jaccard(
+    documents: DataFrame,
+    verify: str = "grid",
+    df_cap_frac: float | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs. Candidate generation uses
     PPJoin prefix + positional + size filtering (_prefix_shingles /
     _candidate_pairs) — docs only pair through their rarest shingles and
@@ -375,17 +400,26 @@ def dedup_ngram_jaccard(documents: DataFrame, verify: str = "grid") -> DataFrame
     volume; measured sf0.1: ~130 s join-form verify → ~15 s);
     verify="broadcast_index" is the opt-in bounded-corpus fast path.
     Every stage derives from ONE _doc_sets exchange (ReusedExchange), so
-    the corpus is md5-hashed exactly once."""
+    the corpus is md5-hashed exactly once.
+
+    ``df_cap_frac`` (e.g. 0.02) enables stop-shingle removal in candidate
+    generation — the repetitive-corpus escape hatch for the exact
+    family's df² fanout (see _prefix_shingles); verification stays exact
+    on full sets. None (default) = no cap, fully exact."""
+    import math
+
     ds = _doc_sets(documents)
-    pre = _prefix_shingles(ds, P.JACCARD_THRESHOLD)
+    n_docs = documents.count()  # zero-column metadata count, reused below
+    df_cap = (
+        None if df_cap_frac is None else max(2, math.ceil(df_cap_frac * n_docs))
+    )
+    pre = _prefix_shingles(ds, P.JACCARD_THRESHOLD, df_cap=df_cap)
     pairs = _candidate_pairs(pre, P.JACCARD_THRESHOLD)
     if verify == "broadcast_index":
         return _verify_jaccard_broadcast(pairs, ds)
     if verify == "join":
         return _verify_jaccard(pairs, ds)
-    # corpus row count for grid sizing: a zero-column parquet count
-    # (metadata-weight, no text bytes read), NOT a pass over _doc_sets
-    return _verify_jaccard_grid(pairs, ds, n_docs=documents.count())
+    return _verify_jaccard_grid(pairs, ds, n_docs=n_docs)
 
 
 def _minhash_signatures(doc_sets: DataFrame) -> DataFrame:
