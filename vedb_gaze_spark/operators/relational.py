@@ -521,6 +521,56 @@ def q8_market_share(
     )
 
 
+def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """TPC-H Q15 shape: max-over-aggregate with ties — the supplier(s)
+    whose quarterly revenue equals the maximum quarterly revenue.
+
+    The classic view + scalar MAX subquery becomes one aggregation, a
+    1-row max of it (broadcast), and an integer-exact equality join that
+    keeps ALL tied suppliers (a row_number would silently drop ties).
+    Revenue compares on exact cents products, so 'equals the max' is
+    well-defined on every engine."""
+    rev = cents("l_extendedprice") * cents(1.0 - F.col("l_discount"))
+    per_supp = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(P.Q4_DATE_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(P.Q4_DATE_TO).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("r"))
+    )
+    top = per_supp.agg(F.max("r").alias("rmax"))
+    return (
+        per_supp.join(F.broadcast(top), per_supp.r == F.col("rmax"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", (F.col("r") / 10000.0).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q11_important_stock(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q11 shape: groups exceeding a share of the GLOBAL total —
+    the scalar-subquery-in-HAVING pattern (this schema has no partsupp;
+    per-part shipped quantity plays the stock-value role).
+
+    One aggregation feeds both sides: the per-part sums and their 1-row
+    global total (broadcast). The share test q·N > total runs in pure
+    BIGINT — no float share computation to drift across engines."""
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("q")
+    )
+    total = per_part.agg(F.sum("q").alias("tq"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("q") * P.Q11_SHARE_MULT > F.col("tq"))
+        .select("l_partkey", F.col("q").cast("double").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "l_partkey")
+    )
+
+
 def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """TPC-H Q17 shape: per-group-average correlated threshold — revenue
     from orders smaller than half their part's average quantity.

@@ -203,6 +203,31 @@ GROUP BY o_year
 ORDER BY o_year
 """
 
+Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum({_EP} * {_DISC1}) AS BIGINT) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{P.Q4_DATE_FROM}'
+    AND l_shipdate <  TIMESTAMP '{P.Q4_DATE_TO}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, r / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+ORDER BY s_suppkey
+"""
+
+Q11 = f"""
+WITH pr AS (
+  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(q AS DOUBLE) AS total_qty
+FROM pr
+WHERE q * {P.Q11_SHARE_MULT} > (SELECT CAST(sum(q) AS BIGINT) FROM pr)
+ORDER BY total_qty DESC, l_partkey
+"""
+
 Q17 = f"""
 WITH pa AS (
   SELECT l_partkey AS t_partkey, 0.5 * avg(l_quantity) AS thr

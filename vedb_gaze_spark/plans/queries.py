@@ -178,6 +178,19 @@ def _q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q15_top_supplier", oracles.Q15)
+def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q15_top_supplier(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+    )
+
+
+@register("q11_important_stock", oracles.Q11)
+def _q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q11_important_stock(load_table(spark, "lineitem", sf_dir))
+
+
 @register("q17_small_quantity_revenue", oracles.Q17)
 def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.q17_small_quantity_revenue(
@@ -619,6 +632,8 @@ _GATE_ORDER = [
     "q8_market_share",
     "q17_small_quantity_revenue",
     "multimodal_resize",
+    "q15_top_supplier",
+    "q11_important_stock",
     # -- r2-recorded, ascending measured gate cost ----------------------
     "multimodal_meta",
     "vector_norm",
