@@ -432,6 +432,69 @@ def q2_min_cost_supplier(
     )
 
 
+def q21_suppliers_waiting(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = P.Q21_NATION,
+    topn: int = P.Q21_TOPN,
+) -> DataFrame:
+    """TPC-H Q21 shape: dual correlated subqueries (EXISTS + NOT EXISTS)
+    self-joined on the same fact — suppliers who alone kept a finished
+    multi-supplier order waiting (adapted per Q4: "late" = returned 'R',
+    this schema has no l_receiptdate/l_commitdate).
+
+    The classic plan scans lineitem THREE times (l1, the EXISTS probe,
+    the NOT-EXISTS probe) and runs two correlated semi/anti joins. Here
+    both subqueries collapse into ONE per-order aggregate over a single
+    lineitem scan: EXISTS(other supplier) ⇔ n_supp ≥ 2, and
+    NOT EXISTS(other late supplier) with l1 late ⇔ the order's late
+    supplier set has exactly one element — which then owns every late
+    row, so numwait contributions fall out of the same aggregate.
+
+    Shuffle budget at 100 TB: lineitem semi-joins the status-filtered
+    orders on the order key and the groupBy reuses that same hash
+    partitioning — one Exchange per fact side, total. n_supp is
+    size(collect_set), NOT countDistinct: countDistinct expands to a
+    two-phase aggregate that re-shuffles the fact on (orderkey, suppkey)
+    first, while collect_set (bounded by suppliers-per-order, single
+    digits) keeps the whole rollup in one map-side-combined Exchange.
+    Everything after the aggregate is order-count-sized; supplier⋈nation
+    broadcasts."""
+    finished = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    is_late = (F.col("l_returnflag") == "R").alias("is_late")
+    per_order = (
+        lineitem.select("l_orderkey", "l_suppkey", is_late)
+        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey")
+        .agg(
+            F.collect_set("l_suppkey").alias("supps"),
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+                "late_supps"
+            ),
+            F.count(F.when(F.col("is_late"), 1)).alias("late_rows"),
+        )
+    )
+    sole_late = per_order.where(
+        (F.size("late_supps") == 1) & (F.size("supps") >= 2)
+    ).select(F.col("late_supps")[0].alias("suppkey"), "late_rows")
+    sup = (
+        supplier.join(
+            F.broadcast(nation.where(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sole_late.join(F.broadcast(sup), F.col("suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("late_rows").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(topn)
+    )
+
+
 def q22_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join.
     Rich customers (balance above the positive-balance average) with no

@@ -168,6 +168,10 @@ Q19_TRIPLES = (
     ("Brand#21", 1, 15, 20.0, 30.0),
 )
 Q22_ORDER_CUTOFF = "2000-01-01"  # "no recent order" anti-join horizon
+# Q21 adapts like Q4: "kept waiting" = the only supplier whose line was
+# returned ('R') in a finished multi-supplier order.
+Q21_NATION = "NATION_9"
+Q21_TOPN = 100
 Q11_SHARE_MULT = 1500  # q·MULT > total ⇔ share > 1/MULT (1.33× the mean)
 
 Q8_REGION = "ASIA"
