@@ -253,3 +253,84 @@ def test_dedup_clusters_equals_union_find(spark, edges):
         for r in dedup_clusters(None, pairs=pairs).collect()
     }
     assert got == want
+
+
+def test_dedup_clusters_path_graph_exceeding_budget_still_converges(spark, caplog):
+    """A 150-node path (diameter 149) starves min-label propagation at
+    max_iters=5 — the r3 silent-split edge. The fallback alternation
+    must produce the exact single component, and the non-convergence
+    must be logged, never silent."""
+    import logging
+
+    from vedb_gaze_spark.operators.dedup import dedup_clusters
+
+    n = 150
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with caplog.at_level(logging.WARNING, "vedb_gaze_spark.operators.dedup"):
+        got = {
+            r.doc_id: (r.cluster_id, r.cluster_size)
+            for r in dedup_clusters(None, pairs=pairs, max_iters=5).collect()
+        }
+    assert got == {i: (0, n) for i in range(n)}
+    assert any("did not converge" in m for m in caplog.messages)
+
+
+def test_dedup_clusters_converged_run_skips_fallback(spark, caplog):
+    """A star graph converges in one round — the fallback must NOT fire
+    (no warning) and labels must be exact."""
+    import logging
+
+    from vedb_gaze_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)] + [(100, 101)], "doc_a long, doc_b long"
+    )
+    with caplog.at_level(logging.WARNING, "vedb_gaze_spark.operators.dedup"):
+        got = {
+            r.doc_id: (r.cluster_id, r.cluster_size)
+            for r in dedup_clusters(None, pairs=pairs).collect()
+        }
+    want = {i: (0, 8) for i in range(8)}
+    want.update({100: (100, 2), 101: (100, 2)})
+    assert got == want
+    assert not any("did not converge" in m for m in caplog.messages)
+
+
+def test_cc_alternating_equals_union_find_on_adversarial_graphs(spark):
+    """The fallback itself, driven directly: paths, cycles, two-component
+    mixes, and a long path with a shortcut chord must all match a
+    reference union-find."""
+    from vedb_gaze_spark.operators.dedup import _cc_alternating
+
+    cases = [
+        [(i, i + 1) for i in range(120)],                       # long path
+        [(i, (i + 1) % 60) for i in range(60)],                 # cycle
+        [(i, i + 1) for i in range(40)] + [(0, 40)],            # path + chord
+        [(i, i + 1) for i in range(20)]
+        + [(100 + i, 101 + i) for i in range(20)],              # two paths
+        [(7, 3)],                                               # single edge
+    ]
+    for edges in cases:
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        want = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        both = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        got = {
+            r.doc_id: r.label
+            for r in _cc_alternating(both, lambda df, eager=True: df.localCheckpoint(eager)).collect()
+        }
+        assert got == want, edges[:3]

@@ -1,6 +1,8 @@
 """Streaming twins: file-source → memory-sink with AvailableNow must equal
 the same plan run in batch over the same parquet."""
 
+import datetime
+
 import pytest
 
 from vedb_gaze_spark.sources.tables import load_events_stream, load_table
@@ -487,5 +489,66 @@ def test_streaming_stateless_text_gates(spark, sf_dir):
         }
         assert got == want
         assert len(want) > 0
+    finally:
+        q.stop()
+
+
+def test_stateful_match_asof_late_signal_never_regresses_state(spark, tmp_path):
+    """A signal arriving in a LATER micro-batch with an OLDER event time
+    must not replace the stored newer signal: refs after it still match
+    the newest signal by (t, event_id) — the batch operator's order.
+    (Without the state guard, the late signal would corrupt every
+    subsequent ref's match.)"""
+    import os
+
+    from vedb_gaze_spark.streaming.stateful import streaming_match_asof
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    base = 1_700_000_000_000_000  # micros
+
+    def rows(*specs):
+        return [
+            (eid, datetime.datetime.fromtimestamp(base / 1e6 + t, datetime.timezone.utc).replace(tzinfo=None), 1, et)
+            for eid, t, et in specs
+        ]
+
+    # c0: signal S1(t=10), ref R1(t=11)
+    # c1: LATE signal S0(t=5) then refs R2(t=12); fresh signal S2(t=15), ref R3(t=16)
+    c0 = rows((100, 10.0, "view"), (200, 11.0, "click"))
+    c1 = rows((99, 5.0, "view"), (201, 12.0, "click"),
+              (101, 15.0, "view"), (202, 16.0, "click"))
+    src = str(tmp_path / "late_src")
+    spark.createDataFrame(c0, schema).coalesce(1).write.parquet(os.path.join(src, "c0"))
+    spark.createDataFrame(c1, schema).coalesce(1).write.parquet(os.path.join(src, "c1"))
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(src, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(os.path.join(src, "c0")).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_match_asof(stream)
+        .writeStream.format("memory")
+        .queryName("mem_asof_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            r.event_id: r.matched_event_id
+            for r in spark.sql("SELECT * FROM mem_asof_late").collect()
+        }
+        # R1 -> S1; R2 -> S1 (NOT the late S0); R3 -> S2
+        assert got == {200: 100, 201: 100, 202: 101}
     finally:
         q.stop()

@@ -18,9 +18,10 @@ Scale design:
 
 from __future__ import annotations
 
+import logging
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vedb_gaze_spark.functions.core import portable_hash60
@@ -409,16 +410,23 @@ def dedup_ngram_jaccard(
     import math
 
     ds = _doc_sets(documents)
-    n_docs = documents.count()  # zero-column metadata count, reused below
-    df_cap = (
-        None if df_cap_frac is None else max(2, math.ceil(df_cap_frac * n_docs))
-    )
+    # n_docs (a zero-column metadata count, but still a Spark job) is
+    # only computed on the paths that use it: the df cap and the
+    # grid-verify sizing. verify="join"/"broadcast_index" without a cap
+    # never pays it.
+    n_docs: int | None = None
+    df_cap = None
+    if df_cap_frac is not None:
+        n_docs = documents.count()
+        df_cap = max(2, math.ceil(df_cap_frac * n_docs))
     pre = _prefix_shingles(ds, P.JACCARD_THRESHOLD, df_cap=df_cap)
     pairs = _candidate_pairs(pre, P.JACCARD_THRESHOLD)
     if verify == "broadcast_index":
         return _verify_jaccard_broadcast(pairs, ds)
     if verify == "join":
         return _verify_jaccard(pairs, ds)
+    if n_docs is None:
+        n_docs = documents.count()
     return _verify_jaccard_grid(pairs, ds, n_docs=n_docs)
 
 
@@ -510,6 +518,64 @@ def dedup_simhash(documents: DataFrame) -> DataFrame:
     return sums.select("doc_id", simhash.alias("simhash"))
 
 
+def _cc_alternating(edges: DataFrame, ckpt) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): converges to a star
+    forest — every non-minimum node directly edged to its component's
+    minimum — in O(log n) alternations on ANY graph, including the long
+    paths that starve min-label propagation. Guaranteed-convergence
+    fallback for `dedup_clusters`; returns (doc_id, label).
+
+    Per round, both stars are one window over a hash-sharded node key
+    (no groupBy+join-back):
+      large-star: every neighbor v > u re-edges to min(Γ(u) ∪ {u});
+      small-star: every neighbor v ≤ u re-edges to min(Γ(u) ∪ {u}),
+    computed on edges oriented high→low so only the smaller side moves.
+    The edge set shrinks toward the forest; convergence is an exact
+    set-equality check (count + exceptAll), not a hash heuristic.
+    """
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    # canonical oriented edge set: (hi, lo), hi > lo, distinct
+    e = ckpt(
+        edges.where(F.col("src") > F.col("dst"))
+        .select(F.col("src").alias("hi"), F.col("dst").alias("lo"))
+        .distinct()
+    )
+    w_u = Window.partitionBy("u")
+    # star forests have ≤ n-1 edges and the paper bounds rounds by
+    # O(log n); 60 covers any n this universe can hold (2^60 nodes).
+    for _ in range(60):
+        adj = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m = F.least(F.min("v").over(w_u), F.col("u"))
+        large = (
+            adj.withColumn("m", m)
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star on the large-star output (already oriented hi>lo)
+        mm = F.min("lo").over(Window.partitionBy("hi"))
+        with_min = large.withColumn("m", mm)
+        small = (
+            with_min.where(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(with_min.select("hi", F.col("m").alias("lo")))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        new_e = ckpt(small, eager=True)
+        if new_e.count() == e.count() and new_e.exceptAll(e).count() == 0:
+            e = new_e
+            break
+        e = new_e
+    centers = e.groupBy(F.col("hi").alias("doc_id")).agg(F.min("lo").alias("ctr"))
+    return nodes.join(centers, "doc_id", "left").select(
+        "doc_id", F.coalesce("ctr", F.col("doc_id")).alias("label")
+    )
+
+
 def dedup_clusters(
     documents: DataFrame, pairs: DataFrame | None = None, max_iters: int = 50
 ) -> DataFrame:
@@ -525,14 +591,19 @@ def dedup_clusters(
     takes min(own label, neighbors' labels) — two equi shuffles on
     doc_id-uniform keys per round, lineage truncated per round, and the
     only driver state is the scalar changed-row count (the Lloyd's-loop
-    pattern ann_ivf_trained established). Rounds needed = graph diameter
-    /2; near-dup components are stars/quasi-cliques around a common
-    source (diameter 2-4 measured here), which makes propagation CHEAPER
+    pattern ann_ivf_trained established). Labels move one hop per round,
+    so rounds needed = the min-label node's eccentricity; near-dup
+    components are stars/quasi-cliques around a common source
+    (eccentricity 1-3 measured here), which makes propagation CHEAPER
     than the O(log n)-round large-star/small-star alternation (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC 2014)
-    that only pays off on adversarial long-path graphs. At 100 TB the
-    input is LSH-verified pairs — orders of magnitude smaller than the
-    corpus — and every step shards by doc_id.
+    that only pays off on adversarial long-path graphs. If the budget is
+    exhausted before convergence (a component stretching further than
+    max_iters hops from its minimum), the result would be silently split
+    clusters — so this NEVER returns partial labels: it logs a warning
+    and re-solves with `_cc_alternating`, which converges on any graph.
+    At 100 TB the input is LSH-verified pairs — orders of magnitude
+    smaller than the corpus — and every step shards by doc_id.
     """
     if pairs is None:
         pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
@@ -558,6 +629,7 @@ def dedup_clusters(
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
+    changed = -1  # -1 = loop never ran (max_iters < 1): treat as unconverged
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -586,6 +658,19 @@ def dedup_clusters(
         labels = new_labels.drop("chg")
         if changed == 0:
             break
+    else:
+        # Budget exhausted with labels still moving: some component's
+        # minimum sits more than max_iters hops from a member, and the
+        # partial labels would split that cluster. Never return them —
+        # re-solve with the O(log n)-round alternation instead.
+        logging.getLogger(__name__).warning(
+            "dedup_clusters: min-label propagation did not converge in "
+            "%d rounds (%d labels still changing); falling back to "
+            "large-star/small-star alternation",
+            max_iters,
+            changed,
+        )
+        labels = _cc_alternating(edges, ckpt)
     edges.unpersist()
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("int").alias("cluster_size")

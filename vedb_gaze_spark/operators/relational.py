@@ -386,8 +386,12 @@ def q2_min_cost_supplier(
     The classic form is a correlated MIN subquery re-joined to the outer
     query; here the argmin is ONE `min_by` struct aggregation (partial
     per partition, then merge) — no second scan, no join-back, no window.
-    Unit prices compare on exact integer cross-products (cents·quantity
-    grids), with supplier key as the deterministic tiebreak. This schema
+    Unit prices order by the IEEE-double ratio pc/q — the same division
+    the oracle performs, so both engines rank identically (equal exact
+    rationals produce bit-identical doubles; unequal ones that collide
+    in double fall through to the suppkey tiebreak, again on both
+    engines). The stored (pc, q) integers keep the OUTPUT price exact to
+    the cent grid. This schema
     has no partsupp: the observed (l_partkey, l_suppkey) unit prices play
     its ps_supplycost role. supplier is dim-sized → broadcast; part
     scales with SF → plain equi join (the q14 treatment)."""

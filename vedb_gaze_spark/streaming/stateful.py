@@ -573,7 +573,12 @@ def _make_asof_fn(sig_type: str, tolerance: float | None):
         rows = rows.sort_values(["t", "_k", "event_id"])
         for t, eid, k in zip(rows["t"], rows["event_id"], rows["_k"]):
             if k == 0:
-                sig_t, sig_id, has = float(t), int(eid), 1
+                # Never regress state: a signal arriving in a LATER
+                # micro-batch than a newer one (late data) must not
+                # replace it — subsequent refs match the latest signal
+                # by (t, event_id), exactly the batch operator's order.
+                if not has or (float(t), int(eid)) > (sig_t, sig_id):
+                    sig_t, sig_id, has = float(t), int(eid), 1
             elif has and (tolerance is None or t - sig_t <= tolerance):
                 d = t - sig_t
                 out.append(
@@ -603,7 +608,16 @@ def streaming_match_asof(
     flag); every ref row joins against that state the moment it arrives,
     so emission is immediate and exact (the batch operator is past-only
     by construction, so cross-batch parity is row-exact, not
-    closed-runs-only like the run-labeling twins)."""
+    closed-runs-only like the run-labeling twins).
+
+    Late-data contract: the state write is guarded by (t, event_id)
+    order, so a signal arriving AFTER a newer signal can never regress
+    state — refs always match the newest signal seen. Row-exact batch
+    parity additionally assumes per-user refs arrive no earlier than
+    signals that precede them in event time (a late-arriving REF pairs
+    with the newest stored signal, while the batch twin would pair it
+    with the older signal that preceded it; keeping that history would
+    need per-user signal buffers, not 2 scalars)."""
     from vedb_gaze_spark.operators.temporal import with_tsec
 
     e = (
