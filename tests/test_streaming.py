@@ -552,3 +552,63 @@ def test_stateful_match_asof_late_signal_never_regresses_state(spark, tmp_path):
         assert got == {200: 100, 201: 100, 202: 101}
     finally:
         q.stop()
+
+
+def test_streaming_dedup_minhash_lsh_matches_batch(spark, sf_dir, tmp_path):
+    """Near-dup pair parity across micro-batch boundaries: streaming
+    MinHash-LSH over the corpus split into two chronological files must
+    emit EXACTLY the batch operator's verified pair set — each pair once
+    (the min-band rule), even when its two docs arrive in different
+    micro-batches — with per-bucket state bounded by the watermark."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.dedup import dedup_minhash_lsh
+    from vedb_gaze_spark.streaming.stateful import streaming_dedup_minhash_lsh
+
+    batch = load_table(spark, "documents", sf_dir)
+    mid = batch.agg(F.median("doc_id")).collect()[0][0]
+    src = str(tmp_path / "mh_src")
+    batch.where(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "c0")
+    )
+    batch.where(F.col("doc_id") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "c1")
+    )
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(src, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup_minhash_lsh(stream)
+        .writeStream.format("memory")
+        .queryName("mem_mh")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    try:
+        got_rows = spark.sql("SELECT * FROM mem_mh").collect()
+        got = {(r.doc_a, r.doc_b, r.jaccard) for r in got_rows}
+        want = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup_minhash_lsh(batch).collect()
+        }
+        assert got == want, (len(got), len(want))
+        assert len(want) > 0
+        # exactly-once: no pair emitted twice across bands/batches
+        assert len(got_rows) == len(got)
+        # cross-batch coverage: at least one pair spans the file split
+        assert any(a <= mid < b for a, b, _ in got), "no cross-batch pair"
+    finally:
+        q.stop()

@@ -385,6 +385,7 @@ def dedup_ngram_jaccard(
     documents: DataFrame,
     verify: str = "grid",
     df_cap_frac: float | None = None,
+    doc_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs. Candidate generation uses
     PPJoin prefix + positional + size filtering (_prefix_shingles /
@@ -406,10 +407,18 @@ def dedup_ngram_jaccard(
     ``df_cap_frac`` (e.g. 0.02) enables stop-shingle removal in candidate
     generation — the repetitive-corpus escape hatch for the exact
     family's df² fanout (see _prefix_shingles); verification stays exact
-    on full sets. None (default) = no cap, fully exact."""
+    on full sets. None (default) = no cap, fully exact.
+
+    ``doc_sets``: a precomputed _doc_sets relation — pass
+    `spark.table(...)` over a table persisted bucketed by doc_id
+    (sources/bucketing.py:write_doc_sets_bucketed) and every rerun skips
+    the corpus hash AND the verify probes read the doc-set side with
+    ZERO Exchange (the nightly-rerun shape at 100 TB; plan-pinned in
+    tests/test_plans.py)."""
     import math
 
-    ds = _doc_sets(documents)
+    ds = _doc_sets(documents) if doc_sets is None else doc_sets
+    corpus_for_count = documents if doc_sets is None else doc_sets
     # n_docs (a zero-column metadata count, but still a Spark job) is
     # only computed on the paths that use it: the df cap and the
     # grid-verify sizing. verify="join"/"broadcast_index" without a cap
@@ -417,7 +426,7 @@ def dedup_ngram_jaccard(
     n_docs: int | None = None
     df_cap = None
     if df_cap_frac is not None:
-        n_docs = documents.count()
+        n_docs = corpus_for_count.count()
         df_cap = max(2, math.ceil(df_cap_frac * n_docs))
     pre = _prefix_shingles(ds, P.JACCARD_THRESHOLD, df_cap=df_cap)
     pairs = _candidate_pairs(pre, P.JACCARD_THRESHOLD)
@@ -426,7 +435,7 @@ def dedup_ngram_jaccard(
     if verify == "join":
         return _verify_jaccard(pairs, ds)
     if n_docs is None:
-        n_docs = documents.count()
+        n_docs = corpus_for_count.count()
     return _verify_jaccard_grid(pairs, ds, n_docs=n_docs)
 
 
@@ -446,7 +455,9 @@ def _minhash_signatures(doc_sets: DataFrame) -> DataFrame:
     return doc_sets.select("doc_id", *exprs)
 
 
-def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
+def dedup_minhash_lsh(
+    documents: DataFrame, doc_sets: DataFrame | None = None
+) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified exactly.
 
     16 permutations → 4 bands × 4 rows; docs sharing any band bucket are
@@ -458,8 +469,13 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
     are array expressions over _doc_sets (min over the distinct set
     equals min over occurrences), and the verify stage reuses the same
     exchange — the corpus is hashed and shuffled exactly once.
+
+    ``doc_sets``: a precomputed _doc_sets relation (see
+    dedup_ngram_jaccard) — with a doc_id-bucketed table, reruns skip the
+    corpus hash entirely and the verify probes never shuffle the
+    doc-set side.
     """
-    ds = _doc_sets(documents)
+    ds = _doc_sets(documents) if doc_sets is None else doc_sets
     sig = _minhash_signatures(ds)
     rows = P.MINHASH_PERMS // P.MINHASH_BANDS
     # ALL band keys in one projection, exploded JVM-side — not a 4-way

@@ -329,8 +329,11 @@ def ann_lsh(
     Hamming-1 probing adds 8·(1/3)(2/3)⁷ ≈ 0.16 — exactly the observed
     lift. In the high-similarity regime a real ANN index serves
     (cos ≥ 0.9 → angle ≤ 26°), the same arithmetic gives per-bucket
-    collision (1−26/180)⁸ ≈ 0.28 single / ≈ 0.70 multi, rising further
-    with standard band-OR composition (dedup_embedding_lsh's banding)."""
+    collision (1−26/180)⁸ ≈ 0.28 single / ≈ 0.70 multi — MEASURED on
+    planted cos=0.90 near-duplicates: 0.31 single / 0.70 multi-probe
+    recall (tests/test_plans.py::test_ann_lsh_multiprobe_recall_on_
+    planted_near_duplicates), rising further with standard band-OR
+    composition (dedup_embedding_lsh's banding)."""
     v = _vecs(embeddings).withColumn("bucket", _bucket(F.col("v")))
     queries = v.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"

@@ -44,3 +44,24 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_doc_sets_bucketed(
+    documents: DataFrame, table: str, n_buckets: int = 32
+) -> None:
+    """Persist the hashed-shingle doc-set relation (operators/dedup.py:
+    _doc_sets) bucketed+sorted by doc_id — the nightly-rerun layout for
+    the dedup/curation families. The corpus is shingled and md5-hashed
+    ONCE at write time; every subsequent dedup_ngram_jaccard /
+    dedup_minhash_lsh run passes `spark.table(table)` as `doc_sets` and
+    (a) skips the hash pass entirely, (b) probes the doc-set side of the
+    pair-verify equi-joins with ZERO Exchange — HashPartitioning(doc_id)
+    from the bucketed scan satisfies both join distributions, so the
+    corpus-sized side of the nightly join never crosses the wire again
+    (plan-pinned in tests/test_plans.py)."""
+    from vedb_gaze_spark.operators.dedup import _doc_sets
+
+    write_bucketed(
+        _doc_sets(documents), table, key="doc_id",
+        n_buckets=n_buckets, sort_by="doc_id",
+    )

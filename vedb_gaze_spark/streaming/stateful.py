@@ -632,3 +632,182 @@ def streaming_match_asof(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming MinHash-LSH near-dup dedup --------------------------------
+
+_MINHASH_OUT_SCHEMA = "doc_a bigint, doc_b bigint, jaccard double"
+# per-band-bucket state: the docs currently alive in this bucket within
+# the watermark horizon — ids, full 16-perm signatures (for the min-band
+# exactly-once rule), sorted shingle sets (for exact verification), and
+# event-time ms (for eviction)
+_MINHASH_STATE_SCHEMA = (
+    "ids array<bigint>, sigs array<array<bigint>>, "
+    "sets array<array<bigint>>, tss array<bigint>"
+)
+
+
+def _make_minhash_lsh_fn(threshold: float, rows_per_band: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        band = int(str(key[0]).split("-", 1)[0])
+        if state.exists:
+            ids, sigs, sets, tss = state.get
+            ids = list(ids)
+            sigs = [list(x) for x in sigs]
+            sets = [list(x) for x in sets]
+            tss = list(tss)
+        else:
+            ids, sigs, sets, tss = [], [], [], []
+        # evict entries the event-time watermark has passed: state is
+        # bounded by the dedup horizon, never the stream's history
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0 and tss:
+            keep = [i for i, t in enumerate(tss) if t >= wm]
+            if len(keep) < len(ids):
+                ids = [ids[i] for i in keep]
+                sigs = [sigs[i] for i in keep]
+                sets = [sets[i] for i in keep]
+                tss = [tss[i] for i in keep]
+
+        out: list[tuple[int, int, float]] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "doc_id"])
+        ts_ms = rows["ts"].astype("int64") // 1_000_000
+        for doc_id, tms, sig, sset in zip(
+            rows["doc_id"], ts_ms, rows["sig"], rows["s"]
+        ):
+            # plain-int coercion: state pickling rejects numpy scalars
+            doc_id = int(doc_id)
+            sig = [int(x) for x in sig]
+            cur = np.asarray(sset, dtype=np.int64)
+            for j, other in enumerate(ids):
+                if other == doc_id:
+                    continue
+                # exactly-once across bands: the pair belongs to the
+                # FIRST band whose 4 signature rows collide; later bands
+                # skip it (both full signatures are in state/batch)
+                osig = sigs[j]
+                first = band
+                for b2 in range(band):
+                    if all(
+                        sig[b2 * rows_per_band + r] == osig[b2 * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ):
+                        first = b2
+                        break
+                if first != band:
+                    continue
+                sb = np.asarray(sets[j], dtype=np.int64)
+                sa = cur
+                if len(sa) > len(sb):
+                    sa, sb = sb, sa
+                pos = np.searchsorted(sb, sa)
+                ok = pos < len(sb)
+                inter = int(np.count_nonzero(sb[pos[ok]] == sa[ok]))
+                jac = inter / (len(sa) + len(sb) - inter)
+                jr = math.floor(jac * 1e6 + 0.5) / 1e6
+                if jr >= threshold:
+                    out.append(
+                        (min(doc_id, other), max(doc_id, other), jr)
+                    )
+            ids.append(int(doc_id))
+            sigs.append(sig)
+            sets.append([int(x) for x in sset])
+            tss.append(int(tms))
+
+        state.update((ids, sigs, sets, tss))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+
+    return fn
+
+
+def streaming_dedup_minhash_lsh(
+    documents: DataFrame, watermark_s: float = 7 * 86400.0
+) -> DataFrame:
+    """Streaming twin of operators/dedup.py:dedup_minhash_lsh — emit each
+    verified near-dup pair (doc_a < doc_b, exact full-set Jaccard ≥
+    threshold) as soon as the SECOND document of the pair arrives.
+
+    Plan shape: the per-doc shingle set and all 16 permutation minima are
+    pure per-row array expressions (no aggregation — streaming-safe), the
+    4 band keys explode JVM-side exactly like the batch operator, and the
+    stream shards by band_key into `applyInPandasWithState`. State per
+    bucket = the docs alive within the event-time watermark horizon
+    (ids + signatures + sorted shingle sets), so memory is bounded by the
+    dedup horizon × bucket occupancy, never the stream's history — the
+    `dropDuplicatesWithinWatermark` contract generalized to pairs.
+
+    Exactly-once without a second stateful operator: a pair colliding in
+    several bands is emitted only by the FIRST colliding band — both full
+    signatures ride in state, so every band can test the bands before it
+    (no cross-partition coordination, no downstream dedup).
+
+    Event time derives from doc_id like streaming_dedup_exact (the
+    documents table carries no timestamp); cross-batch parity vs the
+    batch operator is exact for pairs whose docs arrive within the
+    horizon (tests/test_streaming.py)."""
+    from vedb_gaze_spark.operators.dedup import dedup_minhash_lsh
+
+    if not documents.isStreaming:
+        return dedup_minhash_lsh(documents)
+    k = P.SHINGLE_K
+    prime = P.MINHASH_PRIME
+    set_expr = (
+        "array_sort(array_distinct(transform("
+        f"sequence(1, length(t)-{k - 1}), "
+        f"i -> cast(conv(substring(md5(substring(t, i, {k})), 1, 15), 16, 10)"
+        " as bigint))))"
+    )
+    sig_expr = F.array(
+        *[
+            F.expr(
+                f"array_min(transform(s, x -> ({a} * (x % {prime}) + {b}) % {prime}))"
+            )
+            for a, b in P.MINHASH_AB
+        ]
+    )
+    rpb = P.MINHASH_PERMS // P.MINHASH_BANDS
+    docs = (
+        documents.select(
+            "doc_id",
+            F.timestamp_micros(
+                (F.lit(1_704_067_200) + F.col("doc_id")) * 1_000_000
+            ).alias("ts"),
+            F.lower("text").alias("t"),
+        )
+        .where(F.length("t") >= k)
+        .withColumn("s", F.expr(set_expr))
+        .withColumn("sig", sig_expr)
+    )
+    key_arr = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(b)),
+                *[
+                    F.col("sig").getItem(b * rpb + r).cast("string")
+                    for r in range(rpb)
+                ],
+            )
+            for b in range(P.MINHASH_BANDS)
+        ]
+    )
+    e = docs.select(
+        "doc_id", "ts", "s", "sig", F.explode(key_arr).alias("band_key")
+    ).withWatermark("ts", f"{int(watermark_s)} seconds")
+    return e.groupBy("band_key").applyInPandasWithState(
+        _make_minhash_lsh_fn(P.JACCARD_THRESHOLD, rpb),
+        outputStructType=_MINHASH_OUT_SCHEMA,
+        stateStructType=_MINHASH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
