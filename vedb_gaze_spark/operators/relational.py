@@ -436,6 +436,102 @@ def q2_min_cost_supplier(
     )
 
 
+def q9_product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = P.Q9_NAME_PREFIX,
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name class (adapted: p_retailprice stands in for the missing
+    ps_supplycost — this schema has no partsupp).
+
+    Profit stays EXACT integer end to end at one common scale (10⁻⁴
+    dollars): revenue = cents(extendedprice)·cents(1−discount), cost =
+    quantity·cents(retailprice)·100 — summed as longs, divided once at
+    the end, so the rollup is order-independent under any partitioning.
+
+    Plan: the name-filtered part table broadcasts into lineitem first
+    (the most selective cut), supplier⋈nation broadcast next, and the
+    only fact-fact work is the lineitem⋈orders equi shuffle on the order
+    key; the final groupBy is per (nation, year) — dozens of groups,
+    map-side combined."""
+    pt = part.where(F.col("p_name").like(name_prefix + "%")).select(
+        "p_partkey", cents("p_retailprice").alias("retail_c")
+    )
+    sup = supplier.select("s_suppkey", "s_nationkey")
+    amount = cents("l_extendedprice") * cents(1.0 - F.col("l_discount")) - F.col(
+        "l_quantity"
+    ).cast("long") * F.col("retail_c") * F.lit(100).cast("long")
+    return (
+        lineitem.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("amount") / 10000.0).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q20_potential_promotion(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = P.Q20_NAME_PREFIX,
+    nation_name: str = P.Q20_NATION,
+) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subqueries with a correlated scalar
+    aggregate — suppliers in one nation who shipped the MAJORITY of some
+    name-class part's volume in a year (adapted: the classic
+    availqty > ½·shipped test becomes own-shipped > ½·part-total, since
+    this schema has no partsupp).
+
+    The correlated scalar (per-part total) is the q17/q18 aggregate
+    join-back: one groupBy(part, supplier) over the filtered fact, a
+    second (post-aggregate, tiny) rollup to per-part totals, an integer
+    2·sq > tq majority test, then a LEFT SEMI probe into the
+    nation-filtered supplier dim. The fact is scanned ONCE and shuffled
+    once on (partkey, suppkey); every comparison is exact long
+    arithmetic."""
+    pt = part.where(F.col("p_name").like(name_prefix + "%")).select("p_partkey")
+    li = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(P.Q20_DATE_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(P.Q20_DATE_TO).cast("timestamp"))
+        )
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("q"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("q").alias("sq"))
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    qual = (
+        per_ps.join(per_p, "l_partkey")
+        .where(F.lit(2) * F.col("sq") > F.col("tq"))
+        .select("l_suppkey")
+    )
+    sup = supplier.join(
+        F.broadcast(nation.where(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        sup.join(qual, sup.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
 def q21_suppliers_waiting(
     lineitem: DataFrame,
     orders: DataFrame,

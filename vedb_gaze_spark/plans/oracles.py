@@ -275,6 +275,43 @@ WHERE rn = 1 AND p_size <= 10
 ORDER BY p_partkey
 """
 
+Q9 = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+           * CAST(floor((1 - l_discount)*100 + 0.5) AS BIGINT)
+           - CAST(l_quantity AS BIGINT)
+           * CAST(floor(p_retailprice*100 + 0.5) AS BIGINT) * 100
+          ) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey AND p_name LIKE '{P.Q9_NAME_PREFIX}%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
+Q20 = f"""
+WITH li AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '{P.Q20_NAME_PREFIX}%'
+    AND l_shipdate >= TIMESTAMP '{P.Q20_DATE_FROM}'
+    AND l_shipdate <  TIMESTAMP '{P.Q20_DATE_TO}'
+), ps AS (
+  SELECT l_partkey, l_suppkey, sum(q) AS sq FROM li GROUP BY 1, 2
+), p AS (
+  SELECT l_partkey, sum(sq) AS tq FROM ps GROUP BY 1
+)
+SELECT s_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey AND n_name = '{P.Q20_NATION}'
+WHERE s_suppkey IN (SELECT l_suppkey FROM ps JOIN p USING (l_partkey)
+                    WHERE 2*sq > tq)
+ORDER BY s_name
+"""
+
 Q21 = f"""
 SELECT s_name, count(*) AS numwait
 FROM lineitem l1

@@ -172,6 +172,14 @@ Q22_ORDER_CUTOFF = "2000-01-01"  # "no recent order" anti-join horizon
 # returned ('R') in a finished multi-supplier order.
 Q21_NATION = "NATION_9"
 Q21_TOPN = 100
+# Q9/Q20 adapt to the partsupp-less schema: p_retailprice stands in for
+# ps_supplycost (Q9's cost term); Q20's availqty test becomes "supplier
+# shipped the majority of the part's window volume".
+Q9_NAME_PREFIX = "red"
+Q20_NAME_PREFIX = "red"
+Q20_NATION = "NATION_9"
+Q20_DATE_FROM = "1996-01-01"
+Q20_DATE_TO = "1997-01-01"
 Q11_SHARE_MULT = 1500  # q·MULT > total ⇔ share > 1/MULT (1.33× the mean)
 
 Q8_REGION = "ASIA"

@@ -153,6 +153,27 @@ def _q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q9_product_profit", oracles.Q9)
+def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q9_product_profit(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        load_table(spark, "part", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+
+
+@register("q20_potential_promotion", oracles.Q20)
+def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.q20_potential_promotion(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "part", sf_dir),
+        load_table(spark, "supplier", sf_dir),
+        load_table(spark, "nation", sf_dir),
+    )
+
+
 @register("q21_suppliers_waiting", oracles.Q21)
 def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.q21_suppliers_waiting(
@@ -611,6 +632,8 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_ORDER = [
     # -- (1) never recorded: new in r4 ----------------------------------
     "q21_suppliers_waiting",
+    "q9_product_profit",
+    "q20_potential_promotion",
     # -- (2) r2-recorded only, stale under r3 code changes;
     #        ascending measured gate cost --------------------------------
     "size_filter",
