@@ -50,6 +50,9 @@ HEADLINE = [
     "q16_supplier_count",
     "resample_tps",
     "dedup_clusters",
+    # r4 additions
+    "q21_suppliers_waiting",
+    "q9_product_profit",
 ]
 
 

@@ -567,3 +567,25 @@ def test_ann_lsh_multiprobe_recall_on_planted_near_duplicates(spark):
     r_multi = planted_recall(True)
     assert r_multi >= 0.6, (r_single, r_multi)
     assert r_multi >= 2 * r_single, (r_single, r_multi)
+
+
+def test_r4_relational_shapes_plan_pins(spark, sf_dir):
+    """The r4 shapes keep their defining physical form: Q21's dual
+    correlated subqueries are ONE per-order aggregate — a single
+    lineitem scan, a LEFT SEMI against filtered orders, and NO two-key
+    re-shuffle (the countDistinct expansion it was written to avoid);
+    Q20's nested IN is a LEFT SEMI probe; Q9 broadcasts the name-class
+    part dim and pushes its scan filters."""
+    s21 = fmt(QUERIES["q21_suppliers_waiting"](spark, sf_dir))
+    assert "LeftSemi" in s21, s21
+    assert s21.count("lineitem.parquet") == 1, s21
+    assert "hashpartitioning(l_orderkey#" in s21, s21
+    assert "l_suppkey#" not in s21.split("hashpartitioning", 1)[1].split("]", 1)[0], s21
+    s20 = fmt(QUERIES["q20_potential_promotion"](spark, sf_dir))
+    assert "LeftSemi" in s20, s20
+    s9 = fmt(QUERIES["q9_product_profit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in s9, s9
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", s9)
+    assert any("p_name" in p for p in pushed), s9
