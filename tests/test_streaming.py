@@ -612,3 +612,60 @@ def test_streaming_dedup_minhash_lsh_matches_batch(spark, sf_dir, tmp_path):
         assert any(a <= mid < b for a, b, _ in got), "no cross-batch pair"
     finally:
         q.stop()
+
+
+def test_streaming_dedup_embedding_lsh_matches_batch(spark, sf_dir, tmp_path):
+    """Embedding near-dup pair parity across micro-batch boundaries:
+    streaming sign-LSH over the corpus split into two chronological
+    files must emit EXACTLY the batch operator's pair set — scores
+    bit-identical (the left-to-right fold), each pair once."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.similarity import dedup_embedding_lsh
+    from vedb_gaze_spark.streaming.stateful import streaming_dedup_embedding_lsh
+
+    batch = load_table(spark, "embeddings", sf_dir)
+    mid = batch.agg(F.median("vec_id")).collect()[0][0]
+    src = str(tmp_path / "emb_src")
+    batch.where(F.col("vec_id") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "c0")
+    )
+    batch.where(F.col("vec_id") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "c1")
+    )
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(src, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup_embedding_lsh(stream)
+        .writeStream.format("memory")
+        .queryName("mem_emb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    try:
+        got_rows = spark.sql("SELECT * FROM mem_emb").collect()
+        got = {(r.vec_a, r.vec_b, r.cosine) for r in got_rows}
+        want = {
+            (r.vec_a, r.vec_b, r.cosine)
+            for r in dedup_embedding_lsh(batch).collect()
+        }
+        assert got == want, (len(got), len(want), (got - want), (want - got))
+        assert len(want) > 0
+        assert len(got_rows) == len(got)  # exactly-once
+        assert any(a <= mid < b for a, b, _ in got), "no cross-batch pair"
+    finally:
+        q.stop()

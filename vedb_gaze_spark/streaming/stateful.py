@@ -811,3 +811,166 @@ def streaming_dedup_minhash_lsh(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming embedding sign-LSH near-dup dedup --------------------------
+
+_EMB_OUT_SCHEMA = "vec_a bigint, vec_b bigint, cosine double"
+_EMB_STATE_SCHEMA = (
+    "ids array<bigint>, keys array<array<int>>, "
+    "vecs array<array<double>>, tss array<bigint>"
+)
+
+
+def _seq_cosine(a, b) -> float:
+    """Left-to-right float64 fold — bit-identical to functions/core.py:
+    cosine_similarity's JVM aggregate, so the streaming twin's scores
+    round to the batch operator's exact values."""
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _make_embedding_lsh_fn(threshold: float):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        band = int(str(key[0]).split("-", 1)[0])
+        if state.exists:
+            ids, keys, vecs, tss = state.get
+            ids = list(ids)
+            keys = [list(x) for x in keys]
+            vecs = [list(x) for x in vecs]
+            tss = list(tss)
+        else:
+            ids, keys, vecs, tss = [], [], [], []
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0 and tss:
+            kept = [i for i, t in enumerate(tss) if t >= wm]
+            if len(kept) < len(ids):
+                ids = [ids[i] for i in kept]
+                keys = [keys[i] for i in kept]
+                vecs = [vecs[i] for i in kept]
+                tss = [tss[i] for i in kept]
+
+        out: list[tuple[int, int, float]] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "vec_id"])
+        ts_ms = rows["ts"].astype("int64") // 1_000_000
+        for vec_id, tms, karr, v in zip(
+            rows["vec_id"], ts_ms, rows["keys"], rows["v"]
+        ):
+            vec_id = int(vec_id)
+            karr = [int(x) for x in karr]
+            v = [float(x) for x in v]
+            for j, other in enumerate(ids):
+                if other == vec_id:
+                    continue
+                # min-band exactly-once (the minhash twin's rule): the
+                # pair belongs to the first band whose keys collide
+                if any(karr[b2] == keys[j][b2] for b2 in range(band)):
+                    continue
+                c = _seq_cosine(v, vecs[j])
+                cr = math.floor(c * 1e6 + 0.5) / 1e6 if c > 0 else round(c, 6)
+                if cr >= threshold:
+                    out.append((min(vec_id, other), max(vec_id, other), cr))
+            ids.append(vec_id)
+            keys.append(karr)
+            vecs.append(v)
+            tss.append(int(tms))
+
+        state.update((ids, keys, vecs, tss))
+        if out:
+            yield pd.DataFrame(out, columns=["vec_a", "vec_b", "cosine"])
+
+    return fn
+
+
+def streaming_dedup_embedding_lsh(
+    embeddings: DataFrame, watermark_s: float = 7 * 86400.0
+) -> DataFrame:
+    """Streaming twin of operators/similarity.py:dedup_embedding_lsh —
+    emit each exact-cosine near-dup pair once, as soon as the second
+    vector arrives.
+
+    Same architecture as streaming_dedup_minhash_lsh: a stateless
+    mapInPandas computes all 8 sign-LSH band keys per vector in one
+    vectorized numpy pass (identical rounding to the batch keygen), the
+    (band, key) fan-out explodes JVM-side, and per-bucket GroupState
+    holds the vectors alive within the event-time watermark horizon.
+    Scores are bit-identical to the batch operator: a left-to-right
+    float64 fold replicates the JVM aggregate, so parity is exact-set,
+    not approximate. Exactly-once across bands via the min-band rule
+    (all 8 keys ride in state). Event time derives from vec_id (the
+    embeddings table carries no timestamp)."""
+    from vedb_gaze_spark.operators.similarity import dedup_embedding_lsh
+
+    if not embeddings.isStreaming:
+        return dedup_embedding_lsh(embeddings)
+
+    def keygen(batches):
+        import numpy as np
+
+        W = np.array(P.DEDUP_LSH_PLANES, dtype=np.float64)
+        bands, bits = P.DEDUP_LSH_BANDS, P.DEDUP_LSH_BITS
+        weights = 1 << np.arange(bits)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+            B = np.round(M @ W.T, 6) > 0
+            k = (B.reshape(len(M), bands, bits) * weights).sum(-1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "ts": pdf["ts"],
+                    "v": pdf["v"],
+                    "keys": [x for x in k.astype(np.int32)],
+                }
+            )
+
+    v = embeddings.select(
+        "vec_id",
+        F.timestamp_micros(
+            (F.lit(1_704_067_200) + F.col("vec_id")) * 1_000_000
+        ).alias("ts"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    keyed = v.mapInPandas(
+        keygen, "vec_id bigint, ts timestamp, v array<double>, keys array<int>"
+    )
+    e = (
+        keyed.select(
+            "vec_id", "ts", "v", "keys", F.posexplode("keys").alias("band", "key")
+        )
+        .select(
+            "vec_id",
+            "ts",
+            "v",
+            "keys",
+            F.concat_ws(
+                "-", F.col("band").cast("string"), F.col("key").cast("string")
+            ).alias("band_key"),
+        )
+        .withWatermark("ts", f"{int(watermark_s)} seconds")
+    )
+    return e.groupBy("band_key").applyInPandasWithState(
+        _make_embedding_lsh_fn(P.COSINE_DUP_THRESHOLD),
+        outputStructType=_EMB_OUT_SCHEMA,
+        stateStructType=_EMB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
