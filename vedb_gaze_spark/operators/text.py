@@ -195,3 +195,63 @@ def ngram_topk(documents: DataFrame, n: int = 2, k: int = 25) -> DataFrame:
         .orderBy(F.desc("freq"), "ngram")
         .limit(k)
     )
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII redaction — the privacy-scrub pass every training-data
+    pipeline runs before anything else sees the text: emails, phone
+    numbers, and IPv4 literals replaced with typed tokens, with per-class
+    match counts for the curation report.
+
+    Patterns are applied SEQUENTIALLY, each counted on the text as the
+    previous scrub left it (so a phone never double-counts as an IP once
+    redacted), and stay within the regex subset Java and RE2 share
+    (no lookaround, no backrefs) so the oracle runs the identical
+    automaton. Pure JVM regexp algebra — per-doc, no shuffle, codegens
+    with the scan."""
+    t = F.col("text")
+    counts = []
+    for pat, tok, name in P.PII_PATTERNS:
+        counts.append(F.regexp_count(t, F.lit(pat)).alias(name))
+        t = F.regexp_replace(t, pat, tok)
+    return documents.select("doc_id", *counts, t.alias("clean_text"))
+
+
+def repetition_score(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition gates: the fraction of tokens consumed by
+    the single most frequent word and the duplicate fraction of word
+    2-grams — the standard boilerplate/low-diversity filters for web
+    corpora (Rae et al. 2021's repetition rules, re-expressed over this
+    corpus's token streams).
+
+    Both scores are PER-ROW array expressions (token mode via
+    transform/filter over the distinct set, 2-grams via
+    sequence+element_at) — no explode, no shuffle, whole-stage codegen
+    over the scan; the per-doc cost is bounded by (distinct·n) on
+    ~40-token documents. Docs with no tokens are fenced out (the
+    curation gate upstream already drops empty text)."""
+    toks = f"regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    n = f"size({toks})"
+    top = (
+        f"array_max(transform(array_distinct({toks}),"
+        f" t -> size(filter({toks}, x -> x = t))))"
+    )
+    grams = (
+        f"transform(sequence(1, {n} - 1),"
+        f" i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+    )
+    dup = (
+        f"CASE WHEN {n} >= 2 THEN "
+        f"floor((1.0 - size(array_distinct({grams})) / cast({n} - 1 as double))"
+        f" * 1e6 + 0.5) / 1e6 ELSE 0.0d END"
+    )
+    return (
+        documents.where(F.expr(n) >= 1)
+        .select(
+            "doc_id",
+            F.expr(
+                f"floor({top} / cast({n} as double) * 1e6 + 0.5) / 1e6"
+            ).alias("top_word_frac"),
+            F.expr(dup).alias("dup_2gram_frac"),
+        )
+    )

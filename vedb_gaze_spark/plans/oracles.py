@@ -1491,6 +1491,51 @@ ORDER BY freq DESC, ngram
 LIMIT 25
 """
 
+PII_SCRUB = f"""
+WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{P.PII_PATTERNS[0][0]}')) AS n_email,
+         regexp_replace(t, '{P.PII_PATTERNS[0][0]}', '{P.PII_PATTERNS[0][1]}', 'g') AS t
+  FROM s0
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t, '{P.PII_PATTERNS[1][0]}')) AS n_phone,
+         regexp_replace(t, '{P.PII_PATTERNS[1][0]}', '{P.PII_PATTERNS[1][1]}', 'g') AS t
+  FROM s1
+)
+SELECT doc_id, n_email, n_phone,
+       len(regexp_extract_all(t, '{P.PII_PATTERNS[2][0]}')) AS n_ip,
+       regexp_replace(t, '{P.PII_PATTERNS[2][0]}', '{P.PII_PATTERNS[2][1]}', 'g') AS clean_text
+FROM s2
+"""
+
+REPETITION_SCORE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_SQL} AS arr FROM documents
+  WHERE len({_TOKENS_SQL}) >= 1
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM base
+),
+wc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+tops AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM wc GROUP BY 1),
+bg AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM toks
+),
+bgs AS (SELECT doc_id, count(g) AS n2, count(DISTINCT g) AS d2 FROM bg GROUP BY 1)
+SELECT doc_id,
+       floor(mx / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000.0 AS top_word_frac,
+       CASE WHEN n2 >= 1
+            THEN floor((1.0 - d2 / CAST(n2 AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
+            ELSE 0.0 END AS dup_2gram_frac
+FROM tops LEFT JOIN bgs USING (doc_id)
+"""
+
 CURATION_PIPELINE = f"""
 WITH RECURSIVE dup AS (
 {DEDUP_MINHASH_LSH}

@@ -176,6 +176,14 @@ Q21_TOPN = 100
 # ps_supplycost (Q9's cost term); Q20's availqty test becomes "supplier
 # shipped the majority of the part's window volume".
 Q9_NAME_PREFIX = "red"
+# PII scrub patterns: the Java/RE2 shared regex subset (no lookaround,
+# no backrefs) so Spark and the DuckDB oracle run the same automaton.
+# Applied in order; each class counted on the previous class's output.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>", "n_email"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>", "n_phone"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>", "n_ip"),
+]
 Q20_NAME_PREFIX = "red"
 Q20_NATION = "NATION_9"
 Q20_DATE_FROM = "1996-01-01"

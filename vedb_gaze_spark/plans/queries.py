@@ -420,6 +420,16 @@ def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.char_entropy(load_table(spark, "documents", sf_dir))
 
 
+@register("pii_scrub", oracles.PII_SCRUB)
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pii_scrub(load_table(spark, "documents", sf_dir))
+
+
+@register("repetition_score", oracles.REPETITION_SCORE)
+def _repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_score(load_table(spark, "documents", sf_dir))
+
+
 @register("ngram_topk", oracles.NGRAM_TOPK)
 def _ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_topk(load_table(spark, "documents", sf_dir))
@@ -634,6 +644,8 @@ _GATE_ORDER = [
     "q21_suppliers_waiting",
     "q9_product_profit",
     "q20_potential_promotion",
+    "pii_scrub",
+    "repetition_score",
     # -- (2) r2-recorded only, stale under r3 code changes;
     #        ascending measured gate cost --------------------------------
     "size_filter",
