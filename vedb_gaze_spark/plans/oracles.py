@@ -1562,6 +1562,18 @@ WHERE lg.pred_lang = '{P.CURATION_LANG}'
   AND en.entropy_bits BETWEEN {P.CURATION_ENTROPY_LO} AND {P.CURATION_ENTROPY_HI}
 """
 
+CURATION_FULL = f"""
+SELECT c.doc_id, c.n_tokens, c.quality, c.entropy_bits, c.status,
+       r.top_word_frac, r.dup_2gram_frac, p.n_pii
+FROM ({CURATION_PIPELINE}) c
+JOIN ({REPETITION_SCORE}) r USING (doc_id)
+JOIN (SELECT doc_id, n_email + n_phone + n_ip AS n_pii
+      FROM ({PII_SCRUB})) p USING (doc_id)
+WHERE r.top_word_frac <= {P.CURATION_MAX_TOP_WORD}
+  AND r.dup_2gram_frac <= {P.CURATION_MAX_DUP_2GRAM}
+"""
+
+
 _BIT_SUMS = ",\n    ".join(
     f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
     for j in range(P.SIMHASH_BITS)

@@ -204,6 +204,10 @@ CURATION_MIN_TOKENS = 20
 CURATION_MIN_QUALITY = 0.3
 CURATION_ENTROPY_LO = 3.5
 CURATION_ENTROPY_HI = 6.0
+# repetition gates (curation_full): ≈ p90 of the corpus distributions,
+# so the gates demonstrably cut the repetitive tail
+CURATION_MAX_TOP_WORD = 0.14
+CURATION_MAX_DUP_2GRAM = 0.06
 
 # Deterministic synthetic gaze-signal derivation (integer arithmetic only,
 # so Spark and DuckDB agree exactly). Multipliers are arbitrary primes.

@@ -290,3 +290,38 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "quality", "entropy_bits", "status")
     )
+
+
+def curation_full(documents: DataFrame) -> DataFrame:
+    """curation_pipeline plus the r4 gates — the full pre-training sweep
+    a 100 TB corpus gets in one Catalyst plan:
+
+    5. repetition gates     (repetition_score: top-word and dup-2gram
+                             fractions under the p90 cuts)
+    6. PII audit            (pii_scrub counts carried through for the
+                             curation report; this corpus scrubs clean)
+
+    The repetition and PII branches are stateless per-row projections —
+    they add NO shuffle to curation_pipeline's plan; every join key
+    stays doc_id, so a doc_id-bucketed corpus still runs the whole
+    sweep without exchanging the corpus once."""
+    from vedb_gaze_spark.operators.text import pii_scrub, repetition_score
+
+    rep = repetition_score(documents)
+    pii = pii_scrub(documents).select(
+        "doc_id",
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ip")).alias("n_pii"),
+    )
+    return (
+        curation_pipeline(documents)
+        .join(rep, "doc_id")
+        .join(pii, "doc_id")
+        .where(
+            (F.col("top_word_frac") <= P.CURATION_MAX_TOP_WORD)
+            & (F.col("dup_2gram_frac") <= P.CURATION_MAX_DUP_2GRAM)
+        )
+        .select(
+            "doc_id", "n_tokens", "quality", "entropy_bits", "status",
+            "top_word_frac", "dup_2gram_frac", "n_pii",
+        )
+    )

@@ -484,6 +484,13 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(load_table(spark, "documents", sf_dir))
 
 
+@register("curation_full", oracles.CURATION_FULL)
+def _curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vedb_gaze_spark.plans.pipeline import curation_full
+
+    return curation_full(load_table(spark, "documents", sf_dir))
+
+
 # --- similarity search (SURVEY §2.G) -------------------------------------------
 
 @register("dedup_embedding_cosine", oracles.DEDUP_EMBEDDING_COSINE)
@@ -646,6 +653,7 @@ _GATE_ORDER = [
     "q20_potential_promotion",
     "pii_scrub",
     "repetition_score",
+    "curation_full",
     # -- (2) r2-recorded only, stale under r3 code changes;
     #        ascending measured gate cost --------------------------------
     "size_filter",
