@@ -365,6 +365,39 @@ def ann_lsh(
     )
 
 
+def ann_recall(embeddings: DataFrame, k: int = P.ANN_K) -> DataFrame:
+    """Recall@k report: per-query fraction of the exact top-k the LSH
+    index recovers — measurement-as-operator, so index quality is a
+    nightly pipeline metric instead of a one-off notebook number
+    (the planted-pair test pins the same quantity on synthetic data).
+
+    Both sides are the registered operators; the comparison is a
+    left-semi-shaped join on (query, neighbor) over two k·q-row inputs —
+    negligible next to either index pass."""
+    exact = ann_cosine_topk(embeddings, k=k).select("query_id", "neighbor_id")
+    approx = (
+        ann_lsh(embeddings, k=k)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.expr("floor(n_hit / cast(n_exact as double) * 1e6 + 0.5) / 1e6").alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
 def vector_norm(embeddings: DataFrame) -> DataFrame:
     """L2 norm of each embedding — the vector twin of odometry.py:99's
     absolute_linear_velocity (np.linalg.norm over stream vectors)."""

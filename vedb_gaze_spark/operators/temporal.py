@@ -109,6 +109,50 @@ def match_asof(
     )
 
 
+def match_asof_forward(
+    events: DataFrame,
+    ref_type: str = "click",
+    sig_type: str = "view",
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Forward as-of join: each ref event takes the EARLIEST signal event
+    with sig_t >= ref_t (optionally within ``tolerance`` seconds) — the
+    mirror of match_asof for pipelines aligning to the NEXT observation
+    (e.g. label-at-next-fixation). Refs sort before signals at equal t,
+    so a same-instant signal qualifies; among equal-t signals the min
+    event_id wins. Same plan as the backward form: one shuffle on
+    user_id, one sorted window."""
+    e = (
+        with_tsec(events)
+        .where(F.col("event_type").isin(ref_type, sig_type))
+        .select("user_id", "event_id", "event_type", "t")
+    )
+    is_sig = F.col("event_type") == sig_type
+    kind = F.when(is_sig, 1).otherwise(0)
+    nxt = Window.partitionBy("user_id").orderBy("t", kind, "event_id").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    matched = (
+        e.withColumn(
+            "sig_t", F.first(F.when(is_sig, F.col("t")), ignorenulls=True).over(nxt)
+        )
+        .withColumn(
+            "sig_id",
+            F.first(F.when(is_sig, F.col("event_id")), ignorenulls=True).over(nxt),
+        )
+        .where(~is_sig & F.col("sig_t").isNotNull())
+    )
+    dist = F.col("sig_t") - F.col("t")
+    if tolerance is not None:
+        matched = matched.where(dist <= tolerance)
+    return matched.select(
+        "user_id",
+        "event_id",
+        F.col("sig_id").alias("matched_event_id"),
+        F.round(dist, 6).alias("dist_sec"),
+    )
+
+
 def match_window_median(
     events: DataFrame,
     ref_type: str = "click",

@@ -398,6 +398,26 @@ FROM m
 WHERE event_type = 'click' AND sig_t IS NOT NULL
 """
 
+MATCH_ASOF_FORWARD = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, {_T} AS t
+  FROM events WHERE event_type IN ('click','view')
+), m AS (
+  SELECT *,
+    first_value(CASE WHEN event_type='view' THEN t END IGNORE NULLS) OVER wn AS sig_t,
+    first_value(CASE WHEN event_type='view' THEN event_id END IGNORE NULLS) OVER wn AS sig_id
+  FROM e
+  WINDOW wn AS (
+    PARTITION BY user_id
+    ORDER BY t, CASE WHEN event_type='view' THEN 1 ELSE 0 END, event_id
+    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id, sig_id AS matched_event_id,
+       round(sig_t - t, 6) AS dist_sec
+FROM m
+WHERE event_type = 'click' AND sig_t IS NOT NULL
+"""
+
 MATCH_WINDOW_MEDIAN = f"""
 WITH e AS (
   SELECT user_id, event_id, event_type, {_T} AS t, value
@@ -1690,6 +1710,17 @@ WITH v AS MATERIALIZED (
   FROM scored
 )
 SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3
+"""
+
+ANN_RECALL = f"""
+WITH exact AS ({ANN_COSINE_TOPK}), approx AS ({ANN_LSH})
+SELECT e.query_id AS query_id, count(*) AS n_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       floor(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall_at_k
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
 """
 
 VECTOR_NORM = """

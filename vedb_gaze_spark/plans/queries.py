@@ -260,6 +260,11 @@ def _match_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.match_asof(load_table(spark, "events", sf_dir))
 
 
+@register("match_asof_forward", oracles.MATCH_ASOF_FORWARD)
+def _match_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.match_asof_forward(load_table(spark, "events", sf_dir))
+
+
 @register("resample_tps")  # LAPACK-bound (stacked local TPS solves): rows-only
 def _resample_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.resample_tps(load_table(spark, "events", sf_dir))
@@ -513,6 +518,11 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(load_table(spark, "embeddings", sf_dir))
 
 
+@register("ann_recall", oracles.ANN_RECALL)
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_recall(load_table(spark, "embeddings", sf_dir))
+
+
 @register("vector_norm", oracles.VECTOR_NORM)
 def _vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.vector_norm(load_table(spark, "embeddings", sf_dir))
@@ -654,6 +664,8 @@ _GATE_ORDER = [
     "pii_scrub",
     "repetition_score",
     "curation_full",
+    "match_asof_forward",
+    "ann_recall",
     # -- (2) r2-recorded only, stale under r3 code changes;
     #        ascending measured gate cost --------------------------------
     "size_filter",
