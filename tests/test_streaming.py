@@ -669,3 +669,34 @@ def test_streaming_dedup_embedding_lsh_matches_batch(spark, sf_dir, tmp_path):
         assert any(a <= mid < b for a, b, _ in got), "no cross-batch pair"
     finally:
         q.stop()
+
+
+def test_streaming_stateless_curation_gates_r4(spark, sf_dir):
+    """pii_scrub and repetition_score are pure per-row projections, so
+    they compose over a document stream unchanged — streamed results
+    equal the batch operators row-for-row."""
+    from vedb_gaze_spark.operators.text import pii_scrub, repetition_score
+
+    batch = load_table(spark, "documents", sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    for name, op in [("mem_pii", pii_scrub), ("mem_rep", repetition_score)]:
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+            want = {tuple(r) for r in op(batch).collect()}
+            assert got == want, name
+            assert len(want) > 0
+        finally:
+            q.stop()
