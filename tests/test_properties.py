@@ -334,3 +334,65 @@ def test_cc_alternating_equals_union_find_on_adversarial_graphs(spark):
             for r in _cc_alternating(both, lambda df, eager=True: df.localCheckpoint(eager)).collect()
         }
         assert got == want, edges[:3]
+
+
+_q21_lineitems = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),   # orderkey
+        st.integers(min_value=0, max_value=4),   # suppkey
+        st.booleans(),                           # returned ('R')
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lis=_q21_lineitems, finished=st.lists(st.booleans(), min_size=7, max_size=7))
+def test_q21_single_scan_aggregate_equals_subquery_semantics(spark, lis, finished):
+    """The per-order aggregate collapse must equal the literal dual
+    EXISTS/NOT-EXISTS semantics on ANY input — all-late orders,
+    single-supplier orders, multi-late-line suppliers, ties."""
+    import datetime as dt
+
+    from vedb_gaze_spark.operators.relational import q21_suppliers_waiting
+
+    # brute force, straight from the classic query text
+    numwait: dict[int, int] = {}
+    for ok, sk, late in lis:
+        if not late or not finished[ok]:
+            continue
+        others = [(o, s, lt) for (o, s, lt) in lis if o == ok and s != sk]
+        if not others:  # EXISTS other-supplier line
+            continue
+        if any(lt for (_, _, lt) in others):  # NOT EXISTS other late
+            continue
+        numwait[sk] = numwait.get(sk, 0) + 1
+    want = sorted(
+        ((f"S{sk}", n) for sk, n in numwait.items()),
+        key=lambda r: (-r[1], r[0]),
+    )
+
+    li = spark.createDataFrame(
+        [(ok, sk, 1, "R" if late else "N") for ok, sk, late in lis],
+        "l_orderkey long, l_suppkey long, l_linenumber int, l_returnflag string",
+    )
+    orders = spark.createDataFrame(
+        [(ok, "F" if f else "O") for ok, f in enumerate(finished)],
+        "o_orderkey long, o_orderstatus string",
+    )
+    supplier = spark.createDataFrame(
+        [(sk, f"S{sk}", 0) for sk in range(5)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(0, "N0")], "n_nationkey int, n_name string"
+    )
+    got = [
+        (r.s_name, r.numwait)
+        for r in q21_suppliers_waiting(
+            li, orders, supplier, nation, nation_name="N0"
+        ).collect()
+    ]
+    assert got == want, (got, want)
