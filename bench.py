@@ -53,6 +53,11 @@ HEADLINE = [
     # r4 additions
     "q21_suppliers_waiting",
     "q9_product_profit",
+    "line_dedup",
+    "decontaminate",
+    "bm25_search",
+    "hll_distinct",
+    "pack_sequences",
 ]
 
 

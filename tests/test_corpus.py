@@ -1,0 +1,124 @@
+"""Semantic properties of the corpus-composition family (r4) — the
+invariants the oracle comparison can't express: packing feasibility,
+dedup conservation, sampling determinism, sketch accuracy."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from vedb_gaze_spark.operators import corpus, text
+from vedb_gaze_spark.plans import params as P
+from vedb_gaze_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir).cache()
+
+
+def test_line_dedup_conserves_distinct_segments(spark, documents):
+    """Every distinct segment survives exactly once across the corpus:
+    sum(kept) == |distinct segments|, and no document is dropped."""
+    out = corpus.line_dedup(documents).cache()
+    assert out.count() == documents.count()
+    w = P.LINE_DEDUP_WORDS
+    n_distinct = (
+        documents.select(F.split(F.trim("text"), r"\s+").alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(ws) / {w}.0) as int) - 1),"
+                    f" i -> array_join(slice(ws, i * {w} + 1, {w}), ' '))"
+                )
+            ).alias("seg")
+        )
+        .distinct()
+        .count()
+    )
+    kept = out.agg(F.sum("kept_segments")).collect()[0][0]
+    assert kept == n_distinct
+    # a doc_id that appears twice would double-keep; totals bound kept
+    bad = out.where(F.col("kept_segments") > F.col("total_segments")).count()
+    assert bad == 0
+
+
+def test_pack_sequences_feasible_and_ordered(spark, documents):
+    out = corpus.pack_sequences(documents).cache()
+    assert out.count() == documents.count()
+    budget = P.PACK_BUDGET_TOKENS
+    # every pack fits the budget unless it is a single over-budget doc
+    packs = (
+        out.groupBy("source", "pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n"))
+        .where((F.col("tot") > budget) & (F.col("n") > 1))
+    )
+    assert packs.count() == 0
+    # pack ids are contiguous from 0 and non-decreasing in doc_id order
+    per_src = (
+        out.groupBy("source")
+        .agg(
+            F.min("pack_id").alias("mn"),
+            F.max("pack_id").alias("mx"),
+            F.countDistinct("pack_id").alias("k"),
+        )
+        .collect()
+    )
+    for r in per_src:
+        assert r["mn"] == 0 and r["k"] == r["mx"] + 1
+    rows = out.orderBy("source", "doc_id").collect()
+    last = {}
+    for r in rows:
+        prev = last.get(r["source"], 0)
+        assert r["pack_id"] >= prev
+        last[r["source"]] = r["pack_id"]
+
+
+def test_stratified_sample_rates_and_determinism(spark, documents):
+    out = corpus.stratified_sample(documents).cache()
+    again = {tuple(r) for r in corpus.stratified_sample(documents).collect()}
+    assert {tuple(r) for r in out.collect()} == again  # rerun-identical
+    totals = {r["lang"]: r["n"] for r in documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, rate in P.SAMPLE_RATES.items():
+        n = totals.get(lang, 0)
+        if n < 50:
+            continue
+        frac = got.get(lang, 0) / n
+        # binomial 5-sigma bound around the target rate
+        sigma = (rate * (1 - rate) / n) ** 0.5
+        assert abs(frac - rate) < 5 * sigma + 1e-9, (lang, frac, rate, n)
+
+
+def test_hll_estimate_within_sketch_error(spark, sf_dir):
+    events = load_table(spark, "events", sf_dir)
+    rows = corpus.hll_distinct(events).collect()
+    assert rows
+    for r in rows:
+        # standard error 1.04/sqrt(512) ~ 4.6%; allow 4 sigma
+        assert r["rel_error"] < 0.20, r
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (0, base),                                   # benchmark (0 % 13 == 0)
+            (1, "clean text " + " ".join(f"x{i}" for i in range(20))),
+            (2, "prefix " + " ".join(f"w{i}" for i in range(8)) + " suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_overlap"] for r in corpus.decontaminate(docs).collect()}
+    assert 2 in out and out[2] >= 1   # shares w0..w7 with the benchmark doc
+    assert 1 not in out               # disjoint vocabulary
+
+
+def test_bm25_ranks_term_rich_docs(spark, documents):
+    out = text.bm25_search(documents).collect()
+    assert 0 < len(out) <= P.BM25_TOPK
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    ranks = [r["rank"] for r in out]
+    assert ranks == list(range(1, len(out) + 1))
+    # the top hit must actually contain a query term
+    top_doc = documents.where(F.col("doc_id") == out[0]["doc_id"]).collect()[0]
+    assert any(t in top_doc["text"].lower() for t in P.BM25_QUERY)

@@ -1,0 +1,258 @@
+"""Corpus-composition operators — the training-set assembly family.
+
+SURVEY §2.G additions (r4): line-level exact dedup, benchmark
+decontamination, token-budget sequence packing, stratified domain
+mixing, and a deterministic HyperLogLog distinct sketch. Together with
+dedup.py/text.py these cover the "assemble the training mix" stage of
+a large-scale pipeline: dedup within the corpus, scrub overlap with
+eval benchmarks, re-weight domains, pack into fixed-length sequences,
+and count cardinalities cheaply.
+
+Scale design:
+- line_dedup: one shuffle keyed by the segment text (global
+  first-occurrence window), one shuffle back on doc_id to reassemble.
+  At 100 TB the window key would be a 128-bit hash of the segment
+  rather than the string itself (smaller shuffle payload, negligible
+  collision odds); here the string keeps the oracle exact.
+- decontaminate: the benchmark n-gram set is tiny relative to the
+  corpus — distinct-ed and broadcast, so the corpus side never
+  shuffles; contamination counting is one doc_id groupBy.
+- pack_sequences: packing is inherently sequential WITHIN a group but
+  embarrassingly parallel ACROSS groups; the group key (source) is the
+  unit of distribution, state per group is two scalars. Arrow-batched
+  applyInPandas, no driver involvement.
+- stratified_sample: stateless row-local hash test — no shuffle at
+  all, and the same rows are kept on any engine or partitioning.
+- hll_distinct: classic two-level aggregate (map-side partial max per
+  register), shuffle width = m registers per group, NOT the row count.
+  The register sum is scaled-integer math so the sketch is
+  bit-reproducible — the estimate survives the driver's value-hash
+  gate, which a float-summed HLL would not.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vedb_gaze_spark.functions.core import portable_hash60
+from vedb_gaze_spark.plans import params as P
+
+_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+
+def line_dedup(documents: DataFrame, words_per_seg: int = P.LINE_DEDUP_WORDS) -> DataFrame:
+    """Line-level exact dedup (Lee et al. 2022 family): segment every
+    document, keep each distinct segment only at its FIRST global
+    occurrence (ordered by doc_id, then segment position), and
+    reassemble the surviving text per document.
+
+    The corpus has no newlines, so a "line" is a non-overlapping
+    ``words_per_seg``-word chunk — the segmentation is deterministic and
+    shared with the oracle. Docs that lose every segment (exact dupes of
+    an earlier doc) come back with empty text, not dropped: the caller
+    decides the fate of emptied docs.
+    """
+    w = words_per_seg
+    segs = (
+        documents.select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), r"\s+").alias("ws"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(ws) / {w}.0) as int) - 1),"
+                    f" i -> array_join(slice(ws, i * {w} + 1, {w}), ' '))"
+                )
+            ).alias("seg_no", "seg"),
+        )
+    )
+    first = Window.partitionBy("seg").orderBy("doc_id", "seg_no")
+    flagged = segs.withColumn(
+        "keep", (F.row_number().over(first) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_segments"),
+            F.sum("keep").alias("kept_segments"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(filter(array_sort(collect_list(struct(seg_no, keep, seg))),"
+                    " s -> s.keep = 1), s -> s.seg)"
+                ),
+            ).alias("text_dedup"),
+        )
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    n: int = P.DECONTAM_NGRAM,
+    bench_mod: int = P.DECONTAM_BENCH_MOD,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C shape): flag training
+    documents that share any word ``n``-gram with the held-out benchmark
+    slice (doc_id % bench_mod == 0). Returns one row per contaminated
+    training doc with the count of distinct overlapping n-grams.
+
+    The benchmark n-gram set is distinct-ed and broadcast — at 100 TB the
+    benchmark (an eval suite) is megabytes against terabytes of corpus,
+    so the corpus side joins without shuffling."""
+    ngrams = (
+        documents.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .where(F.expr(f"size(toks) >= {n}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(toks) - {n} + 1),"
+                    f" i -> array_join(slice(toks, i, {n}), ' ')))"
+                )
+            ).alias("ng"),
+        )
+    )
+    bench = (
+        ngrams.where(F.col("doc_id") % bench_mod == 0).select("ng").distinct()
+    )
+    corpus = ngrams.where(F.col("doc_id") % bench_mod != 0)
+    return (
+        corpus.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+_PACK_SCHEMA = "source string, doc_id long, n_tokens long, pack_id long"
+
+
+def pack_sequences(
+    documents: DataFrame, budget: int = P.PACK_BUDGET_TOKENS
+) -> DataFrame:
+    """Token-budget sequence packing: greedy first-fit of documents into
+    fixed-budget training sequences, in doc_id order within each source.
+    A doc that doesn't fit the open pack starts a new one; an over-budget
+    doc occupies a pack alone. Returns (source, doc_id, n_tokens,
+    pack_id) with pack_id counted from 0 per source.
+
+    Packing is sequential per group and parallel across groups — the
+    per-group state is two scalars, so applyInPandas streams each
+    source's docs through one Arrow batch. At 100 TB the group key is
+    whatever unit sequences must not cross (source, shard, epoch
+    slice), which also bounds group size."""
+    toks = documents.select(
+        "source",
+        "doc_id",
+        F.expr("size(split(trim(text), '\\\\s+'))").cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_id, fill = -1, budget  # forces the first doc to open pack 0
+        ids = []
+        for t in pdf["n_tokens"]:
+            if fill + t <= budget:
+                fill += t
+            else:
+                pack_id += 1
+                fill = t
+            ids.append(pack_id)
+        pdf["pack_id"] = pd.Series(ids, dtype="int64")
+        return pdf[["source", "doc_id", "n_tokens", "pack_id"]]
+
+    return toks.groupBy("source").applyInPandas(pack, _PACK_SCHEMA)
+
+
+def stratified_sample(documents: DataFrame) -> DataFrame:
+    """Domain mixing: deterministic per-language downsampling at the
+    P.SAMPLE_RATES target mix. Keeps a doc when hash(salt||doc_id)/2^60
+    falls below its language's rate; emits the inverse-rate resampling
+    weight. Stateless and shuffle-free — the same sample on any engine,
+    partitioning, or rerun, which is what makes a 100 TB mixing job
+    resumable and auditable."""
+    items = list(P.SAMPLE_RATES.items())
+    rate = F.when(F.col("lang") == items[0][0], F.lit(float(items[0][1])))
+    for lang, r in items[1:]:
+        rate = rate.when(F.col("lang") == lang, F.lit(float(r)))
+    rate = rate.otherwise(F.lit(0.0))
+    u = portable_hash60(
+        F.concat(F.lit(P.SAMPLE_SALT), F.col("doc_id").cast("string"))
+    ) / F.lit(P.SAMPLE_DENOM)
+    return (
+        documents.select("doc_id", "lang", rate.alias("rate"), u.alias("u"))
+        .where(F.col("u") < F.col("rate"))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.lit(1.0) / F.col("rate"), 6).alias("weight"),
+        )
+    )
+
+
+def hll_distinct(events: DataFrame) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user sketch per event_type,
+    reported against the exact count (sketch-accuracy-as-operator, like
+    ann_recall). Flajolet et al. 2007 with p=9 (m=512): register index =
+    low 9 hash bits, rank = leading zeros of the remaining 51 bits + 1.
+
+    Cross-engine determinism is the point: registers are integer maxes,
+    and the harmonic sum is computed as SUM(2^(52-M_j)) in exact BIGINT
+    (max 512·2^52 = 2^61), so the estimate is ONE double division on an
+    exact integer — identical on Spark and DuckDB at any parallelism.
+    The shuffle is m registers per group, independent of row count."""
+    m, rb = P.HLL_M, P.HLL_RANK_BITS
+    h = portable_hash60(F.col("user_id").cast("string"))
+    # Integer shift, NOT h/m: a double division would round the 60-bit
+    # hash to 53 mantissa bits and corrupt the low rank bits.
+    regs = (
+        events.select(
+            "event_type",
+            (h % m).alias("idx"),
+            F.shiftright(h, P.HLL_P).alias("w"),
+        )
+        .withColumn(
+            "rank",
+            F.when(F.col("w") == 0, F.lit(rb + 1)).otherwise(
+                F.lit(rb + 1) - F.length(F.bin(F.col("w")))
+            ),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rank").alias("mx"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("cast(power(2.0, 52 - mx) as bigint)")).alias("s_present"),
+            F.count(F.lit(1)).alias("n_regs"),
+        )
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    zscaled = F.col("s_present") + (F.lit(m) - F.col("n_regs")) * F.lit(
+        4503599627370496  # 2^52, the empty-register term
+    )
+    e_raw = F.lit(P.HLL_NUM_SCALED) / zscaled.cast("double")
+    v = F.lit(m) - F.col("n_regs")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return (
+        regs.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(est, 4).alias("hll_estimate"),
+        )
+        .withColumn(
+            "rel_error",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ),
+        )
+    )

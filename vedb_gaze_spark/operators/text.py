@@ -255,3 +255,56 @@ def repetition_score(documents: DataFrame) -> DataFrame:
             F.expr(dup).alias("dup_2gram_frac"),
         )
     )
+
+
+def bm25_search(documents: DataFrame, query: tuple = P.BM25_QUERY) -> DataFrame:
+    """BM25 top-k retrieval for a literal keyword query (Okapi BM25,
+    k1/b at the standard defaults). One scan computes per-doc tf for
+    each query term plus doc length; ONE global aggregate yields N,
+    avgdl, and every term's df; the single-row stats join back by
+    broadcast, so scoring is scan -> agg -> broadcast-join -> top-k —
+    no per-term shuffle, term count only widens the projection.
+
+    Floats: idf/score are computed with an identical literal expression
+    order on both engines and rounded to 6 dp (ln differs in the last
+    ulp across libm implementations)."""
+    tf_cols = [
+        F.expr(f"size(filter({_TOKENS}, t -> t = '{t}'))").alias(f"tf{i}")
+        for i, t in enumerate(query)
+    ]
+    d = documents.select("doc_id", F.expr(f"size({_TOKENS})").alias("dl"), *tf_cols)
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(query))
+        ],
+    )
+    k1, b = P.BM25_K1, P.BM25_B
+    scored = d.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        term = idf * (
+            tf
+            * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+        )
+        score = term if score is None else score + term
+    ranked = scored.select(
+        "doc_id", "dl", F.round(score, 6).alias("score")
+    ).where(F.col("score") > 0)
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition heaps,
+    # no single-partition shuffle); the row_number window then runs on the
+    # k survivors only.
+    top = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(P.BM25_TOPK)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "dl", "score"
+    )

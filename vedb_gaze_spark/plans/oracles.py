@@ -2047,3 +2047,168 @@ SELECT bins.doc_id AS doc_id, CAST(bins.bin_idx AS INT) AS bin_idx,
 FROM bins LEFT JOIN cnt
   ON bins.doc_id = cnt.doc_id AND bins.bin_idx = cnt.bin_idx
 """
+
+# --- corpus-composition family (r4) --------------------------------------
+
+_LD_W = P.LINE_DEDUP_WORDS
+
+LINE_DEDUP = rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+),
+segs AS (
+  SELECT doc_id, i - 1 AS seg_no,
+         array_to_string(ws[((i-1)*{_LD_W}+1):((i-1)*{_LD_W}+{_LD_W})], ' ') AS seg
+  FROM w, unnest(generate_series(1, CAST(ceil(len(ws) / {_LD_W}.0) AS BIGINT))) AS t(i)
+),
+flagged AS (
+  SELECT doc_id, seg_no, seg,
+         CASE WHEN row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM segs
+)
+SELECT doc_id,
+       count(*) AS total_segments,
+       CAST(sum(keep) AS BIGINT) AS kept_segments,
+       coalesce(string_agg(CASE WHEN keep = 1 THEN seg END, ' ' ORDER BY seg_no), '')
+         AS text_dedup
+FROM flagged GROUP BY doc_id
+"""
+
+_DC_N = P.DECONTAM_NGRAM
+_DC_M = P.DECONTAM_BENCH_MOD
+
+DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_DC_N - 1}], ' ') AS ng
+  FROM (SELECT * FROM toks WHERE len(toks) >= {_DC_N}) t,
+       unnest(generate_series(1, len(toks) - {_DC_N - 1})) AS g(i)
+),
+bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % {_DC_M} = 0)
+SELECT c.doc_id, count(*) AS n_overlap
+FROM (SELECT * FROM ng WHERE doc_id % {_DC_M} <> 0) c JOIN bench USING (ng)
+GROUP BY c.doc_id
+"""
+
+PACK_SEQUENCES = rf"""
+WITH RECURSIVE toks AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+packs AS (
+  SELECT source, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN p.fill + t.n_tokens <= {P.PACK_BUDGET_TOKENS}
+              THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + t.n_tokens <= {P.PACK_BUDGET_TOKENS}
+              THEN p.fill + t.n_tokens ELSE t.n_tokens END
+  FROM packs p JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tokens, pack_id FROM packs
+"""
+
+_RATE_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN CAST({r!r} AS DOUBLE)"
+    for lang, r in P.SAMPLE_RATES.items()
+) + " ELSE CAST(0.0 AS DOUBLE) END"
+
+STRATIFIED_SAMPLE = f"""
+WITH s AS (
+  SELECT doc_id, lang, {_RATE_CASE} AS rate,
+         {_h60(f"'{P.SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")}
+           / CAST(1152921504606846976 AS DOUBLE) AS u
+  FROM documents
+)
+SELECT doc_id, lang, round(CAST(1.0 AS DOUBLE) / rate, 6) AS weight
+FROM s WHERE u < rate
+"""
+
+HLL_DISTINCT = f"""
+WITH bits AS (
+  SELECT event_type,
+         h % {P.HLL_M} AS idx, h >> {P.HLL_P} AS w
+  FROM (SELECT event_type, {_h60('CAST(user_id AS VARCHAR)')} AS h FROM events)
+),
+regs AS (
+  SELECT event_type, idx,
+         max(CASE WHEN w = 0 THEN {P.HLL_RANK_BITS + 1}
+                  ELSE {P.HLL_RANK_BITS + 1} - length(printf('%b', w)) END) AS mx
+  FROM bits GROUP BY event_type, idx
+),
+agg AS (
+  SELECT event_type,
+         CAST(sum(CAST(power(2.0, 52 - mx) AS BIGINT)) AS BIGINT) AS s_present,
+         count(*) AS n_regs
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         {P.HLL_NUM_SCALED!r}
+           / CAST(s_present + ({P.HLL_M} - n_regs)
+                  * CAST(4503599627370496 AS BIGINT) AS DOUBLE) AS e_raw,
+         {P.HLL_M} - n_regs AS v
+  FROM agg
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type
+),
+rounded AS (
+  SELECT e.event_type, x.n_exact,
+         round(CASE WHEN e.e_raw <= {2.5 * P.HLL_M!r} AND e.v > 0
+                    THEN CAST({float(P.HLL_M)!r} AS DOUBLE)
+                         * ln(CAST({float(P.HLL_M)!r} AS DOUBLE) / CAST(e.v AS DOUBLE))
+                    ELSE e.e_raw END, 4) AS hll_estimate
+  FROM est e JOIN exact x USING (event_type)
+)
+SELECT event_type, n_exact, hll_estimate,
+       round(abs(hll_estimate - n_exact) / n_exact, 6) AS rel_error
+FROM rounded
+"""
+
+_BM_TFS = ",\n         ".join(
+    f"len(list_filter({_TOKENS_SQL}, t -> t = '{t}')) AS tf{i}"
+    for i, t in enumerate(P.BM25_QUERY)
+)
+_BM_DFS = ",\n         ".join(
+    f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+    for i in range(len(P.BM25_QUERY))
+)
+# Literal-for-literal the same doubles as the Spark plan: k1+1, 1-b, b, k1
+# are computed by the same Python expressions and repr'd into both engines.
+_BM_TERMS = " + ".join(
+    f"(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+    f" * ((CAST(tf{i} AS DOUBLE) * {P.BM25_K1 + 1.0!r})"
+    f" / (CAST(tf{i} AS DOUBLE) + {P.BM25_K1!r}"
+    f" * ({1.0 - P.BM25_B!r} + {P.BM25_B!r} * dl / avgdl))))"
+    for i in range(len(P.BM25_QUERY))
+)
+
+BM25_SEARCH = f"""
+WITH d AS (
+  SELECT doc_id, len({_TOKENS_SQL}) AS dl,
+         {_BM_TFS}
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         {_BM_DFS}
+  FROM d
+),
+scored AS (
+  SELECT doc_id, dl, round({_BM_TERMS}, 6) AS score
+  FROM d CROSS JOIN stats
+),
+top AS (
+  SELECT doc_id, dl, score FROM scored WHERE score > 0
+  ORDER BY score DESC, doc_id LIMIT {P.BM25_TOPK}
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, dl, score
+FROM top
+"""

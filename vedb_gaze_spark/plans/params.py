@@ -241,3 +241,40 @@ IVF_CENTROIDS = (
     (-0.0932, -0.2249, 0.0218, -0.1579, -0.0206, -0.0215, -0.0439, -0.1147, -0.2152, 0.0829, 0.1588, 0.025, 0.0745, -0.0941, 0.1708, 0.0422, 0.164, -0.1718, -0.0855, -0.0915, 0.0495, 0.1409, -0.0149, 0.0493, 0.0526, -0.0213, -0.0051, 0.0921, 0.1285, 0.1192, 0.1232, -0.263, 0.0392, 0.0831, 0.1878, -0.1995, 0.0333, 0.0058, -0.1468, -0.0425, 0.082, -0.0407, 0.0504, 0.0228, 0.1259, -0.1771, -0.1948, 0.1008, -0.003, -0.0346, 0.0288, -0.0668, -0.0247, 0.3751, -0.0674, -0.2792, 0.0466, -0.1779, 0.0617, -0.0049, -0.0909, 0.1299, -0.2022, 0.0481),
 )
 IVF_PROBES = 4                  # cells probed per query
+
+# --- corpus-composition operators (r4; SURVEY §2.G additions) -------------
+# Line-level exact dedup (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better", the ExactSubstr/line-dedup family): the
+# synthetic corpus has no newlines, so the "line" unit is a fixed
+# non-overlapping word chunk — same machinery, deterministic segmentation.
+LINE_DEDUP_WORDS = 8            # words per segment
+# Benchmark decontamination (GPT-3 appendix C / PaLM style): flag training
+# docs sharing any word n-gram with a held-out benchmark set. The
+# benchmark here is the deterministic doc_id % mod == 0 slice.
+DECONTAM_NGRAM = 8              # word n-gram width
+DECONTAM_BENCH_MOD = 13         # benchmark = doc_id % 13 == 0
+# Token-budget sequence packing (group docs into fixed-budget training
+# sequences, greedy first-fit in doc_id order within each source).
+PACK_BUDGET_TOKENS = 256
+# Stratified sampling / domain mixing: per-language keep rates, applied
+# via a deterministic 60-bit hash so both engines draw the same sample.
+SAMPLE_RATES = {"en": 0.25, "fr": 0.5, "de": 0.75, "es": 1.0, "zh": 0.1}
+SAMPLE_SALT = "smp"
+SAMPLE_DENOM = 1152921504606846976.0   # 2^60 as double
+# Deterministic HyperLogLog (Flajolet et al. 2007, the HLL standard):
+# p=9 -> m=512 registers over the 60-bit portable hash; the remaining
+# 51 bits feed the leading-zero rank (max rank 52). Exact-integer
+# register sum (scaled by 2^52) keeps the sketch bit-reproducible
+# across engines and partitionings.
+HLL_P = 9
+HLL_M = 512                     # 2^p
+HLL_RANK_BITS = 51              # 60 - p
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 512.0)
+# alpha * m^2 * 2^52 precomputed once so the estimate is ONE division.
+HLL_NUM_SCALED = HLL_ALPHA * 512.0 * 512.0 * 4503599627370496.0
+# BM25 keyword retrieval (Robertson-Sparck Jones; k1/b at the standard
+# Okapi defaults) over the documents table for a literal query.
+BM25_QUERY = ("window", "merge", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20

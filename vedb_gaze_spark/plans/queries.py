@@ -18,6 +18,7 @@ from vedb_gaze_spark.operators import (
     calibration,
     cleaning,
     clustering,
+    corpus,
     dedup,
     error,
     eyelid,
@@ -440,6 +441,38 @@ def _ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_topk(load_table(spark, "documents", sf_dir))
 
 
+# --- corpus-composition family (r4) --------------------------------------
+
+@register("line_dedup", oracles.LINE_DEDUP)
+def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.line_dedup(load_table(spark, "documents", sf_dir))
+
+
+@register("decontaminate", oracles.DECONTAMINATE)
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.decontaminate(load_table(spark, "documents", sf_dir))
+
+
+@register("pack_sequences", oracles.PACK_SEQUENCES)
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.pack_sequences(load_table(spark, "documents", sf_dir))
+
+
+@register("stratified_sample", oracles.STRATIFIED_SAMPLE)
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.stratified_sample(load_table(spark, "documents", sf_dir))
+
+
+@register("hll_distinct", oracles.HLL_DISTINCT)
+def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.hll_distinct(load_table(spark, "events", sf_dir))
+
+
+@register("bm25_search", oracles.BM25_SEARCH)
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_search(load_table(spark, "documents", sf_dir))
+
+
 @register("scrub_stopwords", oracles.SCRUB_STOPWORDS)
 def _scrub_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.scrub_stopwords(load_table(spark, "documents", sf_dir))
@@ -657,7 +690,17 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      cheapest-first (the r4 window re-records the first ~12 of these).
 # Names not listed (future queries) keep declaration order at the tail.
 _GATE_ORDER = [
-    # -- (1) never recorded: new in r4 ----------------------------------
+    # -- (1) never recorded: new in r4 (the corpus-composition family
+    #        joins the front; with 14 new entries + 37 r2-stale = 51,
+    #        the single most expensive stale oracle, dedup_ngram_jaccard,
+    #        intentionally yields its window slot — it holds an r2 green
+    #        row and the local parity suite re-proves it every run) -----
+    "line_dedup",
+    "decontaminate",
+    "pack_sequences",
+    "stratified_sample",
+    "hll_distinct",
+    "bm25_search",
     "q21_suppliers_waiting",
     "q9_product_profit",
     "q20_potential_promotion",
