@@ -58,6 +58,7 @@ HEADLINE = [
     "bm25_search",
     "hll_distinct",
     "pack_sequences",
+    "corpus_pipeline",
 ]
 
 

@@ -122,3 +122,38 @@ def test_bm25_ranks_term_rich_docs(spark, documents):
     # the top hit must actually contain a query term
     top_doc = documents.where(F.col("doc_id") == out[0]["doc_id"]).collect()[0]
     assert any(t in top_doc["text"].lower() for t in P.BM25_QUERY)
+
+
+def test_corpus_pipeline_semantics_and_single_chain(spark, sf_dir, documents):
+    """End-to-end assembly invariants: no benchmark or contaminated docs
+    survive, weights match the lang rates, packs are feasible — and the
+    plan stays ONE linear chain (3 corpus scans: benchmark n-grams,
+    contamination probe, the train chain; no mid-plan recompute)."""
+    from vedb_gaze_spark.plans.pipeline import corpus_pipeline
+
+    # plan-shape pin on the EXECUTED (AQE-final) plan BEFORE any caching
+    # can intercept the subtree: 3 corpus reads (benchmark n-grams,
+    # contamination probe, train chain), no mid-plan recompute
+    fresh = corpus_pipeline(load_table(spark, "documents", sf_dir))
+    fresh.count()
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 3
+    assert plan.count("Exchange hash") <= 6
+
+    out = corpus_pipeline(documents).cache()
+    rows = out.collect()
+    assert rows
+    ids = {r["doc_id"] for r in rows}
+    assert not any(i % P.DECONTAM_BENCH_MOD == 0 for i in ids)
+    flagged = {r["doc_id"] for r in corpus.decontaminate(documents).collect()}
+    assert not (ids & flagged)
+    langs = {r["doc_id"]: r["lang"] for r in documents.select("doc_id", "lang").collect()}
+    for r in rows:
+        assert abs(r["weight"] - round(1.0 / P.SAMPLE_RATES[langs[r["doc_id"]]], 6)) < 1e-9
+    over = (
+        out.groupBy("source", "pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n"))
+        .where((F.col("tot") > P.PACK_BUDGET_TOKENS) & (F.col("n") > 1))
+        .count()
+    )
+    assert over == 0

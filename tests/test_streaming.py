@@ -700,3 +700,55 @@ def test_streaming_stateless_curation_gates_r4(spark, sf_dir):
             assert len(want) > 0
         finally:
             q.stop()
+
+
+def test_streaming_corpus_gates_r4(spark, sf_dir):
+    """Corpus-composition twins: stratified_sample (pure row-local hash
+    filter — the batch operator streams unchanged) and decontaminate
+    (static benchmark n-gram set broadcast, row-local membership test)
+    both equal their batch results row-for-row."""
+    from vedb_gaze_spark.operators.corpus import decontaminate, stratified_sample
+    from vedb_gaze_spark.streaming.corpus import (
+        bench_ngram_set,
+        streaming_decontaminate,
+    )
+
+    batch = load_table(spark, "documents", sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    q = (
+        stratified_sample(stream)
+        .writeStream.format("memory")
+        .queryName("mem_strat")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {tuple(r) for r in spark.sql("SELECT * FROM mem_strat").collect()}
+        want = {tuple(r) for r in stratified_sample(batch).collect()}
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
+
+    bench = bench_ngram_set(batch)
+    q = (
+        streaming_decontaminate(stream, bench)
+        .writeStream.format("memory")
+        .queryName("mem_decon")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {tuple(r) for r in spark.sql("SELECT * FROM mem_decon").collect()}
+        want = {tuple(r) for r in decontaminate(batch).collect()}
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()

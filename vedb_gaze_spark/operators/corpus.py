@@ -42,7 +42,11 @@ from vedb_gaze_spark.plans import params as P
 _TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 
 
-def line_dedup(documents: DataFrame, words_per_seg: int = P.LINE_DEDUP_WORDS) -> DataFrame:
+def line_dedup(
+    documents: DataFrame,
+    words_per_seg: int = P.LINE_DEDUP_WORDS,
+    carry: tuple = (),
+) -> DataFrame:
     """Line-level exact dedup (Lee et al. 2022 family): segment every
     document, keep each distinct segment only at its FIRST global
     occurrence (ordered by doc_id, then segment position), and
@@ -53,15 +57,21 @@ def line_dedup(documents: DataFrame, words_per_seg: int = P.LINE_DEDUP_WORDS) ->
     shared with the oracle. Docs that lose every segment (exact dupes of
     an earlier doc) come back with empty text, not dropped: the caller
     decides the fate of emptied docs.
+
+    ``carry`` columns ride through the segment explode and come back in
+    the output (per-doc constants) — corpus_pipeline uses this to keep
+    lang/source without re-joining the corpus (one scan, not two).
     """
     w = words_per_seg
     segs = (
         documents.select(
             "doc_id",
+            *carry,
             F.split(F.trim(F.col("text")), r"\s+").alias("ws"),
         )
         .select(
             "doc_id",
+            *carry,
             F.posexplode(
                 F.expr(
                     f"transform(sequence(0, cast(ceil(size(ws) / {w}.0) as int) - 1),"
@@ -77,6 +87,7 @@ def line_dedup(documents: DataFrame, words_per_seg: int = P.LINE_DEDUP_WORDS) ->
     return (
         flagged.groupBy("doc_id")
         .agg(
+            *[F.first(c).alias(c) for c in carry],
             F.count(F.lit(1)).alias("total_segments"),
             F.sum("keep").alias("kept_segments"),
             F.concat_ws(
@@ -127,7 +138,33 @@ def decontaminate(
     )
 
 
-_PACK_SCHEMA = "source string, doc_id long, n_tokens long, pack_id long"
+def greedy_pack(
+    toks: DataFrame, budget: int, extra_cols: tuple = ()
+) -> DataFrame:
+    """Greedy first-fit packing of (source, doc_id, n_tokens [, extra])
+    rows into budget-bounded packs, doc_id order within source. The
+    shared kernel under pack_sequences and corpus_pipeline: per-group
+    state is two scalars, groups stream through applyInPandas in
+    parallel."""
+    out_cols = ["source", "doc_id", "n_tokens", *extra_cols, "pack_id"]
+    extra_schema = "".join(f", {c} double" for c in extra_cols)
+    schema = f"source string, doc_id long, n_tokens long{extra_schema}, pack_id long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_id, fill = -1, budget  # forces the first doc to open pack 0
+        ids = []
+        for t in pdf["n_tokens"]:
+            if fill + t <= budget:
+                fill += t
+            else:
+                pack_id += 1
+                fill = t
+            ids.append(pack_id)
+        pdf["pack_id"] = pd.Series(ids, dtype="int64")
+        return pdf[out_cols]
+
+    return toks.groupBy("source").applyInPandas(pack, schema)
 
 
 def pack_sequences(
@@ -149,22 +186,9 @@ def pack_sequences(
         "doc_id",
         F.expr("size(split(trim(text), '\\\\s+'))").cast("long").alias("n_tokens"),
     )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        pack_id, fill = -1, budget  # forces the first doc to open pack 0
-        ids = []
-        for t in pdf["n_tokens"]:
-            if fill + t <= budget:
-                fill += t
-            else:
-                pack_id += 1
-                fill = t
-            ids.append(pack_id)
-        pdf["pack_id"] = pd.Series(ids, dtype="int64")
-        return pdf[["source", "doc_id", "n_tokens", "pack_id"]]
-
-    return toks.groupBy("source").applyInPandas(pack, _PACK_SCHEMA)
+    return greedy_pack(toks, budget).select(
+        "source", "doc_id", "n_tokens", "pack_id"
+    )
 
 
 def stratified_sample(documents: DataFrame) -> DataFrame:

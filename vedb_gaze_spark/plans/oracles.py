@@ -2212,3 +2212,78 @@ top AS (
 SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, dl, score
 FROM top
 """
+
+CORPUS_PIPELINE = rf"""
+WITH RECURSIVE alltoks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_DC_N - 1}], ' ') AS ng
+  FROM (SELECT * FROM alltoks WHERE len(toks) >= {_DC_N}) t,
+       unnest(generate_series(1, len(toks) - {_DC_N - 1})) AS g(i)
+),
+bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % {_DC_M} = 0),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT * FROM ng WHERE doc_id % {_DC_M} <> 0) c JOIN bench USING (ng)
+),
+train AS (
+  SELECT * FROM documents
+  WHERE doc_id % {_DC_M} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM train
+),
+segs AS (
+  SELECT doc_id, i - 1 AS seg_no,
+         array_to_string(ws[((i-1)*{_LD_W}+1):((i-1)*{_LD_W}+{_LD_W})], ' ') AS seg
+  FROM w, unnest(generate_series(1, CAST(ceil(len(ws) / {_LD_W}.0) AS BIGINT))) AS t(i)
+),
+flagged AS (
+  SELECT doc_id, seg_no, seg,
+         CASE WHEN row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM segs
+),
+dd AS (
+  SELECT doc_id,
+         CAST(sum(keep) AS BIGINT) AS kept_segments,
+         coalesce(string_agg(CASE WHEN keep = 1 THEN seg END, ' ' ORDER BY seg_no), '')
+           AS text
+  FROM flagged GROUP BY doc_id
+  HAVING CAST(sum(keep) AS BIGINT) > 0
+),
+surv AS (
+  SELECT t.doc_id, t.lang, t.source, d.text
+  FROM train t JOIN dd d USING (doc_id)
+),
+samp AS (
+  SELECT doc_id, round(CAST(1.0 AS DOUBLE) / rate, 6) AS weight
+  FROM (
+    SELECT doc_id, {_RATE_CASE} AS rate,
+           {_h60(f"'{P.SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")}
+             / CAST(1152921504606846976 AS DOUBLE) AS u
+    FROM surv
+  ) WHERE u < rate
+),
+ptoks AS (
+  SELECT s.source, s.doc_id,
+         CAST(len(regexp_split_to_array(trim(s.text), '\s+')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY s.source ORDER BY s.doc_id) AS rn
+  FROM surv s JOIN samp USING (doc_id)
+),
+packs AS (
+  SELECT source, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+  FROM ptoks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN p.fill + t.n_tokens <= {P.PACK_BUDGET_TOKENS}
+              THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + t.n_tokens <= {P.PACK_BUDGET_TOKENS}
+              THEN p.fill + t.n_tokens ELSE t.n_tokens END
+  FROM packs p JOIN ptoks t ON t.source = p.source AND t.rn = p.rn + 1
+)
+SELECT p.source, p.doc_id, p.n_tokens, p.pack_id, s.weight
+FROM packs p JOIN samp s USING (doc_id)
+"""

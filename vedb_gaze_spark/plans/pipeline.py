@@ -325,3 +325,69 @@ def curation_full(documents: DataFrame) -> DataFrame:
             "top_word_frac", "dup_2gram_frac", "n_pii",
         )
     )
+
+
+def corpus_pipeline(documents: DataFrame) -> DataFrame:
+    """Training-set ASSEMBLY as one declarative plan — the stage after
+    curation_full's filtering: take the raw corpus to packed, weighted
+    training sequences (SURVEY §2.H):
+
+    1. decontaminate   drop training docs sharing any word n-gram with
+                       the held-out benchmark slice (the slice itself is
+                       excluded from training)
+    2. line_dedup      segment-level exact dedup; docs keep only their
+                       first-global-occurrence segments, fully-duplicated
+                       docs empty out and are dropped
+    3. stratified_sample  deterministic hash-threshold domain mixing at
+                       the target per-language rates, with inverse-rate
+                       resampling weights
+    4. pack_sequences  greedy token-budget packing of the DEDUPED text,
+                       per source, in doc_id order
+
+    Output: (source, doc_id, n_tokens, pack_id, weight) — one row per
+    surviving doc with its pack assignment and mixing weight.
+
+    Scale shape — ONE linear chain over a single corpus scan: the
+    benchmark n-gram set broadcasts into an anti join (stage 1 never
+    shuffles the corpus); stage 2 carries lang/source THROUGH the
+    segment explode (line_dedup's carry columns) so nothing re-joins the
+    corpus afterward; stage 3 is a row-local hash filter on the dedup
+    output — no join; stage 4 shuffles once on the pack group key. The
+    corpus is scanned twice in total (benchmark n-gram build + the
+    chain), never recomputed mid-plan."""
+    from vedb_gaze_spark.functions.core import portable_hash60
+    from vedb_gaze_spark.operators.corpus import decontaminate, greedy_pack, line_dedup
+
+    contaminated = decontaminate(documents).select("doc_id")
+    train = documents.where(
+        F.col("doc_id") % P.DECONTAM_BENCH_MOD != 0
+    ).join(F.broadcast(contaminated), "doc_id", "left_anti")
+    dd = line_dedup(train, carry=("lang", "source")).where(
+        F.col("kept_segments") > 0
+    )
+    # stratified sample as a row-local filter on the dedup output — the
+    # same hash/rate algebra as stratified_sample, no corpus re-join
+    items = list(P.SAMPLE_RATES.items())
+    rate = F.when(F.col("lang") == items[0][0], F.lit(float(items[0][1])))
+    for lang, r in items[1:]:
+        rate = rate.when(F.col("lang") == lang, F.lit(float(r)))
+    rate = rate.otherwise(F.lit(0.0))
+    u = portable_hash60(
+        F.concat(F.lit(P.SAMPLE_SALT), F.col("doc_id").cast("string"))
+    ) / F.lit(P.SAMPLE_DENOM)
+    sampled = (
+        dd.withColumn("rate", rate)
+        .withColumn("u", u)
+        .where(F.col("u") < F.col("rate"))
+        .select(
+            "source",
+            "doc_id",
+            F.expr("size(split(trim(text_dedup), '\\\\s+'))")
+            .cast("long")
+            .alias("n_tokens"),
+            F.round(F.lit(1.0) / F.col("rate"), 6).alias("weight"),
+        )
+    )
+    return greedy_pack(
+        sampled, P.PACK_BUDGET_TOKENS, extra_cols=("weight",)
+    ).select("source", "doc_id", "n_tokens", "pack_id", "weight")

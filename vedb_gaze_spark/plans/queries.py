@@ -529,6 +529,13 @@ def _curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_full(load_table(spark, "documents", sf_dir))
 
 
+@register("corpus_pipeline", oracles.CORPUS_PIPELINE)
+def _corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vedb_gaze_spark.plans.pipeline import corpus_pipeline
+
+    return corpus_pipeline(load_table(spark, "documents", sf_dir))
+
+
 # --- similarity search (SURVEY §2.G) -------------------------------------------
 
 @register("dedup_embedding_cosine", oracles.DEDUP_EMBEDDING_COSINE)
@@ -691,11 +698,13 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Names not listed (future queries) keep declaration order at the tail.
 _GATE_ORDER = [
     # -- (1) never recorded: new in r4 (the corpus-composition family
-    #        joins the front; with 14 new entries + 37 r2-stale = 51,
-    #        the single most expensive stale oracle, dedup_ngram_jaccard,
-    #        intentionally yields its window slot — it holds an r2 green
-    #        row and the local parity suite re-proves it every run) -----
+    #        joins the front; with 15 new entries + 37 r2-stale = 52,
+    #        the two most expensive stale oracles, cluster_dbscan and
+    #        dedup_ngram_jaccard, intentionally yield their window slots
+    #        — both hold r2 green rows and the local parity suite
+    #        re-proves them every run) ----------------------------------
     "line_dedup",
+    "corpus_pipeline",
     "decontaminate",
     "pack_sequences",
     "stratified_sample",
