@@ -59,6 +59,7 @@ HEADLINE = [
     "hll_distinct",
     "pack_sequences",
     "corpus_pipeline",
+    "cms_heavy_hitters",
 ]
 
 

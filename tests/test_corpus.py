@@ -157,3 +157,25 @@ def test_corpus_pipeline_semantics_and_single_chain(spark, sf_dir, documents):
         .count()
     )
     assert over == 0
+
+
+def test_cms_never_underestimates_and_finds_all_heavy_hitters(spark, documents):
+    """CMS guarantee: estimate >= exact for every word, so every TRUE
+    heavy hitter is reported (no false negatives); with w=16 against a
+    31-word vocabulary, collisions must produce at least one visible
+    overcount."""
+    out = corpus.cms_heavy_hitters(documents).collect()
+    assert out
+    assert all(r["overcount"] >= 0 for r in out)
+    reported = {r["word"] for r in out}
+    wc = (
+        documents.select(F.explode(F.expr(corpus._TOKENS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = wc.agg(F.sum("n")).collect()[0][0]
+    true_hh = {
+        r["w"] for r in wc.collect() if r["n"] >= P.CMS_HH_FRAC * total
+    }
+    assert true_hh <= reported
+    assert any(r["overcount"] > 0 for r in out)  # w=16 forces collisions

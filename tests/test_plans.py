@@ -193,7 +193,13 @@ def test_no_driver_collect_in_operators():
     of the corpus."""
     import pathlib
 
-    allowed = ("def _verify_jaccard_broadcast", "def ivf_train_centroids")
+    allowed = (
+        "def _verify_jaccard_broadcast",
+        "def ivf_train_centroids",
+        # static benchmark n-gram set for streaming decontamination:
+        # collects O(eval-suite) n-grams once, never corpus rows
+        "def bench_ngram_set",
+    )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []
     for py in root.rglob("*.py"):

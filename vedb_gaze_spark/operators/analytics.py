@@ -1,0 +1,76 @@
+"""Event-analytics rollups — active users and retention cohorts.
+
+The classic warehouse shapes over the events stream (complementing the
+TPC-H surface in relational.py): rolling distinct-user counts and
+cohort retention matrices. Day arithmetic is integer epoch-days derived
+from exact microseconds (unix_micros DIV 86400e6) — timezone-free and
+bit-identical to DuckDB's epoch_us interpretation of the same column,
+per the loader's timestamp normalization (sources/tables.py:39).
+
+Scale design: everything reduces the stream to the (user, day) distinct
+table first — one shuffle on (user_id, day_idx), after which DAU is a
+count per day, the trailing-7-day WAU is a bounded 7× explode of that
+already-small table (the standard sliding-distinct-window rewrite that
+avoids a per-day self-join), and retention is a user-keyed min-join
+(co-partitioned groupBy + join on user_id, one exchange shared).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DAY_US = 86_400_000_000
+
+
+def _user_days(events: DataFrame) -> DataFrame:
+    return (
+        events.select(
+            "user_id",
+            F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day_idx"),
+        )
+        .distinct()
+    )
+
+
+def dau_rollup(events: DataFrame) -> DataFrame:
+    """Daily and trailing-7-day active users per epoch-day.
+
+    WAU(d) counts users active in [d-6, d]: each (user, day) activity
+    row votes for the 7 target days it can serve, then distinct+count —
+    a 7× fanout of the compact user-day table instead of a 7-way
+    self-join or a quadratic window. Output keeps only days that have
+    activity themselves (inner join with DAU)."""
+    ud = _user_days(events)
+    dau = ud.groupBy("day_idx").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day_idx"), F.col("day_idx") + F.lit(6))
+            ).alias("day_idx"),
+        )
+        .distinct()
+        .groupBy("day_idx")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return dau.join(wau, "day_idx").select("day_idx", "dau", "wau")
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention cohorts: users grouped by their first-activity
+    week (absolute epoch-week), counted at each week offset they return.
+    offset 0 row = cohort size."""
+    ud = _user_days(events)
+    first = ud.groupBy("user_id").agg(F.min("day_idx").alias("d0"))
+    return (
+        ud.join(first, "user_id")
+        .select(
+            F.expr("d0 DIV 7").alias("cohort_week"),
+            F.expr("(day_idx - d0) DIV 7").alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )

@@ -280,3 +280,48 @@ def hll_distinct(events: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def cms_heavy_hitters(documents: DataFrame) -> DataFrame:
+    """Count-Min Sketch heavy hitters over the corpus word stream,
+    reported against exact counts (sketch-accuracy-as-operator, the
+    cms twin of hll_distinct). Cormode & Muthukrishnan 2005: d salted
+    hash rows of w counters; estimate = min over rows; every true heavy
+    hitter appears (CMS never underestimates), collisions surface as
+    cms_est > exact_cnt.
+
+    Scale shape: the token stream aggregates ONCE on word (the only
+    corpus-sized shuffle); the d×w counter tables are rollups of that
+    word-count table (counters are additive, so sketching the counts is
+    algebraically identical to sketching the stream) and broadcast back
+    — at 100 TB the sketch costs one word groupBy plus d tiny joins,
+    and the counter tables themselves are mergeable across shards."""
+    wc = (
+        documents.select(F.explode(F.expr(_TOKENS)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    total = wc.agg(F.sum("exact_cnt").alias("total"))
+    est = wc.crossJoin(F.broadcast(total))
+    mins = []
+    for j, salt in enumerate(P.CMS_SALTS):
+        idx = (portable_hash60(F.concat(F.lit(salt), F.col("word"))) % P.CMS_W)
+        counter = (
+            wc.select(idx.alias(f"idx{j}"), "exact_cnt")
+            .groupBy(f"idx{j}")
+            .agg(F.sum("exact_cnt").alias(f"c{j}"))
+        )
+        est = est.withColumn(f"idx{j}", idx).join(
+            F.broadcast(counter), f"idx{j}"
+        )
+        mins.append(F.col(f"c{j}"))
+    return (
+        est.withColumn("cms_est", F.least(*mins))
+        .where(F.col("cms_est") >= F.lit(P.CMS_HH_FRAC) * F.col("total"))
+        .select(
+            "word",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )

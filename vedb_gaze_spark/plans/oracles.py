@@ -2287,3 +2287,58 @@ packs AS (
 SELECT p.source, p.doc_id, p.n_tokens, p.pack_id, s.weight
 FROM packs p JOIN samp s USING (doc_id)
 """
+
+_CMS_COUNTERS = ",\n".join(
+    f"c{j} AS (SELECT {_h60(repr(s) + ' || word')} % {P.CMS_W} AS idx{j},"
+    f" CAST(sum(exact_cnt) AS BIGINT) AS c{j} FROM wc GROUP BY 1)"
+    for j, s in enumerate(P.CMS_SALTS)
+)
+_CMS_JOINS = "\n  ".join(
+    f"JOIN c{j} ON {_h60(repr(s) + ' || wc.word')} % {P.CMS_W} = c{j}.idx{j}"
+    for j, s in enumerate(P.CMS_SALTS)
+)
+_CMS_LEAST = "least(" + ", ".join(f"c{j}.c{j}" for j in range(P.CMS_D)) + ")"
+
+CMS_HEAVY_HITTERS = f"""
+WITH wc AS (
+  SELECT w AS word, count(*) AS exact_cnt
+  FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents) GROUP BY w
+),
+tot AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS total FROM wc),
+{_CMS_COUNTERS}
+SELECT word, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+FROM (
+  SELECT wc.word, wc.exact_cnt, {_CMS_LEAST} AS cms_est, tot.total
+  FROM wc CROSS JOIN tot
+  {_CMS_JOINS}
+)
+WHERE cms_est >= CAST({P.CMS_HH_FRAC!r} AS DOUBLE) * total
+"""
+
+# --- event-analytics rollups (r4) ----------------------------------------
+
+DAU_ROLLUP = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx FROM events
+),
+dau AS (SELECT day_idx, count(*) AS dau FROM ud GROUP BY day_idx),
+wau AS (
+  SELECT day_idx, count(*) AS wau FROM (
+    SELECT DISTINCT user_id, t.d AS day_idx
+    FROM ud, unnest(generate_series(day_idx, day_idx + 6)) AS t(d)
+  ) GROUP BY day_idx
+)
+SELECT d.day_idx, d.dau, w.wau FROM dau d JOIN wau w USING (day_idx)
+"""
+
+RETENTION_COHORTS = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx FROM events
+),
+first AS (SELECT user_id, min(day_idx) AS d0 FROM ud GROUP BY user_id)
+SELECT cohort_week, week_offset, count(*) AS users FROM (
+  SELECT DISTINCT u.user_id, f.d0 // 7 AS cohort_week,
+         (u.day_idx - f.d0) // 7 AS week_offset
+  FROM ud u JOIN first f USING (user_id)
+) GROUP BY cohort_week, week_offset
+"""

@@ -278,3 +278,12 @@ BM25_QUERY = ("window", "merge", "stream")
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 20
+# Count-Min Sketch heavy hitters (Cormode & Muthukrishnan 2005): d=4
+# salted 60-bit hash rows, w=16 counters each — deliberately narrow so
+# the 31-word synthetic vocabulary collides and the report shows real
+# CMS overestimates against exact counts. All-integer counters keep the
+# sketch bit-reproducible across engines.
+CMS_D = 4
+CMS_W = 16
+CMS_SALTS = ("cms0", "cms1", "cms2", "cms3")
+CMS_HH_FRAC = 0.02              # heavy hitter: estimate >= 2% of stream

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from vedb_gaze_spark.operators import (
+    analytics,
     binocular,
     calib3d,
     calibration,
@@ -468,6 +469,21 @@ def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.hll_distinct(load_table(spark, "events", sf_dir))
 
 
+@register("dau_rollup", oracles.DAU_ROLLUP)
+def _dau_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.dau_rollup(load_table(spark, "events", sf_dir))
+
+
+@register("retention_cohorts", oracles.RETENTION_COHORTS)
+def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.retention_cohorts(load_table(spark, "events", sf_dir))
+
+
+@register("cms_heavy_hitters", oracles.CMS_HEAVY_HITTERS)
+def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.cms_heavy_hitters(load_table(spark, "documents", sf_dir))
+
+
 @register("bm25_search", oracles.BM25_SEARCH)
 def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_search(load_table(spark, "documents", sf_dir))
@@ -698,10 +714,10 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Names not listed (future queries) keep declaration order at the tail.
 _GATE_ORDER = [
     # -- (1) never recorded: new in r4 (the corpus-composition family
-    #        joins the front; with 15 new entries + 37 r2-stale = 52,
-    #        the two most expensive stale oracles, cluster_dbscan and
-    #        dedup_ngram_jaccard, intentionally yield their window slots
-    #        — both hold r2 green rows and the local parity suite
+    #        joins the front; with 18 new entries + 37 r2-stale = 55,
+    #        the five most expensive stale oracles (from dedup_minhash_lsh
+    #        down, end of the stale list) intentionally yield their window
+    #        slots — all hold r2 green rows and the local parity suite
     #        re-proves them every run) ----------------------------------
     "line_dedup",
     "corpus_pipeline",
@@ -709,6 +725,9 @@ _GATE_ORDER = [
     "pack_sequences",
     "stratified_sample",
     "hll_distinct",
+    "cms_heavy_hitters",
+    "dau_rollup",
+    "retention_cohorts",
     "bm25_search",
     "q21_suppliers_waiting",
     "q9_product_profit",
@@ -725,13 +744,11 @@ _GATE_ORDER = [
     "sessionize",
     "q1_pricing_summary",
     "smooth_savgol",
-    "char_entropy",
     "detect_blinks",
     "cluster_stats",
     "eye_velocity",
     "brief_detections",
     "detrend_median",
-    "ann_cosine_topk",
     "run_length",
     "calibration_linear",
     "odometry_speed",
@@ -740,16 +757,13 @@ _GATE_ORDER = [
     "detect_saccades",
     "match_window_median",
     "match_nearest",
-    "dedup_embedding_cosine",
     "bimodal_filter",
     "resample_linear",
     "dedup_embedding_lsh",
     "onoff_expand",
     "q7_volume_shipping",
-    "doc_fingerprint",
     "ann_lsh",
     "q3_shipping_priority",
-    "token_count",
     "q5_local_supplier",
     "detect_blinks_eyelid",
     "gaze_map_binocular",
@@ -757,6 +771,14 @@ _GATE_ORDER = [
     "dedup_simhash",
     "cluster_dbscan",
     "dedup_ngram_jaccard",
+    # -- (2b) r2-recorded AND untouched by any r3/r4 code change
+    #         (documents/embeddings ops): the five entries that can
+    #         afford to wait — first to yield window slots ------------
+    "char_entropy",
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+    "doc_fingerprint",
+    "token_count",
     # -- (3) r3-recorded (fresh rows), cheapest-first --------------------
     "multimodal_meta",
     "vector_norm",
