@@ -137,3 +137,88 @@ def test_pii_scrub_redacts_planted_pii_identically_to_oracle(spark, duck):
     want = {r[0]: r for r in con.execute(sql).fetchall()}
     for i, r in got.items():
         assert (r.doc_id, r.n_email, r.n_phone, r.n_ip, r.clean_text) == want[i], i
+
+
+def test_jsonl_ingest_parses_and_quarantines(spark, tmp_path):
+    """Schema-enforced JSONL ingest: clean lines parse into typed
+    columns, malformed lines land whole in the quarantine column with
+    nothing silently dropped."""
+    from vedb_gaze_spark.sources.jsonl import read_documents_jsonl, split_quarantine
+
+    p = tmp_path / "dump.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s0"}',
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "s1"}',
+        '{"doc_id": 3, "text": "truncated',              # corrupt JSON
+        'not json at all',                                # corrupt
+        '{"doc_id": 4, "text": null, "lang": "de", "source": "s0"}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    clean, bad = split_quarantine(read_documents_jsonl(spark, str(p)))
+    crows = {r["doc_id"]: r for r in clean.collect()}
+    assert set(crows) == {1, 2, 4}
+    assert crows[1]["text"] == "hello world" and crows[2]["lang"] == "fr"
+    assert crows[4]["text"] is None                       # null ≠ corrupt
+    brows = [r[0] for r in bad.collect()]
+    assert len(brows) == 2
+    assert any("truncated" in b for b in brows)
+    assert any(b.strip() == "not json at all" for b in brows)
+    # lossless: every input line is accounted for exactly once
+    assert clean.count() + bad.count() == len(lines)
+
+
+def test_partitioned_writer_layout_and_pruning(spark, sf_dir, tmp_path):
+    """write_partitioned gives hive-style dirs per partition value; a
+    reader filtering one language hits partition pruning (the scan's
+    partition count shrinks) and round-trips identical rows."""
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.sources.tables import load_table
+    from vedb_gaze_spark.sources.writers import write_partitioned
+
+    docs = load_table(spark, "documents", sf_dir)
+    path = str(tmp_path / "part_docs")
+    write_partitioned(docs, path, partition_cols=("lang",))
+    import os
+
+    dirs = {d for d in os.listdir(path) if d.startswith("lang=")}
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert dirs == {f"lang={l}" for l in langs}
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    one = back.where(F.col("lang") == "en")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition pruning reaches the scan: only the en partition is read
+    assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
+    assert one.count() == docs.where(F.col("lang") == "en").count()
+    got = {tuple(r) for r in one.select("doc_id", "text").collect()}
+    want = {
+        tuple(r)
+        for r in docs.where(F.col("lang") == "en").select("doc_id", "text").collect()
+    }
+    assert got == want
+
+
+def test_training_shard_writer_orders_packs(spark, sf_dir, tmp_path):
+    """write_training_shards: per-source dirs, rows inside each shard
+    file already in (pack_id, doc_id) order — a trainer streams packs
+    with no read-side sort."""
+    from vedb_gaze_spark.plans.pipeline import corpus_pipeline
+    from vedb_gaze_spark.sources.tables import load_table
+    from vedb_gaze_spark.sources.writers import write_training_shards
+
+    packed = corpus_pipeline(load_table(spark, "documents", sf_dir))
+    path = str(tmp_path / "shards")
+    write_training_shards(packed, path)
+    import glob
+
+    files = glob.glob(path + "/source=*/*.parquet")
+    assert files
+    import pyarrow.parquet as pq
+
+    for f in files[:5]:
+        t = pq.read_table(f).to_pydict()
+        order = list(zip(t["pack_id"], t["doc_id"]))
+        assert order == sorted(order), f
+    back = spark.read.parquet(path)
+    assert back.count() == packed.count()

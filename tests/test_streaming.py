@@ -752,3 +752,55 @@ def test_streaming_corpus_gates_r4(spark, sf_dir):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_streaming_dau_matches_batch_across_batches(spark, sf_dir, tmp_path):
+    """Incremental DAU over two time-split micro-batches equals the
+    batch rollup's dau column: the watermark-bounded user-day dedup
+    state carries distinctness across the batch boundary (complete
+    output mode so the memory sink holds final counts)."""
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.analytics import dau_rollup
+    from vedb_gaze_spark.streaming.sessions import streaming_dau
+
+    batch = load_table(spark, "events", sf_dir)
+    mid = batch.agg(F.median(F.unix_micros("ts"))).collect()[0][0]
+    batch.where(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        str(tmp_path / "a")
+    )
+    batch.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        str(tmp_path / "b")
+    )
+    import shutil
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    shutil.copy(next((tmp_path / "a").glob("*.parquet")), src / "0.parquet")
+    shutil.copy(next((tmp_path / "b").glob("*.parquet")), src / "1.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_dau(stream)
+        .writeStream.format("memory")
+        .queryName("mem_dau")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            (r["day_idx"], r["dau"])
+            for r in spark.sql("SELECT * FROM mem_dau").collect()
+        }
+        want = {
+            (r["day_idx"], r["dau"])
+            for r in dau_rollup(batch).select("day_idx", "dau").collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()

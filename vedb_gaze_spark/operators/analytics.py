@@ -74,3 +74,38 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("users"))
     )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact per-type distribution summary of the value column: count,
+    min/max, and linear-interpolated quartiles + p95 in one aggregation
+    pass (percentile with a literal array sorts each group once).
+
+    Percentiles/min/max are order-independent statistics, so they are
+    deterministic at any parallelism — unlike a naive avg over doubles,
+    which is why the summary deliberately has no mean. Interpolated
+    values are rounded to 6 dp on both engines (the lerp's op order is
+    engine-internal)."""
+    pct = F.expr(
+        "percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))"
+    ).alias("pct")
+    return (
+        events.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+            pct,
+        )
+        .select(
+            "event_type",
+            "n",
+            "v_min",
+            "v_max",
+            F.round(F.element_at("pct", 1), 6).alias("p25"),
+            F.round(F.element_at("pct", 2), 6).alias("p50"),
+            F.round(F.element_at("pct", 3), 6).alias("p75"),
+            F.round(F.element_at("pct", 4), 6).alias("p95"),
+        )
+    )

@@ -2342,3 +2342,16 @@ SELECT cohort_week, week_offset, count(*) AS users FROM (
   FROM ud u JOIN first f USING (user_id)
 ) GROUP BY cohort_week, week_offset
 """
+
+VALUE_PERCENTILES = """
+SELECT event_type,
+       count(*) AS n,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""

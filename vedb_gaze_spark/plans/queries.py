@@ -469,6 +469,11 @@ def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.hll_distinct(load_table(spark, "events", sf_dir))
 
 
+@register("value_percentiles", oracles.VALUE_PERCENTILES)
+def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.value_percentiles(load_table(spark, "events", sf_dir))
+
+
 @register("dau_rollup", oracles.DAU_ROLLUP)
 def _dau_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.dau_rollup(load_table(spark, "events", sf_dir))
@@ -728,6 +733,7 @@ _GATE_ORDER = [
     "cms_heavy_hitters",
     "dau_rollup",
     "retention_cohorts",
+    "value_percentiles",
     "bm25_search",
     "q21_suppliers_waiting",
     "q9_product_profit",

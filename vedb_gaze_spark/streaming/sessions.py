@@ -104,3 +104,21 @@ def streaming_dedup_exact(
         hashed.groupBy("content_hash")
         .agg(F.min("doc_id").alias("doc_id"))
     )
+
+
+def streaming_dau(events: DataFrame) -> DataFrame:
+    """Incremental daily-active-users: twin of analytics.dau_rollup's
+    DAU branch. Cross-batch distinctness comes from
+    dropDuplicatesWithinWatermark on (user_id, day_idx) — state holds
+    one tombstone per user-day inside the 40-day horizon, evicted by
+    the watermark, so state is bounded by active-users × horizon no
+    matter how long the stream runs. The count itself is an update-mode
+    aggregation keyed by day."""
+    from vedb_gaze_spark.operators.analytics import _DAY_US
+
+    d = (
+        events.withWatermark("ts", "40 days")
+        .selectExpr("ts", "user_id", f"unix_micros(ts) DIV {_DAY_US} AS day_idx")
+        .dropDuplicatesWithinWatermark(["user_id", "day_idx"])
+    )
+    return d.groupBy("day_idx").agg(F.count(F.lit(1)).alias("dau"))
