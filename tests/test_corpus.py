@@ -12,7 +12,12 @@ from vedb_gaze_spark.sources.tables import load_table
 
 @pytest.fixture(scope="module")
 def documents(spark, sf_dir):
-    return load_table(spark, "documents", sf_dir).cache()
+    df = load_table(spark, "documents", sf_dir).cache()
+    yield df
+    # cached plans substitute into IDENTICAL subtrees of later tests in
+    # the shared session (e.g. test_plans' ReusedExchange pins see an
+    # InMemoryTableScan instead of the file scan) — clear on teardown
+    spark.catalog.clearCache()
 
 
 def test_line_dedup_conserves_distinct_segments(spark, documents):

@@ -595,3 +595,36 @@ def test_r4_relational_shapes_plan_pins(spark, sf_dir):
 
     pushed = re.findall(r"PushedFilters: \[[^\]]*\]", s9)
     assert any("p_name" in p for p in pushed), s9
+
+
+def test_minhash_incremental_append_equals_full_recompute(spark, sf_dir):
+    """Nightly-append invariant: dedup(old ∪ new) == dedup(old) ∪
+    incremental(index(old), new). The incremental path derives the
+    index side entirely from the stored doc-set table (no re-shingling
+    of the old corpus) and must emit exactly the pairs touching the new
+    batch, with identical exact-Jaccard scores."""
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.dedup import (
+        _doc_sets,
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+    )
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+
+    full = {tuple(r) for r in dedup_minhash_lsh(docs).collect()}
+    old_pairs = {tuple(r) for r in dedup_minhash_lsh(old).collect()}
+    inc = {
+        tuple(r)
+        for r in dedup_minhash_incremental(_doc_sets(old), new).collect()
+    }
+    assert old_pairs | inc == full
+    assert not (old_pairs & inc)            # disjoint by construction
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert inc and all(
+        (a in new_ids) or (b in new_ids) for a, b, *_ in inc
+    )

@@ -455,6 +455,25 @@ def _minhash_signatures(doc_sets: DataFrame) -> DataFrame:
     return doc_sets.select("doc_id", *exprs)
 
 
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows: all bands from ONE projection, exploded
+    JVM-side (see dedup_minhash_lsh's plan note — the union-of-selects
+    form re-evaluates the signature expressions per branch)."""
+    rows = P.MINHASH_PERMS // P.MINHASH_BANDS
+    key_arr = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows + r}") for r in range(rows)],
+            )
+            for b in range(P.MINHASH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(key_arr).alias("band_key"))
+
+
 def dedup_minhash_lsh(
     documents: DataFrame, doc_sets: DataFrame | None = None
 ) -> DataFrame:
@@ -486,17 +505,7 @@ def dedup_minhash_lsh(
     # them once, and the band self-join's shuffle sits AFTER the key
     # computation so both sides reuse ONE exchange (ReusedExchange,
     # test-pinned).
-    key_arr = F.array(
-        *[
-            F.concat_ws(
-                "-",
-                F.lit(str(b)),
-                *[F.col(f"mh{b * rows + r}") for r in range(rows)],
-            )
-            for b in range(P.MINHASH_BANDS)
-        ]
-    )
-    e = sig.select("doc_id", F.explode(key_arr).alias("band_key"))
+    e = _band_keys(sig)
     ba = e.select(F.col("doc_id").alias("doc_a"), "band_key")
     bb = e.select(F.col("doc_id").alias("doc_b"), "band_key")
     cand = (
@@ -716,3 +725,39 @@ def dedup_prune(documents: DataFrame, clusters: DataFrame | None = None) -> Data
             .alias("status"),
         )
     )
+
+
+def dedup_minhash_incremental(
+    index_doc_sets: DataFrame, new_documents: DataFrame
+) -> DataFrame:
+    """Incremental MinHash-LSH maintenance — the nightly-append shape:
+    given the STORED doc-set index of the existing corpus (written once,
+    ideally bucketed by doc_id — sources/bucketing.py) and a batch of
+    new documents, emit exactly the near-dup pairs that involve at least
+    one new doc (new×index ∪ new×new), verified exactly.
+
+    The index side is never re-shingled and never re-hashed: its
+    signatures/band keys derive from the stored doc-set arrays, and the
+    band join probes with the (small) new batch on the build side.
+    Combined with the batch operator's invariant that pair membership
+    depends only on the two docs involved, appending a day's documents
+    costs O(new batch) scan work instead of O(corpus):
+    dedup(old ∪ new) == dedup(old) ∪ incremental(index(old), new) —
+    test-pinned in tests/test_plans.py."""
+    new_ds = _doc_sets(new_documents)
+    e_new = _band_keys(_minhash_signatures(new_ds))
+    e_all = e_new.unionByName(_band_keys(_minhash_signatures(index_doc_sets)))
+    cand = (
+        e_new.select(F.col("doc_id").alias("doc_a"), "band_key")
+        .join(
+            e_all.select(F.col("doc_id").alias("doc_b"), "band_key"),
+            "band_key",
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_jaccard(cand, index_doc_sets.unionByName(new_ds))

@@ -308,3 +308,85 @@ def bm25_search(documents: DataFrame, query: tuple = P.BM25_QUERY) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "dl", "score"
     )
+
+
+def lm_score(documents: DataFrame) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the CCNet-style quality
+    filter (Wenzek et al. 2020) with the LM trained on the corpus
+    itself in the same plan: P(w) = (count+1)/(N+V) Laplace-smoothed,
+    doc score = -mean log P over its tokens (lower = more typical).
+
+    Determinism trick: per-WORD log-probs are quantized to integer
+    micro-nats (floor(ln(p)·1e6 + 0.5)) in the tiny vocabulary table
+    BEFORE the per-doc sum, so the corpus-sized aggregation sums exact
+    integers — order-independent at any parallelism — and the one
+    ln() per distinct word is rounding-absorbed. The vocab table
+    broadcasts; the only corpus-sized shuffle is the doc_id groupBy."""
+    toks = documents.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("word")
+    )
+    wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = wc.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    logq = (
+        wc.crossJoin(F.broadcast(stats))
+        .select(
+            "word",
+            F.floor(
+                F.log((F.col("cnt") + 1.0) / (F.col("n_total") + F.col("vocab")))
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("logq"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(logq), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("logq").alias("s"), F.count(F.lit(1)).alias("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(-F.col("s") / (1e6 * F.col("n_tokens")), 6).alias(
+                "cross_entropy"
+            ),
+        )
+    )
+
+
+def tfidf_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf (ln N/df),
+    ties broken lexicographically. The keyword-extraction pass of a
+    curation/indexing pipeline.
+
+    Plan shape: distinct per-doc term frequencies in one groupBy; the
+    document-frequency table is vocabulary-sized and broadcasts; the
+    per-doc top-k window partitions on doc_id, so every stage keys on
+    doc or word — corpus scans never meet a corpus-sized shuffle that
+    isn't the tf groupBy itself."""
+    tf = (
+        documents.select("doc_id", F.explode(F.expr(_TOKENS)).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select("doc_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "word", "tfidf")
+    )

@@ -2355,3 +2355,44 @@ SELECT event_type,
 FROM events WHERE value IS NOT NULL
 GROUP BY event_type
 """
+
+LM_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents
+),
+wc AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+stats AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_total, count(*) AS vocab FROM wc
+),
+logq AS (
+  SELECT word,
+         CAST(floor(ln((cnt + 1.0) / (n_total + vocab)) * 1e6 + 0.5) AS BIGINT)
+           AS logq
+  FROM wc CROSS JOIN stats
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(-CAST(sum(l.logq) AS BIGINT) / (1e6 * count(*)), 6) AS cross_entropy
+FROM toks t JOIN logq l USING (word)
+GROUP BY t.doc_id
+"""
+
+TFIDF_KEYWORDS = f"""
+WITH tf AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.word, round(t.tf * ln(n_docs / d.df), 6) AS tfidf
+  FROM tf t JOIN df d USING (word) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, word, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, word, tfidf FROM ranked WHERE rank <= 3
+"""

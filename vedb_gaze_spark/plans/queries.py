@@ -442,6 +442,16 @@ def _ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_topk(load_table(spark, "documents", sf_dir))
 
 
+@register("lm_score", oracles.LM_SCORE)
+def _lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lm_score(load_table(spark, "documents", sf_dir))
+
+
+@register("tfidf_keywords", oracles.TFIDF_KEYWORDS)
+def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_keywords(load_table(spark, "documents", sf_dir))
+
+
 # --- corpus-composition family (r4) --------------------------------------
 
 @register("line_dedup", oracles.LINE_DEDUP)
@@ -718,12 +728,13 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      cheapest-first (the r4 window re-records the first ~12 of these).
 # Names not listed (future queries) keep declaration order at the tail.
 _GATE_ORDER = [
-    # -- (1) never recorded: new in r4 (the corpus-composition family
-    #        joins the front; with 18 new entries + 37 r2-stale = 55,
-    #        the five most expensive stale oracles (from dedup_minhash_lsh
-    #        down, end of the stale list) intentionally yield their window
-    #        slots — all hold r2 green rows and the local parity suite
-    #        re-proves them every run) ----------------------------------
+    # -- (1) never recorded: new in r4 — 21 entries (corpus-composition
+    #        family, event analytics, LM/tf-idf text scores, sketches).
+    #        21 + 32 prioritized stale = 53, so the last three stale
+    #        entries (dedup_simhash, cluster_dbscan, dedup_ngram_jaccard)
+    #        overflow the ~50-entry window along with section (2b) — all
+    #        hold r2 green rows and the local parity suite re-proves them
+    #        every run; never-recorded entries outrank stale-green ones --
     "line_dedup",
     "corpus_pipeline",
     "decontaminate",
@@ -734,6 +745,8 @@ _GATE_ORDER = [
     "dau_rollup",
     "retention_cohorts",
     "value_percentiles",
+    "lm_score",
+    "tfidf_keywords",
     "bm25_search",
     "q21_suppliers_waiting",
     "q9_product_profit",
