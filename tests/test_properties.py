@@ -396,3 +396,86 @@ def test_q21_single_scan_aggregate_equals_subquery_semantics(spark, lis, finishe
         ).collect()
     ]
     assert got == want, (got, want)
+
+
+# --- corpus-composition kernels (r4) -------------------------------------
+
+_pack_groups = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1"]),
+        st.integers(min_value=1, max_value=40),  # n_tokens
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_pack_groups)
+def test_greedy_pack_matches_reference_fold(spark, rows):
+    """greedy_pack against a straight-line Python fold of the same
+    rule (first-fit in doc_id order, over-budget doc packs alone)."""
+    from vedb_gaze_spark.operators.corpus import greedy_pack
+
+    budget = 50
+    data = [(src, i, t) for i, (src, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "source string, doc_id long, n_tokens long")
+    got = {
+        (r["source"], r["doc_id"]): r["pack_id"]
+        for r in greedy_pack(df, budget).collect()
+    }
+    want = {}
+    for src in {s for s, _, _ in data}:
+        pack, fill = -1, budget
+        for s, i, t in sorted(data, key=lambda x: x[1]):
+            if s != src:
+                continue
+            if fill + t <= budget:
+                fill += t
+            else:
+                pack, fill = pack + 1, t
+            want[(s, i)] = pack
+    assert got == want
+
+
+_seg_texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_seg_texts)
+def test_line_dedup_matches_reference_first_occurrence(spark, texts):
+    """line_dedup against a Python dict-based first-occurrence scan of
+    the identical segmentation (hypothesis covers empty/whitespace-only
+    and heavily repeated texts)."""
+    from vedb_gaze_spark.operators.corpus import line_dedup
+    from vedb_gaze_spark.plans import params as P
+
+    w = P.LINE_DEDUP_WORDS
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["kept_segments"], r["text_dedup"])
+        for r in line_dedup(df).collect()
+    }
+    seen = set()
+    want = {}
+    for i, t in enumerate(texts):
+        words = t.strip().split()
+        if not words:
+            words = [""] if not t.strip() else words
+        # mirror split(trim(x), '\s+'): empty/whitespace text -> ['']
+        if not t.strip():
+            words = [""]
+        segs = [
+            " ".join(words[j : j + w]) for j in range(0, len(words), w)
+        ] or [""]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        want[i] = (len(kept), " ".join(kept))
+    assert got == want

@@ -145,7 +145,10 @@ def greedy_pack(
     rows into budget-bounded packs, doc_id order within source. The
     shared kernel under pack_sequences and corpus_pipeline: per-group
     state is two scalars, groups stream through applyInPandas in
-    parallel."""
+    parallel.
+
+    ``extra_cols`` pass through untouched and must be DOUBLE-typed (the
+    Arrow schema declares them as such — corpus_pipeline's weight)."""
     out_cols = ["source", "doc_id", "n_tokens", *extra_cols, "pack_id"]
     extra_schema = "".join(f", {c} double" for c in extra_cols)
     schema = f"source string, doc_id long, n_tokens long{extra_schema}, pack_id long"

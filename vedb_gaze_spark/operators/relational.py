@@ -796,3 +796,41 @@ def q6_revenue(lineitem: DataFrame) -> DataFrame:
     )
     rev = cents("l_extendedprice") * cents("l_discount")
     return li.agg((F.sum(rev) / 10000.0).alias("revenue"))
+
+
+def revenue_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP subtotals — the OLAP hierarchy rollup shape the registry's
+    flat GROUP BYs don't cover: revenue by (returnflag, linestatus),
+    per-flag subtotals, and the grand total in ONE pass. Spark expands
+    rollup() to grouping sets before aggregation (partial aggregation
+    still applies per set); grouping_id() disambiguates subtotal rows
+    from real NULL groups. Exact integer-cents revenue keeps every
+    level order-independent."""
+    rev = cents("l_extendedprice") * cents("l_discount")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(rev) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("level"),
+        )
+    )
+
+
+def daily_type_pivot(events: DataFrame) -> DataFrame:
+    """PIVOT — event counts per epoch-day with one column per event
+    type. Spark's pivot with an EXPLICIT value list compiles to a
+    single-pass conditional aggregation (no extra job to discover
+    values, no second shuffle) — the same CASE-sum form the oracle
+    spells out."""
+    types = ["click", "purchase", "signup", "view", "error"]
+    return (
+        events.select(
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
+            "event_type",
+        )
+        .groupBy("day_idx")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )

@@ -2396,3 +2396,24 @@ ranked AS (
 )
 SELECT doc_id, rank, word, tfidf FROM ranked WHERE rank <= 3
 """
+
+REVENUE_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus,
+       sum({_EP} * {_DISC}) / 10000.0 AS revenue,
+       count(*) AS n_rows,
+       GROUPING(l_returnflag, l_linestatus) AS level
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+_PIVOT_TYPES = ("click", "purchase", "signup", "view", "error")
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+    for t in _PIVOT_TYPES
+)
+
+DAILY_TYPE_PIVOT = f"""
+SELECT epoch_us(ts) // 86400000000 AS day_idx,
+       {_PIVOT_COLS}
+FROM events GROUP BY day_idx
+"""

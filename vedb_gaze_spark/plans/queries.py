@@ -452,6 +452,16 @@ def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_keywords(load_table(spark, "documents", sf_dir))
 
 
+@register("revenue_rollup", oracles.REVENUE_ROLLUP)
+def _revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.revenue_rollup(load_table(spark, "lineitem", sf_dir))
+
+
+@register("daily_type_pivot", oracles.DAILY_TYPE_PIVOT)
+def _daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.daily_type_pivot(load_table(spark, "events", sf_dir))
+
+
 # --- corpus-composition family (r4) --------------------------------------
 
 @register("line_dedup", oracles.LINE_DEDUP)
@@ -728,13 +738,15 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      cheapest-first (the r4 window re-records the first ~12 of these).
 # Names not listed (future queries) keep declaration order at the tail.
 _GATE_ORDER = [
-    # -- (1) never recorded: new in r4 — 21 entries (corpus-composition
-    #        family, event analytics, LM/tf-idf text scores, sketches).
-    #        21 + 32 prioritized stale = 53, so the last three stale
-    #        entries (dedup_simhash, cluster_dbscan, dedup_ngram_jaccard)
-    #        overflow the ~50-entry window along with section (2b) — all
-    #        hold r2 green rows and the local parity suite re-proves them
-    #        every run; never-recorded entries outrank stale-green ones --
+    # -- (1) never recorded: new in r4 — 23 entries (corpus-composition
+    #        family, event analytics, LM/tf-idf text scores, sketches,
+    #        rollup/pivot). With the two r3-CHANGED dedup paths promoted
+    #        to the stale front, the ~50-entry window covers all new
+    #        entries + 27 stale; the overflow (q5_local_supplier,
+    #        detect_blinks_eyelid, gaze_map_binocular, dedup_simhash,
+    #        cluster_dbscan + section 2b) all hold r2 green rows, were
+    #        not code-changed since, and the local parity suite re-proves
+    #        them every run; never-recorded outranks stale-green --------
     "line_dedup",
     "corpus_pipeline",
     "decontaminate",
@@ -747,6 +759,8 @@ _GATE_ORDER = [
     "value_percentiles",
     "lm_score",
     "tfidf_keywords",
+    "revenue_rollup",
+    "daily_type_pivot",
     "bm25_search",
     "q21_suppliers_waiting",
     "q9_product_profit",
@@ -758,6 +772,10 @@ _GATE_ORDER = [
     "ann_recall",
     # -- (2) r2-recorded only, stale under r3 code changes;
     #        ascending measured gate cost --------------------------------
+    #    r3-CHANGED code paths first — these two must re-record even
+    #    though they are the most expensive of the stale set:
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "size_filter",
     "outliers_z",
     "sessionize",
@@ -786,10 +804,8 @@ _GATE_ORDER = [
     "q5_local_supplier",
     "detect_blinks_eyelid",
     "gaze_map_binocular",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "cluster_dbscan",
-    "dedup_ngram_jaccard",
     # -- (2b) r2-recorded AND untouched by any r3/r4 code change
     #         (documents/embeddings ops): the five entries that can
     #         afford to wait — first to yield window slots ------------
