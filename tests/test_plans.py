@@ -628,3 +628,31 @@ def test_minhash_incremental_append_equals_full_recompute(spark, sf_dir):
     assert inc and all(
         (a in new_ids) or (b in new_ids) for a, b, *_ in inc
     )
+
+
+def test_minhash_incremental_reingest_does_not_fan_out(spark, sf_dir):
+    """Re-ingesting docs that already sit in the index (overlap between
+    index and batch) must not duplicate doc-set rows: the stored row is
+    replaced, every emitted pair appears exactly once, and the union
+    with the old pairs still reconstructs the full recompute."""
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.dedup import (
+        _doc_sets,
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+    )
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    # batch = the new fifth PLUS a re-ingest of some already-indexed docs
+    batch = docs.where(
+        (F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 7 == 1)
+    )
+    inc_rows = dedup_minhash_incremental(_doc_sets(old), batch).collect()
+    inc = {tuple(r) for r in inc_rows}
+    assert len(inc_rows) == len(inc)  # exactly-once per pair, no fanout
+    full = {tuple(r) for r in dedup_minhash_lsh(docs).collect()}
+    old_pairs = {tuple(r) for r in dedup_minhash_lsh(old).collect()}
+    assert old_pairs | inc == full

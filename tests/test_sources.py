@@ -188,8 +188,11 @@ def test_partitioned_writer_layout_and_pruning(spark, sf_dir, tmp_path):
     assert back.count() == docs.count()
     one = back.where(F.col("lang") == "en")
     plan = one._jdf.queryExecution().executedPlan().toString()
-    # partition pruning reaches the scan: only the en partition is read
-    assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
+    # the lang predicate must land in PartitionFilters (directory-level
+    # pruning), not merely PushedFilters — if partitionBy were dropped,
+    # lang becomes a data column and this assertion fails
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert "= en)" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert one.count() == docs.where(F.col("lang") == "en").count()
     got = {tuple(r) for r in one.select("doc_id", "text").collect()}
     want = {

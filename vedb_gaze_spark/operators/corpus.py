@@ -155,10 +155,13 @@ def greedy_pack(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        pack_id, fill = -1, budget  # forces the first doc to open pack 0
+        pack_id, fill = -1, budget
         ids = []
         for t in pdf["n_tokens"]:
-            if fill + t <= budget:
+            # pack_id < 0 forces the FIRST row to open pack 0 even when
+            # t == 0 (a zero-token doc would otherwise ride the sentinel
+            # and emit pack_id -1, diverging from the oracle's rn=1 row)
+            if pack_id >= 0 and fill + t <= budget:
                 fill += t
             else:
                 pack_id += 1
@@ -194,13 +197,11 @@ def pack_sequences(
     )
 
 
-def stratified_sample(documents: DataFrame) -> DataFrame:
-    """Domain mixing: deterministic per-language downsampling at the
-    P.SAMPLE_RATES target mix. Keeps a doc when hash(salt||doc_id)/2^60
-    falls below its language's rate; emits the inverse-rate resampling
-    weight. Stateless and shuffle-free — the same sample on any engine,
-    partitioning, or rerun, which is what makes a 100 TB mixing job
-    resumable and auditable."""
+def sample_cols():
+    """(rate, u) Column pair — the ONE definition of the deterministic
+    sampling algebra (per-language rate chain; hash(salt||doc_id)/2^60
+    uniform), shared by stratified_sample and corpus_pipeline so the
+    standalone operator and the composed plan can never drift."""
     items = list(P.SAMPLE_RATES.items())
     rate = F.when(F.col("lang") == items[0][0], F.lit(float(items[0][1])))
     for lang, r in items[1:]:
@@ -209,6 +210,17 @@ def stratified_sample(documents: DataFrame) -> DataFrame:
     u = portable_hash60(
         F.concat(F.lit(P.SAMPLE_SALT), F.col("doc_id").cast("string"))
     ) / F.lit(P.SAMPLE_DENOM)
+    return rate, u
+
+
+def stratified_sample(documents: DataFrame) -> DataFrame:
+    """Domain mixing: deterministic per-language downsampling at the
+    P.SAMPLE_RATES target mix. Keeps a doc when hash(salt||doc_id)/2^60
+    falls below its language's rate; emits the inverse-rate resampling
+    weight. Stateless and shuffle-free — the same sample on any engine,
+    partitioning, or rerun, which is what makes a 100 TB mixing job
+    resumable and auditable."""
+    rate, u = sample_cols()
     return (
         documents.select("doc_id", "lang", rate.alias("rate"), u.alias("u"))
         .where(F.col("u") < F.col("rate"))

@@ -743,8 +743,17 @@ def dedup_minhash_incremental(
     depends only on the two docs involved, appending a day's documents
     costs O(new batch) scan work instead of O(corpus):
     dedup(old ∪ new) == dedup(old) ∪ incremental(index(old), new) —
-    test-pinned in tests/test_plans.py."""
+    test-pinned in tests/test_plans.py.
+
+    Re-ingest semantics: a doc_id appearing in BOTH the index and the
+    new batch is treated as a replacement — the stored row is anti-joined
+    away (broadcast of the small new-id set) so the union never carries
+    two doc-set rows for one id, which would fan out every verified pair
+    touching that doc."""
     new_ds = _doc_sets(new_documents)
+    index_doc_sets = index_doc_sets.join(
+        F.broadcast(new_ds.select("doc_id")), "doc_id", "left_anti"
+    )
     e_new = _band_keys(_minhash_signatures(new_ds))
     e_all = e_new.unionByName(_band_keys(_minhash_signatures(index_doc_sets)))
     cand = (

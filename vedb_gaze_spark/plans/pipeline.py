@@ -347,16 +347,20 @@ def corpus_pipeline(documents: DataFrame) -> DataFrame:
     Output: (source, doc_id, n_tokens, pack_id, weight) — one row per
     surviving doc with its pack assignment and mixing weight.
 
-    Scale shape — ONE linear chain over a single corpus scan: the
+    Scale shape — ONE linear chain, nothing recomputed mid-plan: the
     benchmark n-gram set broadcasts into an anti join (stage 1 never
     shuffles the corpus); stage 2 carries lang/source THROUGH the
     segment explode (line_dedup's carry columns) so nothing re-joins the
     corpus afterward; stage 3 is a row-local hash filter on the dedup
-    output — no join; stage 4 shuffles once on the pack group key. The
-    corpus is scanned twice in total (benchmark n-gram build + the
-    chain), never recomputed mid-plan."""
-    from vedb_gaze_spark.functions.core import portable_hash60
-    from vedb_gaze_spark.operators.corpus import decontaminate, greedy_pack, line_dedup
+    output — no join; stage 4 shuffles once on the pack group key.
+    Three corpus scans total (benchmark n-gram build, contamination
+    probe, the train chain — test-pinned at FileScan == 3)."""
+    from vedb_gaze_spark.operators.corpus import (
+        decontaminate,
+        greedy_pack,
+        line_dedup,
+        sample_cols,
+    )
 
     contaminated = decontaminate(documents).select("doc_id")
     train = documents.where(
@@ -366,15 +370,9 @@ def corpus_pipeline(documents: DataFrame) -> DataFrame:
         F.col("kept_segments") > 0
     )
     # stratified sample as a row-local filter on the dedup output — the
-    # same hash/rate algebra as stratified_sample, no corpus re-join
-    items = list(P.SAMPLE_RATES.items())
-    rate = F.when(F.col("lang") == items[0][0], F.lit(float(items[0][1])))
-    for lang, r in items[1:]:
-        rate = rate.when(F.col("lang") == lang, F.lit(float(r)))
-    rate = rate.otherwise(F.lit(0.0))
-    u = portable_hash60(
-        F.concat(F.lit(P.SAMPLE_SALT), F.col("doc_id").cast("string"))
-    ) / F.lit(P.SAMPLE_DENOM)
+    # SAME algebra object as stratified_sample (corpus.sample_cols), as
+    # a filter instead of a join
+    rate, u = sample_cols()
     sampled = (
         dd.withColumn("rate", rate)
         .withColumn("u", u)

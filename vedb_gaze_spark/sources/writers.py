@@ -29,9 +29,18 @@ def write_partitioned(
     path: str,
     partition_cols: tuple = ("lang",),
     max_records_per_file: int = 100_000,
+    files_per_partition: int = 8,
 ) -> str:
+    """Repartitioning on the bare partition columns would cap write
+    parallelism at the number of distinct values (5 languages → 5
+    tasks); a deterministic hash-salt over the full row spreads each
+    partition's rows over ``files_per_partition`` write tasks while
+    keeping the file count per directory bounded."""
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_partition)
+    )
     (
-        df.repartition(*[F.col(c) for c in partition_cols])
+        df.repartition(*[F.col(c) for c in partition_cols], salt)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(*partition_cols)
@@ -43,7 +52,14 @@ def write_partitioned(
 def write_training_shards(packed: DataFrame, path: str) -> str:
     """Persist corpus_pipeline output as per-source training shards in
     pack order. Reader contract: each source directory streams packs
-    contiguously (pack_id, doc_id ascending) with no sort needed."""
+    contiguously (pack_id, doc_id ascending) with no sort needed.
+
+    One write task per source BY DESIGN: the contiguous-pack-order
+    contract is per file, so salting here would split a source's packs
+    across files with no cross-file order guarantee. The parallelism
+    bound is the shard-key cardinality — at 100 TB the shard key is
+    chosen fine-grained enough (source × shard-slice) that this is the
+    intended unit of work, mirroring greedy_pack's own group bound."""
     (
         packed.repartition(F.col("source"))
         .sortWithinPartitions("pack_id", "doc_id")

@@ -41,6 +41,8 @@ def bench_ngram_set(documents: DataFrame, n: int = P.DECONTAM_NGRAM,
     )
     out = set()
     for r in rows:
+        if r["text"] is None:  # NULL text is admissible (JSONL ingest)
+            continue
         toks = _TOKEN_RE.findall(r["text"].lower())
         for i in range(len(toks) - n + 1):
             out.add(" ".join(toks[i : i + n]))
