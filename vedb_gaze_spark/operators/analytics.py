@@ -109,3 +109,34 @@ def value_percentiles(events: DataFrame) -> DataFrame:
             F.round(F.element_at("pct", 4), 6).alias("p95"),
         )
     )
+
+
+def funnel_conversion(events: DataFrame) -> DataFrame:
+    """Ordered funnel view → click → purchase: users counted at each
+    stage they reach, where reaching stage k means the FIRST occurrence
+    of stage k's event is at or after the first occurrence of stage
+    k-1's (the standard min-timestamp funnel; re-orderings of later
+    repeats are out of scope by definition, identically on both
+    engines). One groupBy(user) with conditional min aggregates — a
+    single corpus-sized shuffle, then a scalar rollup."""
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.unix_micros("ts"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "click", F.unix_micros("ts"))).alias("t2"),
+        F.min(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias("t3"),
+    )
+    s1 = F.col("t1").isNotNull()
+    s2 = s1 & F.col("t2").isNotNull() & (F.col("t2") >= F.col("t1"))
+    s3 = s2 & F.col("t3").isNotNull() & (F.col("t3") >= F.col("t2"))
+    agg = per_user.agg(
+        F.sum(s1.cast("long")).alias("stage_view"),
+        F.sum(s2.cast("long")).alias("stage_click"),
+        F.sum(s3.cast("long")).alias("stage_purchase"),
+    )
+    return agg.select(
+        "stage_view",
+        "stage_click",
+        "stage_purchase",
+        F.round(F.col("stage_purchase") / F.col("stage_view"), 6).alias(
+            "conversion"
+        ),
+    )

@@ -2417,3 +2417,27 @@ SELECT epoch_us(ts) // 86400000000 AS day_idx,
        {_PIVOT_COLS}
 FROM events GROUP BY day_idx
 """
+
+FUNNEL_CONVERSION = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t2,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t3
+  FROM events GROUP BY user_id
+),
+flags AS (
+  SELECT t1 IS NOT NULL AS s1,
+         (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1) AS s2,
+         (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1
+          AND t3 IS NOT NULL AND t3 >= t2) AS s3
+  FROM per_user
+)
+SELECT CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+       CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+       CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase,
+       round(CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT), 6)
+         AS conversion
+FROM flags
+"""

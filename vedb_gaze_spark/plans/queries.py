@@ -489,6 +489,11 @@ def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.hll_distinct(load_table(spark, "events", sf_dir))
 
 
+@register("funnel_conversion", oracles.FUNNEL_CONVERSION)
+def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.funnel_conversion(load_table(spark, "events", sf_dir))
+
+
 @register("value_percentiles", oracles.VALUE_PERCENTILES)
 def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.value_percentiles(load_table(spark, "events", sf_dir))
@@ -761,6 +766,7 @@ _GATE_ORDER = [
     "tfidf_keywords",
     "revenue_rollup",
     "daily_type_pivot",
+    "funnel_conversion",
     "bm25_search",
     "q21_suppliers_waiting",
     "q9_product_profit",
