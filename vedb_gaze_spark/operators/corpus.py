@@ -80,6 +80,15 @@ def line_dedup(
             ).alias("seg_no", "seg"),
         )
     )
+    # Window form: ONE pass over the input subtree — what lets
+    # corpus_pipeline stay a single linear chain (an aggregate+join
+    # formulation consumes `segs` twice with different exchange
+    # payloads, so Spark re-derives the whole upstream per consumer —
+    # measured: 3 corpus scans became 6). Trade-off: windows get no
+    # map-side combine, so a boilerplate segment repeated across
+    # millions of docs lands on one task — for dedup directly over a
+    # stored table, line_dedup_skewsafe below pays a second (cheap)
+    # scan to buy combiner protection on hot segments.
     first = Window.partitionBy("seg").orderBy("doc_id", "seg_no")
     flagged = segs.withColumn(
         "keep", (F.row_number().over(first) == 1).cast("int")
@@ -97,6 +106,70 @@ def line_dedup(
                     " s -> s.keep = 1), s -> s.seg)"
                 ),
             ).alias("text_dedup"),
+        )
+    )
+
+
+
+def line_dedup_skewsafe(
+    documents: DataFrame, words_per_seg: int = P.LINE_DEDUP_WORDS
+) -> DataFrame:
+    """Skew-safe twin of line_dedup for DIRECT table input: identical
+    output, different physical strategy. First occurrences come from
+    min(struct(doc_id, seg_no)) GROUPED BY segment — an aggregation
+    with map-side partial combine, so the hottest boilerplate segment
+    collapses to one row per map task before the shuffle instead of
+    shipping every occurrence to a single window task (windows have no
+    combiner and no AQE skew split). Totals are computed ROW-LOCALLY
+    (ceil(words/w)) and the kept segments join back on doc_id, so the
+    corpus is scanned twice but never sorted and never skew-bound —
+    the right trade when the input is a stored table rather than the
+    tail of an expensive plan (use line_dedup inside compositions)."""
+    w = words_per_seg
+    base = documents.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    segs = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(ws) / {w}.0) as int) - 1),"
+                f" i -> array_join(slice(ws, i * {w} + 1, {w}), ' '))"
+            )
+        ).alias("seg_no", "seg"),
+    )
+    firsts = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_no")).alias("f")
+    )
+    kept = (
+        firsts.select(
+            F.col("f.doc_id").alias("doc_id"),
+            F.col("f.seg_no").alias("seg_no"),
+            "seg",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_segments"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(seg_no, seg))),"
+                    " s -> s.seg)"
+                ),
+            ).alias("text_dedup"),
+        )
+    )
+    totals = base.select(
+        "doc_id",
+        F.expr(f"cast(ceil(size(ws) / {w}.0) as bigint)").alias("total_segments"),
+    )
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_segments",
+            F.coalesce("kept_segments", F.lit(0)).alias("kept_segments"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
     )
 

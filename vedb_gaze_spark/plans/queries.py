@@ -469,6 +469,11 @@ def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.line_dedup(load_table(spark, "documents", sf_dir))
 
 
+@register("line_dedup_skewsafe", oracles.LINE_DEDUP)
+def _line_dedup_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.line_dedup_skewsafe(load_table(spark, "documents", sf_dir))
+
+
 @register("decontaminate", oracles.DECONTAMINATE)
 def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.decontaminate(load_table(spark, "documents", sf_dir))
@@ -743,16 +748,18 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      cheapest-first (the r4 window re-records the first ~12 of these).
 # Names not listed (future queries) keep declaration order at the tail.
 _GATE_ORDER = [
-    # -- (1) never recorded: new in r4 — 23 entries (corpus-composition
+    # -- (1) never recorded: new in r4 — 25 entries (corpus-composition
     #        family, event analytics, LM/tf-idf text scores, sketches,
-    #        rollup/pivot). With the two r3-CHANGED dedup paths promoted
-    #        to the stale front, the ~50-entry window covers all new
-    #        entries + 27 stale; the overflow (q5_local_supplier,
-    #        detect_blinks_eyelid, gaze_map_binocular, dedup_simhash,
-    #        cluster_dbscan + section 2b) all hold r2 green rows, were
-    #        not code-changed since, and the local parity suite re-proves
-    #        them every run; never-recorded outranks stale-green --------
+    #        rollup/pivot/funnel, the skew-safe line-dedup twin). With
+    #        the two r3-CHANGED dedup paths promoted to the stale front,
+    #        the ~50-entry window covers all new entries + 25 stale; the
+    #        overflow (ann_lsh, q3, q5, detect_blinks_eyelid,
+    #        gaze_map_binocular, dedup_simhash, cluster_dbscan + section
+    #        2b) all hold r2 green rows and the local parity suite
+    #        re-proves them every run; never-recorded outranks
+    #        stale-green ------------------------------------------------
     "line_dedup",
+    "line_dedup_skewsafe",
     "corpus_pipeline",
     "decontaminate",
     "pack_sequences",
