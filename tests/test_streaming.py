@@ -804,3 +804,73 @@ def test_streaming_dau_matches_batch_across_batches(spark, sf_dir, tmp_path):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
+    """Mergeable-sketch streaming: HLL registers maintained over two
+    time-split micro-batches equal the batch operator's registers
+    exactly (max is order-insensitive, so no watermark and no dedup
+    state) — hence identical estimates."""
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.functions.core import portable_hash60
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.streaming.sessions import streaming_hll_registers
+
+    batch = load_table(spark, "events", sf_dir)
+    mid = batch.agg(F.median(F.unix_micros("ts"))).collect()[0][0]
+    batch.where(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        str(tmp_path / "a")
+    )
+    batch.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        str(tmp_path / "b")
+    )
+    import shutil
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    shutil.copy(next((tmp_path / "a").glob("*.parquet")), src / "0.parquet")
+    shutil.copy(next((tmp_path / "b").glob("*.parquet")), src / "1.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_hll_registers(stream)
+        .writeStream.format("memory")
+        .queryName("mem_hll")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            (r["event_type"], r["idx"], r["mx"])
+            for r in spark.sql("SELECT * FROM mem_hll").collect()
+        }
+        # batch registers: recompute with the same expressions
+        h = portable_hash60(F.col("user_id").cast("string"))
+        rb = P.HLL_RANK_BITS
+        want = {
+            (r["event_type"], r["idx"], r["mx"])
+            for r in (
+                batch.select(
+                    "event_type",
+                    (h % P.HLL_M).alias("idx"),
+                    F.shiftright(h, P.HLL_P).alias("w"),
+                )
+                .withColumn(
+                    "rank",
+                    F.when(F.col("w") == 0, F.lit(rb + 1)).otherwise(
+                        F.lit(rb + 1) - F.length(F.bin(F.col("w")))
+                    ),
+                )
+                .groupBy("event_type", "idx")
+                .agg(F.max("rank").alias("mx"))
+            ).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()

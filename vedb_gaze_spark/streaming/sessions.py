@@ -122,3 +122,34 @@ def streaming_dau(events: DataFrame) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "day_idx"])
     )
     return d.groupBy("day_idx").agg(F.count(F.lit(1)).alias("dau"))
+
+
+def streaming_hll_registers(events: DataFrame) -> DataFrame:
+    """Incremental HyperLogLog register maintenance — the streaming half
+    of corpus.hll_distinct. HLL registers are MERGEABLE state (max per
+    register), so the stream needs no dedup and no watermark: each
+    micro-batch folds into 512 maxes per event_type, state is
+    m × groups scalars forever, and the batch estimate formula reads
+    the registers at any time. Emits (event_type, idx, mx) — the
+    estimate head stays in the batch operator so stream and batch share
+    one arithmetic definition."""
+    from vedb_gaze_spark.functions.core import portable_hash60
+    from vedb_gaze_spark.plans import params as P
+
+    h = portable_hash60(F.col("user_id").cast("string"))
+    rb = P.HLL_RANK_BITS
+    return (
+        events.select(
+            "event_type",
+            (h % P.HLL_M).alias("idx"),
+            F.shiftright(h, P.HLL_P).alias("w"),
+        )
+        .withColumn(
+            "rank",
+            F.when(F.col("w") == 0, F.lit(rb + 1)).otherwise(
+                F.lit(rb + 1) - F.length(F.bin(F.col("w")))
+            ),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rank").alias("mx"))
+    )
