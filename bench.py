@@ -60,6 +60,8 @@ HEADLINE = [
     "pack_sequences",
     "corpus_pipeline",
     "cms_heavy_hitters",
+    "line_dedup_skewsafe",
+    "funnel_conversion",
 ]
 
 
