@@ -813,7 +813,6 @@ def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
     state) — hence identical estimates."""
     import pyspark.sql.functions as F
 
-    from vedb_gaze_spark.functions.core import portable_hash60
     from vedb_gaze_spark.plans import params as P
     from vedb_gaze_spark.streaming.sessions import streaming_hll_registers
 
@@ -850,27 +849,35 @@ def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
             (r["event_type"], r["idx"], r["mx"])
             for r in spark.sql("SELECT * FROM mem_hll").collect()
         }
-        # batch registers: recompute with the same expressions
-        h = portable_hash60(F.col("user_id").cast("string"))
-        rb = P.HLL_RANK_BITS
+        # order-insensitivity: the same operator over the batch frame
         want = {
             (r["event_type"], r["idx"], r["mx"])
-            for r in (
-                batch.select(
-                    "event_type",
-                    (h % P.HLL_M).alias("idx"),
-                    F.shiftright(h, P.HLL_P).alias("w"),
-                )
-                .withColumn(
-                    "rank",
-                    F.when(F.col("w") == 0, F.lit(rb + 1)).otherwise(
-                        F.lit(rb + 1) - F.length(F.bin(F.col("w")))
-                    ),
-                )
-                .groupBy("event_type", "idx")
-                .agg(F.max("rank").alias("mx"))
-            ).collect()
+            for r in streaming_hll_registers(batch).collect()
         }
         assert got == want and len(want) > 0
+        # TRUE batch parity: estimates derived from the STREAMED
+        # registers must equal hll_distinct's — pins register drift
+        # between the twins without re-stating their expressions
+        from collections import defaultdict
+
+        from vedb_gaze_spark.operators.corpus import hll_distinct
+
+        regs = defaultdict(dict)
+        for et, idx, mx in got:
+            regs[et][idx] = mx
+        import math
+
+        for r in hll_distinct(batch).collect():
+            rr = regs[r["event_type"]]
+            s = sum(int(2 ** (52 - mx)) for mx in rr.values())
+            s += (P.HLL_M - len(rr)) * (1 << 52)
+            e_raw = P.HLL_NUM_SCALED / float(s)
+            v = P.HLL_M - len(rr)
+            est = (
+                float(P.HLL_M) * math.log(float(P.HLL_M) / float(v))
+                if (e_raw <= 2.5 * P.HLL_M and v > 0)
+                else e_raw
+            )
+            assert abs(round(est, 4) - r["hll_estimate"]) < 1e-9, r
     finally:
         q.stop()

@@ -42,6 +42,31 @@ from vedb_gaze_spark.plans import params as P
 _TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 
 
+
+def _segments(documents: DataFrame, w: int, carry: tuple = ()) -> DataFrame:
+    """Exploded (doc_id[, carry...], seg_no, seg) frame — the ONE
+    definition of the segmentation both line-dedup twins (and the
+    shared oracle) depend on. NULL text yields NULL ws and explodes to
+    nothing, so NULL-text docs are absent from every consumer."""
+    return (
+        documents.select(
+            "doc_id",
+            *carry,
+            F.split(F.trim(F.col("text")), r"\s+").alias("ws"),
+        )
+        .select(
+            "doc_id",
+            *carry,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(ws) / {w}.0) as int) - 1),"
+                    f" i -> array_join(slice(ws, i * {w} + 1, {w}), ' '))"
+                )
+            ).alias("seg_no", "seg"),
+        )
+    )
+
+
 def line_dedup(
     documents: DataFrame,
     words_per_seg: int = P.LINE_DEDUP_WORDS,
@@ -63,23 +88,7 @@ def line_dedup(
     lang/source without re-joining the corpus (one scan, not two).
     """
     w = words_per_seg
-    segs = (
-        documents.select(
-            "doc_id",
-            *carry,
-            F.split(F.trim(F.col("text")), r"\s+").alias("ws"),
-        )
-        .select(
-            "doc_id",
-            *carry,
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, cast(ceil(size(ws) / {w}.0) as int) - 1),"
-                    f" i -> array_join(slice(ws, i * {w} + 1, {w}), ' '))"
-                )
-            ).alias("seg_no", "seg"),
-        )
-    )
+    segs = _segments(documents, w, carry)
     # Window form: ONE pass over the input subtree — what lets
     # corpus_pipeline stay a single linear chain (an aggregate+join
     # formulation consumes `segs` twice with different exchange
@@ -126,18 +135,7 @@ def line_dedup_skewsafe(
     the right trade when the input is a stored table rather than the
     tail of an expensive plan (use line_dedup inside compositions)."""
     w = words_per_seg
-    base = documents.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
-    )
-    segs = base.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, cast(ceil(size(ws) / {w}.0) as int) - 1),"
-                f" i -> array_join(slice(ws, i * {w} + 1, {w}), ' '))"
-            )
-        ).alias("seg_no", "seg"),
-    )
+    segs = _segments(documents, w)
     firsts = segs.groupBy("seg").agg(
         F.min(F.struct("doc_id", "seg_no")).alias("f")
     )
@@ -159,9 +157,17 @@ def line_dedup_skewsafe(
             ).alias("text_dedup"),
         )
     )
-    totals = base.select(
-        "doc_id",
-        F.expr(f"cast(ceil(size(ws) / {w}.0) as bigint)").alias("total_segments"),
+    # NULL-text docs explode to nothing in segs/the oracle — the
+    # row-local totals side must drop them identically
+    totals = (
+        documents.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+        )
+        .where(F.col("ws").isNotNull())
+        .select(
+            "doc_id",
+            F.expr(f"cast(ceil(size(ws) / {w}.0) as bigint)").alias("total_segments"),
+        )
     )
     return (
         totals.join(kept, "doc_id", "left")
