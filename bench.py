@@ -103,7 +103,6 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
-        "pass_detail": pass_detail,
         "passes": 2,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -127,8 +126,17 @@ def main() -> None:
             out["delta_vs_local_baseline"] = round(
                 out["total_common"] - out["baseline_total_common"], 3
             )
-    print(json.dumps(out))
+    # Per-pass raw timings go to a side file, NOT the summary line: r4's
+    # one-line JSON outgrew the driver's tail capture once pass_detail
+    # crossed ~40 queries × 2 passes, leaving BENCH_r04.parsed null. The
+    # summary line must be the LAST stdout line and stay small.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump({"pass_detail": pass_detail, "sf": out["sf"]}, fh)
     spark.stop()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

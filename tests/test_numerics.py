@@ -154,6 +154,51 @@ def test_calibration_3d_recovers_known_rotation(spark, sf_dir):
         assert r.residual_deg <= r.residual_kabsch_deg + 1e-3, r
 
 
+def test_calibration_hmd_recovers_scale_and_rotations(spark, sf_dir):
+    """HMD calibration (calibrate_3d.py:172 semantics): the z-scale
+    sweep must land on the grid point nearest the planted scale, both
+    per-eye rotations must recover their ground truths to within the
+    jitter floor, and the LM polish may never degrade the angular loss
+    relative to the Kabsch initializer at the winning scale."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators.calib3d import (
+        _R_TRUE,
+        _R_TRUE1,
+        _S_TRUE,
+        _hmd_scales,
+        calibration_hmd,
+    )
+    from vedb_gaze_spark.sources.tables import load_table
+
+    rows = calibration_hmd(load_table(spark, "events", sf_dir)).collect()
+    assert len(rows) > 0
+    grid = _hmd_scales()
+    s_nearest = float(grid[np.argmin(np.abs(grid - _S_TRUE))])
+
+    def eulers(R_pose):
+        return (
+            float(np.arctan2(R_pose[2, 1], R_pose[2, 2])),
+            float(np.arcsin(np.clip(-R_pose[2, 0], -1, 1))),
+            float(np.arctan2(R_pose[1, 0], R_pose[0, 0])),
+        )
+
+    # normals were planted as n = R_true.T d, and the solver reports the
+    # rotation mapping normals -> directions, i.e. R_true itself
+    r0, p0, y0 = eulers(_R_TRUE)
+    r1, p1, y1 = eulers(_R_TRUE1)
+    for r in rows:
+        assert r.success, r
+        assert r.scale == round(s_nearest, 6), r
+        assert r.residual_deg < 1.0, r
+        for got, want in (
+            (r.roll0, r0), (r.pitch0, p0), (r.yaw0, y0),
+            (r.roll1, r1), (r.pitch1, p1), (r.yaw1, y1),
+        ):
+            assert abs(got - want) < 0.02, (r, got, want)
+        assert r.residual_deg <= r.residual_kabsch_deg + 1e-3, r
+
+
 def test_rbf_cv_all_singular_returns_sentinel():
     """If every kernel family's stacked inversion fails, rbf_cv must
     return the explicit failure sentinel instead of KeyError-ing on the

@@ -101,6 +101,22 @@ def test_q3_broadcasts_only_the_dim(spark, sf_dir):
     assert analyzed.count("ResolvedHint") == 1, analyzed
 
 
+def test_text_scores_never_force_vocabulary_broadcasts(spark, sf_dir):
+    """lm_score and tfidf_keywords join the corpus token stream against
+    a table with one row per DISTINCT corpus token — corpus-dependent
+    and unbounded (10^9+ at web scale). A forced broadcast hint on that
+    join is a driver/executor OOM at 100×, so each query may hint ONLY
+    its scalar global-stats table (1-2 rows): exactly one ResolvedHint,
+    and AQE decides the word-keyed join at runtime. Same contract for
+    corpus_pipeline's contamination anti-join (contamination-rate-
+    dependent): its only hint is decontaminate's bounded benchmark
+    n-gram set."""
+    for name in ("lm_score", "tfidf_keywords", "corpus_pipeline"):
+        df = QUERIES[name](spark, sf_dir)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == 1, (name, analyzed)
+
+
 @pytest.mark.parametrize(
     "name", ["ann_cosine_topk", "ann_lsh", "ann_ivf", "ann_ivf_trained"]
 )
@@ -656,3 +672,41 @@ def test_minhash_incremental_reingest_does_not_fan_out(spark, sf_dir):
     full = {tuple(r) for r in dedup_minhash_lsh(docs).collect()}
     old_pairs = {tuple(r) for r in dedup_minhash_lsh(old).collect()}
     assert old_pairs | inc == full
+
+
+def test_minhash_incremental_stored_band_keys_identical(spark, sf_dir):
+    """The zero-recompute index form: with band keys PERSISTED at
+    index-build time (write_band_keys_bucketed) the nightly run must
+    emit byte-identical pairs to the derive-from-doc-sets form — on the
+    plain append AND on a re-ingest batch (stored band keys of replaced
+    docs must be anti-joined away exactly like their doc sets)."""
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.dedup import (
+        _doc_sets,
+        dedup_minhash_incremental,
+    )
+    from vedb_gaze_spark.sources.bucketing import write_band_keys_bucketed
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    ds_old = _doc_sets(old)
+    write_band_keys_bucketed(ds_old, "bk_idx_t")
+    stored = spark.table("bk_idx_t")
+    for batch in (
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where((F.col("doc_id") % 5 == 0) | (F.col("doc_id") % 7 == 1)),
+    ):
+        derived = {
+            tuple(r)
+            for r in dedup_minhash_incremental(ds_old, batch).collect()
+        }
+        precomp = {
+            tuple(r)
+            for r in dedup_minhash_incremental(
+                ds_old, batch, index_band_keys=stored
+            ).collect()
+        }
+        assert derived == precomp and derived
+    spark.sql("DROP TABLE IF EXISTS bk_idx_t")

@@ -154,7 +154,7 @@ def test_jsonl_ingest_parses_and_quarantines(spark, tmp_path):
         '{"doc_id": 4, "text": null, "lang": "de", "source": "s0"}',
     ]
     p.write_text("\n".join(lines) + "\n")
-    clean, bad = split_quarantine(read_documents_jsonl(spark, str(p)))
+    clean, bad, cached = split_quarantine(read_documents_jsonl(spark, str(p)))
     crows = {r["doc_id"]: r for r in clean.collect()}
     assert set(crows) == {1, 2, 4}
     assert crows[1]["text"] == "hello world" and crows[2]["lang"] == "fr"
@@ -165,6 +165,11 @@ def test_jsonl_ingest_parses_and_quarantines(spark, tmp_path):
     assert any(b.strip() == "not json at all" for b in brows)
     # lossless: every input line is accounted for exactly once
     assert clean.count() + bad.count() == len(lines)
+    # the returned handle evicts the ingest-batch cache — repeated
+    # ingest calls must not accumulate executor storage for the session
+    assert cached.storageLevel.useMemory
+    cached.unpersist(blocking=True)
+    assert not cached.storageLevel.useMemory
 
 
 def test_partitioned_writer_layout_and_pruning(spark, sf_dir, tmp_path):

@@ -3,9 +3,11 @@
 The classic warehouse shapes over the events stream (complementing the
 TPC-H surface in relational.py): rolling distinct-user counts and
 cohort retention matrices. Day arithmetic is integer epoch-days derived
-from exact microseconds (unix_micros DIV 86400e6) — timezone-free and
-bit-identical to DuckDB's epoch_us interpretation of the same column,
-per the loader's timestamp normalization (sources/tables.py:39).
+from exact microseconds via FLOOR division (_floor_div) — timezone-free
+and bit-identical to DuckDB's `//` on the same column (Spark's DIV
+truncates toward zero, which diverges from DuckDB's floor on
+pre-1970 timestamps; the floor form agrees for any sign), per the
+loader's timestamp normalization (sources/tables.py:39).
 
 Scale design: everything reduces the stream to the (user, day) distinct
 table first — one shuffle on (user_id, day_idx), after which DAU is a
@@ -23,12 +25,22 @@ from pyspark.sql import functions as F
 _DAY_US = 86_400_000_000
 
 
+def _floor_div(expr: str, d: int) -> str:
+    """Exact-integer FLOOR division as a SQL fragment. Spark's DIV
+    truncates toward zero while DuckDB's // floors — they differ on
+    negative dividends (pre-1970 timestamps). Subtracting the
+    non-negative remainder first makes the numerator an exact multiple
+    of d, so truncation == floor on both engines, in pure int64."""
+    return f"((({expr}) - (((({expr}) % {d}) + {d}) % {d})) DIV {d})"
+
+
+def _day_idx() -> "F.Column":
+    return F.expr(_floor_div("unix_micros(ts)", _DAY_US))
+
+
 def _user_days(events: DataFrame) -> DataFrame:
     return (
-        events.select(
-            "user_id",
-            F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day_idx"),
-        )
+        events.select("user_id", _day_idx().alias("day_idx"))
         .distinct()
     )
 
@@ -66,8 +78,10 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     return (
         ud.join(first, "user_id")
         .select(
-            F.expr("d0 DIV 7").alias("cohort_week"),
-            F.expr("(day_idx - d0) DIV 7").alias("week_offset"),
+            F.expr(_floor_div("d0", 7)).alias("cohort_week"),
+            # day_idx - d0 >= 0 by construction (d0 is the user's min),
+            # but the floor form costs nothing and can't regress
+            F.expr(_floor_div("day_idx - d0", 7)).alias("week_offset"),
             "user_id",
         )
         .distinct()

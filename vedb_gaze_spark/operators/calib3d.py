@@ -182,3 +182,132 @@ def calibration_3d(events: DataFrame) -> DataFrame:
         )
 
     return apply_per_key(_ref_dirs(events), "user_id", run, _C3D_SCHEMA)
+
+
+# --- HMD calibration (calibrate_3d.py:172 calibrate_hmd) ----------------
+
+# the reference's fixed eyeball positions in world coordinates
+# (calibrate_3d.py:18-19) — millimetres, eye0 right / eye1 left
+_EYE_T = {
+    0: np.array([20.0, 15.0, -20.0]),
+    1: np.array([-40.0, 15.0, -20.0]),
+}
+# second-eye ground truth: 10° about normalized (3,2,1)
+_R_TRUE1 = _rot(np.array([0.801784, 0.534522, 0.267261]), np.deg2rad(10.0))
+_S_TRUE = 4.0  # planted z-scale, inside the reference's sweep grid
+
+_HMD_SCHEMA = (
+    "user_id bigint, n_points int, scale double, residual_deg double, "
+    "residual_kabsch_deg double, roll0 double, pitch0 double, yaw0 double, "
+    "roll1 double, pitch1 double, yaw1 double, success boolean"
+)
+
+
+def _hmd_scales() -> np.ndarray:
+    """The reference's sweep grid (calibrate_3d.py:196): 50 z-scales
+    linearly spaced over [0.7, 10]."""
+    return np.linspace(0.7, 10.0, 50)
+
+
+def calibration_hmd(events: DataFrame) -> DataFrame:
+    """HMD binocular calibration (calibrate_3d.py:172 calibrate_hmd):
+    reference points are HMD-anchored 3-D targets whose y-axis is
+    flipped and whose depth scale is UNKNOWN — the reference sweeps 50
+    z-scales, and per scale solves each eye's ORIENTATION against the
+    directions from that eye's fixed position to the scaled targets
+    (translations and targets fixed; only the two rotations move).
+
+    Spark-first shape: one bounded per-user group (applyInPandas via
+    the salt-bucketed batcher); inside the group the scale sweep is 50
+    closed-form Kabsch alignments per eye (3×3 SVDs over (n,3)
+    bundles), then ONE LM polish per eye on the angular loss at the
+    winning scale — the reference re-runs its full bundle adjustment
+    per scale and keeps the best via its odd `scales[-1] = s`
+    last-slot overwrite (calibrate_3d.py:225); selecting on the Kabsch
+    residual and polishing once is the same optimum cheaper, since
+    the polish never changes which scale wins on this loss.
+
+    Test-table semantics: 3-D ref points derive from event_id integer
+    math (direction × deterministic depth); pupil normals are the
+    true per-eye-rotated directions from each eye position to the
+    (1,-1,s_true)-scaled targets plus jitter. The operator must
+    recover both rotations AND the planted scale. Rows-only oracle
+    (SVD + iterative polish are not SQL)."""
+    k = F.col("event_id")
+    depth = (F.lit(120.0) + (k * 31 % 80).cast("double")).alias("depth")
+    base = _ref_dirs(events).withColumn("depth", depth)
+
+    scales = _hmd_scales()
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        D = pdf[["rx", "ry", "rz"]].to_numpy()
+        J = pdf[["jx", "jy", "jz"]].to_numpy()
+        depth_v = pdf["depth"].to_numpy()[:, None]
+        P3 = D * depth_v  # stored ref points (world, unflipped y, unit z)
+        # planted truth: flipped y, z scaled
+        T_true = P3 * np.array([1.0, -1.0, _S_TRUE])
+        normals = {}
+        for eye, R_t in ((0, _R_TRUE), (1, _R_TRUE1)):
+            d = T_true - _EYE_T[eye]
+            d = d / np.linalg.norm(d, axis=1, keepdims=True)
+            n = d @ R_t + J  # R_t.T applied row-wise: (R_t.T @ d_i)
+            normals[eye] = n / np.linalg.norm(n, axis=1, keepdims=True)
+
+        def kabsch(P: np.ndarray, R: np.ndarray) -> np.ndarray:
+            H = P.T @ R
+            U, _, Vt = np.linalg.svd(H)
+            d_ = np.sign(np.linalg.det(Vt.T @ U.T))
+            return Vt.T @ np.diag([1.0, 1.0, d_]) @ U.T
+
+        best = None
+        for s in scales:
+            tgt = P3 * np.array([1.0, -1.0, float(s)])
+            tot = 0.0
+            Rs = {}
+            dirs = {}
+            for eye in (0, 1):
+                d = tgt - _EYE_T[eye]
+                d = d / np.linalg.norm(d, axis=1, keepdims=True)
+                Rk = kabsch(normals[eye], d)
+                tot += float((_angles(Rk, normals[eye], d) ** 2).sum())
+                Rs[eye] = Rk
+                dirs[eye] = d
+            if best is None or tot < best[0]:
+                best = (tot, float(s), Rs, dirs)
+        _, s_best, Rs, dirs = best
+        res_kab = float(
+            np.rad2deg(
+                np.concatenate(
+                    [_angles(Rs[e], normals[e], dirs[e]) for e in (0, 1)]
+                )
+            ).mean()
+        )
+        eul = {}
+        res_ref = []
+        for eye in (0, 1):
+            R_est = _lm_refine(Rs[eye], normals[eye], dirs[eye])
+            res_ref.append(np.rad2deg(_angles(R_est, normals[eye], dirs[eye])))
+            eul[eye] = (
+                float(np.arctan2(R_est[2, 1], R_est[2, 2])),
+                float(np.arcsin(np.clip(-R_est[2, 0], -1.0, 1.0))),
+                float(np.arctan2(R_est[1, 0], R_est[0, 0])),
+            )
+        residual = float(np.concatenate(res_ref).mean())
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_points": [len(pdf)],
+                "scale": [round(s_best, 6)],
+                "residual_deg": [round(residual, 6)],
+                "residual_kabsch_deg": [round(res_kab, 6)],
+                "roll0": [round(eul[0][0], 6)],
+                "pitch0": [round(eul[0][1], 6)],
+                "yaw0": [round(eul[0][2], 6)],
+                "roll1": [round(eul[1][0], 6)],
+                "pitch1": [round(eul[1][1], 6)],
+                "yaw1": [round(eul[1][2], 6)],
+                "success": [residual < _RESIDUAL_THRESHOLD_DEG],
+            }
+        )
+
+    return apply_per_key(base, "user_id", run, _HMD_SCHEMA)

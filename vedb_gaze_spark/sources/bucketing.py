@@ -65,3 +65,22 @@ def write_doc_sets_bucketed(
         _doc_sets(documents), table, key="doc_id",
         n_buckets=n_buckets, sort_by="doc_id",
     )
+
+
+def write_band_keys_bucketed(
+    doc_sets: DataFrame, table: str, n_buckets: int = 32
+) -> None:
+    """Persist the MinHash band-key relation (doc_id, band_key) derived
+    from a doc-set relation — the second half of the nightly-append
+    index. With this table stored, dedup_minhash_incremental's index
+    side does ZERO recompute per run: band keys are read as-is instead
+    of re-deriving 16 array_min passes over every stored doc set
+    (O(index) compute saved nightly; the doc-set table is still read
+    for the exact verify). Bucketed+sorted by doc_id so the re-ingest
+    anti-join and any doc-keyed maintenance stays exchange-free."""
+    from vedb_gaze_spark.operators.dedup import _band_keys, _minhash_signatures
+
+    write_bucketed(
+        _band_keys(_minhash_signatures(doc_sets)), table, key="doc_id",
+        n_buckets=n_buckets, sort_by="doc_id",
+    )

@@ -43,15 +43,21 @@ def read_documents_jsonl(
     )
 
 
-def split_quarantine(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean rows without the quarantine column, quarantined raw lines).
+def split_quarantine(
+    parsed: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(clean rows without the quarantine column, quarantined raw lines,
+    cached parsed handle).
 
     Spark refuses queries that reference ONLY the corrupt-record column
     of a raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the documented
     contract is to materialize first. cache() here is ingest-batch
     scoped, not corpus-resident: the parsed batch is read exactly twice
-    (clean + quarantine split) and evicted with the ingest job."""
+    (clean + quarantine split). The third element is the CACHED handle —
+    once both splits are written, `handle.unpersist()` evicts the batch
+    so repeated ingest calls don't accumulate executor storage for the
+    life of the session."""
     parsed = parsed.cache()
     clean = parsed.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = parsed.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
-    return clean, bad
+    return clean, bad, parsed

@@ -68,7 +68,13 @@ def streaming_decontaminate(
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if int(doc_id) % bench_mod == 0:
                     continue  # the benchmark slice itself never trains
-                toks = _TOKEN_RE.findall(str(text).lower())
+                if text is None or not isinstance(text, str):
+                    # NULL text yields no tokens — NOT the 'None' token
+                    # str() would fabricate (bench_ngram_set skips nulls
+                    # the same way; at n=1 the literal would count as a
+                    # spurious overlap)
+                    continue
+                toks = _TOKEN_RE.findall(text.lower())
                 grams = {
                     " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
                 }
