@@ -67,6 +67,25 @@ def write_doc_sets_bucketed(
     )
 
 
+def write_pairs_bucketed(
+    pairs: DataFrame, table: str, n_buckets: int = 32
+) -> None:
+    """Persist candidate (doc_a, doc_b) pairs bucketed+sorted by doc_a —
+    the third piece of the nightly dedup layout (SURVEY §7). Candidate
+    generation is one job; verification probes re-run many times
+    (threshold sweeps, re-scoring after corpus edits, incremental
+    unions). With pairs bucketed by doc_a AND doc sets bucketed by
+    doc_id at the same bucket count, the verify equi-join's FIRST probe
+    (pairs ⋈ sets on doc_a) is bucket-to-bucket on both sides — zero
+    Exchange, zero sort — and the only shuffle left in the whole verify
+    plan is re-keying the joined rows on doc_b (whose doc-set side is
+    again a bucketed scan). Plan-pinned in tests/test_plans.py."""
+    write_bucketed(
+        pairs.select("doc_a", "doc_b"), table, key="doc_a",
+        n_buckets=n_buckets, sort_by="doc_a",
+    )
+
+
 def write_band_keys_bucketed(
     doc_sets: DataFrame, table: str, n_buckets: int = 32
 ) -> None:
