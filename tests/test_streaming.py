@@ -881,3 +881,74 @@ def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
             assert abs(round(est, 4) - r["hll_estimate"]) < 1e-9, r
     finally:
         q.stop()
+
+
+def test_streaming_cluster_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """The continuous nightly-append composition: documents streamed in
+    three micro-batches through ClusterMaintenance (index extend →
+    incremental pairs → contracted-graph cluster fold) must leave a
+    stored assignment EQUAL to batch dedup_clusters over the full
+    corpus — and the union of per-batch pair emissions must equal the
+    batch operator's pair set (each pair exactly once, no index×index
+    re-probes)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.dedup import dedup_clusters, dedup_minhash_lsh
+    from vedb_gaze_spark.streaming.maintenance import (
+        streaming_cluster_maintenance,
+    )
+
+    batch = load_table(spark, "documents", sf_dir)
+    row = batch.agg(
+        F.percentile_approx("doc_id", 1.0 / 3, 10000).alias("a"),
+        F.percentile_approx("doc_id", 2.0 / 3, 10000).alias("b"),
+    ).collect()[0]
+    q1, q2 = row["a"], row["b"]
+    src = str(tmp_path / "cm_src")
+    parts = [
+        batch.where(F.col("doc_id") <= q1),
+        batch.where((F.col("doc_id") > q1) & (F.col("doc_id") <= q2)),
+        batch.where(F.col("doc_id") > q2),
+    ]
+    t0 = 1_700_000_000
+    for i, p in enumerate(parts):
+        d = os.path.join(src, f"c{i}")
+        p.coalesce(1).write.parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    state = str(tmp_path / "cm_state")
+    q, cm = streaming_cluster_maintenance(
+        stream, state, str(tmp_path / "cm_ckpt"), available_now=True
+    )
+    q.awaitTermination(600)
+    q.stop()
+
+    want_pairs = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(batch).collect()
+    }
+    got_pair_rows = cm.pairs(spark).collect()
+    got_pairs = {(r.doc_a, r.doc_b) for r in got_pair_rows}
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+    assert len(got_pair_rows) == len(got_pairs)  # exactly-once
+
+    want = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup_clusters(batch).collect()
+    }
+    got = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in cm.clusters(spark).collect()
+    }
+    assert got == want
+    # cross-batch clusters exist (a pair spanning the file split)
+    assert any(a <= q1 < b for a, b in got_pairs), "no cross-batch pair"

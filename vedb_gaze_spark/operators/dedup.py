@@ -896,8 +896,9 @@ def dedup_prune(documents: DataFrame, clusters: DataFrame | None = None) -> Data
 
 def dedup_minhash_incremental(
     index_doc_sets: DataFrame,
-    new_documents: DataFrame,
+    new_documents: DataFrame | None,
     index_band_keys: DataFrame | None = None,
+    new_doc_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH maintenance — the nightly-append shape:
     given the STORED doc-set index of the existing corpus (written once,
@@ -924,8 +925,14 @@ def dedup_minhash_incremental(
     new batch is treated as a replacement — the stored rows (doc sets
     AND band keys) are anti-joined away (broadcast of the small new-id
     set) so the union never carries two doc-set rows for one id, which
-    would fan out every verified pair touching that doc."""
-    new_ds = _doc_sets(new_documents)
+    would fan out every verified pair touching that doc.
+
+    ``new_doc_sets`` short-circuits the batch-side shingling when the
+    caller already materialized the batch's doc-set relation (the
+    streaming maintenance job writes it to the stored index in the same
+    micro-batch — streaming/maintenance.py); semantics are identical
+    because _doc_sets is deterministic per document."""
+    new_ds = new_doc_sets if new_doc_sets is not None else _doc_sets(new_documents)
     new_ids = new_ds.select("doc_id")
     index_doc_sets = index_doc_sets.join(
         F.broadcast(new_ids), "doc_id", "left_anti"

@@ -1,0 +1,208 @@
+"""Streaming incremental dedup-index + cluster maintenance (SURVEY §7).
+
+The nightly-append story, made continuous: documents stream in;
+every micro-batch (a) extends the stored MinHash index (doc sets +
+band keys) with the batch's rows, (b) emits exactly the verified
+near-dup pairs the batch introduces (dedup_minhash_incremental —
+new×index ∪ new×new, never index×index), and (c) folds those pairs
+into the stored (doc_id, cluster_id, cluster_size) assignment with
+dedup_clusters_incremental — the contracted-graph solve that never
+re-solves, shuffles, or broadcasts the stored corpus side.
+
+Reference composition this replaces: vedb-gaze has no incremental
+path at all — every pydra pipeline run recomputes from per-session
+files (pipelines.py run_pipeline); this module is the lakehouse-native
+upgrade the 100 TB ingest shape needs.
+
+State layout (any Hadoop-visible filesystem):
+
+    {state_dir}/doc_sets/batch={id}/   append-only, one dir per micro-batch
+    {state_dir}/band_keys/batch={id}/  append-only, same ids
+    {state_dir}/pairs/batch={id}/      the batch's emitted pairs (observable output)
+    {state_dir}/clusters/v={id}/       full assignment AFTER batch {id}
+
+Exactly-once without a transaction log: every write is an idempotent
+overwrite of a directory named by the Structured Streaming batch_id,
+and every read of prior state filters to ids STRICTLY BELOW the
+current batch — a replayed batch (crash between writes) sees exactly
+the state its first attempt saw and rewrites the same dirs. Batch ids
+from one checkpointed query are monotonic, which is all the versioning
+needed.
+
+Scale shape per micro-batch: index-side work is the band-key probe +
+verify equi-join only (stored band keys are read as-is — the
+write_band_keys_bucketed economics, here maintained for free because
+each batch writes its own keys on arrival); the CC solve sees only the
+contracted O(batch) graph; the stored assignment is rewritten by one
+map pass with broadcast patches. Nothing in the loop is O(corpus)
+compute — only O(corpus) sequential parquet I/O for the rewritten
+assignment, which a real deployment would replace with a merge-on-read
+table format; the dataflow above it is unchanged.
+
+Precondition (documented, asserted nowhere hot): doc_ids are unique
+across the stream — the append-only ingest shape. Re-ingest
+REPLACEMENT (same doc_id, new text) is batch-mode maintenance
+(dedup_minhash_incremental's anti-join handles it there); a streaming
+replacement would additionally need stored-pair retraction, which no
+append-only log can express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CLUSTER_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("cluster_id", T.LongType()),
+        T.StructField("cluster_size", T.IntegerType()),
+    ]
+)
+_DOC_SETS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("s", T.ArrayType(T.LongType())),
+    ]
+)
+_BAND_KEYS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band_key", T.StringType()),
+    ]
+)
+
+
+def _list_ids(spark: SparkSession, path: str, prefix: str) -> list[int]:
+    """Numeric suffixes of `{prefix}={id}` subdirectories, via the JVM
+    Hadoop FileSystem so the layout works on any cluster store, not
+    just the local FS."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix + "="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+class ClusterMaintenance:
+    """foreachBatch processor maintaining the dedup index + cluster
+    assignment under a document stream. Attach with::
+
+        q = (stream.writeStream.foreachBatch(cm.process)
+             .option("checkpointLocation", ckpt).start())
+
+    and read the live assignment any time with ``cm.clusters(spark)``.
+    Parity pin (tests/test_streaming.py): after streaming the corpus in
+    micro-batches, clusters(spark) equals batch
+    dedup_clusters(full corpus) row-for-row.
+    """
+
+    def __init__(self, state_dir: str):
+        self.state_dir = str(state_dir).rstrip("/")
+
+    # -- state readers -------------------------------------------------
+    def _read_prior(
+        self, spark: SparkSession, sub: str, schema: T.StructType, before: int
+    ) -> DataFrame:
+        base = f"{self.state_dir}/{sub}"
+        ids = [b for b in _list_ids(spark, base, "batch") if b < before]
+        if not ids:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[f"{base}/batch={b}" for b in ids]
+        )
+
+    def clusters(self, spark: SparkSession, before: int | None = None) -> DataFrame:
+        """The stored assignment as of the latest completed batch (or
+        the latest batch strictly below `before`, for replay reads)."""
+        base = f"{self.state_dir}/clusters"
+        ids = _list_ids(spark, base, "v")
+        if before is not None:
+            ids = [v for v in ids if v < before]
+        if not ids:
+            return spark.createDataFrame([], _CLUSTER_SCHEMA)
+        return spark.read.schema(_CLUSTER_SCHEMA).parquet(f"{base}/v={max(ids)}")
+
+    def pairs(self, spark: SparkSession) -> DataFrame:
+        """All pairs emitted so far (union over batches)."""
+        return self._read_prior(
+            spark,
+            "pairs",
+            T.StructType(
+                [
+                    T.StructField("doc_a", T.LongType()),
+                    T.StructField("doc_b", T.LongType()),
+                    T.StructField("jaccard", T.DoubleType()),
+                ]
+            ),
+            before=1 << 62,
+        )
+
+    # -- the batch body ------------------------------------------------
+    def process(self, batch_docs: DataFrame, batch_id: int) -> None:
+        from vedb_gaze_spark.operators.dedup import (
+            _band_keys,
+            _doc_sets,
+            _minhash_signatures,
+            dedup_clusters_incremental,
+            dedup_minhash_incremental,
+        )
+
+        spark = batch_docs.sparkSession
+        bid = int(batch_id)
+        ds_dir = f"{self.state_dir}/doc_sets/batch={bid}"
+        bk_dir = f"{self.state_dir}/band_keys/batch={bid}"
+        pr_dir = f"{self.state_dir}/pairs/batch={bid}"
+        cl_dir = f"{self.state_dir}/clusters/v={bid}"
+
+        # 1) extend the index: shingle the batch ONCE, store sets + keys
+        _doc_sets(batch_docs).write.mode("overwrite").parquet(ds_dir)
+        new_ds = spark.read.schema(_DOC_SETS_SCHEMA).parquet(ds_dir)
+        _band_keys(_minhash_signatures(new_ds)).write.mode("overwrite").parquet(
+            bk_dir
+        )
+
+        # 2) the batch's pairs, against stored sets + stored keys only
+        index_ds = self._read_prior(spark, "doc_sets", _DOC_SETS_SCHEMA, bid)
+        index_bk = self._read_prior(spark, "band_keys", _BAND_KEYS_SCHEMA, bid)
+        dedup_minhash_incremental(
+            index_ds, None, index_band_keys=index_bk, new_doc_sets=new_ds
+        ).write.mode("overwrite").parquet(pr_dir)
+        new_pairs = spark.read.parquet(pr_dir).select("doc_a", "doc_b")
+
+        # 3) fold into the stored assignment (contracted-graph solve)
+        stored = self.clusters(spark, before=bid)
+        dedup_clusters_incremental(stored, new_pairs).write.mode(
+            "overwrite"
+        ).parquet(cl_dir)
+
+
+def streaming_cluster_maintenance(
+    stream_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Wire a document stream into ClusterMaintenance; returns the
+    started StreamingQuery plus the maintenance handle.
+    ``available_now=True`` makes a catch-up run: process everything
+    currently available, then terminate — the batch-parity shape the
+    tests pin; the default is a continuously-running query."""
+    cm = ClusterMaintenance(state_dir)
+    w = stream_docs.writeStream.foreachBatch(cm.process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    return q, cm
