@@ -62,6 +62,8 @@ HEADLINE = [
     "cms_heavy_hitters",
     "line_dedup_skewsafe",
     "funnel_conversion",
+    # r5 additions
+    "semdedup",
 ]
 
 

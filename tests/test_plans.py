@@ -837,3 +837,43 @@ def test_minhash_incremental_stored_band_keys_identical(spark, sf_dir):
         }
         assert derived == precomp and derived
     spark.sql("DROP TABLE IF EXISTS bk_idx_t")
+
+
+def test_semdedup_semantics(spark, sf_dir):
+    """SemDeDup invariants: every semantic-duplicate component lives in
+    exactly one cell, keeps exactly one representative — the member with
+    the LOWEST centroid dot (vec_id tie-break) — and its pair graph is
+    the within-cell restriction of the exact embedding-cosine pair set
+    (restricting to cells loses only cross-cell pairs, never invents
+    one)."""
+    from collections import defaultdict
+
+    from vedb_gaze_spark.operators import similarity
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = similarity.semdedup(emb).collect()
+    assert len(rows) > 0
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster_id].append(r)
+    exact_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.dedup_embedding_cosine(emb).collect()
+    }
+    member_ids = {r.vec_id for r in rows}
+    for cid, members in by_cluster.items():
+        assert len({m.cell for m in members}) == 1, cid
+        assert cid == min(m.vec_id for m in members), cid
+        assert all(m.cluster_size == len(members) for m in members), cid
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1, cid
+        want = min(members, key=lambda m: (m.cent_dot, m.vec_id))
+        assert keepers[0].vec_id == want.vec_id, cid
+    # every member sits on at least one within-cell exact pair, and every
+    # such pair's endpoints land in the same component
+    cell_of = {r.vec_id: r.cell for r in rows}
+    cl_of = {r.vec_id: r.cluster_id for r in rows}
+    for a, b in exact_pairs:
+        if a in member_ids and b in member_ids and cell_of[a] == cell_of[b]:
+            assert cl_of[a] == cl_of[b], (a, b)

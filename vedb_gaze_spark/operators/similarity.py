@@ -586,3 +586,123 @@ def ann_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def semdedup(embeddings: DataFrame, block: int = 2048) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, find
+    near-duplicate pairs WITHIN each cluster only, group them into
+    semantic-duplicate components, and keep exactly one representative
+    per component — the member FARTHEST from its cluster centroid (the
+    paper's low-centroid-similarity choice, maximizing retained
+    diversity), pruning the rest.
+
+    Deterministic variant, so the whole decision table is value-hash
+    oracle-able: cells come from the fixed literal IVF centroids
+    (ann_ivf's assignment, argmax of round-6 dot products — identical in
+    both engines), pair detection is the exact rounded cosine at
+    COSINE_DUP_THRESHOLD, components reuse the dedup_clusters min-label
+    solver, and the centroid-similarity keep-rule uses the round-6
+    centroid DOT with vec_id tie-break (within a cell the centroid is
+    one fixed vector, so dot ordering is cosine ordering up to each
+    member's own norm — documented proxy, deterministic by
+    construction).
+
+    Scale shape: the within-cell pair scan is the blocked-GEMM kernel
+    (dedup_embedding_cosine's work unit) restricted to same-cell block
+    pairs — work drops from (n/block)² tasks to Σ_cells (n_c/block)²,
+    the quadratic term divided by the cell count for balanced cells;
+    every stage is a groupBy/join on (cell, block) keys, no broadcast of
+    the corpus, no driver collect. The component solve sees only
+    verified pairs (LSH-verified-pairs-sized, not corpus-sized). At
+    100 TB you raise n_cells so cells stay executor-sized — the plan
+    shape is unchanged (reference capability: marker_parsing.py:299's
+    cluster-then-filter view of density grouping, lifted to embedding
+    space).
+
+    Output: one row per vector that belongs to a semantic-duplicate
+    component — (vec_id, cell, cluster_id, cluster_size, cent_dot,
+    keep); `keep=false` rows are the prune list.
+    """
+    v = _vecs(embeddings).withColumn("dots", F.expr(_centroid_dots_expr("v")))
+    cell = (F.expr("array_position(dots, array_max(dots))") - 1).cast("int")
+    assigned = v.select(
+        "vec_id",
+        "v",
+        cell.alias("cell"),
+        F.expr("array_max(dots)").alias("cent_dot"),
+    )
+    blocks = (
+        assigned.withColumn("blk", F.floor(F.col("vec_id") / block))
+        .groupBy("cell", "blk")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("items"))
+    )
+    bp = (
+        blocks.select(
+            "cell", F.col("blk").alias("ba"), F.col("items").alias("ia")
+        )
+        .join(
+            blocks.select(
+                "cell", F.col("blk").alias("bb"), F.col("items").alias("ib")
+            ),
+            "cell",
+        )
+        .where(F.col("ba") <= F.col("bb"))
+        .repartition(F.col("cell"), F.col("ba"), F.col("bb"))
+    )
+    thresh = P.COSINE_DUP_THRESHOLD - 5.1e-7
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for ia, ib in zip(pdf["ia"], pdf["ib"]):
+                ids_a = np.array([r["vec_id"] for r in ia], dtype=np.int64)
+                Ma = np.array([r["v"] for r in ia], dtype=np.float64)
+                ids_b = np.array([r["vec_id"] for r in ib], dtype=np.int64)
+                Mb = np.array([r["v"] for r in ib], dtype=np.float64)
+                na = np.sqrt((Ma * Ma).sum(1))
+                nb = np.sqrt((Mb * Mb).sum(1))
+                S = (Ma @ Mb.T) / np.outer(na, nb)
+                ii, jj = np.nonzero(S >= thresh)
+                keep = ids_a[ii] < ids_b[jj]
+                outs.append(
+                    pd.DataFrame(
+                        {"vec_a": ids_a[ii][keep], "vec_b": ids_b[jj][keep]}
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {
+                        "vec_a": pd.Series(dtype="int64"),
+                        "vec_b": pd.Series(dtype="int64"),
+                    }
+                )
+            )
+
+    cand = bp.mapInPandas(gen, "vec_a long, vec_b long")
+    pairs = _exact_rescore(cand, assigned.select("vec_id", "v"))
+    from vedb_gaze_spark.operators.dedup import _cc_labels
+
+    labels = _cc_labels(
+        pairs.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+    )
+    members = labels.select(
+        F.col("doc_id").alias("vec_id"), F.col("label").alias("cluster_id")
+    ).join(assigned.select("vec_id", "cell", "cent_dot"), "vec_id")
+    wk = Window.partitionBy("cluster_id").orderBy("cent_dot", "vec_id")
+    wc = Window.partitionBy("cluster_id")
+    return members.select(
+        "vec_id",
+        "cell",
+        "cluster_id",
+        F.count(F.lit(1)).over(wc).cast("int").alias("cluster_size"),
+        "cent_dot",
+        (F.row_number().over(wk) == 1).alias("keep"),
+    )

@@ -2441,3 +2441,33 @@ SELECT CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
          AS conversion
 FROM flags
 """
+
+
+# SemDeDup decision table (operators/similarity.py:semdedup): fixed-IVF
+# cell assignment over ALL vectors (same literal centroid matrix and
+# round-6 dot as ANN_IVF), within-cell exact-cosine duplicate pairs,
+# recursive-CTE components (the dedup_clusters pattern), keep-rule =
+# min (cent_dot, vec_id) per component.
+SEMDEDUP = f"""
+WITH RECURSIVE dots AS MATERIALIZED (
+  SELECT vec_id, embedding,
+    {_IVF_DOTS}
+  FROM embeddings
+), asg AS MATERIALIZED (
+  SELECT vec_id, embedding, {_IVF_CASE} AS cell, mx AS cent_dot
+  FROM (SELECT *, {_IVF_MAX} AS mx FROM dots) t
+), dup AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({_COS}, 6) >= {P.COSINE_DUP_THRESHOLD}
+),
+{_COMPONENTS}
+SELECT l.doc_id AS vec_id, a.cell, l.cluster_id,
+       CAST(c.cnt AS INT) AS cluster_size, a.cent_dot,
+       (row_number() OVER (PARTITION BY l.cluster_id
+                           ORDER BY a.cent_dot, l.doc_id) = 1) AS keep
+FROM lab l
+JOIN asg a ON a.vec_id = l.doc_id
+JOIN (SELECT cluster_id, count(*) AS cnt FROM lab GROUP BY cluster_id) c
+  USING (cluster_id)
+"""

@@ -729,6 +729,11 @@ def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_trained(load_table(spark, "embeddings", sf_dir))
 
 
+@register("semdedup", oracles.SEMDEDUP)
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup(load_table(spark, "embeddings", sf_dir))
+
+
 @register("multimodal_sample", oracles.MULTIMODAL_SAMPLE)
 def _multimodal_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(load_table(spark, "documents", sf_dir))
@@ -757,6 +762,7 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_ORDER = [
     # -- (1) never recorded --------------------------------------------
     "calibration_hmd",
+    "semdedup",
     # -- (2) the 12 r2-stale entries -----------------------------------
     "ann_cosine_topk",
     "ann_lsh",
