@@ -64,6 +64,7 @@ HEADLINE = [
     "funnel_conversion",
     # r5 additions
     "semdedup",
+    "dsir_select",
 ]
 
 

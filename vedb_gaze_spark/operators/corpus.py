@@ -449,3 +449,107 @@ def cms_heavy_hitters(documents: DataFrame) -> DataFrame:
             (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
         )
     )
+
+
+def dsir_select(
+    documents: DataFrame,
+    n_buckets: int = P.DSIR_BUCKETS,
+    k: int = P.DSIR_TOPK,
+    bench_mod: int = P.DECONTAM_BENCH_MOD,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    importance-resample raw documents toward a target distribution
+    using hashed-ngram bag features. Feature = unigram ∪ bigram word
+    stream hashed into ``n_buckets``; per-bucket importance log-ratio
+    log(p_target/q_raw) under Laplace smoothing; per-doc log importance
+    weight = Σ over the doc's gram occurrences of its bucket's
+    log-ratio; selection = Gumbel top-k over log w + g (sampling
+    without replacement ∝ w, the paper's estimator).
+
+    Deterministic end-to-end, so the whole selection survives the
+    value-hash gate: bucket ids come from the portable md5 hash, the
+    one ln() per BUCKET is quantized to integer micro-nats before the
+    corpus-sized sum (lm_score's order-independence trick — the doc
+    score is an exact integer sum at any parallelism), and the Gumbel
+    draw derives from a hash of the doc_id (u = (h % 999998 + 1)/1e6,
+    g = -ln(-ln(u))) instead of an RNG — same floor(x·1e6 + 0.5)
+    quantization, same draw on any engine.
+
+    Scale shape: the feature table is FIXED-SIZE (n_buckets rows, not
+    vocabulary-sized), so broadcasting it is correct at any corpus
+    scale — the contrast with lm_score/tfidf_keywords' unbounded
+    vocab tables is deliberate and is why DSIR is the 100 TB-friendly
+    quality signal; the corpus sides are one gram explode + one doc_id
+    groupBy, and the final top-k is orderBy+limit
+    (TakeOrderedAndProject: per-partition heaps, never a global sort).
+    Target slice = doc_id % bench_mod == 0 (the decontaminate
+    convention for a held-out stand-in); target docs are never
+    selected."""
+    toks = documents.where(F.col("text").isNotNull()).select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    )
+    # unigrams ++ bigrams as ONE array expression → one corpus scan, one
+    # generator (the union-of-selects form tokenizes the corpus twice)
+    gram_arr = F.expr(
+        "concat(t, transform(sequence(0, size(t) - 2),"
+        " i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2))))"
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("t") >= 2, gram_arr).otherwise(F.col("t"))
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            (portable_hash60("g") % n_buckets).cast("int").alias("b"),
+            (F.col("doc_id") % bench_mod == 0).alias("is_t"),
+        )
+    )
+    counts = grams.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("rc"),
+    )
+    tot = counts.agg(F.sum("tc").alias("T"), F.sum("rc").alias("R"))
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            (
+                F.log((F.col("tc") + 1.0) / (F.col("T") + F.lit(n_buckets)))
+                - F.log((F.col("rc") + 1.0) / (F.col("R") + F.lit(n_buckets)))
+            )
+            * 1e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("lr"),
+    )
+    scores = (
+        grams.where(~F.col("is_t"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lr").alias("logw_unats"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    u = (
+        portable_hash60(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")))
+        % 999998
+        + 1
+    ) / 1e6
+    keyed = scores.select(
+        "doc_id",
+        "n_grams",
+        "logw_unats",
+        (
+            F.col("logw_unats")
+            + F.floor(-F.log(-F.log(u)) * 1e6 + 0.5).cast("long")
+        ).alias("key_unats"),
+    )
+    top = keyed.orderBy(F.desc("key_unats"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("key_unats"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "n_grams", "logw_unats", "key_unats"
+    )

@@ -2471,3 +2471,59 @@ JOIN asg a ON a.vec_id = l.doc_id
 JOIN (SELECT cluster_id, count(*) AS cnt FROM lab GROUP BY cluster_id) c
   USING (cluster_id)
 """
+
+
+# DSIR importance resampling (operators/corpus.py:dsir_select): hashed
+# unigram∪bigram bag features, micro-nat-quantized per-bucket log
+# ratios (integer doc sums), hash-derived Gumbel keys, top-k.
+DSIR_SELECT = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE text IS NOT NULL
+),
+uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+bi AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS g
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM toks WHERE len(t) >= 2
+  )
+),
+grams AS (
+  SELECT doc_id, {_h60('g')} % {P.DSIR_BUCKETS} AS b,
+         (doc_id % {P.DECONTAM_BENCH_MOD} = 0) AS is_t
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+counts AS (
+  SELECT b,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS rc
+  FROM grams GROUP BY b
+),
+tot AS (SELECT sum(tc) AS T, sum(rc) AS R FROM counts),
+lr AS (
+  SELECT b,
+         CAST(floor((ln((tc + 1.0) / (T + {P.DSIR_BUCKETS}))
+                   - ln((rc + 1.0) / (R + {P.DSIR_BUCKETS}))) * 1e6 + 0.5)
+              AS BIGINT) AS lr
+  FROM counts, tot
+),
+scores AS (
+  SELECT g.doc_id,
+         CAST(sum(l.lr) AS BIGINT) AS logw_unats,
+         count(*) AS n_grams
+  FROM grams g JOIN lr l USING (b)
+  WHERE NOT g.is_t
+  GROUP BY g.doc_id
+),
+keyed AS (
+  SELECT doc_id, n_grams, logw_unats,
+         logw_unats + CAST(floor(-ln(-ln(
+           (({_h60("'dsir:' || CAST(doc_id AS VARCHAR)")}) % 999998 + 1) / 1e6
+         )) * 1e6 + 0.5) AS BIGINT) AS key_unats
+  FROM scores
+)
+SELECT rank, doc_id, n_grams, logw_unats, key_unats FROM (
+  SELECT *, row_number() OVER (ORDER BY key_unats DESC, doc_id) AS rank
+  FROM keyed
+) t WHERE rank <= {P.DSIR_TOPK}
+"""

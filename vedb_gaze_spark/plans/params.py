@@ -253,6 +253,11 @@ LINE_DEDUP_WORDS = 8            # words per segment
 # benchmark here is the deterministic doc_id % mod == 0 slice.
 DECONTAM_NGRAM = 8              # word n-gram width
 DECONTAM_BENCH_MOD = 13         # benchmark = doc_id % 13 == 0
+# DSIR importance resampling (Xie et al. 2023): hashed-ngram bag features,
+# target = the same deterministic doc_id % mod == 0 slice decontamination
+# uses as its held-out stand-in; raw = everything else.
+DSIR_BUCKETS = 4096             # hashed-ngram feature buckets
+DSIR_TOPK = 100                 # docs selected by Gumbel top-k
 # Token-budget sequence packing (group docs into fixed-budget training
 # sequences, greedy first-fit in doc_id order within each source).
 PACK_BUDGET_TOKENS = 256

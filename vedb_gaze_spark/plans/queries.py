@@ -489,6 +489,11 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.stratified_sample(load_table(spark, "documents", sf_dir))
 
 
+@register("dsir_select", oracles.DSIR_SELECT)
+def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.dsir_select(load_table(spark, "documents", sf_dir))
+
+
 @register("hll_distinct", oracles.HLL_DISTINCT)
 def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.hll_distinct(load_table(spark, "events", sf_dir))
@@ -763,6 +768,7 @@ _GATE_ORDER = [
     # -- (1) never recorded --------------------------------------------
     "calibration_hmd",
     "semdedup",
+    "dsir_select",
     # -- (2) the 12 r2-stale entries -----------------------------------
     "ann_cosine_topk",
     "ann_lsh",
