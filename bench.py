@@ -65,6 +65,8 @@ HEADLINE = [
     # r5 additions
     "semdedup",
     "dsir_select",
+    "dedup_substring",
+    "multimodal_phash_dedup",
 ]
 
 

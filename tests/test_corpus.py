@@ -217,3 +217,70 @@ def test_cms_never_underestimates_and_finds_all_heavy_hitters(spark, documents):
     }
     assert true_hh <= reported
     assert any(r["overcount"] > 0 for r in out)  # w=16 forces collisions
+
+
+def test_dedup_substring_planted_spans(spark):
+    """Planted duplicates pin the span semantics independent of the
+    oracle: a 12-token run shared by two docs at different offsets must
+    come back as exactly one maximal span per occurrence (positions of
+    the covered rolling grams), unique text must yield nothing, and a
+    within-doc repeat must be caught too."""
+    from vedb_gaze_spark.operators.corpus import dedup_substring
+
+    shared = " ".join(f"dup{i}" for i in range(12))        # 12 tokens
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            # doc 0: shared run at tokens 5..16
+            (0, uniq("a", 5) + " " + shared + " " + uniq("b", 4)),
+            # doc 1: shared run at tokens 0..11
+            (1, shared + " " + uniq("c", 9)),
+            # doc 2: all-unique text, no spans
+            (2, uniq("d", 30)),
+            # doc 3: internal repeat — same 8-gram at 0..7 and 10..17
+            (3, uniq("e", 8) + " x1 x2 " + uniq("e", 8) + " " + uniq("f", 3)),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup_substring(docs, min_len=8).collect()
+    }
+    assert rows == {
+        (0, 5, 16, 12),
+        (1, 0, 11, 12),
+        (3, 0, 7, 8),
+        (3, 10, 17, 8),
+    }, rows
+
+
+def test_multimodal_phash_planted_near_dups(spark):
+    """pHash banding recall is EXACT for r < bands (pigeonhole): an
+    identical payload pair must surface at hamming 0, a payload
+    perturbed enough to flip ≤2 dHash bits must surface with its true
+    distance, and a reversed payload (hash far away) must not pair."""
+    from vedb_gaze_spark.operators.multimodal import multimodal_phash_dedup
+
+    base = "".join(chr(65 + (i * 7) % 26) for i in range(400))
+    # perturb the i=4 sampled byte (position (4*400)//16 = 100): base
+    # neighbors are s[3]='F'(70), s[4]='Y'(89), s[5]='R'(82); replacing
+    # s[4] with 'P'(80) keeps bit3 (70>80 still false) and flips bit4
+    # (80>82 false, was 89>82 true) → true Hamming distance exactly 1
+    mid = list(base)
+    mid[100] = "P"
+    perturbed = "".join(mid)
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),            # exact dup of 0
+            (2, perturbed),       # near dup of 0/1
+            (3, base[::-1]),      # structurally different
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_a, r.doc_b): r.hamming for r in multimodal_phash_dedup(docs).collect()}
+    assert rows.get((0, 1)) == 0
+    assert (2, 3) not in rows and (0, 3) not in rows and (1, 3) not in rows
+    # banding recall is exact at r=1 < bands: the pair MUST be found
+    assert rows.get((0, 2)) == 1
+    assert rows.get((1, 2)) == 1

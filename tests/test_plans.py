@@ -215,6 +215,9 @@ def test_no_driver_collect_in_operators():
         # static benchmark n-gram set for streaming decontamination:
         # collects O(eval-suite) n-grams once, never corpus rows
         "def bench_ngram_set",
+        # frozen DSIR feature table: collects ≤ DSIR_BUCKETS fixed-size
+        # model rows once (the streaming scorer's broadcast model)
+        "def dsir_lr_table",
     )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []
@@ -877,3 +880,71 @@ def test_semdedup_semantics(spark, sf_dir):
     for a, b in exact_pairs:
         if a in member_ids and b in member_ids and cell_of[a] == cell_of[b]:
             assert cl_of[a] == cl_of[b], (a, b)
+
+
+def test_dsir_broadcasts_are_bounded_and_topk_is_heap(spark, sf_dir):
+    """dsir_select's two explicit broadcasts are both BOUNDED tables
+    (the 2-scalar totals row and the ≤n_buckets feature table — a
+    model, not a vocabulary), so exactly two ResolvedHints are
+    allowed; the selection must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global Sort, and the corpus-side
+    joins must not be sort-merge."""
+    df = QUERIES["dsir_select"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2, analyzed
+    s = fmt(df)
+    assert "TakeOrderedAndProject" in s, s
+    assert "SortMergeJoin" not in s, s
+
+
+def test_dedup_substring_no_forced_broadcasts(spark, sf_dir):
+    """dedup_substring's duplicated-gram relation is corpus-dependent
+    (unbounded at web scale): no forced broadcast hints anywhere — the
+    gram-count join is AQE's call on the uniform 60-bit hash key."""
+    df = QUERIES["dedup_substring"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 0, analyzed
+
+
+def test_semdedup_no_forced_broadcasts(spark, sf_dir):
+    """semdedup's pair scan stays (cell, block)-keyed MapInPandas GEMM
+    and its component/size joins key on uniform ids — nothing
+    corpus-sized may carry a forced broadcast hint (note: building the
+    frame runs the eager CC loop; the hint check covers the final
+    decision-table plan; the GEMM subtree sits behind the CC loop's
+    checkpoint, so it never reappears here)."""
+    df = QUERIES["semdedup"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 0, analyzed
+
+
+def test_bm25_indexed_matches_scan_and_prunes_buckets(spark, sf_dir, tmp_path):
+    """The stored inverted index must (a) return EXACTLY bm25_search's
+    rows for the same corpus and query — same score doubles, same
+    ranks — and (b) bucket-prune the postings probe: the executed scan
+    reads only the query terms' buckets (SelectedBucketsCount k of n,
+    k < n), the search-service contract at 100 TB."""
+    from vedb_gaze_spark.operators.text import bm25_search, bm25_search_indexed
+    from vedb_gaze_spark.sources.bucketing import write_bm25_index
+    from vedb_gaze_spark.sources.tables import load_table
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bm25wh LOCATION '{tmp_path}/wh'"
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    try:
+        write_bm25_index(docs, "bm25wh.idx")
+        got_df = bm25_search_indexed(spark, "bm25wh.idx")
+        got = [tuple(r) for r in got_df.collect()]
+        want = [tuple(r) for r in bm25_search(docs).collect()]
+        assert got == want and len(want) > 0
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) < int(m.group(2)), m.groups()
+    finally:
+        for t in ("idx_postings", "idx_df", "idx_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS bm25wh.{t}")
+        spark.sql("DROP DATABASE IF EXISTS bm25wh")

@@ -952,3 +952,48 @@ def test_streaming_cluster_maintenance_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     # cross-batch clusters exist (a pair spanning the file split)
     assert any(a <= q1 < b for a, b in got_pairs), "no cross-batch pair"
+
+
+def test_streaming_dsir_score_matches_batch(spark, sf_dir):
+    """The frozen-model DSIR scorer over a stream must emit exactly the
+    batch dsir_scores rows — integer micro-nat sums make the parity
+    bit-exact, the Python md5 bucket hash must agree with the JVM
+    portable hash, and target-slice / gramless docs must emit
+    nothing."""
+    from vedb_gaze_spark.operators.corpus import dsir_scores
+    from vedb_gaze_spark.streaming.corpus import (
+        dsir_lr_table,
+        streaming_dsir_score,
+    )
+
+    batch = load_table(spark, "documents", sf_dir)
+    lr, default_lr = dsir_lr_table(batch)
+    # default = the tc=rc=0 Laplace cell = ln((R+B)/(T+B)): positive,
+    # since the raw slice is 12x the target slice
+    assert len(lr) > 0 and default_lr > 0
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        streaming_dsir_score(stream, lr, default_lr)
+        .writeStream.format("memory")
+        .queryName("mem_dsir")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            (r.doc_id, r.logw_unats, r.n_grams)
+            for r in spark.sql("SELECT * FROM mem_dsir").collect()
+        }
+        want = {
+            (r.doc_id, r.logw_unats, r.n_grams)
+            for r in dsir_scores(batch).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()

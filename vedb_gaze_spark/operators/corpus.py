@@ -485,55 +485,7 @@ def dsir_select(
     Target slice = doc_id % bench_mod == 0 (the decontaminate
     convention for a held-out stand-in); target docs are never
     selected."""
-    toks = documents.where(F.col("text").isNotNull()).select(
-        "doc_id", F.expr(_TOKENS).alias("t")
-    )
-    # unigrams ++ bigrams as ONE array expression → one corpus scan, one
-    # generator (the union-of-selects form tokenizes the corpus twice)
-    gram_arr = F.expr(
-        "concat(t, transform(sequence(0, size(t) - 2),"
-        " i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2))))"
-    )
-    grams = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.when(F.size("t") >= 2, gram_arr).otherwise(F.col("t"))
-            ).alias("g"),
-        )
-        .select(
-            "doc_id",
-            (portable_hash60("g") % n_buckets).cast("int").alias("b"),
-            (F.col("doc_id") % bench_mod == 0).alias("is_t"),
-        )
-    )
-    counts = grams.groupBy("b").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("tc"),
-        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("rc"),
-    )
-    tot = counts.agg(F.sum("tc").alias("T"), F.sum("rc").alias("R"))
-    lr = counts.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.floor(
-            (
-                F.log((F.col("tc") + 1.0) / (F.col("T") + F.lit(n_buckets)))
-                - F.log((F.col("rc") + 1.0) / (F.col("R") + F.lit(n_buckets)))
-            )
-            * 1e6
-            + 0.5
-        )
-        .cast("long")
-        .alias("lr"),
-    )
-    scores = (
-        grams.where(~F.col("is_t"))
-        .join(F.broadcast(lr), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("lr").alias("logw_unats"),
-            F.count(F.lit(1)).alias("n_grams"),
-        )
-    )
+    scores = dsir_scores(documents, n_buckets, bench_mod)
     u = (
         portable_hash60(F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")))
         % 999998
@@ -552,4 +504,158 @@ def dsir_select(
     w = Window.orderBy(F.desc("key_unats"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "n_grams", "logw_unats", "key_unats"
+    )
+
+
+def _dsir_grams(
+    documents: DataFrame, n_buckets: int, bench_mod: int
+) -> DataFrame:
+    """(doc_id, bucket, is_target) hashed unigram∪bigram occurrence
+    stream — one corpus scan, one generator (the union-of-selects form
+    tokenizes the corpus twice)."""
+    toks = documents.where(F.col("text").isNotNull()).select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    )
+    gram_arr = F.expr(
+        "concat(t, transform(sequence(0, size(t) - 2),"
+        " i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2))))"
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("t") >= 2, gram_arr).otherwise(F.col("t"))
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            (portable_hash60("g") % n_buckets).cast("int").alias("b"),
+            (F.col("doc_id") % bench_mod == 0).alias("is_t"),
+        )
+    )
+
+
+def _dsir_counts(grams: DataFrame) -> DataFrame:
+    return grams.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("rc"),
+    )
+
+
+def dsir_scores(
+    documents: DataFrame,
+    n_buckets: int = P.DSIR_BUCKETS,
+    bench_mod: int = P.DECONTAM_BENCH_MOD,
+) -> DataFrame:
+    """The score stage of dsir_select — (doc_id, logw_unats, n_grams)
+    for every raw (non-target) doc with ≥1 gram. Public so the
+    streaming scorer (streaming/corpus.py:streaming_dsir_score) has a
+    batch reference to pin row-for-row parity against."""
+    grams = _dsir_grams(documents, n_buckets, bench_mod)
+    counts = _dsir_counts(grams)
+    tot = counts.agg(F.sum("tc").alias("T"), F.sum("rc").alias("R"))
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            (
+                F.log((F.col("tc") + 1.0) / (F.col("T") + F.lit(n_buckets)))
+                - F.log((F.col("rc") + 1.0) / (F.col("R") + F.lit(n_buckets)))
+            )
+            * 1e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("lr"),
+    )
+    return (
+        grams.where(~F.col("is_t"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lr").alias("logw_unats"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+
+
+def dedup_substring(
+    documents: DataFrame, min_len: int = P.SUBSTR_L
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", §3.1 ExactSubstr) —
+    the companion to line_dedup: find every maximal token span of
+    length ≥ ``min_len`` that also occurs at ANY other position in the
+    corpus (another doc or elsewhere in the same doc), i.e. the ranges
+    the paper cuts from training text.
+
+    Rolling-gram formulation, exactly equivalent to the paper's
+    suffix-array scan for this span semantics: a span of length
+    M ≥ L is duplicated iff all of its rolling L-grams are duplicated,
+    and every duplicated L-gram occurrence covers its L positions — so
+    the union of covered positions is precisely the union of maximal
+    duplicated spans. The suffix array is the single-node data
+    structure; the DISTRIBUTED equivalent of its duplicate scan is a
+    count over the hashed rolling-gram stream (one corpus-sized
+    groupBy on a uniform 60-bit key), followed by per-doc
+    gaps-and-islands interval coalescing (one doc-keyed window pass —
+    running max of span ends, island break where a start exceeds it).
+
+    Output: one row per maximal duplicated span — (doc_id, span_start,
+    span_end, span_tokens), token positions 0-based inclusive.
+
+    Scale: the gram stream is the same magnitude as the shingle stream
+    every dedup pass already scans; the only corpus-sized shuffles are
+    the gram-count groupBy and the doc_id re-key for the island scan.
+    No broadcast of anything corpus-dependent (the duplicated-gram
+    relation joins on the hash key; AQE picks the strategy)."""
+    toks = documents.where(F.col("text").isNotNull()).select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    )
+    grams = toks.where(F.size("t") >= min_len).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {min_len}),"
+                f" i -> array_join(slice(t, i + 1, {min_len}), ' '))"
+            )
+        ).alias("p", "g"),
+    ).select("doc_id", "p", portable_hash60("g").alias("gh"))
+    dup_counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cnt"))
+    covered = (
+        grams.join(dup_counts.where(F.col("cnt") > 1), "gh")
+        .select("doc_id", "p")
+    )
+    # gaps-and-islands: intervals [p, p+L-1] per doc, coalesce overlaps.
+    # island id = count of preceding breaks (start beyond the running
+    # max end of all earlier intervals).
+    wo = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wi = Window.partitionBy("doc_id").orderBy("p")
+    marked = covered.select(
+        "doc_id",
+        "p",
+        (F.col("p") + min_len - 1).alias("e"),
+        F.when(
+            F.col("p") > F.max(F.col("p") + min_len - 1).over(wo) + 1, 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    ).withColumn("island", F.sum("brk").over(wi))
+    return (
+        marked.groupBy("doc_id", "island")
+        .agg(
+            F.min("p").cast("int").alias("span_start"),
+            F.max("e").cast("int").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("int")
+            .alias("span_tokens"),
+        )
     )

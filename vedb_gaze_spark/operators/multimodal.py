@@ -208,3 +208,85 @@ def resize_thumbnail(documents: DataFrame, target: int = 16) -> DataFrame:
 
     d = documents.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return d.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+def multimodal_phash_dedup(
+    documents: DataFrame,
+    bits: int = P.PHASH_BITS,
+    bands: int = P.PHASH_BANDS,
+    max_hamming: int = P.PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over media payloads —
+    the image-dedup stage of a multimodal training pipeline (same
+    banded-LSH shape as dedup_simhash, over pixels instead of words).
+
+    dHash over the decode stub: the payload's ``bits`` evenly-spaced
+    byte samples (exactly the resize stub's thumbnail positions,
+    (i·n)//bits) compared pairwise around the ring — bit i set iff
+    sample i > sample (i+1) mod bits. With a real codec the samples
+    would be downscaled luma pixels; the hash algebra, banding, and
+    verify are the production path and are what this operator pins.
+
+    Candidates share any of the ``bands`` (bits/bands)-bit bands of
+    the hash (two images within Hamming r of each other agree on at
+    least bands - r bands, so any r < bands has recall 1 by pigeonhole
+    — banding here is EXACT, not probabilistic); the exact Hamming
+    distance then decides at radius ``max_hamming``. Verification is
+    two xors and a popcount per candidate — pure codegen; the filter
+    runs BEFORE the dedup-distinct so only true pairs shuffle.
+
+    At 100 TB: band keys are near-uniform for non-duplicate content,
+    every stage is groupBy/join on short uniform keys, nothing is
+    broadcast, and the pair volume is the standard LSH candidate cost
+    (Σ_buckets m² over bucket occupancies)."""
+    rows_per_band = bits // bands
+    n = F.octet_length(F.col("text").cast("binary"))
+    samples = F.expr(
+        f"transform(sequence(0, {bits} - 1),"
+        f" i -> ascii(substring(text, cast(i * length(text) div {bits} as int) + 1, 1)))"
+    )
+    phash = F.expr(
+        f"aggregate(sequence(0, {bits} - 1), 0L, (acc, i) ->"
+        f" acc + if(s[i] > s[pmod(i + 1, {bits})], shiftleft(1L, i), 0L))"
+    )
+    hashed = (
+        documents.where(F.col("text").isNotNull() & (n > 0))
+        .select("doc_id", samples.alias("s"))
+        .select("doc_id", phash.alias("ph"))
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("ph", b * rows_per_band)
+                .bitwiseAND((1 << rows_per_band) - 1)
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = hashed.select(
+        "doc_id", "ph", F.explode(band_arr).alias("bk")
+    ).select("doc_id", "ph", "bk.band", "bk.key")
+    cand = (
+        keyed.select(
+            F.col("doc_id").alias("doc_a"), F.col("ph").alias("ph_a"),
+            "band", "key",
+        )
+        .join(
+            keyed.select(
+                F.col("doc_id").alias("doc_b"), F.col("ph").alias("ph_b"),
+                "band", "key",
+            ),
+            ["band", "key"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(ph_a ^ ph_b)").cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+    return cand

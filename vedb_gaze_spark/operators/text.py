@@ -402,3 +402,66 @@ def tfidf_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", "rank", "word", "tfidf")
     )
+
+
+def bm25_search_indexed(
+    spark, prefix: str, query: tuple = P.BM25_QUERY
+) -> DataFrame:
+    """BM25 top-k retrieval against the STORED inverted index
+    (sources/bucketing.py:write_bm25_index) — identical output to
+    bm25_search over the same corpus (parity-pinned), different cost
+    model: the postings scan is bucket-pruned to the query terms'
+    buckets (plan-pinned SelectedBucketsCount), so a query reads its
+    terms' postings lists, never the corpus. Per-term idf comes from
+    the stored df table via the same pruned probe; the 1-row stats
+    table broadcasts.
+
+    The score algebra, rounding, and tie-breaks are bm25_search's,
+    term-summed via a pivot on the pruned postings (docs missing a
+    term contribute tf = 0 exactly as the scan form's filter() does)."""
+    terms = list(query)
+    post = (
+        spark.table(f"{prefix}_postings")
+        .where(F.col("word").isin(terms))
+    )
+    dfreq = (
+        spark.table(f"{prefix}_df").where(F.col("word").isin(terms))
+    )
+    stats = spark.table(f"{prefix}_stats")
+    scored = (
+        post.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+    )
+    k1, b = P.BM25_K1, P.BM25_B
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    term_score = idf * (
+        tf
+        * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    # per-term scores sum per doc in the terms' literal order (a fixed
+    # fold, like the scan form) so float addition order is identical:
+    # pivot to tf columns per term, then the same left-to-right sum
+    per_term = scored.select(
+        "doc_id", "dl", "word", term_score.alias("ts")
+    )
+    agg = per_term.groupBy("doc_id", "dl").pivot("word", terms).agg(
+        F.first("ts")
+    )
+    total = None
+    for t in terms:
+        c = F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+        total = c if total is None else total + c
+    ranked = agg.select(
+        "doc_id", "dl", F.round(total, 6).alias("score")
+    ).where(F.col("score") > 0)
+    top = ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(P.BM25_TOPK)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "dl", "score"
+    )

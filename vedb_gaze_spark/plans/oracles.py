@@ -2527,3 +2527,75 @@ SELECT rank, doc_id, n_grams, logw_unats, key_unats FROM (
   FROM keyed
 ) t WHERE rank <= {P.DSIR_TOPK}
 """
+
+
+# Exact substring dedup (operators/corpus.py:dedup_substring): rolling
+# L-gram duplicate scan + per-doc gaps-and-islands interval coalescing.
+DEDUP_SUBSTRING = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, i - 1 AS p,
+         {_h60(f"array_to_string(list_slice(t, i, i + {P.SUBSTR_L} - 1), ' ')")} AS gh
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(t) - {P.SUBSTR_L} + 1)) AS i
+    FROM toks WHERE len(t) >= {P.SUBSTR_L}
+  )
+),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+covered AS (SELECT doc_id, p FROM grams JOIN dup USING (gh)),
+marked AS (
+  SELECT doc_id, p, p + {P.SUBSTR_L} - 1 AS e,
+         CASE WHEN p > max(p + {P.SUBSTR_L} - 1) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM covered
+),
+isl AS (
+  SELECT doc_id, p, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM marked
+)
+SELECT doc_id,
+       CAST(min(p) AS INT) AS span_start,
+       CAST(max(e) AS INT) AS span_end,
+       CAST(max(e) - min(p) + 1 AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
+# Perceptual-hash near-dup (operators/multimodal.py:multimodal_phash_dedup):
+# dHash over the resize stub's thumbnail samples, exact-banding candidates,
+# exact Hamming verify.
+_PHASH_SAMPLE = (
+    "ascii(substring(text, CAST(({pos} * length(text)) // {bits} AS INT) + 1, 1))"
+)
+_PHASH_EXPR = (
+    "CAST(list_sum(list_transform(generate_series(0, {last}), i -> "
+    "CASE WHEN "
+    + _PHASH_SAMPLE.format(pos="i", bits="{bits}")
+    + " > "
+    + _PHASH_SAMPLE.format(pos="((i + 1) % {bits})", bits="{bits}")
+    + " THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
+)
+
+MULTIMODAL_PHASH_DEDUP = f"""
+WITH h AS (
+  SELECT doc_id,
+    {_PHASH_EXPR.format(last=P.PHASH_BITS - 1, bits=P.PHASH_BITS)} AS ph
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+k AS (
+  SELECT doc_id, ph, b,
+         (ph >> (b * {P.PHASH_BITS // P.PHASH_BANDS}))
+           & {(1 << (P.PHASH_BITS // P.PHASH_BANDS)) - 1} AS key
+  FROM h, unnest(generate_series(0, {P.PHASH_BANDS - 1})) t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+FROM k a JOIN k b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= {P.PHASH_MAX_HAMMING}
+"""

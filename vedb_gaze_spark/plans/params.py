@@ -258,6 +258,18 @@ DECONTAM_BENCH_MOD = 13         # benchmark = doc_id % 13 == 0
 # uses as its held-out stand-in; raw = everything else.
 DSIR_BUCKETS = 4096             # hashed-ngram feature buckets
 DSIR_TOPK = 100                 # docs selected by Gumbel top-k
+# Perceptual-hash near-dup over media thumbnails: dHash bits over the
+# evenly-spaced byte samples the resize stub produces; banded buckets
+# (simhash-style) generate candidates, exact Hamming distance decides.
+PHASH_BITS = 16                 # dHash width = thumbnail samples (coarse:
+                                # the decode stub's 16-sample thumbnail; a
+                                # real codec path would use 64)
+PHASH_BANDS = 4                 # 8-bit bands
+PHASH_MAX_HAMMING = 2           # near-dup acceptance radius
+# Exact substring dedup (Lee et al. 2022 §3.1, rolling-gram formulation):
+# a token span is duplicated iff it is ≥ SUBSTR_L tokens and occurs at
+# another position anywhere in the corpus (other doc OR same doc).
+SUBSTR_L = 8                    # minimum duplicated span length, tokens
 # Token-budget sequence packing (group docs into fixed-budget training
 # sequences, greedy first-fit in doc_id order within each source).
 PACK_BUDGET_TOKENS = 256

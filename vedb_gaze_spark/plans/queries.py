@@ -494,6 +494,11 @@ def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.dsir_select(load_table(spark, "documents", sf_dir))
 
 
+@register("dedup_substring", oracles.DEDUP_SUBSTRING)
+def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.dedup_substring(load_table(spark, "documents", sf_dir))
+
+
 @register("hll_distinct", oracles.HLL_DISTINCT)
 def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.hll_distinct(load_table(spark, "events", sf_dir))
@@ -749,6 +754,13 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(load_table(spark, "documents", sf_dir))
 
 
+@register("multimodal_phash_dedup", oracles.MULTIMODAL_PHASH_DEDUP)
+def _multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.multimodal_phash_dedup(
+        load_table(spark, "documents", sf_dir)
+    )
+
+
 # --- driver-gate registration order -------------------------------------
 # The driver correctness gate records exactly the first ~50 registry
 # entries per round. Iteration order is therefore explicit, not
@@ -769,6 +781,8 @@ _GATE_ORDER = [
     "calibration_hmd",
     "semdedup",
     "dsir_select",
+    "dedup_substring",
+    "multimodal_phash_dedup",
     # -- (2) the 12 r2-stale entries -----------------------------------
     "ann_cosine_topk",
     "ann_lsh",

@@ -103,3 +103,43 @@ def write_band_keys_bucketed(
         _band_keys(_minhash_signatures(doc_sets)), table, key="doc_id",
         n_buckets=n_buckets, sort_by="doc_id",
     )
+
+
+def write_bm25_index(
+    documents: DataFrame, prefix: str, n_buckets: int = 32
+) -> None:
+    """Persist the BM25 inverted index (SURVEY §2.G): postings
+    (word, doc_id, tf, dl) bucketed+sorted by word, per-word document
+    frequencies bucketed by word, and the 1-row global stats table.
+
+    dl is DENORMALIZED into the postings rows, so a query never joins
+    the corpus-sized docs table — the classic index layout. With the
+    postings bucketed by word, a keyword query's scan is BUCKET-PRUNED
+    to the query terms' buckets (executed plan shows
+    SelectedBucketsCount k of n) — at 100 TB a query reads its terms'
+    postings, not the corpus; that is the difference between a search
+    SERVICE and a per-query corpus scan (text.py:bm25_search is the
+    one-shot form this index materializes)."""
+    from pyspark.sql import functions as F
+
+    from vedb_gaze_spark.operators.text import _TOKENS
+
+    toks = documents.select(
+        "doc_id",
+        F.expr(_TOKENS).alias("t"),
+    ).select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("word"))
+    postings = toks.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    write_bucketed(
+        postings, f"{prefix}_postings", key="word",
+        n_buckets=n_buckets, sort_by="word",
+    )
+    df = postings.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    write_bucketed(
+        df, f"{prefix}_df", key="word", n_buckets=n_buckets, sort_by="word"
+    )
+    stats = documents.select(
+        F.expr(f"size({_TOKENS})").alias("dl")
+    ).agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    stats.write.mode("overwrite").saveAsTable(f"{prefix}_stats")

@@ -88,3 +88,86 @@ def streaming_decontaminate(
     return stream.select("doc_id", "text").mapInPandas(
         fn, "doc_id long, n_overlap long"
     )
+
+
+def dsir_lr_table(documents: DataFrame) -> tuple[dict, int]:
+    """Freeze dsir_select's per-bucket log-ratio table for streaming
+    use: (bucket → micro-nat log ratio, default for unseen buckets).
+    The table is FIXED-SIZE (≤ DSIR_BUCKETS rows) — collecting it is
+    collecting a model, not a corpus (same standing as the decontam
+    benchmark set), and broadcasting it row-locally is scale-correct
+    at any corpus size. The default is the tc=rc=0 Laplace cell —
+    principled for buckets the training corpus never hit (possible
+    only for docs streamed AFTER the freeze)."""
+    import math
+
+    from vedb_gaze_spark.operators.corpus import _dsir_counts, _dsir_grams
+
+    counts = _dsir_counts(
+        _dsir_grams(documents, P.DSIR_BUCKETS, P.DECONTAM_BENCH_MOD)
+    ).collect()
+    T = sum(r["tc"] for r in counts)
+    R = sum(r["rc"] for r in counts)
+    B = P.DSIR_BUCKETS
+
+    def q(tc, rc):
+        return int(
+            math.floor(
+                (math.log((tc + 1.0) / (T + B)) - math.log((rc + 1.0) / (R + B)))
+                * 1e6
+                + 0.5
+            )
+        )
+
+    return {r["b"]: q(r["tc"], r["rc"]) for r in counts}, q(0, 0)
+
+
+def streaming_dsir_score(
+    stream: DataFrame,
+    lr: dict,
+    default_lr: int,
+    n_buckets: int = P.DSIR_BUCKETS,
+    bench_mod: int = P.DECONTAM_BENCH_MOD,
+) -> DataFrame:
+    """Stateless streaming DSIR scorer: each arriving raw doc gets its
+    integer micro-nat log importance weight against the FROZEN bucket
+    table — row-local, no shuffle, no state, the decontamination shape
+    (model broadcast once per executor, corpus streams past). Emits
+    the exact rows batch dsir_scores emits for the same docs
+    (integer-sum determinism makes the parity bit-exact); target-slice
+    docs and gramless docs emit nothing, matching the batch inner
+    join."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_s, out_n = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or doc_id % bench_mod == 0:
+                    continue
+                toks = _TOKEN_RE.findall(str(text).lower())
+                grams = toks + [
+                    f"{a} {b}" for a, b in zip(toks, toks[1:])
+                ]
+                if not grams:
+                    continue
+                s = 0
+                for g in grams:
+                    h = int(
+                        hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16
+                    )
+                    s += lr.get(h % n_buckets, default_lr)
+                out_id.append(doc_id)
+                out_s.append(s)
+                out_n.append(len(grams))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "logw_unats": pd.Series(out_s, dtype="int64"),
+                    "n_grams": pd.Series(out_n, dtype="int64"),
+                }
+            )
+
+    return stream.select("doc_id", "text").mapInPandas(
+        fn, "doc_id long, logw_unats long, n_grams long"
+    )
