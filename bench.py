@@ -66,6 +66,7 @@ HEADLINE = [
     "semdedup",
     "dsir_select",
     "dedup_substring",
+    "dedup_substring_clean",
     "multimodal_phash_dedup",
 ]
 

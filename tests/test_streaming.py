@@ -997,3 +997,59 @@ def test_streaming_dsir_score_matches_batch(spark, sf_dir):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_streaming_phash_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming pHash near-dup over two micro-batches must emit
+    EXACTLY the batch operator's pair set with true Hamming distances,
+    each pair once (min-band rule), including pairs whose two payloads
+    arrive in different micro-batches."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.multimodal import multimodal_phash_dedup
+    from vedb_gaze_spark.streaming.stateful import streaming_phash_dedup
+
+    batch = load_table(spark, "documents", sf_dir)
+    mid = batch.agg(F.median("doc_id")).collect()[0][0]
+    src = str(tmp_path / "ph_src")
+    batch.where(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "c0")
+    )
+    batch.where(F.col("doc_id") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "c1")
+    )
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(src, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_phash_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("mem_phash")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    try:
+        got_rows = spark.sql("SELECT * FROM mem_phash").collect()
+        got = {(r.doc_a, r.doc_b, r.hamming) for r in got_rows}
+        want = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in multimodal_phash_dedup(batch).collect()
+        }
+        assert got == want and len(want) > 0
+        assert len(got_rows) == len(got)  # exactly-once
+        assert any(a <= mid < b for a, b, _ in got), "no cross-batch pair"
+    finally:
+        q.stop()

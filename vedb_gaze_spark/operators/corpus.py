@@ -659,3 +659,55 @@ def dedup_substring(
             .alias("span_tokens"),
         )
     )
+
+
+def dedup_substring_clean(
+    documents: DataFrame, min_len: int = P.SUBSTR_L
+) -> DataFrame:
+    """The transform half of ExactSubstr dedup (Lee et al. 2022): cut
+    every duplicated span dedup_substring finds and reassemble the
+    surviving tokens per document — the actual training-text rewrite
+    the paper applies. Emits every non-NULL-text doc: (doc_id,
+    n_tokens, n_removed, clean_text); span-free docs come back whole
+    with n_removed = 0.
+
+    Plan: the span relation is duplication-sized, not corpus-sized —
+    its exploded (doc_id, pos) coverage anti-joins the corpus token
+    stream on (doc_id, pos) with no forced hints (AQE broadcasts the
+    small side), and reassembly is the same sorted collect_list
+    pattern line_dedup settled on."""
+    toks = documents.where(F.col("text").isNotNull()).select(
+        "doc_id", F.expr(_TOKENS).alias("t")
+    )
+    positions = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    )
+    covered = dedup_substring(documents, min_len).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    )
+    kept = positions.join(covered, ["doc_id", "pos"], "left_anti")
+    totals = toks.select("doc_id", F.size("t").alias("n_tokens"))
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tok))),"
+                " s -> s.tok)"
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

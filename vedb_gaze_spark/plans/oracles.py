@@ -2582,20 +2582,69 @@ _PHASH_EXPR = (
     + " THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
 )
 
+_PHASH_RPB = P.PHASH_BITS // P.PHASH_BANDS
+_PHASH_MASK = (1 << _PHASH_RPB) - 1
+# band-PAIR keys (multi-index Hamming search): a pair within radius
+# r <= bands-2 keeps two intact bands, so some (b1 < b2) combined key
+# collides — exact recall, quadratically smaller buckets.
+_PHASH_PAIRS = ", ".join(
+    f"({b1 * P.PHASH_BANDS + b2}, {b1}, {b2})"
+    for b1 in range(P.PHASH_BANDS)
+    for b2 in range(b1 + 1, P.PHASH_BANDS)
+)
+
 MULTIMODAL_PHASH_DEDUP = f"""
 WITH h AS (
   SELECT doc_id,
     {_PHASH_EXPR.format(last=P.PHASH_BITS - 1, bits=P.PHASH_BITS)} AS ph
   FROM documents WHERE text IS NOT NULL AND length(text) > 0
 ),
+bp(pid, b1, b2) AS (VALUES {_PHASH_PAIRS}),
 k AS (
-  SELECT doc_id, ph, b,
-         (ph >> (b * {P.PHASH_BITS // P.PHASH_BANDS}))
-           & {(1 << (P.PHASH_BITS // P.PHASH_BANDS)) - 1} AS key
-  FROM h, unnest(generate_series(0, {P.PHASH_BANDS - 1})) t(b)
+  SELECT doc_id, ph, pid,
+         ((ph >> (b1 * {_PHASH_RPB})) & {_PHASH_MASK}) * {_PHASH_MASK + 1}
+           + ((ph >> (b2 * {_PHASH_RPB})) & {_PHASH_MASK}) AS key
+  FROM h, bp
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
-FROM k a JOIN k b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+FROM k a JOIN k b ON a.pid = b.pid AND a.key = b.key AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ph, b.ph)) <= {P.PHASH_MAX_HAMMING}
+"""
+
+
+# ExactSubstr rewrite (operators/corpus.py:dedup_substring_clean): cut
+# the DEDUP_SUBSTRING spans, reassemble surviving tokens in position
+# order; span-free docs pass through whole.
+DEDUP_SUBSTRING_CLEAN = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE text IS NOT NULL
+),
+spans AS (
+{DEDUP_SUBSTRING}
+),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(span_start, span_end)) AS pos
+  FROM spans
+),
+positions AS (
+  SELECT doc_id, t[i] AS tok, CAST(i - 1 AS INT) AS pos
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM positions p LEFT JOIN covered c
+    ON p.doc_id = c.doc_id AND p.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS INT) AS n_tokens,
+       CAST(len(t.t) - COALESCE(a.n_kept, 0) AS INT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """

@@ -499,6 +499,11 @@ def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.dedup_substring(load_table(spark, "documents", sf_dir))
 
 
+@register("dedup_substring_clean", oracles.DEDUP_SUBSTRING_CLEAN)
+def _dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.dedup_substring_clean(load_table(spark, "documents", sf_dir))
+
+
 @register("hll_distinct", oracles.HLL_DISTINCT)
 def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.hll_distinct(load_table(spark, "events", sf_dir))
@@ -782,6 +787,7 @@ _GATE_ORDER = [
     "semdedup",
     "dsir_select",
     "dedup_substring",
+    "dedup_substring_clean",
     "multimodal_phash_dedup",
     # -- (2) the 12 r2-stale entries -----------------------------------
     "ann_cosine_topk",

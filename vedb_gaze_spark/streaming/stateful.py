@@ -974,3 +974,131 @@ def streaming_dedup_embedding_lsh(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_PHASH_OUT_SCHEMA = "doc_a bigint, doc_b bigint, hamming int"
+_PHASH_STATE_SCHEMA = (
+    "ids array<bigint>, keys array<array<int>>, "
+    "phs array<bigint>, tss array<bigint>"
+)
+
+
+def _make_phash_fn(max_hamming: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        band = int(str(key[0]).split("-", 1)[0])
+        if state.exists:
+            ids, keys, phs, tss = state.get
+            ids = list(ids)
+            keys = [list(x) for x in keys]
+            phs = list(phs)
+            tss = list(tss)
+        else:
+            ids, keys, phs, tss = [], [], [], []
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0 and tss:
+            kept = [i for i, t in enumerate(tss) if t >= wm]
+            if len(kept) < len(ids):
+                ids = [ids[i] for i in kept]
+                keys = [keys[i] for i in kept]
+                phs = [phs[i] for i in kept]
+                tss = [tss[i] for i in kept]
+
+        out: list[tuple[int, int, int]] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "doc_id"])
+        ts_ms = rows["ts"].astype("int64") // 1_000_000
+        for doc_id, tms, karr, ph in zip(
+            rows["doc_id"], ts_ms, rows["keys"], rows["ph"]
+        ):
+            doc_id = int(doc_id)
+            karr = [int(x) for x in karr]
+            ph = int(ph)
+            for j, other in enumerate(ids):
+                if other == doc_id:
+                    continue
+                # min-band exactly-once: the pair belongs to the first
+                # band whose keys collide (all keys ride in state)
+                if any(karr[b2] == keys[j][b2] for b2 in range(band)):
+                    continue
+                h = bin(ph ^ phs[j]).count("1")
+                if h <= max_hamming:
+                    out.append((min(doc_id, other), max(doc_id, other), h))
+            ids.append(doc_id)
+            keys.append(karr)
+            phs.append(ph)
+            tss.append(int(tms))
+
+        state.update((ids, keys, phs, tss))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+
+    return fn
+
+
+def streaming_phash_dedup(
+    documents: DataFrame, watermark_s: float = 7 * 86400.0
+) -> DataFrame:
+    """Streaming twin of operators/multimodal.py:multimodal_phash_dedup
+    — emit each near-dup media pair once, as soon as the second payload
+    arrives. The dHash and band keys are the batch operator's shared
+    JVM expressions (phash_frame / phash_band_array — fully stateless,
+    no Python in the hash path); per-(band, key) GroupState holds
+    (doc_id, all-band keys, ph) within the event-time watermark, the
+    min-band rule gives exactly-once across bands, and the verify is
+    the same integer popcount — parity vs batch is exact-set by
+    construction (integer algebra end to end). Event time derives from
+    doc_id (the documents table carries no timestamp)."""
+    from vedb_gaze_spark.operators.multimodal import (
+        multimodal_phash_dedup,
+        phash_band_array,
+        phash_frame,
+    )
+
+    if not documents.isStreaming:
+        return multimodal_phash_dedup(documents)
+
+    bands = P.PHASH_BANDS
+    rows_per_band = P.PHASH_BITS // bands
+    hashed = phash_frame(documents).select(
+        "doc_id",
+        F.timestamp_micros(
+            (F.lit(1_704_067_200) + F.col("doc_id")) * 1_000_000
+        ).alias("ts"),
+        "ph",
+    )
+    # build the band array once, then derive both the per-doc key
+    # vector (state payload for the min-band rule) and the exploded
+    # (band, key) grouping rows from it
+    keyed = (
+        hashed.withColumn("bk", phash_band_array(bands, rows_per_band))
+        .select(
+            "doc_id",
+            "ts",
+            "ph",
+            F.expr("transform(bk, s -> cast(s.key as int))").alias("keys"),
+            F.explode("bk").alias("b"),
+        )
+        .select(
+            "doc_id",
+            "ts",
+            "ph",
+            "keys",
+            F.concat_ws(
+                "-",
+                F.col("b.band").cast("string"),
+                F.col("b.key").cast("string"),
+            ).alias("band_key"),
+        )
+        .withWatermark("ts", f"{int(watermark_s)} seconds")
+    )
+    return keyed.groupBy("band_key").applyInPandasWithState(
+        _make_phash_fn(P.PHASH_MAX_HAMMING),
+        outputStructType=_PHASH_OUT_SCHEMA,
+        stateStructType=_PHASH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
