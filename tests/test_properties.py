@@ -479,3 +479,105 @@ def test_line_dedup_matches_reference_first_occurrence(spark, texts):
                 kept.append(s)
         want[i] = (len(kept), " ".join(kept))
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dedup_substring_matches_reference_coverage(spark, docs):
+    """Reference semantics: a token position is covered iff some L-gram
+    through it occurs at ≥2 positions corpus-wide; spans are maximal
+    runs of covered positions. The operator's gaps-and-islands output
+    must equal this direct NumPy-style recomputation for ANY corpus —
+    small alphabet makes collisions dense and adversarial."""
+    from collections import Counter
+
+    from vedb_gaze_spark.operators.corpus import dedup_substring
+
+    L = 3
+    counts = Counter()
+    for toks in docs:
+        for i in range(len(toks) - L + 1):
+            counts[tuple(toks[i : i + L])] += 1
+    want = set()
+    for doc_id, toks in enumerate(docs):
+        covered = set()
+        for i in range(len(toks) - L + 1):
+            if counts[tuple(toks[i : i + L])] >= 2:
+                covered.update(range(i, i + L))
+        for pos in sorted(covered):
+            if pos - 1 not in covered:
+                end = pos
+                while end + 1 in covered:
+                    end += 1
+                want.add((doc_id, pos, end, end - pos + 1))
+    df = spark.createDataFrame(
+        [(i, " ".join(t) if t else None) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in dedup_substring(df, min_len=L).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="ABCDEFGH", min_size=0, max_size=60),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_phash_dedup_matches_reference_hamming(spark, texts):
+    """Reference semantics: dHash over the 16 evenly-spaced sampled
+    bytes, ring comparison; every pair within Hamming ≤ 2 must be
+    emitted with its true distance (band-pair recall is exact for
+    r ≤ bands − 2), and nothing else."""
+    from vedb_gaze_spark.operators.multimodal import multimodal_phash_dedup
+
+    bits = 16
+
+    def ph(s):
+        n = len(s)
+        samples = [ord(s[(i * n) // bits]) for i in range(bits)]
+        return sum(
+            1 << i
+            for i in range(bits)
+            if samples[i] > samples[(i + 1) % bits]
+        )
+    hashes = {i: ph(t) for i, t in enumerate(texts) if len(t) > 0}
+    want = set()
+    ids = sorted(hashes)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            h = bin(hashes[a] ^ hashes[b]).count("1")
+            if h <= 2:
+                want.add((a, b, h))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in multimodal_phash_dedup(df).collect()
+    }
+    assert got == want

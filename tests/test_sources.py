@@ -230,3 +230,36 @@ def test_training_shard_writer_orders_packs(spark, sf_dir, tmp_path):
         assert order == sorted(order), f
     back = spark.read.parquet(path)
     assert back.count() == packed.count()
+
+
+def test_compact_table_bounds_file_count(spark, sf_dir, tmp_path):
+    """Compaction must collapse a many-small-files table to
+    ceil(bytes/target) files with identical content."""
+    import glob
+    import os
+
+    from vedb_gaze_spark.sources.writers import compact_table
+    from vedb_gaze_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    src = str(tmp_path / "frag")
+    ev.repartition(64).write.parquet(src)  # 64 fragment files
+    assert len(glob.glob(os.path.join(src, "*.parquet"))) >= 32
+
+    target = 4 * 1024 * 1024
+    dst = compact_table(spark, src, target_bytes=target)
+    n_out = len(glob.glob(os.path.join(dst, "*.parquet")))
+    import math
+
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(src, "**"), recursive=True)
+        if os.path.isfile(f)
+    )
+    want_files = max(1, math.ceil(total / target))
+    # contentSummary counts _SUCCESS/.crc sidecars too; allow +1 file
+    assert want_files <= n_out <= want_files + 1, (n_out, want_files)
+    assert n_out < 16  # and it actually compacted the 64 fragments
+    a = {tuple(r) for r in spark.read.parquet(src).collect()}
+    b = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    assert a == b

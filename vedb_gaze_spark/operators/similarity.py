@@ -706,3 +706,30 @@ def semdedup(embeddings: DataFrame, block: int = 2048) -> DataFrame:
         "cent_dot",
         (F.row_number().over(wk) == 1).alias("keep"),
     )
+
+
+def semdedup_prune(
+    embeddings: DataFrame, decisions: DataFrame | None = None
+) -> DataFrame:
+    """SemDeDup applied: the surviving dataset — every vector that is
+    either in no semantic-duplicate component ('unique') or is its
+    component's kept representative ('kept', the lowest-centroid-dot
+    member semdedup flags). The paper's actual output is this pruned
+    set; semdedup itself is the decision table. One left join of the
+    corpus against the (duplication-sized) decision table — at 100 TB
+    the decision side is LSH-verified-small and broadcasts via AQE (no
+    forced hint)."""
+    if decisions is None:
+        decisions = semdedup(embeddings)
+    lab = decisions.select("vec_id", "keep")
+    return (
+        embeddings.select("vec_id")
+        .join(lab, "vec_id", "left")
+        .where(F.col("keep").isNull() | F.col("keep"))
+        .select(
+            "vec_id",
+            F.when(F.col("keep").isNull(), F.lit("unique"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )

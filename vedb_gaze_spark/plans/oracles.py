@@ -2648,3 +2648,23 @@ SELECT t.doc_id,
        COALESCE(a.clean_text, '') AS clean_text
 FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """
+
+
+# SemDeDup applied (operators/similarity.py:semdedup_prune): corpus
+# minus pruned members — the SEMDEDUP decision table re-derived, left
+# join, keep-or-unique filter.
+# Composition: SEMDEDUP is "WITH RECURSIVE <ctes> SELECT <decision>";
+# wrap the decision select as one more CTE and filter the corpus by it.
+_SEM_CUT = SEMDEDUP.rindex("SELECT l.doc_id")
+SEMDEDUP_PRUNE = (
+    SEMDEDUP[:_SEM_CUT].rstrip()
+    + ",\ndec AS (\n"
+    + SEMDEDUP[_SEM_CUT:].rstrip()
+    + "\n)\n"
+    + """SELECT e.vec_id,
+       CASE WHEN d.vec_id IS NULL THEN 'unique' ELSE 'kept' END AS status
+FROM embeddings e
+LEFT JOIN dec d ON d.vec_id = e.vec_id
+WHERE d.vec_id IS NULL OR d.keep
+"""
+)

@@ -749,6 +749,11 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(load_table(spark, "embeddings", sf_dir))
 
 
+@register("semdedup_prune", oracles.SEMDEDUP_PRUNE)
+def _semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup_prune(load_table(spark, "embeddings", sf_dir))
+
+
 @register("multimodal_sample", oracles.MULTIMODAL_SAMPLE)
 def _multimodal_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(load_table(spark, "documents", sf_dir))
@@ -785,6 +790,7 @@ _GATE_ORDER = [
     # -- (1) never recorded --------------------------------------------
     "calibration_hmd",
     "semdedup",
+    "semdedup_prune",
     "dsir_select",
     "dedup_substring",
     "dedup_substring_clean",

@@ -68,3 +68,41 @@ def write_training_shards(packed: DataFrame, path: str) -> str:
         .parquet(path)
     )
     return path
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> str:
+    """Small-file compaction — the maintenance job every streaming /
+    incremental sink eventually needs (each micro-batch directory and
+    each incremental append adds files; a 100 TB table ingested in
+    10 MB micro-batch files makes every scan open 10^7 handles and
+    schedule 10^7 splits).
+
+    Reads the table, re-partitions to ceil(input_bytes / target_bytes)
+    round-robin partitions (size from the file system, not a guess —
+    Hadoop FS contentSummary), and rewrites with one file per task.
+    Round-robin (not keyed) because compaction must balance file SIZES
+    regardless of value skew; layout-aware compaction (bucketed /
+    sorted tables) belongs to the bucketing writers, which rewrite
+    through their own layout contracts instead.
+
+    Writes to ``out_path`` (default: path + '.compact') rather than
+    in place — an in-place overwrite that fails mid-write destroys the
+    table; callers swap directories after success (the same
+    versioned-directory discipline streaming/maintenance.py uses)."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    size = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(size / target_bytes))
+    dst = out_path or path.rstrip("/") + ".compact"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dst)
+    return dst
