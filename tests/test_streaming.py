@@ -1053,3 +1053,37 @@ def test_streaming_phash_dedup_matches_batch(spark, sf_dir, tmp_path):
         assert any(a <= mid < b for a, b, _ in got), "no cross-batch pair"
     finally:
         q.stop()
+
+
+def test_cluster_maintenance_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Crash-replay contract: re-processing a batch id must leave every
+    state table byte-identical in CONTENT — reads filter to strictly
+    prior ids and writes overwrite the same directories, so a replayed
+    batch sees what its first attempt saw."""
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.streaming.maintenance import ClusterMaintenance
+
+    batch = load_table(spark, "documents", sf_dir)
+    mid = batch.agg(F.median("doc_id")).collect()[0][0]
+    parts = [
+        batch.where(F.col("doc_id") <= mid),
+        batch.where(F.col("doc_id") > mid),
+    ]
+    cm = ClusterMaintenance(str(tmp_path / "state"))
+    cm.process(parts[0], 0)
+    cm.process(parts[1], 1)
+    after_first = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in cm.clusters(spark).collect()
+    }
+    pairs_first = {(r.doc_a, r.doc_b) for r in cm.pairs(spark).collect()}
+    # replay batch 1 (crash between its writes and the checkpoint commit)
+    cm.process(parts[1], 1)
+    after_replay = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in cm.clusters(spark).collect()
+    }
+    pairs_replay = {(r.doc_a, r.doc_b) for r in cm.pairs(spark).collect()}
+    assert after_replay == after_first and len(after_first) > 0
+    assert pairs_replay == pairs_first

@@ -19,7 +19,7 @@ avoids a per-day self-join), and retention is a user-keyed min-join
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _DAY_US = 86_400_000_000
@@ -153,4 +153,38 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
         F.round(F.col("stage_purchase") / F.col("stage_view"), 6).alias(
             "conversion"
         ),
+    )
+
+
+def event_transitions(events: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k event-type transitions: per user, order events by
+    (ts, event_id) and count consecutive (from_type → to_type)
+    bigrams corpus-wide — the path-analysis rollup behind "what do
+    users do next" views (and the event-sequence analogue of
+    ngram_topk). One lag window partitioned by user (doc-keyed, no
+    global sort), one map-side-combining groupBy over the short
+    transition keys, TakeOrderedAndProject for the top-k."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    pairs = (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+    )
+    ranked = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    top = ranked.orderBy(
+        F.desc("n_transitions"), "from_type", "to_type"
+    ).limit(k)
+    wr = Window.orderBy(F.desc("n_transitions"), "from_type", "to_type")
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "rank", "from_type", "to_type", "n_transitions", "n_users"
     )

@@ -2668,3 +2668,28 @@ LEFT JOIN dec d ON d.vec_id = e.vec_id
 WHERE d.vec_id IS NULL OR d.keep
 """
 )
+
+
+# Top-k event-type transitions (operators/analytics.py:event_transitions)
+EVENT_TRANSITIONS = """
+WITH ordered AS (
+  SELECT user_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+agg AS (
+  SELECT from_type, to_type,
+         count(*) AS n_transitions,
+         count(DISTINCT user_id) AS n_users
+  FROM ordered WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT rank, from_type, to_type, n_transitions, n_users FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY n_transitions DESC, from_type, to_type) AS rank
+  FROM agg
+) t WHERE rank <= 10
+"""

@@ -514,6 +514,11 @@ def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.funnel_conversion(load_table(spark, "events", sf_dir))
 
 
+@register("event_transitions", oracles.EVENT_TRANSITIONS)
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.event_transitions(load_table(spark, "events", sf_dir))
+
+
 @register("value_percentiles", oracles.VALUE_PERCENTILES)
 def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.value_percentiles(load_table(spark, "events", sf_dir))
@@ -795,6 +800,7 @@ _GATE_ORDER = [
     "dedup_substring",
     "dedup_substring_clean",
     "multimodal_phash_dedup",
+    "event_transitions",
     # -- (2) the 12 r2-stale entries -----------------------------------
     "ann_cosine_topk",
     "ann_lsh",
