@@ -218,6 +218,9 @@ def test_no_driver_collect_in_operators():
         # frozen DSIR feature table: collects ≤ DSIR_BUCKETS fixed-size
         # model rows once (the streaming scorer's broadcast model)
         "def dsir_lr_table",
+        # tar-shard writer: collects one STATS row per shard to drive
+        # the write job; payloads never leave the executors
+        "def write_tar_shards",
     )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []

@@ -263,3 +263,38 @@ def test_compact_table_bounds_file_count(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(src).collect()}
     b = {tuple(r) for r in spark.read.parquet(dst).collect()}
     assert a == b
+
+
+def test_tar_shards_roundtrip_lossless(spark, sf_dir, tmp_path):
+    """WebDataset-style shards: write → read must reproduce every
+    (doc_id, text) row exactly (empty-string for NULL text documented),
+    shard files must be the expected count, and shard bytes must be
+    deterministic (two writes → identical md5s)."""
+    import glob
+    import hashlib
+    import os
+
+    from vedb_gaze_spark.sources.tables import load_table
+    from vedb_gaze_spark.sources.tarshards import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    p1 = str(tmp_path / "shards1")
+    write_tar_shards(docs, p1, docs_per_shard=100)
+    n_docs = docs.count()
+    max_id = docs.agg({"doc_id": "max"}).collect()[0][0]
+    assert len(glob.glob(os.path.join(p1, "*.tar"))) == max_id // 100 + 1
+
+    back = {(r.doc_id, r.text) for r in read_tar_shards(spark, p1).collect()}
+    want = {(r.doc_id, r.text or "") for r in docs.collect()}
+    assert back == want and len(want) == n_docs
+
+    p2 = str(tmp_path / "shards2")
+    write_tar_shards(docs, p2, docs_per_shard=100)
+    h = lambda d: sorted(
+        hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(os.path.join(d, "*.tar"))
+    )
+    assert h(p1) == h(p2)

@@ -1087,3 +1087,78 @@ def test_cluster_maintenance_replay_is_idempotent(spark, sf_dir, tmp_path):
     pairs_replay = {(r.doc_a, r.doc_b) for r in cm.pairs(spark).collect()}
     assert after_replay == after_first and len(after_first) > 0
     assert pairs_replay == pairs_first
+
+
+def test_streaming_event_transitions_across_batches(spark, sf_dir, tmp_path):
+    """The streamed transition-pair multiset must equal the batch lag
+    window's pairs exactly, with per-user last-event state carrying
+    across the time-split micro-batch boundary."""
+    import os
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.streaming.stateful import streaming_event_transitions
+
+    batch = load_table(spark, "events", sf_dir)
+    mid = batch.agg(F.median(F.unix_micros("ts"))).collect()[0][0]
+    src = str(tmp_path / "tr_src")
+    batch.where(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "c0")
+    )
+    batch.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "c1")
+    )
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(src, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_event_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("mem_trans")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = Counter(
+            (r.user_id, r.from_type, r.to_type)
+            for r in spark.sql("SELECT * FROM mem_trans").collect()
+        )
+        w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        lag_w = w.partitionBy("user_id").orderBy(
+            F.unix_micros("ts"), "event_id"
+        )
+        want = Counter(
+            (r.user_id, r.from_type, r.to_type)
+            for r in batch.select(
+                "user_id",
+                F.lag("event_type").over(lag_w).alias("from_type"),
+                F.col("event_type").alias("to_type"),
+            )
+            .where(F.col("from_type").isNotNull())
+            .collect()
+        )
+        assert got == want and len(want) > 0
+        # state genuinely crossed the boundary: some user's transition
+        # spans the split (first event before mid, next after)
+        spans = batch.select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            F.lag(F.unix_micros("ts")).over(lag_w).alias("pt"),
+        ).where(
+            F.col("pt").isNotNull() & (F.col("pt") <= mid) & (F.col("t") > mid)
+        )
+        assert spans.count() > 0
+    finally:
+        q.stop()

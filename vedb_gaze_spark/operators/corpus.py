@@ -711,3 +711,53 @@ def dedup_substring_clean(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def mix_plan(
+    documents: DataFrame,
+    target: dict | None = None,
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """Mixture planning — the calculator that PRODUCES the per-domain
+    sampling rates stratified_sample consumes: given a target token
+    share per language and a global training-token budget, report per
+    language what is available, what the target allocates, the keep
+    rate (capped at 1 — undersampled domains), and the epoch count
+    (> 1 means the paper-standard upsampling of scarce domains —
+    Hoffmann/Chinchilla-style mixtures repeat rare domains rather than
+    starve the target share).
+
+    Pure aggregate arithmetic: one lang groupBy over row-local token
+    counts, target shares folded in as a literal CASE (both engines
+    evaluate the identical expression), everything rounded to 6 dp.
+    Scale: one map-side-combining rollup on a tiny key space; the
+    output is a dashboard-sized table."""
+    target = P.MIX_TARGET if target is None else target
+    budget = P.MIX_BUDGET_TOKENS if budget_tokens is None else budget_tokens
+    # CAST each share to DOUBLE: a bare 0.4 literal parses as DECIMAL in
+    # Spark SQL and would infect the whole arithmetic chain (DuckDB
+    # parses the same literal as DOUBLE — type-sensitive hash mismatch)
+    share = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN CAST({v!r} AS DOUBLE)"
+        for k, v in sorted(target.items())
+    ) + " ELSE CAST(0.0 AS DOUBLE) END"
+    per_lang = (
+        documents.where(F.col("text").isNotNull())
+        .select("lang", F.expr(f"size({_TOKENS})").cast("long").alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("avail_tokens"),
+        )
+    )
+    alloc = F.expr(f"floor({budget} * ({share}) + 0.5)")
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "avail_tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        F.round(
+            F.least(F.lit(1.0), alloc / F.col("avail_tokens")), 6
+        ).alias("rate"),
+        F.round(alloc / F.col("avail_tokens"), 6).alias("epochs"),
+    )

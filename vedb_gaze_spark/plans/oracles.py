@@ -2693,3 +2693,26 @@ SELECT rank, from_type, to_type, n_transitions, n_users FROM (
   FROM agg
 ) t WHERE rank <= 10
 """
+
+
+# Mixture planning (operators/corpus.py:mix_plan)
+_MIX_SHARE = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v!r}" for k, v in sorted(P.MIX_TARGET.items())
+) + " ELSE 0.0 END"
+
+MIX_PLAN = f"""
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS avail_tokens
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY lang
+)
+SELECT lang, n_docs, avail_tokens,
+       CAST(floor({P.MIX_BUDGET_TOKENS} * ({_MIX_SHARE}) + 0.5) AS BIGINT)
+         AS alloc_tokens,
+       round(least(1.0, floor({P.MIX_BUDGET_TOKENS} * ({_MIX_SHARE}) + 0.5)
+                        / avail_tokens), 6) AS rate,
+       round(floor({P.MIX_BUDGET_TOKENS} * ({_MIX_SHARE}) + 0.5)
+             / avail_tokens, 6) AS epochs
+FROM per_lang
+"""

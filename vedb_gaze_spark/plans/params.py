@@ -276,6 +276,11 @@ PACK_BUDGET_TOKENS = 256
 # Stratified sampling / domain mixing: per-language keep rates, applied
 # via a deterministic 60-bit hash so both engines draw the same sample.
 SAMPLE_RATES = {"en": 0.25, "fr": 0.5, "de": 0.75, "es": 1.0, "zh": 0.1}
+# Mixture planning (the step that PRODUCES sampling rates): target token
+# share per language and a global training-token budget; languages absent
+# from the target get share 0.
+MIX_TARGET = {"en": 0.4, "fr": 0.2, "de": 0.2, "es": 0.15, "zh": 0.05}
+MIX_BUDGET_TOKENS = 40_000
 SAMPLE_SALT = "smp"
 SAMPLE_DENOM = 1152921504606846976.0   # 2^60 as double
 # Deterministic HyperLogLog (Flajolet et al. 2007, the HLL standard):

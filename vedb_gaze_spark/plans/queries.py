@@ -489,6 +489,11 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.stratified_sample(load_table(spark, "documents", sf_dir))
 
 
+@register("mix_plan", oracles.MIX_PLAN)
+def _mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.mix_plan(load_table(spark, "documents", sf_dir))
+
+
 @register("dsir_select", oracles.DSIR_SELECT)
 def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.dsir_select(load_table(spark, "documents", sf_dir))
@@ -801,6 +806,7 @@ _GATE_ORDER = [
     "dedup_substring_clean",
     "multimodal_phash_dedup",
     "event_transitions",
+    "mix_plan",
     # -- (2) the 12 r2-stale entries -----------------------------------
     "ann_cosine_topk",
     "ann_lsh",

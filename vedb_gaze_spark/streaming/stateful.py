@@ -1102,3 +1102,71 @@ def streaming_phash_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_TRANS_OUT_SCHEMA = "user_id bigint, from_type string, to_type string"
+_TRANS_STATE_SCHEMA = "last_t bigint, last_id bigint, last_type string, has int"
+
+
+def _make_transitions_fn():
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = int(key[0])
+        if state.exists:
+            last_t, last_id, last_type, has = state.get
+        else:
+            last_t, last_id, last_type, has = 0, 0, "", 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["t_us", "event_id"])
+        out_from, out_to = [], []
+        for t_us, event_id, etype in zip(
+            rows["t_us"], rows["event_id"], rows["event_type"]
+        ):
+            if has:
+                out_from.append(last_type)
+                out_to.append(etype)
+            last_t, last_id, last_type, has = (
+                int(t_us), int(event_id), str(etype), 1
+            )
+        state.update((last_t, last_id, last_type, has))
+        if out_from:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(
+                        [user_id] * len(out_from), dtype="int64"
+                    ),
+                    "from_type": out_from,
+                    "to_type": out_to,
+                }
+            )
+
+    return fn
+
+
+def streaming_event_transitions(events: DataFrame) -> DataFrame:
+    """Stateful streaming twin of analytics.py:event_transitions'
+    PAIR-EMISSION stage: the (from_type → to_type) bigram needs the
+    user's PREVIOUS event, which lives across micro-batch boundaries —
+    state is one (t, event_id, type) triple per user. Emits one row
+    per consecutive transition; the top-k rollup head is a plain batch
+    aggregation over the emitted pairs (windowed ranking isn't a
+    streaming construct — the pair stream is the streamable part, the
+    same split streaming_dedup_minhash_lsh makes between pair emission
+    and downstream clustering). Cross-batch parity: the multiset of
+    emitted pairs equals the batch operator's lag-window pairs."""
+    g = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        "event_type",
+    )
+    return g.groupBy("user_id").applyInPandasWithState(
+        _make_transitions_fn(),
+        outputStructType=_TRANS_OUT_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
