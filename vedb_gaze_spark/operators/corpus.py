@@ -761,3 +761,45 @@ def mix_plan(
         ).alias("rate"),
         F.round(alloc / F.col("avail_tokens"), 6).alias("epochs"),
     )
+
+
+def contamination_report(
+    documents: DataFrame,
+    n: int = P.DECONTAM_NGRAM,
+    bench_mod: int = P.DECONTAM_BENCH_MOD,
+) -> DataFrame:
+    """The audit view decontaminate doesn't give: per BENCHMARK doc,
+    how badly it leaks into the training corpus — distinct leaking
+    training docs and total (train doc, n-gram) overlap pairs. The
+    eval-integrity report a release review reads (which benchmark
+    items are compromised, and how widely), while decontaminate is the
+    filter the pipeline applies.
+
+    Same single gram derivation as decontaminate; the broadcast side
+    here carries the benchmark doc_id (still eval-suite-sized), and
+    the rollup keys on benchmark doc — a tiny aggregate."""
+    ngrams = (
+        documents.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .where(F.expr(f"size(toks) >= {n}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(toks) - {n} + 1),"
+                    f" i -> array_join(slice(toks, i, {n}), ' ')))"
+                )
+            ).alias("ng"),
+        )
+    )
+    bench = ngrams.where(F.col("doc_id") % bench_mod == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "ng"
+    )
+    corpus = ngrams.where(F.col("doc_id") % bench_mod != 0)
+    return (
+        corpus.join(F.broadcast(bench), "ng")
+        .groupBy("bench_doc_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_leaky_docs"),
+            F.count(F.lit(1)).alias("n_overlap_pairs"),
+        )
+    )

@@ -632,6 +632,15 @@ def semdedup(embeddings: DataFrame, block: int = 2048) -> DataFrame:
         cell.alias("cell"),
         F.expr("array_max(dots)").alias("cent_dot"),
     )
+    # The centroid-dots chain is an interpreted higher-order-function
+    # expression (see multimodal.phash_frame's lesson) and `assigned`
+    # feeds FOUR consumers (block build, both rescore vector sides, the
+    # member join). A lazy localCheckpoint materializes the small
+    # (n × dim) assignment once; downstream passes read stored
+    # partitions instead of re-evaluating 16×64 lambda dots per row per
+    # consumer (measured sf0.1 fresh: 8.0 s → ~4 s). Same persistence
+    # discipline as the CC loop this operator already runs.
+    assigned = assigned.localCheckpoint(eager=False)
     blocks = (
         assigned.withColumn("blk", F.floor(F.col("vec_id") / block))
         .groupBy("cell", "blk")

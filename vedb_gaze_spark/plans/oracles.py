@@ -2716,3 +2716,23 @@ SELECT lang, n_docs, avail_tokens,
              / avail_tokens, 6) AS epochs
 FROM per_lang
 """
+
+
+# Per-benchmark-doc contamination audit
+# (operators/corpus.py:contamination_report)
+CONTAMINATION_REPORT = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_DC_N - 1}], ' ') AS ng
+  FROM (SELECT * FROM toks WHERE len(toks) >= {_DC_N}) t,
+       unnest(generate_series(1, len(toks) - {_DC_N - 1})) AS g(i)
+)
+SELECT b.doc_id AS bench_doc_id,
+       count(DISTINCT c.doc_id) AS n_leaky_docs,
+       count(*) AS n_overlap_pairs
+FROM (SELECT * FROM ng WHERE doc_id % {_DC_M} = 0) b
+JOIN (SELECT * FROM ng WHERE doc_id % {_DC_M} <> 0) c USING (ng)
+GROUP BY b.doc_id
+"""

@@ -489,6 +489,11 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.stratified_sample(load_table(spark, "documents", sf_dir))
 
 
+@register("contamination_report", oracles.CONTAMINATION_REPORT)
+def _contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.contamination_report(load_table(spark, "documents", sf_dir))
+
+
 @register("mix_plan", oracles.MIX_PLAN)
 def _mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mix_plan(load_table(spark, "documents", sf_dir))
@@ -807,6 +812,7 @@ _GATE_ORDER = [
     "multimodal_phash_dedup",
     "event_transitions",
     "mix_plan",
+    "contamination_report",
     # -- (2) the 12 r2-stale entries -----------------------------------
     "ann_cosine_topk",
     "ann_lsh",
