@@ -803,3 +803,76 @@ def contamination_report(
             F.count(F.lit(1)).alias("n_overlap_pairs"),
         )
     )
+
+
+def source_overlap(
+    documents: DataFrame, n: int = P.DECONTAM_NGRAM
+) -> DataFrame:
+    """Dataset-level overlap report: pairwise Jaccard similarity of the
+    distinct word n-gram sets of each SOURCE — the "how much do my
+    ingest feeds duplicate each other" diagnostic that decides whether
+    cross-source dedup is worth scheduling, and the coarse sibling of
+    the per-doc dedup family.
+
+    One gram scan → distinct (source, ng) relation; the intersection
+    join keys on the n-gram (a gram appears in at most |sources| rows,
+    so the self-join fan-out is bounded by the source count, never
+    corpus-quadratic); set sizes come from one combiner-friendly
+    groupBy and broadcast back onto the source-pair rollup (a
+    |sources|²-row table)."""
+    grams = (
+        documents.select("source", F.expr(_TOKENS).alias("toks"))
+        .where(F.expr(f"size(toks) >= {n}"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(toks) - {n} + 1),"
+                    f" i -> array_join(slice(toks, i, {n}), ' ')))"
+                )
+            ).alias("ng"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    inter = (
+        grams.select(F.col("source").alias("source_a"), "ng")
+        .join(grams.select(F.col("source").alias("source_b"), "ng"), "ng")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_ngrams").alias("n_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_ngrams").alias("n_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -2736,3 +2736,29 @@ FROM (SELECT * FROM ng WHERE doc_id % {_DC_M} = 0) b
 JOIN (SELECT * FROM ng WHERE doc_id % {_DC_M} <> 0) c USING (ng)
 GROUP BY b.doc_id
 """
+
+
+# Pairwise source n-gram overlap (operators/corpus.py:source_overlap)
+SOURCE_OVERLAP = f"""
+WITH toks AS (
+  SELECT source, {_TOKENS_SQL} AS toks FROM documents
+),
+ng AS (
+  SELECT DISTINCT source, array_to_string(toks[i:i+{_DC_N - 1}], ' ') AS ng
+  FROM (SELECT * FROM toks WHERE len(toks) >= {_DC_N}) t,
+       unnest(generate_series(1, len(toks) - {_DC_N - 1})) AS g(i)
+),
+sizes AS (SELECT source, count(*) AS n_ngrams FROM ng GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM ng a JOIN ng b ON a.ng = b.ng AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, i.n_common,
+       sa.n_ngrams AS n_a, sb.n_ngrams AS n_b,
+       round(i.n_common / CAST(sa.n_ngrams + sb.n_ngrams - i.n_common
+                               AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""

@@ -489,6 +489,11 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.stratified_sample(load_table(spark, "documents", sf_dir))
 
 
+@register("source_overlap", oracles.SOURCE_OVERLAP)
+def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.source_overlap(load_table(spark, "documents", sf_dir))
+
+
 @register("contamination_report", oracles.CONTAMINATION_REPORT)
 def _contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.contamination_report(load_table(spark, "documents", sf_dir))
@@ -813,6 +818,7 @@ _GATE_ORDER = [
     "event_transitions",
     "mix_plan",
     "contamination_report",
+    "source_overlap",
     # -- (2) the 12 r2-stale entries -----------------------------------
     "ann_cosine_topk",
     "ann_lsh",
