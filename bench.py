@@ -73,6 +73,10 @@ HEADLINE = [
     "dedup_substring",
     "dedup_substring_clean",
     "multimodal_phash_dedup",
+    "event_transitions",
+    "mix_plan",
+    "contamination_report",
+    "source_overlap",
 ]
 
 
