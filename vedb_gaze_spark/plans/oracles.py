@@ -2710,10 +2710,15 @@ WITH per_lang AS (
 SELECT lang, n_docs, avail_tokens,
        CAST(floor({P.MIX_BUDGET_TOKENS} * ({_MIX_SHARE}) + 0.5) AS BIGINT)
          AS alloc_tokens,
-       round(least(1.0, floor({P.MIX_BUDGET_TOKENS} * ({_MIX_SHARE}) + 0.5)
-                        / avail_tokens), 6) AS rate,
-       round(floor({P.MIX_BUDGET_TOKENS} * ({_MIX_SHARE}) + 0.5)
-             / avail_tokens, 6) AS epochs
+       CASE WHEN avail_tokens > 0
+            THEN round(least(1.0,
+                 floor({P.MIX_BUDGET_TOKENS} * ({_MIX_SHARE}) + 0.5)
+                 / avail_tokens), 6)
+            ELSE 0.0 END AS rate,
+       CASE WHEN avail_tokens > 0
+            THEN round(floor({P.MIX_BUDGET_TOKENS} * ({_MIX_SHARE}) + 0.5)
+                 / avail_tokens, 6)
+            ELSE 0.0 END AS epochs
 FROM per_lang
 """
 

@@ -774,6 +774,13 @@ def _semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_prune(load_table(spark, "embeddings", sf_dir))
 
 
+@register("semdedup_trained")  # rows-only: trained cells, see docstring
+def _semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup_trained(
+        load_table(spark, "embeddings", sf_dir)
+    )
+
+
 @register("multimodal_sample", oracles.MULTIMODAL_SAMPLE)
 def _multimodal_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(load_table(spark, "documents", sf_dir))

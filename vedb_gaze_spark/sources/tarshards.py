@@ -38,7 +38,15 @@ def write_tar_shards(
 ) -> str:
     """Pack (doc_id, text) rows into `{path}/shard-{id:06d}.tar`, each
     member named `{doc_id}.txt`. Deterministic bytes: members sorted by
-    doc_id, mtime/uid/gid zeroed."""
+    doc_id, mtime/uid/gid zeroed.
+
+    Filesystem contract: shards are written from EXECUTORS via plain
+    ``open()``, so ``path`` must be a filesystem shared by all executors
+    and the driver (NFS/FUSE-mounted object store/local mode). On a
+    cluster with only executor-local disks, write to a Hadoop-visible
+    path via the FileSystem API instead (see sources/writers.py —
+    compact_table — and streaming/maintenance.py for that pattern);
+    tar packing itself is unchanged either way."""
     os.makedirs(path, exist_ok=True)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

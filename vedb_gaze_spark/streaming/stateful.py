@@ -1156,7 +1156,17 @@ def streaming_event_transitions(events: DataFrame) -> DataFrame:
     streaming construct — the pair stream is the streamable part, the
     same split streaming_dedup_minhash_lsh makes between pair emission
     and downstream clustering). Cross-batch parity: the multiset of
-    emitted pairs equals the batch operator's lag-window pairs."""
+    emitted pairs equals the batch operator's lag-window pairs.
+
+    PRECONDITION (same class of contract as maintenance.py's doc_id
+    uniqueness): each user's events must ARRIVE in event-time order
+    across micro-batches. State keeps only the last-ARRIVED event, so
+    an earlier-ts event delivered in a later batch would emit a pair
+    the batch lag-window operator never produces. Within one batch the
+    handler sorts by (t, event_id), so only cross-batch reordering
+    violates parity; feed from an ordered log partitioned by user (the
+    Kafka-keyed-by-user shape) or sort/buffer with a watermark upstream
+    before this operator."""
     g = events.select(
         "user_id",
         F.unix_micros("ts").alias("t_us"),
