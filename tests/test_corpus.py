@@ -50,16 +50,26 @@ def test_pack_sequences_feasible_and_ordered(spark, documents):
     out = corpus.pack_sequences(documents).cache()
     assert out.count() == documents.count()
     budget = P.PACK_BUDGET_TOKENS
+    # the shard bound is DEFAULT-ON and actually subdivides this corpus
+    assert out.select("shard").distinct().count() > 1
+    # shard membership is the data-independent doc_id range
+    assert (
+        out.where(
+            F.col("shard") != F.expr(f"doc_id div {P.PACK_SHARD_DOCS}")
+        ).count()
+        == 0
+    )
     # every pack fits the budget unless it is a single over-budget doc
     packs = (
-        out.groupBy("source", "pack_id")
+        out.groupBy("source", "shard", "pack_id")
         .agg(F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n"))
         .where((F.col("tot") > budget) & (F.col("n") > 1))
     )
     assert packs.count() == 0
     # pack ids are contiguous from 0 and non-decreasing in doc_id order
-    per_src = (
-        out.groupBy("source")
+    # within each (source, shard) group
+    per_grp = (
+        out.groupBy("source", "shard")
         .agg(
             F.min("pack_id").alias("mn"),
             F.max("pack_id").alias("mx"),
@@ -67,14 +77,14 @@ def test_pack_sequences_feasible_and_ordered(spark, documents):
         )
         .collect()
     )
-    for r in per_src:
+    for r in per_grp:
         assert r["mn"] == 0 and r["k"] == r["mx"] + 1
-    rows = out.orderBy("source", "doc_id").collect()
+    rows = out.orderBy("source", "shard", "doc_id").collect()
     last = {}
     for r in rows:
-        prev = last.get(r["source"], 0)
+        prev = last.get((r["source"], r["shard"]), 0)
         assert r["pack_id"] >= prev
-        last[r["source"]] = r["pack_id"]
+        last[(r["source"], r["shard"])] = r["pack_id"]
 
 
 def test_greedy_pack_shard_equivalence(spark, documents):
@@ -82,8 +92,9 @@ def test_greedy_pack_shard_equivalence(spark, documents):
     guard): packing each (source, shard) independently must equal
     whole-source packing of that shard's rows started fresh — proven by
     packing with source key 'source#shard' through the UNSHARDED kernel
-    and comparing row-for-row. The default path must be byte-identical
-    to pack_sequences' contract (no shard column, same rows)."""
+    and comparing row-for-row. (pack_sequences and corpus_pipeline run
+    this bound DEFAULT-ON at P.PACK_SHARD_DOCS; this property is what
+    makes the bound semantics-free.)"""
     budget = P.PACK_BUDGET_TOKENS
     toks = documents.select(
         "source",
@@ -189,7 +200,7 @@ def test_corpus_pipeline_semantics_and_single_chain(spark, sf_dir, documents):
     for r in rows:
         assert abs(r["weight"] - round(1.0 / P.SAMPLE_RATES[langs[r["doc_id"]]], 6)) < 1e-9
     over = (
-        out.groupBy("source", "pack_id")
+        out.groupBy("source", "shard", "pack_id")
         .agg(F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n"))
         .where((F.col("tot") > P.PACK_BUDGET_TOKENS) & (F.col("n") > 1))
         .count()

@@ -208,8 +208,8 @@ def test_partitioned_writer_layout_and_pruning(spark, sf_dir, tmp_path):
 
 
 def test_training_shard_writer_orders_packs(spark, sf_dir, tmp_path):
-    """write_training_shards: per-source dirs, rows inside each shard
-    file already in (pack_id, doc_id) order — a trainer streams packs
+    """write_training_shards: per-source dirs, rows inside each file
+    already in (shard, pack_id, doc_id) order — a trainer streams packs
     with no read-side sort."""
     from vedb_gaze_spark.plans.pipeline import corpus_pipeline
     from vedb_gaze_spark.sources.tables import load_table
@@ -226,7 +226,7 @@ def test_training_shard_writer_orders_packs(spark, sf_dir, tmp_path):
 
     for f in files[:5]:
         t = pq.read_table(f).to_pydict()
-        order = list(zip(t["pack_id"], t["doc_id"]))
+        order = list(zip(t["shard"], t["pack_id"], t["doc_id"]))
         assert order == sorted(order), f
     back = spark.read.parquet(path)
     assert back.count() == packed.count()

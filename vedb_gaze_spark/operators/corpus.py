@@ -283,26 +283,33 @@ def greedy_pack(
 
 
 def pack_sequences(
-    documents: DataFrame, budget: int = P.PACK_BUDGET_TOKENS
+    documents: DataFrame,
+    budget: int = P.PACK_BUDGET_TOKENS,
+    shard_docs: int = P.PACK_SHARD_DOCS,
 ) -> DataFrame:
     """Token-budget sequence packing: greedy first-fit of documents into
-    fixed-budget training sequences, in doc_id order within each source.
-    A doc that doesn't fit the open pack starts a new one; an over-budget
-    doc occupies a pack alone. Returns (source, doc_id, n_tokens,
-    pack_id) with pack_id counted from 0 per source.
+    fixed-budget training sequences, in doc_id order within each
+    (source, shard) group. A doc that doesn't fit the open pack starts a
+    new one; an over-budget doc occupies a pack alone. Returns (source,
+    shard, doc_id, n_tokens, pack_id) with pack_id counted from 0 per
+    (source, shard) — the shard is the training-file split id.
 
     Packing is sequential per group and parallel across groups — the
-    per-group state is two scalars, so applyInPandas streams each
-    source's docs through one Arrow batch. At 100 TB the group key is
-    whatever unit sequences must not cross (source, shard, epoch
-    slice), which also bounds group size."""
+    per-group state is two scalars, and the shard bound caps the Arrow
+    batch one task materializes (shard = doc_id div shard_docs, so
+    membership is data-independent and doc order within a shard is
+    preserved). The bound is DEFAULT-ON: a hot source at 100 TB must
+    never become one unbounded task; sequences not crossing a shard
+    boundary is the same contract as any epoch/file-split boundary.
+    Per-shard packing equals whole-source packing of that shard's rows
+    started fresh (pack-equivalence, test-pinned)."""
     toks = documents.select(
         "source",
         "doc_id",
         F.expr("size(split(trim(text), '\\\\s+'))").cast("long").alias("n_tokens"),
     )
-    return greedy_pack(toks, budget).select(
-        "source", "doc_id", "n_tokens", "pack_id"
+    return greedy_pack(toks, budget, shard_docs=shard_docs).select(
+        "source", "shard", "doc_id", "n_tokens", "pack_id"
     )
 
 

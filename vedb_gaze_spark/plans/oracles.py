@@ -2095,23 +2095,26 @@ GROUP BY c.doc_id
 
 PACK_SEQUENCES = rf"""
 WITH RECURSIVE toks AS (
-  SELECT source, doc_id,
+  SELECT source, doc_id, CAST(doc_id // {P.PACK_SHARD_DOCS} AS BIGINT) AS shard,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         row_number() OVER (PARTITION BY source, doc_id // {P.PACK_SHARD_DOCS}
+                            ORDER BY doc_id) AS rn
   FROM documents
 ),
 packs AS (
-  SELECT source, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+  SELECT source, shard, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
   FROM toks WHERE rn = 1
   UNION ALL
-  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+  SELECT t.source, t.shard, t.doc_id, t.n_tokens, t.rn,
          CASE WHEN p.fill + t.n_tokens <= {P.PACK_BUDGET_TOKENS}
               THEN p.pack_id ELSE p.pack_id + 1 END,
          CASE WHEN p.fill + t.n_tokens <= {P.PACK_BUDGET_TOKENS}
               THEN p.fill + t.n_tokens ELSE t.n_tokens END
-  FROM packs p JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+  FROM packs p JOIN toks t
+    ON t.source = p.source AND t.shard = p.shard AND t.rn = p.rn + 1
 )
-SELECT source, doc_id, n_tokens, pack_id FROM packs
+SELECT source, shard, doc_id, n_tokens, pack_id FROM packs
 """
 
 _RATE_CASE = "CASE " + " ".join(
@@ -2269,22 +2272,26 @@ samp AS (
 ),
 ptoks AS (
   SELECT s.source, s.doc_id,
+         CAST(s.doc_id // {P.PACK_SHARD_DOCS} AS BIGINT) AS shard,
          CAST(len(regexp_split_to_array(trim(s.text), '\s+')) AS BIGINT) AS n_tokens,
-         row_number() OVER (PARTITION BY s.source ORDER BY s.doc_id) AS rn
+         row_number() OVER (PARTITION BY s.source, s.doc_id // {P.PACK_SHARD_DOCS}
+                            ORDER BY s.doc_id) AS rn
   FROM surv s JOIN samp USING (doc_id)
 ),
 packs AS (
-  SELECT source, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+  SELECT source, shard, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
   FROM ptoks WHERE rn = 1
   UNION ALL
-  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+  SELECT t.source, t.shard, t.doc_id, t.n_tokens, t.rn,
          CASE WHEN p.fill + t.n_tokens <= {P.PACK_BUDGET_TOKENS}
               THEN p.pack_id ELSE p.pack_id + 1 END,
          CASE WHEN p.fill + t.n_tokens <= {P.PACK_BUDGET_TOKENS}
               THEN p.fill + t.n_tokens ELSE t.n_tokens END
-  FROM packs p JOIN ptoks t ON t.source = p.source AND t.rn = p.rn + 1
+  FROM packs p JOIN ptoks t
+    ON t.source = p.source AND t.shard = p.shard AND t.rn = p.rn + 1
 )
-SELECT p.source, p.doc_id, p.n_tokens, p.pack_id, s.weight
+SELECT p.source, p.shard, p.doc_id, p.n_tokens, p.pack_id, s.weight
 FROM packs p JOIN samp s USING (doc_id)
 """
 

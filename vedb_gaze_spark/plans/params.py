@@ -273,6 +273,13 @@ SUBSTR_L = 8                    # minimum duplicated span length, tokens
 # Token-budget sequence packing (group docs into fixed-budget training
 # sequences, greedy first-fit in doc_id order within each source).
 PACK_BUDGET_TOKENS = 256
+# Default doc_id-range width of a pack shard: bounds the Arrow batch one
+# packing task materializes (a hot source at 100 TB is otherwise ONE
+# unbounded task). Sequences never cross a shard boundary — the same
+# contract as any epoch/file-split boundary. Test-sized so the sf0.01
+# oracle exercises real multi-shard numbering; production tunes it to
+# executor memory (docs_per_shard × avg doc size ≲ a few hundred MB).
+PACK_SHARD_DOCS = 128
 # Stratified sampling / domain mixing: per-language keep rates, applied
 # via a deterministic 60-bit hash so both engines draw the same sample.
 SAMPLE_RATES = {"en": 0.25, "fr": 0.5, "de": 0.75, "es": 1.0, "zh": 0.1}

@@ -342,10 +342,13 @@ def corpus_pipeline(documents: DataFrame) -> DataFrame:
                        the target per-language rates, with inverse-rate
                        resampling weights
     4. pack_sequences  greedy token-budget packing of the DEDUPED text,
-                       per source, in doc_id order
+                       per (source, shard), in doc_id order — the
+                       P.PACK_SHARD_DOCS bound is DEFAULT-ON so a hot
+                       source can never become one unbounded pack task
 
-    Output: (source, doc_id, n_tokens, pack_id, weight) — one row per
-    surviving doc with its pack assignment and mixing weight.
+    Output: (source, shard, doc_id, n_tokens, pack_id, weight) — one
+    row per surviving doc with its pack assignment and mixing weight;
+    pack_id counts from 0 per (source, shard).
 
     Scale shape — ONE linear chain, nothing recomputed mid-plan: the
     benchmark n-gram set broadcasts into an anti join (stage 1 never
@@ -391,5 +394,8 @@ def corpus_pipeline(documents: DataFrame) -> DataFrame:
         )
     )
     return greedy_pack(
-        sampled, P.PACK_BUDGET_TOKENS, extra_cols=("weight",)
-    ).select("source", "doc_id", "n_tokens", "pack_id", "weight")
+        sampled,
+        P.PACK_BUDGET_TOKENS,
+        extra_cols=("weight",),
+        shard_docs=P.PACK_SHARD_DOCS,
+    ).select("source", "shard", "doc_id", "n_tokens", "pack_id", "weight")

@@ -51,18 +51,21 @@ def write_partitioned(
 
 def write_training_shards(packed: DataFrame, path: str) -> str:
     """Persist corpus_pipeline output as per-source training shards in
-    pack order. Reader contract: each source directory streams packs
-    contiguously (pack_id, doc_id ascending) with no sort needed.
+    pack order. Reader contract: each file streams packs contiguously
+    ((shard, pack_id, doc_id) ascending) with no sort needed.
 
-    One write task per source BY DESIGN: the contiguous-pack-order
-    contract is per file, so salting here would split a source's packs
-    across files with no cross-file order guarantee. The parallelism
-    bound is the shard-key cardinality — at 100 TB the shard key is
-    chosen fine-grained enough (source × shard-slice) that this is the
-    intended unit of work, mirroring greedy_pack's own group bound."""
+    One write task per (source, shard) — greedy_pack's own group bound
+    is the unit of write parallelism, so a hot source's shards write in
+    parallel while each file still holds whole shards in pack order
+    (salting instead would split packs across files with no cross-file
+    order guarantee)."""
     (
-        packed.repartition(F.col("source"))
-        .sortWithinPartitions("pack_id", "doc_id")
+        packed.repartition(F.col("source"), F.col("shard"))
+        # source leads the sort so the write path's own partition-column
+        # ordering requirement is satisfied as-is — FileFormatWriter
+        # would otherwise re-sort by source alone, unstably, destroying
+        # the (shard, pack_id, doc_id) stream order inside each file
+        .sortWithinPartitions("source", "shard", "pack_id", "doc_id")
         .write.mode("overwrite")
         .partitionBy("source")
         .parquet(path)
