@@ -1162,3 +1162,108 @@ def test_streaming_event_transitions_across_batches(spark, sf_dir, tmp_path):
         assert spans.count() > 0
     finally:
         q.stop()
+
+
+def test_cluster_maintenance_writes_only_affected_buckets(spark, tmp_path):
+    """The partition-pruned write claim, pinned: a batch whose pairs
+    touch ONE hash(doc_id) bucket must create a new version for that
+    bucket only — every other bucket gets no new version dir and its
+    existing files stay BYTE-identical (no rewrite, not even an
+    identical one). Final assignment still equals the batch recompute."""
+    import hashlib
+    import os
+
+    from vedb_gaze_spark.operators.dedup import dedup_clusters
+    from vedb_gaze_spark.streaming.maintenance import ClusterMaintenance
+
+    def uniq(i):
+        return " ".join(f"only{i}tok{j}" for j in range(15))
+
+    text_a = " ".join(f"dupatok{j}" for j in range(15))
+    text_b = " ".join(f"dupbtok{j}" for j in range(15))
+    # n_buckets=8: cluster {1, 9} lives wholly in bucket 1, {2, 10} in
+    # bucket 2; the rest are singletons (no pairs → not in the table)
+    docs0 = [(1, text_a), (9, text_a), (2, text_b), (10, text_b)] + [
+        (i, uniq(i)) for i in (3, 4, 5, 6, 7, 11, 12)
+    ]
+    # batch 1: doc 17 (bucket 1) duplicates text_a → touches bucket 1
+    # only; doc 20 is pairless and must not touch its bucket either
+    docs1 = [(17, text_a), (20, uniq(20))]
+    schema = "doc_id long, text string"
+    cm = ClusterMaintenance(str(tmp_path / "state"))
+    cm.process(spark.createDataFrame(docs0, schema), 0)
+
+    base = str(tmp_path / "state" / "clusters")
+
+    def snapshot(skip_bucket):
+        out = {}
+        for root, _, files in os.walk(base):
+            if f"bucket={skip_bucket}" in root or "_commits" in root:
+                continue
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, base)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    before = snapshot(skip_bucket=1)
+    assert before  # bucket 2 (at least) exists and has files
+    cm.process(spark.createDataFrame(docs1, schema), 1)
+    # touched bucket advanced; untouched buckets have no v=1 anywhere
+    assert os.path.isdir(os.path.join(base, "bucket=1", "v=1"))
+    for k in range(8):
+        if k != 1:
+            assert not os.path.exists(os.path.join(base, f"bucket={k}", "v=1"))
+    assert snapshot(skip_bucket=1) == before
+    # and the result is still exactly the batch recompute
+    full = spark.createDataFrame(docs0 + docs1, schema)
+    want = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup_clusters(full).collect()
+    }
+    got = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in cm.clusters(spark).collect()
+    }
+    assert got == want
+    assert (17, 1, 3) in got  # the new doc joined {1, 9} under label 1
+
+
+def test_compact_table_collapses_maintenance_batch_spray(spark, sf_dir, tmp_path):
+    """compact_table against its actual use case: ClusterMaintenance
+    sprays one pairs directory per micro-batch; compaction must
+    collapse the spray to fewer files with identical content
+    (the batch partition column included)."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.sources.tables import load_table
+    from vedb_gaze_spark.sources.writers import compact_table
+    from vedb_gaze_spark.streaming.maintenance import ClusterMaintenance
+
+    batch = load_table(spark, "documents", sf_dir)
+    row = batch.agg(
+        F.percentile_approx("doc_id", 1.0 / 3, 10000).alias("a"),
+        F.percentile_approx("doc_id", 2.0 / 3, 10000).alias("b"),
+    ).collect()[0]
+    q1, q2 = row["a"], row["b"]
+    cm = ClusterMaintenance(str(tmp_path / "state"))
+    cm.process(batch.where(F.col("doc_id") <= q1), 0)
+    cm.process(batch.where((F.col("doc_id") > q1) & (F.col("doc_id") <= q2)), 1)
+    cm.process(batch.where(F.col("doc_id") > q2), 2)
+
+    pairs_path = str(tmp_path / "state" / "pairs")
+    n_before = len(glob.glob(pairs_path + "/batch=*/*.parquet"))
+    assert n_before >= 3  # one spray per micro-batch
+    dst = compact_table(spark, pairs_path, target_bytes=1 << 30)
+    n_after = len(glob.glob(dst + "/*.parquet"))
+    assert 0 < n_after < n_before
+    cols = ["doc_a", "doc_b", "jaccard", "batch"]
+    want = sorted(
+        map(tuple, spark.read.parquet(pairs_path).select(*cols).collect())
+    )
+    got = sorted(map(tuple, spark.read.parquet(dst).select(*cols).collect()))
+    assert got == want and len(want) > 0

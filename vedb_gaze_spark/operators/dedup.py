@@ -767,6 +767,24 @@ def dedup_clusters_incremental(
     cluster_size (dedup_clusters emits it); without it, untouched rows
     would need a corpus-wide recount — refuse rather than silently
     de-scale."""
+    remap, affected_sizes, new_out = _clusters_incremental_parts(
+        stored_clusters, new_pairs, max_iters
+    )
+    updated_old = apply_cluster_patch(stored_clusters, remap, affected_sizes)
+    return updated_old.unionByName(new_out)
+
+
+def _clusters_incremental_parts(
+    stored_clusters: DataFrame, new_pairs: DataFrame, max_iters: int = 50
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The batch-sized PATCH TABLES behind dedup_clusters_incremental,
+    exposed so a bucketed store can apply them to affected buckets only
+    (streaming/maintenance.py): ``remap`` (old cluster_id → new_label,
+    one row per affected stored cluster — identity rows included, since
+    an attach changes size without changing the label), ``affected_sizes``
+    (new_label → patched size), ``new_out`` (full rows for genuinely-new
+    docs). All three are O(batch); dedup_clusters_incremental is exactly
+    apply_cluster_patch(stored) ∪ new_out."""
     if "cluster_size" not in stored_clusters.columns:
         raise ValueError(
             "dedup_clusters_incremental needs the stored cluster_size "
@@ -840,10 +858,24 @@ def dedup_clusters_incremental(
         .groupBy("new_label")
         .agg(F.sum("n").cast("int").alias("new_size"))
     )
-    # one map pass over the stored assignment: relabel + size patch via
-    # two broadcast left joins; untouched rows keep stored values
-    updated_old = (
-        stored_clusters.select("doc_id", "cluster_id", "cluster_size")
+    new_out = new_docs.join(
+        F.broadcast(affected_sizes.withColumnRenamed("new_label", "cluster_id")),
+        "cluster_id",
+    ).select("doc_id", "cluster_id", F.col("new_size").cast("int").alias("cluster_size"))
+    return remap, affected_sizes, new_out
+
+
+def apply_cluster_patch(
+    stored_subset: DataFrame, remap: DataFrame, affected_sizes: DataFrame
+) -> DataFrame:
+    """One map pass over stored assignment rows: relabel + size patch
+    via two broadcast left joins; untouched rows keep stored values
+    byte-for-byte. ``stored_subset`` may be any subset of the stored
+    assignment (a single hash bucket in the partition-pruned store) —
+    the patch tables key on cluster_id/new label only, so restricting
+    the pass to affected buckets is exact."""
+    return (
+        stored_subset.select("doc_id", "cluster_id", "cluster_size")
         .join(F.broadcast(remap), "cluster_id", "left")
         .select(
             "doc_id",
@@ -865,11 +897,6 @@ def dedup_clusters_incremental(
             .alias("cluster_size"),
         )
     )
-    new_out = new_docs.join(
-        F.broadcast(affected_sizes.withColumnRenamed("new_label", "cluster_id")),
-        "cluster_id",
-    ).select("doc_id", "cluster_id", F.col("new_size").cast("int").alias("cluster_size"))
-    return updated_old.unionByName(new_out)
 
 
 def dedup_prune(documents: DataFrame, clusters: DataFrame | None = None) -> DataFrame:

@@ -16,28 +16,40 @@ upgrade the 100 TB ingest shape needs.
 
 State layout (any Hadoop-visible filesystem):
 
-    {state_dir}/doc_sets/batch={id}/   append-only, one dir per micro-batch
-    {state_dir}/band_keys/batch={id}/  append-only, same ids
-    {state_dir}/pairs/batch={id}/      the batch's emitted pairs (observable output)
-    {state_dir}/clusters/v={id}/       full assignment AFTER batch {id}
+    {state_dir}/doc_sets/batch={id}/     append-only, one dir per micro-batch
+    {state_dir}/band_keys/batch={id}/    append-only, same ids
+    {state_dir}/pairs/batch={id}/        the batch's emitted pairs (observable output)
+    {state_dir}/clusters/bucket={k}/v={id}/  hash(doc_id) bucket k of the
+                                         assignment, as last rewritten by
+                                         batch {id}; ONLY buckets the batch
+                                         touches get a new version
+    {state_dir}/clusters/_commits/batch={id}/  commit marker, written LAST
 
 Exactly-once without a transaction log: every write is an idempotent
 overwrite of a directory named by the Structured Streaming batch_id,
-and every read of prior state filters to ids STRICTLY BELOW the
-current batch — a replayed batch (crash between writes) sees exactly
-the state its first attempt saw and rewrites the same dirs. Batch ids
-from one checkpointed query are monotonic, which is all the versioning
-needed.
+and every read of prior state filters to COMMITTED ids strictly below
+the current batch — a replayed batch (crash between writes, marker
+absent) sees exactly the state its first attempt saw and rewrites the
+same dirs. Batch ids from one checkpointed query are monotonic, which
+is all the versioning needed; the commit marker additionally gives
+every reader a consistent snapshot (per-bucket max version ≤ the last
+committed batch), so partially-written buckets of an in-flight or
+crashed batch are never visible.
 
 Scale shape per micro-batch: index-side work is the band-key probe +
 verify equi-join only (stored band keys are read as-is — the
 write_band_keys_bucketed economics, here maintained for free because
 each batch writes its own keys on arrival); the CC solve sees only the
-contracted O(batch) graph; the stored assignment is rewritten by one
-map pass with broadcast patches. Nothing in the loop is O(corpus)
-compute — only O(corpus) sequential parquet I/O for the rewritten
-assignment, which a real deployment would replace with a merge-on-read
-table format; the dataflow above it is unchanged.
+contracted O(batch) graph; and the assignment WRITE is partition-pruned
+— the batch-sized patch tables (_clusters_incremental_parts) are
+applied per affected hash(doc_id) bucket, reading and rewriting ONLY
+buckets that hold a relabeled/size-patched/new row (untouched buckets'
+files are byte-identical across the batch, test-pinned). The remaining
+O(corpus) term is a READ: discovering which buckets hold members of an
+affected cluster scans the stored assignment (as does the pair-endpoint
+rep join), because members of one cluster may sit in any bucket. A
+(cluster_id → bucket-bitmap) side index would prune that too; it is the
+same economics as the band-key store and a natural next increment.
 
 Precondition (documented, asserted nowhere hot): doc_ids are unique
 across the stream — the append-only ingest shape. Re-ingest
@@ -107,8 +119,9 @@ class ClusterMaintenance:
     dedup_clusters(full corpus) row-for-row.
     """
 
-    def __init__(self, state_dir: str):
+    def __init__(self, state_dir: str, n_buckets: int = 8):
         self.state_dir = str(state_dir).rstrip("/")
+        self.n_buckets = int(n_buckets)
 
     # -- state readers -------------------------------------------------
     def _read_prior(
@@ -122,16 +135,44 @@ class ClusterMaintenance:
             *[f"{base}/batch={b}" for b in ids]
         )
 
-    def clusters(self, spark: SparkSession, before: int | None = None) -> DataFrame:
-        """The stored assignment as of the latest completed batch (or
-        the latest batch strictly below `before`, for replay reads)."""
+    def _bucket_paths(
+        self, spark: SparkSession, committed: int | None
+    ) -> list[str]:
+        """Per bucket, the path of its newest version ≤ the committed
+        batch id (None → no committed state)."""
+        if committed is None:
+            return []
         base = f"{self.state_dir}/clusters"
-        ids = _list_ids(spark, base, "v")
+        paths = []
+        for k in range(self.n_buckets):
+            vs = [
+                v
+                for v in _list_ids(spark, f"{base}/bucket={k}", "v")
+                if v <= committed
+            ]
+            if vs:
+                paths.append(f"{base}/bucket={k}/v={max(vs)}")
+        return paths
+
+    def _last_committed(
+        self, spark: SparkSession, before: int | None
+    ) -> int | None:
+        ids = _list_ids(spark, f"{self.state_dir}/clusters/_commits", "batch")
         if before is not None:
-            ids = [v for v in ids if v < before]
-        if not ids:
+            ids = [b for b in ids if b < before]
+        return max(ids) if ids else None
+
+    def clusters(self, spark: SparkSession, before: int | None = None) -> DataFrame:
+        """The stored assignment as of the latest COMMITTED batch (or
+        the latest committed batch strictly below `before`, for replay
+        reads): per bucket, its newest version at or below that commit —
+        a consistent snapshot even while a batch is mid-write."""
+        paths = self._bucket_paths(
+            spark, self._last_committed(spark, before)
+        )
+        if not paths:
             return spark.createDataFrame([], _CLUSTER_SCHEMA)
-        return spark.read.schema(_CLUSTER_SCHEMA).parquet(f"{base}/v={max(ids)}")
+        return spark.read.schema(_CLUSTER_SCHEMA).parquet(*paths)
 
     def pairs(self, spark: SparkSession) -> DataFrame:
         """All pairs emitted so far (union over batches)."""
@@ -152,9 +193,10 @@ class ClusterMaintenance:
     def process(self, batch_docs: DataFrame, batch_id: int) -> None:
         from vedb_gaze_spark.operators.dedup import (
             _band_keys,
+            _clusters_incremental_parts,
             _doc_sets,
             _minhash_signatures,
-            dedup_clusters_incremental,
+            apply_cluster_patch,
             dedup_minhash_incremental,
         )
 
@@ -163,7 +205,7 @@ class ClusterMaintenance:
         ds_dir = f"{self.state_dir}/doc_sets/batch={bid}"
         bk_dir = f"{self.state_dir}/band_keys/batch={bid}"
         pr_dir = f"{self.state_dir}/pairs/batch={bid}"
-        cl_dir = f"{self.state_dir}/clusters/v={bid}"
+        cl_base = f"{self.state_dir}/clusters"
 
         # 1) extend the index: shingle the batch ONCE, store sets + keys
         _doc_sets(batch_docs).write.mode("overwrite").parquet(ds_dir)
@@ -180,11 +222,51 @@ class ClusterMaintenance:
         ).write.mode("overwrite").parquet(pr_dir)
         new_pairs = spark.read.parquet(pr_dir).select("doc_a", "doc_b")
 
-        # 3) fold into the stored assignment (contracted-graph solve)
+        # 3) fold into the stored assignment: contracted-graph solve →
+        # batch-sized patch tables → rewrite ONLY affected buckets
+        committed = self._last_committed(spark, before=bid)
         stored = self.clusters(spark, before=bid)
-        dedup_clusters_incremental(stored, new_pairs).write.mode(
-            "overwrite"
-        ).parquet(cl_dir)
+        remap, sizes, new_out = _clusters_incremental_parts(stored, new_pairs)
+        # the patch tables feed one plan per affected bucket plus the
+        # bucket-discovery scans; materialize them once (batch-sized)
+        # instead of re-running the contracted solve per consumer
+        remap = remap.localCheckpoint()
+        sizes = sizes.localCheckpoint()
+        new_out = new_out.localCheckpoint()
+        bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
+        touched = {
+            r[0]
+            for r in new_out.select(bucket.alias("b")).distinct().collect()
+        } | {
+            r[0]
+            for r in stored.join(F.broadcast(remap), "cluster_id")
+            .select(bucket.alias("b"))
+            .distinct()
+            .collect()
+        }
+        for k in sorted(touched):
+            prior_vs = [
+                v
+                for v in _list_ids(spark, f"{cl_base}/bucket={k}", "v")
+                if committed is not None and v <= committed
+            ]
+            if prior_vs:
+                bucket_stored = spark.read.schema(_CLUSTER_SCHEMA).parquet(
+                    f"{cl_base}/bucket={k}/v={max(prior_vs)}"
+                )
+            else:
+                bucket_stored = spark.createDataFrame([], _CLUSTER_SCHEMA)
+            patched = apply_cluster_patch(bucket_stored, remap, sizes)
+            out = patched.unionByName(new_out.where(bucket == k))
+            out.write.mode("overwrite").parquet(f"{cl_base}/bucket={k}/v={bid}")
+        # 4) commit marker LAST: readers (and replays) only ever see
+        # fully-written batches
+        jvm = spark._jvm
+        mpath = jvm.org.apache.hadoop.fs.Path(
+            f"{cl_base}/_commits/batch={bid}"
+        )
+        fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.mkdirs(mpath)
 
 
 def streaming_cluster_maintenance(
