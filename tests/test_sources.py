@@ -298,3 +298,98 @@ def test_tar_shards_roundtrip_lossless(spark, sf_dir, tmp_path):
         for f in glob.glob(os.path.join(d, "*.tar"))
     )
     assert h(p1) == h(p2)
+
+
+def _plant_pnm(values, block=10, rgb=False):
+    """Build a (4·block × 5·block) image whose nearest-neighbor 4×5
+    downsample reads exactly values[i][j] (source pixel (10i, 10j) for
+    target (i, j)) — each value fills a whole block, so the planted
+    dHash is insensitive to the resize's sampling phase."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import encode_pnm
+
+    V = np.asarray(values, dtype=np.uint8)
+    a = np.kron(V, np.ones((block, block), dtype=np.uint8))
+    if rgb:
+        a = np.stack([a, a, a], axis=-1)
+    return encode_pnm(a)
+
+
+def test_pnm_roundtrip_and_resize_math():
+    """encode→decode is lossless for P5 and P6; the nearest-neighbor
+    resize reads the exact integer-map positions."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import (
+        _resize_nn,
+        decode_pnm,
+        encode_pnm,
+    )
+
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert np.array_equal(decode_pnm(encode_pnm(g)), g)
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(decode_pnm(encode_pnm(rgb)), rgb)
+    # comments + arbitrary header whitespace are valid PNM
+    hdr = b"P5 # comment\n# another\n 4\t4 \n255\n" + g.tobytes()
+    assert np.array_equal(decode_pnm(hdr), g)
+    # truncated data and non-PNM payloads decode to None
+    assert decode_pnm(encode_pnm(g)[:-1]) is None
+    assert decode_pnm(b"not an image") is None
+    # resize: target (i, j) = source (i*4 // 2, j*4 // 2) = (2i, 2j)
+    assert np.array_equal(
+        _resize_nn(g, 2, 2), np.array([[0, 2], [8, 10]], dtype=np.uint8)
+    )
+
+
+def test_image_decode_resize_phash_end_to_end(spark):
+    """The REAL pixel path on planted PNM frames: decode reports true
+    shapes, the thumbnail re-decodes losslessly, and the banded pHash
+    dedup finds exactly the planted near-dup structure — an exact dup
+    (P6 gray-RGB of the P5 base, same luma → hamming 0), a one-bit
+    perturbation (hamming 1 ≤ radius), a reversed-gradient frame (far,
+    no pair), and a truncated payload (dropped, pairs with nothing)."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import (
+        decode_image_frames,
+        decode_pnm,
+        image_phash_dedup,
+        resize_image_thumbnails,
+    )
+
+    base = [[10, 50, 20, 60, 30]] * 4       # row bits: F T F T
+    onebit = [r[:] for r in base]
+    onebit[0] = [10, 50, 20, 60, 90]        # bit (0,3): 60>90 now False
+    far = [[60, 20, 50, 10, 40]] * 4        # row bits: T F T F (inverted)
+    payloads = [
+        (0, bytearray(_plant_pnm(base))),
+        (1, bytearray(_plant_pnm(base, rgb=True))),   # same luma as 0
+        (2, bytearray(_plant_pnm(onebit))),
+        (3, bytearray(_plant_pnm(far))),
+        (4, bytearray(_plant_pnm(base)[:40])),        # truncated
+    ]
+    docs = spark.createDataFrame(payloads, "doc_id long, payload binary")
+
+    meta = {r.doc_id: r for r in decode_image_frames(docs).collect()}
+    assert set(meta) == {0, 1, 2, 3}  # truncated payload dropped
+    assert (meta[0].width, meta[0].height, meta[0].channels) == (50, 40, 1)
+    assert (meta[1].width, meta[1].height, meta[1].channels) == (50, 40, 3)
+    assert meta[0].mean_luma == meta[1].mean_luma  # gray RGB = same luma
+
+    thumbs = {r.doc_id: r for r in resize_image_thumbnails(docs, 8).collect()}
+    assert set(thumbs) == {0, 1, 2, 3}
+    t0 = decode_pnm(bytes(thumbs[0].thumb))
+    assert t0.shape == (8, 8)
+    # the thumbnail is real pixels from the planted blocks
+    assert int(t0[0, 0]) == 10 and set(np.unique(t0)) <= {10, 50, 20, 60, 30}
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in image_phash_dedup(docs).collect()
+    }
+    assert pairs.get((0, 1)) == 0        # exact luma dup across P5/P6
+    assert pairs.get((0, 2)) == 1        # planted one-bit near dup found
+    assert pairs.get((1, 2)) == 1
+    assert not any(3 in p or 4 in p for p in pairs), pairs

@@ -289,13 +289,27 @@ def multimodal_phash_dedup(
     every stage is groupBy/join on short uniform keys, nothing is
     broadcast, and the pair volume is the standard LSH candidate cost
     (Σ_buckets m² over bucket occupancies)."""
+    return phash_dedup_pairs(
+        phash_frame(documents, bits), bits, bands, max_hamming
+    )
+
+
+def phash_dedup_pairs(
+    hashed: DataFrame,
+    bits: int = P.PHASH_BITS,
+    bands: int = P.PHASH_BANDS,
+    max_hamming: int = P.PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """The banded multi-index Hamming join over any (doc_id, ph) frame —
+    shared by the byte-sample stub (multimodal_phash_dedup), the REAL
+    pixel path (image_phash_dedup), and usable on any stored hash table;
+    semantics and scale shape documented on multimodal_phash_dedup."""
     if max_hamming > bands - 2:
         raise ValueError(
             "band-pair candidates are exact only for "
             f"max_hamming <= bands - 2 (= {bands - 2}); got {max_hamming}"
         )
     rows_per_band = bits // bands
-    hashed = phash_frame(documents, bits)
     mask = (1 << rows_per_band) - 1
     pair_arr = F.array(
         *[
@@ -321,7 +335,7 @@ def multimodal_phash_dedup(
     # AQE skew-split covers shuffled-hash joins when a bucket outgrows
     # a task at real scale.
     n_part = int(
-        documents.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        hashed.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     keyed = (
         hashed.select("doc_id", "ph", F.explode(pair_arr).alias("bk"))
@@ -350,3 +364,264 @@ def multimodal_phash_dedup(
         .distinct()
     )
     return cand
+
+
+# --- REAL pixel path: binary PNM (P5/P6) in pure numpy --------------------
+# The one uncompressed format this container can decode without cv2:
+# netpbm binary graymaps/pixmaps. The reference's frame loop
+# (pupil_detection_pl.py:134, marker_detection.py:380) reads decoded
+# frames exactly like this — here the decode itself is real, so
+# decode → luma → resize → dHash → banded dedup runs end-to-end on
+# actual pixels (planted-image tests), while compressed formats keep
+# the stubbed path above until a codec is available.
+
+
+def _parse_pnm_header(buf: bytes):
+    """(magic, width, height, maxval, data_offset) for binary P5/P6, or
+    None if the payload is not a well-formed 8-bit PNM. Pure-python
+    header scan: fields separated by whitespace, '#' comments allowed,
+    exactly one whitespace byte after maxval (per the netpbm spec)."""
+    buf = bytes(buf)
+    if len(buf) < 2 or buf[0:1] != b"P" or buf[1:2] not in (b"5", b"6"):
+        return None
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3 and i < len(buf):
+        c = buf[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            j = buf.find(b"\n", i)
+            if j < 0:
+                return None
+            i = j + 1
+        elif c.isdigit():
+            j = i
+            while j < len(buf) and buf[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(buf[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3 or i >= len(buf) or not buf[i : i + 1].isspace():
+        return None
+    w, h, maxv = fields
+    if w <= 0 or h <= 0 or not (0 < maxv <= 255):
+        return None
+    return (buf[1:2].decode(), w, h, maxv, i + 1)
+
+
+def decode_pnm(buf: bytes):
+    """Binary P5 (gray) / P6 (RGB) payload → uint8 ndarray of shape
+    (h, w) or (h, w, 3); None for anything malformed or truncated."""
+    import numpy as np
+
+    hd = _parse_pnm_header(buf)
+    if hd is None:
+        return None
+    magic, w, h, _maxv, off = hd
+    ch = 1 if magic == "5" else 3
+    need = w * h * ch
+    buf = bytes(buf)
+    if len(buf) - off < need:
+        return None
+    a = np.frombuffer(buf, dtype=np.uint8, count=need, offset=off)
+    return a.reshape((h, w)) if ch == 1 else a.reshape((h, w, 3))
+
+
+def encode_pnm(arr) -> bytes:
+    """uint8 (h, w) or (h, w, 3) → binary P5/P6 bytes. The test-planting
+    and thumbnail-sink twin of decode_pnm (round-trip is lossless)."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        magic = b"P5"
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise ValueError("expected (h, w) gray or (h, w, 3) RGB uint8")
+    h, w = a.shape[0], a.shape[1]
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def _luma(a):
+    """Integer BT.601 luma: deterministic (no float rounding ambiguity),
+    identity on already-gray frames."""
+    import numpy as np
+
+    if a.ndim == 2:
+        return a
+    r = a[..., 0].astype(np.int64)
+    g = a[..., 1].astype(np.int64)
+    b = a[..., 2].astype(np.int64)
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+
+def _resize_nn(a, th: int, tw: int):
+    """Nearest-neighbor resize via integer index maps — position (i, j)
+    reads source pixel (i·h // th, j·w // tw), the 2-D analogue of the
+    byte-subsampling stub (resize_thumbnail), and deterministic across
+    platforms (pure integer indexing, no interpolation arithmetic)."""
+    import numpy as np
+
+    ys = (np.arange(th) * a.shape[0]) // th
+    xs = (np.arange(tw) * a.shape[1]) // tw
+    return a[np.ix_(ys, xs)] if a.ndim == 2 else a[np.ix_(ys, xs)]
+
+
+_IMG_DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, mean_luma double"
+)
+
+
+def decode_image_frames(
+    documents: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL decode over binary PNM payloads via the same Arrow-batched
+    mapInPandas plumbing as decode_frames: emits (doc_id, width, height,
+    channels, mean_luma) per DECODABLE payload; malformed/truncated
+    payloads are dropped (a production pipeline routes them to a
+    quarantine sink — same pattern as streaming/corpus.py's NULL-text
+    skip). mean_luma is an exact integer-sum mean rounded HALF_UP to
+    6 dp, so it is engine- and platform-identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "channels": [], "mean_luma": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                a = decode_pnm(b) if b is not None else None
+                if a is None:
+                    continue
+                y = _luma(a)
+                out["doc_id"].append(doc_id)
+                out["height"].append(a.shape[0])
+                out["width"].append(a.shape[1])
+                out["channels"].append(1 if a.ndim == 2 else a.shape[2])
+                out["mean_luma"].append(
+                    np.floor(
+                        int(y.sum(dtype=np.int64)) / y.size * 1e6 + 0.5
+                    )
+                    / 1e6
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "channels": pd.Series(out["channels"], dtype="int32"),
+                    "mean_luma": pd.Series(out["mean_luma"], dtype="float64"),
+                }
+            )
+
+    return documents.select("doc_id", payload_col).mapInPandas(
+        run, schema=_IMG_DECODE_SCHEMA
+    )
+
+
+def resize_image_thumbnails(
+    documents: DataFrame,
+    target: int = 16,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL 2-D resize: decode → nearest-neighbor downsample to
+    target×target luma → re-encoded P5 thumbnail payload (lossless to
+    re-decode) plus its md5. The production thumbnail sink shape; same
+    batching as resize_thumbnail (the 1-D stub)."""
+    import hashlib
+
+    schema = "doc_id bigint, thumb binary, thumb_md5 string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, thumbs, md5s = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                a = decode_pnm(b) if b is not None else None
+                if a is None:
+                    continue
+                t = encode_pnm(_resize_nn(_luma(a), target, target))
+                ids.append(doc_id)
+                thumbs.append(t)
+                md5s.append(hashlib.md5(t).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "thumb": pd.Series(thumbs, dtype=object),
+                    "thumb_md5": pd.Series(md5s, dtype=object),
+                }
+            )
+
+    return documents.select("doc_id", payload_col).mapInPandas(
+        run, schema=schema
+    )
+
+
+def phash_image(
+    documents: DataFrame,
+    payload_col: str = "payload",
+    bits: int = P.PHASH_BITS,
+) -> DataFrame:
+    """dHash over REAL pixels: decode → integer luma → nearest-neighbor
+    resize to (r, r+1) where r = √bits → bit (i, j) set iff
+    px[i, j] > px[i, j+1] (the classic horizontal-gradient dHash;
+    r=4 → 16 bits at the default params, r=8 → the textbook 64-bit
+    hash). Emits (doc_id, ph) — drop-in for phash_dedup_pairs, so the
+    whole banded multi-index dedup runs unchanged on real pixel
+    hashes (image_phash_dedup)."""
+    import math
+
+    r = int(math.isqrt(bits))
+    if r * r != bits:
+        raise ValueError(f"bits must be a perfect square for the 2-D dHash; got {bits}")
+
+    schema = "doc_id bigint, ph bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, phs = [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                a = decode_pnm(b) if b is not None else None
+                if a is None:
+                    continue
+                g = _resize_nn(_luma(a), r, r + 1).astype(np.int64)
+                bitsv = (g[:, :-1] > g[:, 1:]).ravel()
+                ph = 0
+                for i, v in enumerate(bitsv):
+                    if v:
+                        ph |= 1 << i
+                ids.append(doc_id)
+                phs.append(ph)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ph": pd.Series(phs, dtype="int64"),
+                }
+            )
+
+    return documents.select("doc_id", payload_col).mapInPandas(
+        run, schema=schema
+    )
+
+
+def image_phash_dedup(
+    documents: DataFrame,
+    payload_col: str = "payload",
+    bits: int = P.PHASH_BITS,
+    bands: int = P.PHASH_BANDS,
+    max_hamming: int = P.PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Perceptual near-duplicate detection over REAL images: the pixel
+    dHash (phash_image) feeding the same banded multi-index Hamming
+    join as the stubbed operator — recall is exact by the same
+    pigeonhole argument; only the hash source changed. End-to-end
+    pinned on planted PNM frames in tests/test_sources.py."""
+    return phash_dedup_pairs(
+        phash_image(documents, payload_col, bits), bits, bands, max_hamming
+    )
