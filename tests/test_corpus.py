@@ -295,3 +295,56 @@ def test_multimodal_phash_planted_near_dups(spark):
     # banding recall is exact at r=1 < bands: the pair MUST be found
     assert rows.get((0, 2)) == 1
     assert rows.get((1, 2)) == 1
+
+
+def test_corpus_pipeline_mixed_upsamples_to_the_mix(spark, sf_dir, documents):
+    """The mixture composition: every doc's copy count must be exactly
+    floor(e) or floor(e)+1 for its language's epochs e (so scarce
+    domains genuinely upsample, e < 1 domains thin out), copies pack
+    adjacently in (doc_id, epoch) order with feasible packs, weights
+    are 1/e, and the whole thing is deterministic across reruns."""
+    from collections import Counter
+
+    from vedb_gaze_spark.operators import corpus
+    from vedb_gaze_spark.plans.pipeline import corpus_pipeline_mixed
+
+    out = corpus_pipeline_mixed(documents).cache()
+    rows = out.collect()
+    assert rows
+    again = {tuple(r) for r in corpus_pipeline_mixed(documents).collect()}
+    assert {tuple(r) for r in rows} == again  # deterministic
+    epochs = {
+        r["lang"]: r["epochs"] for r in corpus.mix_plan(documents).collect()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in documents.select("doc_id", "lang").collect()
+    }
+    copies = Counter(r["doc_id"] for r in rows)
+    import math
+
+    for doc_id, k in copies.items():
+        e = epochs[langs[doc_id]]
+        assert k in (math.floor(e), math.floor(e) + 1), (doc_id, e, k)
+    # upsampling actually happened: some doc has more than one copy
+    assert max(copies.values()) > 1
+    # and each copy carries the inverse-epoch weight
+    for r in rows[:50]:
+        assert abs(r["weight"] - round(1.0 / epochs[langs[r["doc_id"]]], 6)) < 1e-9
+    # copies are adjacent: epochs of one doc in one shard are 0..k-1
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for doc_id, eps in by_doc.items():
+        assert sorted(eps) == list(range(len(eps))), doc_id
+    # feasibility, per (source, shard, pack)
+    pk = Counter()
+    for r in rows:
+        pk[(r["source"], r["shard"], r["pack_id"])] += r["n_tokens"]
+    from vedb_gaze_spark.plans import params as P
+
+    singles = Counter(
+        (r["source"], r["shard"], r["pack_id"]) for r in rows
+    )
+    for key, tot in pk.items():
+        assert tot <= P.PACK_BUDGET_TOKENS or singles[key] == 1, key

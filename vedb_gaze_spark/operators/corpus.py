@@ -222,6 +222,7 @@ def greedy_pack(
     budget: int,
     extra_cols: tuple = (),
     shard_docs: int | None = None,
+    order_cols: tuple = ("doc_id",),
 ) -> DataFrame:
     """Greedy first-fit packing of (source, doc_id, n_tokens [, extra])
     rows into budget-bounded packs, doc_id order within source. The
@@ -229,8 +230,13 @@ def greedy_pack(
     state is two scalars, groups stream through applyInPandas in
     parallel.
 
-    ``extra_cols`` pass through untouched and must be DOUBLE-typed (the
-    Arrow schema declares them as such — corpus_pipeline's weight).
+    ``extra_cols`` pass through untouched: a bare name is DOUBLE-typed
+    (corpus_pipeline's weight); a (name, sqltype) pair declares another
+    Arrow type (corpus_pipeline_mixed's epoch is ("epoch", "long")).
+    ``order_cols`` is the in-group packing order — (doc_id,) by
+    default; the mixed pipeline packs epoch COPIES of a doc adjacently
+    with ("doc_id", "epoch"), keeping the order total (and therefore
+    the packing deterministic) when doc_id alone has ties.
 
     ``shard_docs``: packing state is two scalars, but the WHOLE group
     materializes as one Arrow batch per task — with the bare `source`
@@ -245,9 +251,15 @@ def greedy_pack(
     to that shard started fresh (test-pinned pack-equivalence). Default
     None keeps the exact single-group-per-source semantics (the oracle
     shape)."""
+    extras = [
+        (c, "double") if isinstance(c, str) else tuple(c) for c in extra_cols
+    ]
     shard_cols = ["shard"] if shard_docs is not None else []
-    out_cols = ["source", *shard_cols, "doc_id", "n_tokens", *extra_cols, "pack_id"]
-    extra_schema = "".join(f", {c} double" for c in extra_cols)
+    out_cols = [
+        "source", *shard_cols, "doc_id", "n_tokens",
+        *[c for c, _ in extras], "pack_id",
+    ]
+    extra_schema = "".join(f", {c} {t}" for c, t in extras)
     shard_schema = ", shard long" if shard_docs is not None else ""
     schema = (
         f"source string{shard_schema}, doc_id long, n_tokens long"
@@ -255,7 +267,7 @@ def greedy_pack(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pdf = pdf.sort_values(list(order_cols)).reset_index(drop=True)
         pack_id, fill = -1, budget
         ids = []
         for t in pdf["n_tokens"]:

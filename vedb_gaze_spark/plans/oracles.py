@@ -2295,6 +2295,116 @@ SELECT p.source, p.shard, p.doc_id, p.n_tokens, p.pack_id, s.weight
 FROM packs p JOIN samp s USING (doc_id)
 """
 
+
+# Mixture share CASE (shared by MIX_PLAN and the mixed pipeline)
+_MIX_SHARE = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v!r}" for k, v in sorted(P.MIX_TARGET.items())
+) + " ELSE 0.0 END"
+
+
+# Mixture-driven assembly (plans/pipeline.py:corpus_pipeline_mixed):
+# the same decontaminate + line-dedup chain, then mix_plan's epochs
+# drive a repeat-explode sampler (floor(e) copies + one more when the
+# doc's hash-uniform falls under frac(e)), packed per (source, shard)
+# in (doc_id, epoch) order.
+CORPUS_PIPELINE_MIXED = rf"""
+WITH RECURSIVE alltoks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_DC_N - 1}], ' ') AS ng
+  FROM (SELECT * FROM alltoks WHERE len(toks) >= {_DC_N}) t,
+       unnest(generate_series(1, len(toks) - {_DC_N - 1})) AS g(i)
+),
+bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % {_DC_M} = 0),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT * FROM ng WHERE doc_id % {_DC_M} <> 0) c JOIN bench USING (ng)
+),
+train AS (
+  SELECT * FROM documents
+  WHERE doc_id % {_DC_M} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM train
+),
+segs AS (
+  SELECT doc_id, i - 1 AS seg_no,
+         array_to_string(ws[((i-1)*{_LD_W}+1):((i-1)*{_LD_W}+{_LD_W})], ' ') AS seg
+  FROM w, unnest(generate_series(1, CAST(ceil(len(ws) / {_LD_W}.0) AS BIGINT))) AS t(i)
+),
+flagged AS (
+  SELECT doc_id, seg_no, seg,
+         CASE WHEN row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM segs
+),
+dd AS (
+  SELECT doc_id,
+         CAST(sum(keep) AS BIGINT) AS kept_segments,
+         coalesce(string_agg(CASE WHEN keep = 1 THEN seg END, ' ' ORDER BY seg_no), '')
+           AS text
+  FROM flagged GROUP BY doc_id
+  HAVING CAST(sum(keep) AS BIGINT) > 0
+),
+surv AS (
+  SELECT t.doc_id, t.lang, t.source, d.text
+  FROM train t JOIN dd d USING (doc_id)
+),
+per_lang AS (
+  SELECT lang,
+         CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS avail_tokens
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY lang
+),
+mix AS (
+  SELECT lang,
+         CASE WHEN avail_tokens > 0
+              THEN round(floor({P.MIX_BUDGET_TOKENS} * ({_MIX_SHARE}) + 0.5)
+                   / avail_tokens, 6)
+              ELSE 0.0 END AS epochs
+  FROM per_lang
+),
+copies AS (
+  SELECT s.source, s.doc_id, s.text, m.epochs,
+         CAST(floor(m.epochs) AS BIGINT)
+           + CASE WHEN {_h60(f"'{P.MIX_SALT}' || CAST(s.doc_id AS VARCHAR)")}
+                       / CAST(1152921504606846976 AS DOUBLE)
+                     < m.epochs - floor(m.epochs)
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM surv s JOIN mix m USING (lang)
+),
+expanded AS (
+  SELECT source, doc_id, t.e AS epoch,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         round(CAST(1.0 AS DOUBLE) / epochs, 6) AS weight
+  FROM (SELECT * FROM copies WHERE n_copies > 0) c,
+       unnest(generate_series(0, n_copies - 1)) AS t(e)
+),
+ptoks AS (
+  SELECT source, doc_id, epoch, n_tokens, weight,
+         CAST(doc_id // {P.PACK_SHARD_DOCS} AS BIGINT) AS shard,
+         row_number() OVER (PARTITION BY source, doc_id // {P.PACK_SHARD_DOCS}
+                            ORDER BY doc_id, epoch) AS rn
+  FROM expanded
+),
+packs AS (
+  SELECT source, shard, doc_id, epoch, n_tokens, weight, rn,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+  FROM ptoks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.shard, t.doc_id, t.epoch, t.n_tokens, t.weight, t.rn,
+         CASE WHEN p.fill + t.n_tokens <= {P.PACK_BUDGET_TOKENS}
+              THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + t.n_tokens <= {P.PACK_BUDGET_TOKENS}
+              THEN p.fill + t.n_tokens ELSE t.n_tokens END
+  FROM packs p JOIN ptoks t
+    ON t.source = p.source AND t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT source, shard, doc_id, epoch, n_tokens, pack_id, weight FROM packs
+"""
+
 _CMS_COUNTERS = ",\n".join(
     f"c{j} AS (SELECT {_h60(repr(s) + ' || word')} % {P.CMS_W} AS idx{j},"
     f" CAST(sum(exact_cnt) AS BIGINT) AS c{j} FROM wc GROUP BY 1)"
@@ -2703,10 +2813,6 @@ SELECT rank, from_type, to_type, n_transitions, n_users FROM (
 
 
 # Mixture planning (operators/corpus.py:mix_plan)
-_MIX_SHARE = "CASE " + " ".join(
-    f"WHEN lang = '{k}' THEN {v!r}" for k, v in sorted(P.MIX_TARGET.items())
-) + " ELSE 0.0 END"
-
 MIX_PLAN = f"""
 WITH per_lang AS (
   SELECT lang, count(*) AS n_docs,

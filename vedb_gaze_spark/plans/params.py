@@ -289,6 +289,9 @@ SAMPLE_RATES = {"en": 0.25, "fr": 0.5, "de": 0.75, "es": 1.0, "zh": 0.1}
 MIX_TARGET = {"en": 0.4, "fr": 0.2, "de": 0.2, "es": 0.15, "zh": 0.05}
 MIX_BUDGET_TOKENS = 40_000
 SAMPLE_SALT = "smp"
+MIX_SALT = "mix"                # mixture-driven sampler's hash salt —
+                                # distinct from SAMPLE_SALT so the two
+                                # samplers' draws are independent
 SAMPLE_DENOM = 1152921504606846976.0   # 2^60 as double
 # Deterministic HyperLogLog (Flajolet et al. 2007, the HLL standard):
 # p=9 -> m=512 registers over the 60-bit portable hash; the remaining

@@ -399,3 +399,72 @@ def corpus_pipeline(documents: DataFrame) -> DataFrame:
         extra_cols=("weight",),
         shard_docs=P.PACK_SHARD_DOCS,
     ).select("source", "shard", "doc_id", "n_tokens", "pack_id", "weight")
+
+
+def corpus_pipeline_mixed(documents: DataFrame) -> DataFrame:
+    """corpus_pipeline with the MIXTURE CALCULATOR in the loop: instead
+    of static per-language rates, mix_plan's epochs column (alloc /
+    available tokens for the Chinchilla-style MIX_TARGET shares) drives
+    the sampler — and epochs > 1 means the paper-standard UPSAMPLING of
+    scarce domains, realized as a repeat explode:
+
+        n_copies(doc) = floor(e) + [u < frac(e)],   u = hash(salt‖doc_id)/2⁶⁰
+
+    which reduces exactly to the stratified keep/drop draw when e ≤ 1
+    and emits each kept doc as (doc_id, epoch 0..n_copies−1) rows with
+    resampling weight 1/e. Deterministic like every sampler here — the
+    same copies on any engine, partitioning, or rerun.
+
+    One linear plan: decontaminate → line_dedup → mixture explode →
+    greedy_pack per (source, shard) ordered by (doc_id, epoch) so a
+    doc's copies pack adjacently and the order stays total under
+    repeated doc_ids. The mix table is lang-count-sized (a model, not a
+    vocabulary — the dsir_select contrast) and broadcast-joined onto
+    the dedup stream; the token inventory it divides by is computed
+    over the raw corpus, the same statistics mix_plan publishes."""
+    from vedb_gaze_spark.functions.core import portable_hash60
+    from vedb_gaze_spark.operators.corpus import (
+        decontaminate,
+        greedy_pack,
+        line_dedup,
+        mix_plan,
+    )
+
+    contaminated = decontaminate(documents).select("doc_id")
+    train = documents.where(
+        F.col("doc_id") % P.DECONTAM_BENCH_MOD != 0
+    ).join(contaminated, "doc_id", "left_anti")
+    dd = line_dedup(train, carry=("lang", "source")).where(
+        F.col("kept_segments") > 0
+    )
+    plan = mix_plan(documents).select("lang", "epochs")
+    u = portable_hash60(
+        F.concat(F.lit(P.MIX_SALT), F.col("doc_id").cast("string"))
+    ) / F.lit(P.SAMPLE_DENOM)
+    frac = F.col("epochs") - F.floor("epochs")
+    mixed = (
+        dd.join(F.broadcast(plan), "lang")
+        .withColumn(
+            "n_copies",
+            (F.floor("epochs") + (u < frac).cast("long")).cast("long"),
+        )
+        .where(F.col("n_copies") > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.explode(F.expr("sequence(0L, n_copies - 1)")).alias("epoch"),
+            F.expr("size(split(trim(text_dedup), '\\\\s+'))")
+            .cast("long")
+            .alias("n_tokens"),
+            F.round(F.lit(1.0) / F.col("epochs"), 6).alias("weight"),
+        )
+    )
+    return greedy_pack(
+        mixed,
+        P.PACK_BUDGET_TOKENS,
+        extra_cols=(("epoch", "long"), "weight"),
+        shard_docs=P.PACK_SHARD_DOCS,
+        order_cols=("doc_id", "epoch"),
+    ).select(
+        "source", "shard", "doc_id", "epoch", "n_tokens", "pack_id", "weight"
+    )

@@ -622,6 +622,13 @@ def _corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pipeline(load_table(spark, "documents", sf_dir))
 
 
+@register("corpus_pipeline_mixed", oracles.CORPUS_PIPELINE_MIXED)
+def _corpus_pipeline_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vedb_gaze_spark.plans.pipeline import corpus_pipeline_mixed
+
+    return corpus_pipeline_mixed(load_table(spark, "documents", sf_dir))
+
+
 # --- similarity search (SURVEY §2.G) -------------------------------------------
 
 @register("dedup_embedding_cosine", oracles.DEDUP_EMBEDDING_COSINE)
