@@ -2880,3 +2880,112 @@ FROM inter i
 JOIN sizes sa ON sa.source = i.source_a
 JOIN sizes sb ON sb.source = i.source_b
 """
+
+
+# --- quality-filter family (operators/filtering.py, r6) -------------------
+
+_FLT_BASE = f"""
+  SELECT doc_id, {_TOKENS_SQL} AS t, text FROM documents
+  WHERE text IS NOT NULL AND len({_TOKENS_SQL}) >= 1
+"""
+_FLT_W = P.LINE_DEDUP_WORDS
+_FLT_SEGS = (
+    f"list_transform(generate_series(0, CAST(ceil(len(t) / {_FLT_W}.0) AS INT) - 1),"
+    f" i -> array_to_string(list_slice(t, i * {_FLT_W} + 1, i * {_FLT_W} + {_FLT_W}), ' '))"
+)
+_FLT_GRAMS = "list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])"
+_FLT_SW = ", ".join(f"'{s}'" for s in P.STOPWORDS)
+
+
+def _r6(expr: str) -> str:
+    """The shared cross-engine rounding (floor(x*1e6+0.5)/1e6) — byte-
+    identical to the Spark side's _round6 in operators/filtering.py."""
+    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+
+# Gopher quality decision table (operators/filtering.py:gopher_rules)
+GOPHER_RULES = f"""
+WITH base AS ({_FLT_BASE}), sig AS (
+  SELECT doc_id,
+    CAST(len(t) AS INT) AS n_words,
+    CAST(len(list_filter(t, x -> x IN ({_FLT_SW}))) AS INT) AS n_stop,
+    {_r6("len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) / CAST(len(t) AS DOUBLE)")} AS mean_word_len,
+    {_r6("(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE)")} AS symbol_ratio,
+    {_r6("list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x)))) / CAST(len(t) AS DOUBLE)")} AS top_word_frac,
+    CASE WHEN len(t) >= 2 THEN {_r6(f"1.0 - len(list_distinct({_FLT_GRAMS})) / CAST(len(t) - 1 AS DOUBLE)")} ELSE 0.0 END AS dup_2gram_frac,
+    {_r6(f"1.0 - len(list_distinct({_FLT_SEGS})) / CAST(len({_FLT_SEGS}) AS DOUBLE)")} AS dup_line_frac
+  FROM base
+), lab AS (
+  SELECT *, CASE
+    WHEN n_words < {P.GOPHER_MIN_WORDS} OR n_words > {P.GOPHER_MAX_WORDS} THEN 'n_words'
+    WHEN mean_word_len < {P.GOPHER_WORD_LEN_LO} OR mean_word_len > {P.GOPHER_WORD_LEN_HI} THEN 'word_len'
+    WHEN symbol_ratio > {P.GOPHER_MAX_SYMBOL} THEN 'symbol'
+    WHEN n_stop < {P.GOPHER_MIN_STOP} THEN 'stopwords'
+    WHEN top_word_frac > {P.GOPHER_MAX_TOP_WORD} THEN 'top_word'
+    WHEN dup_2gram_frac > {P.GOPHER_MAX_DUP_2GRAM} THEN 'dup_2gram'
+    WHEN dup_line_frac > {P.GOPHER_MAX_DUP_LINE} THEN 'dup_line'
+  END AS fail_reason FROM sig
+)
+SELECT doc_id, n_words, n_stop, mean_word_len, symbol_ratio, top_word_frac,
+       dup_2gram_frac, dup_line_frac, fail_reason IS NULL AS keep, fail_reason
+FROM lab
+"""
+
+# C4 line-level cleaning (operators/filtering.py:c4_clean)
+_FLT_KEPT = (
+    f"list_filter({_FLT_SEGS}, s -> len(string_split(s, ' ')) >= {P.C4_MIN_LINE_WORDS}"
+    f" AND NOT list_contains(string_split(s, ' '), '{P.C4_BOILERPLATE}'))"
+)
+C4_CLEAN = f"""
+WITH base AS ({_FLT_BASE}), k AS (
+  SELECT doc_id, {_FLT_SEGS} AS segs, {_FLT_KEPT} AS kept FROM base
+)
+SELECT doc_id, CAST(len(segs) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_lines_kept,
+       CASE WHEN len(kept) > 0 THEN array_to_string(kept, ' ') END AS clean_text,
+       CAST(coalesce(list_sum(list_transform(kept, s -> len(string_split(s, ' ')))), 0) AS INT) AS n_words_clean,
+       len(kept) >= {P.C4_MIN_LINES} AS kept
+FROM k
+"""
+
+# Hashed linear quality classifier (operators/filtering.py:quality_classifier)
+_QC_NW = 2 * P.QC_SCALE + 1
+_QC_BUCK = f"({_h60('x')} % {P.QC_BUCKETS})"
+_QC_W = f"({_h60(f''''qcw:' || CAST({_QC_BUCK} AS VARCHAR)''')} % {_QC_NW} - {P.QC_SCALE})"
+QUALITY_CLASSIFIER = f"""
+WITH base AS ({_FLT_BASE}), s AS (
+  SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+         CAST(list_sum(list_transform(t, x -> {_QC_W})) AS BIGINT) AS score_units
+  FROM base
+)
+SELECT doc_id, n_tokens, score_units,
+       {_r6(f"score_units / ({P.QC_SCALE}.0 * n_tokens)")} AS score,
+       {_r6(f"score_units / ({P.QC_SCALE}.0 * n_tokens)")} > 0.0 AS label
+FROM s
+"""
+
+# CCNet perplexity tertiles (operators/filtering.py:ccnet_ppl_buckets);
+# shares LM_SCORE's micro-nat-quantized unigram-LM cross-entropy.
+_CCN_TILE = (
+    f"ntile({P.CCNET_BUCKETS}) OVER (PARTITION BY d.lang"
+    f" ORDER BY c.cross_entropy, c.doc_id)"
+)
+CCNET_PPL_BUCKETS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents
+),
+wc AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+stats AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, count(*) AS vocab FROM wc),
+logq AS (
+  SELECT word, CAST(floor(ln((cnt + 1.0) / (n_total + vocab)) * 1e6 + 0.5) AS BIGINT) AS logq
+  FROM wc CROSS JOIN stats
+),
+ce AS (
+  SELECT t.doc_id, round(-CAST(sum(l.logq) AS BIGINT) / (1e6 * count(*)), 6) AS cross_entropy
+  FROM toks t JOIN logq l USING (word) GROUP BY t.doc_id
+)
+SELECT c.doc_id, d.lang, c.cross_entropy,
+       CAST({_CCN_TILE} AS INT) AS tertile,
+       CASE {_CCN_TILE} WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ce c JOIN documents d USING (doc_id)
+"""

@@ -258,6 +258,34 @@ DECONTAM_BENCH_MOD = 13         # benchmark = doc_id % 13 == 0
 # uses as its held-out stand-in; raw = everything else.
 DSIR_BUCKETS = 4096             # hashed-ngram feature buckets
 DSIR_TOPK = 100                 # docs selected by Gumbel top-k
+
+# --- quality-filter family (r6; operators/filtering.py) -------------------
+# Gopher rules (Rae et al. 2021 Table A1). Thresholds calibrated on the
+# sf0.01 corpus (words/doc 10-99 median 56, mean word length p05/p95 =
+# 4.17/4.85, stopword count p25 = 2) so each gate is live but not empty;
+# the symbol-ratio and dup-line rules are kept faithful to the recipe
+# even though this punctuation-free synthetic corpus never trips them.
+GOPHER_MIN_WORDS = 15
+GOPHER_MAX_WORDS = 95
+GOPHER_WORD_LEN_LO = 4.3
+GOPHER_WORD_LEN_HI = 4.8
+GOPHER_MAX_SYMBOL = 0.1
+GOPHER_MIN_STOP = 2             # ≥2 of STOPWORDS, Gopher's stop-word test
+GOPHER_MAX_TOP_WORD = 0.14      # = CURATION_MAX_TOP_WORD (≈ p90)
+GOPHER_MAX_DUP_2GRAM = 0.06     # = CURATION_MAX_DUP_2GRAM (≈ p90)
+GOPHER_MAX_DUP_LINE = 0.3
+# C4 line rules (Raffel et al. 2020 §2.2) on the LINE_DEDUP_WORDS chunk
+# segmentation: ≥5-word lines (drops short trailing chunks), 'dup' as
+# the corpus's boilerplate marker (25/500 docs at sf0.01), ≥3 surviving
+# lines per doc (449/500 docs pass).
+C4_MIN_LINE_WORDS = 5
+C4_BOILERPLATE = "dup"
+C4_MIN_LINES = 3
+# fastText-style hashed linear classifier: bucket count and integer
+# weight scale (weights ∈ [-QC_SCALE, QC_SCALE] micro-units).
+QC_BUCKETS = 1024
+QC_SCALE = 1000
+CCNET_BUCKETS = 3               # head / middle / tail tertiles
 # Perceptual-hash near-dup over media thumbnails: dHash bits over the
 # evenly-spaced byte samples the resize stub produces; banded buckets
 # (simhash-style) generate candidates, exact Hamming distance decides.

@@ -23,6 +23,7 @@ from vedb_gaze_spark.operators import (
     dedup,
     error,
     eyelid,
+    filtering,
     labeling,
     multimodal,
     odometry,
@@ -798,6 +799,26 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(load_table(spark, "documents", sf_dir))
 
 
+@register("gopher_rules", oracles.GOPHER_RULES)
+def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filtering.gopher_rules(load_table(spark, "documents", sf_dir))
+
+
+@register("c4_clean", oracles.C4_CLEAN)
+def _c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filtering.c4_clean(load_table(spark, "documents", sf_dir))
+
+
+@register("quality_classifier", oracles.QUALITY_CLASSIFIER)
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filtering.quality_classifier(load_table(spark, "documents", sf_dir))
+
+
+@register("ccnet_ppl_buckets", oracles.CCNET_PPL_BUCKETS)
+def _ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filtering.ccnet_ppl_buckets(load_table(spark, "documents", sf_dir))
+
+
 @register("multimodal_phash_dedup", oracles.MULTIMODAL_PHASH_DEDUP)
 def _multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_phash_dedup(
@@ -809,107 +830,79 @@ def _multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver correctness gate records exactly the first ~50 registry
 # entries per round. Iteration order is therefore explicit, not
 # declaration order, and ROTATES each round so every entry's official
-# record stays fresh. r5 window (50 exactly):
-#  (1) never recorded: calibration_hmd (new r5);
-#  (2) the last 12 r2-stale entries (r4 verdict item #2) — after this
-#      round every registry entry holds an r3+ official row;
-#  (3) entries whose code changed in r5: the de-hinted text scores +
-#      corpus_pipeline, the floor-div day rollups, the pack kernel
-#      (shard option in the same function), the CC loop rework
-#      (clusters/prune), and the dedup verify family (dedup.py edits);
-#  (4) r3-recorded entries now two rounds old, cheapest-first, filling
-#      the window to 50.
-# Tail: remaining r3-recorded (heavier), then the r4-fresh rows.
+# record stays fresh. r6 window (~50):
+#  (1) never recorded: entries new this round;
+#  (2) the 32 entries whose latest official row is r3 (r5 verdict
+#      item #1 — includes the rows-only no_oracle float fits, which
+#      also age) — after this round no record is older than r4;
+#  (3) entries whose code changed in r6: the pack shard-bound default
+#      (pack_sequences + corpus_pipeline), the mix_plan zero-token
+#      guard, semdedup family (centroids-override refactor), the
+#      multimodal family (real PNM decode path), dsir_select
+#      (corpus.py edits), dedup_clusters (bench warmup interplay);
+#  (4) r4-recorded entries, cheapest-first, filling the window.
+# Tail: remaining r4-fresh rows, then the r5-fresh rows (newest).
 _GATE_ORDER = [
-    # -- (1) never recorded --------------------------------------------
-    "calibration_hmd",
-    "semdedup",
-    "semdedup_prune",
-    "dsir_select",
-    "dedup_substring",
-    "dedup_substring_clean",
-    "multimodal_phash_dedup",
-    "event_transitions",
-    "mix_plan",
-    "contamination_report",
-    "source_overlap",
-    # -- (2) the 12 r2-stale entries -----------------------------------
-    "ann_cosine_topk",
-    "ann_lsh",
-    "char_entropy",
-    "cluster_dbscan",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "detect_blinks_eyelid",
-    "doc_fingerprint",
-    "gaze_map_binocular",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "token_count",
-    # -- (3) r5-changed code paths -------------------------------------
-    "lm_score",
-    "tfidf_keywords",
-    "corpus_pipeline",
-    "dau_rollup",
-    "retention_cohorts",
-    "daily_type_pivot",
-    "pack_sequences",
-    "dedup_clusters",
-    "dedup_prune",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    # -- (4) r3-recorded, two rounds old, cheapest-first ---------------
-    "multimodal_meta",
-    "vector_norm",
-    "time_slice",
-    "lang_id",
-    "scrub_stopwords",
-    "saccade_rate",
-    "q6_revenue",
-    "dedup_exact",
-    "dedup_timestamps",
-    "multimodal_decode",
-    "cluster_grid",
-    "text_quality",
-    "quat_to_euler",
-    "q4_order_priority",
-    "q10_returned_item",
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q16_supplier_count",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q13_customer_distribution",
-    "q8_market_share",
-    "q17_small_quantity_revenue",
-    "q15_top_supplier",
-    "q11_important_stock",
-    # ---- window boundary (~position 50) ------------------------------
-    # -- remaining r3-recorded (heavier) -------------------------------
-    "ngram_topk",
+    # -- (1) never recorded (new in r6) --------------------------------
+    "semdedup_trained",
+    "corpus_pipeline_mixed",
+    "gopher_rules",
+    "c4_clean",
+    "quality_classifier",
+    "ccnet_ppl_buckets",
+    # -- (2) the 32 r3-stale entries -----------------------------------
     "match_asof",
-    "calibration_poly",
+    "ngram_topk",
+    "gaze_error",
+    "gaze_error_weighted",
     "calibration_poly3",
+    "calibration_poly",
     "calibration_3d",
     "calibration_rbf",
     "calibration_tps",
-    "gaze_error",
-    "gaze_error_weighted",
+    "resample_tps",
     "error_surface_tps",
+    "ann_ivf",
+    "ann_ivf_trained",
+    "eyelid_distance_c2f",
+    "multimodal_sample",
+    "multimodal_resize",
+    "multimodal_features",
     "gaze_pipeline",
     "marker_pipeline",
     "marker_filter_split",
     "marker_filter_cluster",
-    "multimodal_sample",
-    "multimodal_features",
-    "multimodal_resize",
-    "ann_ivf",
-    "ann_ivf_trained",
-    "eyelid_distance_c2f",
-    "resample_tps",
     "curation_pipeline",
-    # -- r4-fresh rows (newest official records) -----------------------
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    # -- (3) r6-changed code paths -------------------------------------
+    "pack_sequences",
+    "corpus_pipeline",
+    "mix_plan",
+    "semdedup",
+    "semdedup_prune",
+    "dsir_select",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_phash_dedup",
+    "dedup_clusters",
+    # -- (4) r4-recorded fills, cheapest-first -------------------------
+    "outliers_z",
+    "size_filter",
+    "brief_detections",
+    "bimodal_filter",
+    "detrend_median",
+    "smooth_savgol",
+    # ---- window boundary (~position 50) ------------------------------
+    # -- remaining r4-recorded rows ------------------------------------
     "line_dedup",
     "line_dedup_skewsafe",
     "decontaminate",
@@ -928,16 +921,11 @@ _GATE_ORDER = [
     "curation_full",
     "match_asof_forward",
     "ann_recall",
-    "size_filter",
-    "outliers_z",
     "sessionize",
     "q1_pricing_summary",
-    "smooth_savgol",
     "detect_blinks",
     "cluster_stats",
     "eye_velocity",
-    "brief_detections",
-    "detrend_median",
     "run_length",
     "calibration_linear",
     "odometry_speed",
@@ -946,11 +934,51 @@ _GATE_ORDER = [
     "detect_saccades",
     "match_window_median",
     "match_nearest",
-    "bimodal_filter",
     "resample_linear",
     "dedup_embedding_lsh",
     "onoff_expand",
     "q7_volume_shipping",
+    # -- r5-fresh rows (newest official records) -----------------------
+    "calibration_hmd",
+    "dedup_substring",
+    "dedup_substring_clean",
+    "event_transitions",
+    "contamination_report",
+    "source_overlap",
+    "ann_cosine_topk",
+    "ann_lsh",
+    "char_entropy",
+    "cluster_dbscan",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "detect_blinks_eyelid",
+    "doc_fingerprint",
+    "gaze_map_binocular",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "token_count",
+    "lm_score",
+    "tfidf_keywords",
+    "dau_rollup",
+    "retention_cohorts",
+    "daily_type_pivot",
+    "dedup_prune",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "time_slice",
+    "lang_id",
+    "scrub_stopwords",
+    "saccade_rate",
+    "q6_revenue",
+    "dedup_exact",
+    "dedup_timestamps",
+    "cluster_grid",
+    "text_quality",
+    "quat_to_euler",
+    "q4_order_priority",
+    "q10_returned_item",
+    "q12_priority_class",
+    "vector_norm",
 ]
 
 
