@@ -581,3 +581,76 @@ def test_phash_dedup_matches_reference_hamming(spark, texts):
         for r in multimodal_phash_dedup(df).collect()
     }
     assert got == want
+
+
+# --- interval_join (operators/temporal.py) --------------------------------
+
+
+class TestIntervalJoin:
+    def _run(self, spark, points, intervals, w_s):
+        from pyspark.sql import Row
+        from vedb_gaze_spark.operators.temporal import interval_join
+        import datetime as dt
+
+        def ts(us):
+            return dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us)
+
+        pdf = spark.createDataFrame(
+            [Row(event_id=i, ts=ts(us), user_id=u, event_type=t)
+             for i, (us, u, t) in enumerate(points)]
+        )
+        base = int(dt.datetime(2024, 1, 1)
+                   .replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        idf = spark.createDataFrame(
+            [Row(incident_id=j, t0_us=base + us)
+             for j, us in enumerate(intervals)]
+        )
+        return sorted(
+            (r["incident_id"], r["event_id"], r["lag_us"])
+            for r in interval_join(pdf, idf, w_s).collect()
+        )
+
+    def test_half_open_boundaries(self, spark):
+        w = 10.0  # 10 s window, bucket = window
+        W = 10_000_000
+        # interval starts at 5 s; points at 4.999999, 5.0, 14.999999, 15.0
+        got = self._run(
+            spark,
+            points=[(4_999_999, 1, "view"), (5_000_000, 1, "view"),
+                    (14_999_999, 1, "view"), (15_000_000, 1, "view")],
+            intervals=[5_000_000],
+            w_s=w,
+        )
+        assert got == [(0, 1, 0), (0, 2, 9_999_999)]
+
+    def test_interval_spanning_bucket_boundary_matches_once(self, spark):
+        # interval [15, 25) spans buckets 1 and 2 (width 10): a point in
+        # each bucket matches exactly once, nothing duplicated
+        got = self._run(
+            spark,
+            points=[(16_000_000, 1, "view"), (24_000_000, 2, "click"),
+                    (26_000_000, 3, "view")],
+            intervals=[15_000_000],
+            w_s=10.0,
+        )
+        assert got == [(0, 0, 1_000_000), (0, 1, 9_000_000)]
+
+    def test_overlapping_intervals_each_match(self, spark):
+        got = self._run(
+            spark,
+            points=[(7_000_000, 1, "view")],
+            intervals=[0, 5_000_000],
+            w_s=10.0,
+        )
+        assert got == [(0, 0, 7_000_000), (1, 0, 2_000_000)]
+
+    def test_no_nested_loop_join(self, spark, sf_dir):
+        from vedb_gaze_spark.operators.temporal import incident_window_stats
+        from vedb_gaze_spark.sources.tables import load_table
+
+        plan = (
+            incident_window_stats(load_table(spark, "events", sf_dir))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan

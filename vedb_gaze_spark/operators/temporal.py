@@ -432,3 +432,83 @@ def resample_linear(
         F.col("t1") - F.col("t0")
     )
     return out.select("user_id", "t", F.round(interp, 6).alias("value_interp"))
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    w_s: float = P.INTERVAL_W_S,
+) -> DataFrame:
+    """Generic point-in-interval range join — the operator Spark's
+    DataFrame API lacks natively (reference capability: window-overlap
+    selection in utils.py:298's index math generalized to arbitrary
+    interval sets).
+
+    ``points`` needs (event_id, ts, ...); ``intervals`` needs
+    (incident_id, t0_us) where the window is [t0, t0 + w_s) half-open.
+    Returns one row per (incident, point) containment pair with the
+    exact integer lag in microseconds.
+
+    Scale shape: a naive theta-join (ts BETWEEN s AND e) plans as a
+    BroadcastNestedLoopJoin — O(points × intervals). Instead both sides
+    are keyed by a time bucket of width = the window length, so every
+    interval spans at most TWO buckets (exploded to ≤2 rows) while each
+    point lives in exactly one — the join becomes an equi-join on the
+    bucket that Catalyst executes as a hash/sort-merge join, shuffling
+    each side once on a time-uniform key. The containment predicate
+    refines the bucket matches; no pair is produced twice because the
+    point's bucket is unique. Hot windows (bucket skew) fall to AQE's
+    skew-join splitting.
+    """
+    b_us = int(w_s * 1_000_000)
+    iv = intervals.select(
+        "incident_id",
+        "t0_us",
+        (F.col("t0_us") + F.lit(b_us)).alias("t1_us"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col("t0_us") / F.lit(b_us)),
+                F.floor((F.col("t0_us") + F.lit(b_us) - 1) / F.lit(b_us)),
+            )
+        ).alias("bucket"),
+    )
+    pt = points.withColumn("ts_us", F.unix_micros("ts")).withColumn(
+        "bucket", F.floor(F.col("ts_us") / F.lit(b_us))
+    )
+    return (
+        pt.join(iv, "bucket")
+        .where((F.col("ts_us") >= F.col("t0_us")) & (F.col("ts_us") < F.col("t1_us")))
+        .select(
+            "incident_id",
+            "event_id",
+            "user_id",
+            "event_type",
+            (F.col("ts_us") - F.col("t0_us")).alias("lag_us"),
+        )
+    )
+
+
+def incident_window_stats(
+    events: DataFrame, w_s: float = P.INTERVAL_W_S
+) -> DataFrame:
+    """Per-incident activity profile: every ``error`` event opens a
+    [t, t+w) window; aggregate what the whole event stream did inside
+    it. The registry face of :func:`interval_join` — pair volume stays
+    internal, output is one row per incident (exact integer stats).
+    """
+    intervals = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.unix_micros("ts").alias("t0_us"),
+        )
+    )
+    pairs = interval_join(events, intervals, w_s)
+    return pairs.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+        F.max("lag_us").alias("max_lag_us"),
+    )

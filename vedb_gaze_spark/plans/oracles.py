@@ -2989,3 +2989,23 @@ SELECT c.doc_id, d.lang, c.cross_entropy,
        CASE {_CCN_TILE} WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM ce c JOIN documents d USING (doc_id)
 """
+
+
+# Point-in-interval range join, aggregated per incident
+# (operators/temporal.py:incident_window_stats over interval_join).
+_IVJ_W_US = int(P.INTERVAL_W_S * 1_000_000)
+INCIDENT_WINDOW_STATS = f"""
+WITH iv AS (
+  SELECT event_id AS incident_id, epoch_us(ts) AS t0_us
+  FROM events WHERE event_type = 'error'
+)
+SELECT i.incident_id,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases,
+       max(epoch_us(e.ts) - i.t0_us) AS max_lag_us
+FROM iv i JOIN events e
+  ON epoch_us(e.ts) >= i.t0_us AND epoch_us(e.ts) < i.t0_us + {_IVJ_W_US}
+GROUP BY i.incident_id
+"""

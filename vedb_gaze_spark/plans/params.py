@@ -286,6 +286,9 @@ C4_MIN_LINES = 3
 QC_BUCKETS = 1024
 QC_SCALE = 1000
 CCNET_BUCKETS = 3               # head / middle / tail tertiles
+# Point-in-interval range join: every error event opens a 1-hour
+# window (~14 events/window at the corpus's event rate).
+INTERVAL_W_S = 3600.0
 # Perceptual-hash near-dup over media thumbnails: dHash bits over the
 # evenly-spaced byte samples the resize stub produces; banded buckets
 # (simhash-style) generate candidates, exact Hamming distance decides.

@@ -799,6 +799,11 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(load_table(spark, "documents", sf_dir))
 
 
+@register("incident_window_stats", oracles.INCIDENT_WINDOW_STATS)
+def _incident_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.incident_window_stats(load_table(spark, "events", sf_dir))
+
+
 @register("gopher_rules", oracles.GOPHER_RULES)
 def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtering.gopher_rules(load_table(spark, "documents", sf_dir))
@@ -850,6 +855,7 @@ _GATE_ORDER = [
     "c4_clean",
     "quality_classifier",
     "ccnet_ppl_buckets",
+    "incident_window_stats",
     # -- (2) the 32 r3-stale entries -----------------------------------
     "match_asof",
     "ngram_topk",
