@@ -799,6 +799,17 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(load_table(spark, "documents", sf_dir))
 
 
+@register("bpe_stats")
+def _bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: the learned merge sequence is deterministic (integer
+    # pair counts, lexicographic tie-breaks) but a DuckDB twin would
+    # need the iterative merge loop itself; trainer parity against an
+    # independent reference implementation is pinned in tests/test_bpe.py
+    from vedb_gaze_spark.operators import bpe
+
+    return bpe.bpe_stats(load_table(spark, "documents", sf_dir))
+
+
 @register("ann_pq")
 def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: trained PQ codebooks inherit avg() float summation
@@ -865,6 +876,7 @@ _GATE_ORDER = [
     "ccnet_ppl_buckets",
     "incident_window_stats",
     "ann_pq",
+    "bpe_stats",
     # -- (2) the 32 r3-stale entries -----------------------------------
     "match_asof",
     "ngram_topk",
