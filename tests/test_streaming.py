@@ -1267,3 +1267,69 @@ def test_compact_table_collapses_maintenance_batch_spray(spark, sf_dir, tmp_path
     )
     got = sorted(map(tuple, spark.read.parquet(dst).select(*cols).collect()))
     assert got == want and len(want) > 0
+
+
+def test_streaming_interval_join_parity(spark, sf_dir, tmp_path):
+    """The stream-stream bucketed range join must emit exactly the
+    batch interval_join pair multiset when the replay stays inside the
+    watermark: incidents arriving in batch 0 must still match points
+    arriving in batch 1 (join state carries across the trigger)."""
+    import os
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.temporal import interval_join
+    from vedb_gaze_spark.streaming.joins import streaming_interval_join
+
+    batch = load_table(spark, "events", sf_dir)
+    # keep the test fast: one week of events
+    week = batch.where(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    mid = week.agg(F.median(F.unix_micros("ts"))).collect()[0][0]
+    src = str(tmp_path / "ivj_src")
+    week.where(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "c0")
+    )
+    week.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "c1")
+    )
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(src, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(week.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    # watermark longer than the replayed span: nothing is late-dropped,
+    # so the multiset must be EXACTLY the batch pairs
+    q = (
+        streaming_interval_join(stream, watermark="8 days")
+        .writeStream.format("memory")
+        .queryName("mem_ivj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = Counter(
+            (r.incident_id, r.event_id, r.lag_us)
+            for r in spark.sql("SELECT * FROM mem_ivj").collect()
+        )
+        iv = week.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("incident_id"),
+            F.unix_micros("ts").alias("t0_us"),
+        )
+        want = Counter(
+            (r.incident_id, r.event_id, r.lag_us)
+            for r in interval_join(week, iv).collect()
+        )
+        assert got == want
+        assert sum(want.values()) > 0
+    finally:
+        q.stop()
