@@ -654,3 +654,53 @@ class TestIntervalJoin:
         )
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+# --- trade_pagerank (operators/graph.py) ----------------------------------
+
+
+class TestPagerank:
+    def test_matches_reference_on_planted_star(self, spark):
+        """Star graph: hub rank must dominate, and every value must equal
+        an independent integer-recurrence reference."""
+        from pyspark.sql import Row
+        from vedb_gaze_spark.operators import graph
+
+        # hub node 0 connected to 1..5 (symmetric)
+        e0 = [(0, i) for i in range(1, 6)]
+        edges = spark.createDataFrame(
+            [Row(s=a, d=b) for a, b in e0] + [Row(s=b, d=a) for a, b in e0]
+        )
+        got = {r["n"]: r["r"] for r in graph.pagerank(edges).collect()}
+
+        deg = {0: 5, **{i: 1 for i in range(1, 6)}}
+        r = {n: 1_000_000 for n in deg}
+        for _ in range(graph.PR_ITERS):
+            contrib = {n: r[n] // deg[n] for n in deg}
+            nxt = {}
+            for n in deg:
+                inc = (
+                    sum(contrib[i] for i in range(1, 6))
+                    if n == 0
+                    else contrib[0]
+                )
+                nxt[n] = 150_000 + (85 * inc) // 100
+            r = nxt
+        assert got == r
+        assert got[0] > max(got[i] for i in range(1, 6))
+
+    def test_integer_rank_is_partitioning_invariant(self, spark, sf_dir):
+        """The integer recurrence must yield byte-identical ranks under a
+        different shuffle layout (the order-independence claim)."""
+        from vedb_gaze_spark.operators import graph
+        from vedb_gaze_spark.sources.tables import load_table
+
+        li = load_table(spark, "lineitem", sf_dir)
+        od = load_table(spark, "orders", sf_dir)
+        a = {tuple(r) for r in graph.trade_pagerank(li, od).collect()}
+        b = {
+            tuple(r)
+            for r in graph.trade_pagerank(li.repartition(3), od.repartition(5))
+            .collect()
+        }
+        assert a == b

@@ -3009,3 +3009,43 @@ FROM iv i JOIN events e
   ON epoch_us(e.ts) >= i.t0_us AND epoch_us(e.ts) < i.t0_us + {_IVJ_W_US}
 GROUP BY i.incident_id
 """
+
+
+# Trade-graph PageRank (operators/graph.py:trade_pagerank): the same ten
+# integer-micro-unit iterations UNROLLED as plain CTEs — recursive CTE
+# terms cannot aggregate, but ten chained aggregations are just SQL.
+# sum(BIGINT) is HUGEINT in DuckDB, so every iteration casts back.
+def _pagerank_sql(iters: int) -> str:
+    from vedb_gaze_spark.operators.graph import (
+        PR_DAMP_PCT,
+        PR_R0,
+        PR_TELEPORT,
+    )
+
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"pr{i} AS (SELECT d AS n, CAST({PR_TELEPORT} + "
+            f"({PR_DAMP_PCT} * sum(r // deg)) // 100 AS BIGINT) AS r "
+            f"FROM ed JOIN pr{i - 1} ON ed.s = pr{i - 1}.n GROUP BY d)"
+        )
+        chain = ",\n".join(steps)
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS s, l.l_suppkey * 2 + 1 AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0),
+deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+ed AS (SELECT e.s, e.d, g.deg FROM edges e JOIN deg g USING (s)),
+pr0 AS (SELECT s AS n, CAST({PR_R0} AS BIGINT) AS r FROM deg),
+{chain}
+SELECT n AS node_id,
+       CASE WHEN n % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       n // 2 AS entity_key,
+       r AS rank_units
+FROM pr{iters}
+"""
+
+
+TRADE_PAGERANK = _pagerank_sql(10)

@@ -799,6 +799,16 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(load_table(spark, "documents", sf_dir))
 
 
+@register("trade_pagerank", oracles.TRADE_PAGERANK)
+def _trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vedb_gaze_spark.operators import graph
+
+    return graph.trade_pagerank(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+    )
+
+
 @register("bpe_stats")
 def _bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: the learned merge sequence is deterministic (integer
@@ -877,6 +887,7 @@ _GATE_ORDER = [
     "incident_window_stats",
     "ann_pq",
     "bpe_stats",
+    "trade_pagerank",
     # -- (2) the 32 r3-stale entries -----------------------------------
     "match_asof",
     "ngram_topk",
@@ -916,11 +927,9 @@ _GATE_ORDER = [
     "mix_plan",
     "semdedup",
     "semdedup_prune",
-    "dsir_select",
     "multimodal_meta",
     "multimodal_decode",
     "multimodal_phash_dedup",
-    "dedup_clusters",
     # -- (4) r4-recorded fills, cheapest-first -------------------------
     "outliers_z",
     "size_filter",
@@ -990,6 +999,8 @@ _GATE_ORDER = [
     "retention_cohorts",
     "daily_type_pivot",
     "dedup_prune",
+    "dedup_clusters",
+    "dsir_select",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "time_slice",
