@@ -78,6 +78,16 @@ HEADLINE = [
     "mix_plan",
     "contamination_report",
     "source_overlap",
+    # r6 additions
+    "semdedup_trained",
+    "corpus_pipeline_mixed",
+    "gopher_rules",
+    "c4_clean",
+    "quality_classifier",
+    "ccnet_ppl_buckets",
+    "incident_window_stats",
+    "ann_pq",
+    "bpe_stats",
 ]
 
 

@@ -150,3 +150,40 @@ class TestCcnetBuckets:
             ).collect()
         }
         assert got == {(1, "head"), (2, "middle"), (3, "tail")}
+
+
+class TestHashEmbed:
+    def test_unit_norm_and_determinism(self, spark, sf_dir):
+        import math
+
+        from vedb_gaze_spark.operators.text import hash_embed
+        from vedb_gaze_spark.sources.tables import load_table
+
+        rows = hash_embed(load_table(spark, "documents", sf_dir)).collect()
+        assert len(rows) > 0
+        for r in rows[:20]:
+            n = math.sqrt(sum(x * x for x in r["embedding"]))
+            assert abs(n - 1.0) < 1e-3  # rounded components, near-unit
+        # identical docs embed identically
+        a = {r["doc_id"]: tuple(r["embedding"]) for r in rows}
+        b = {
+            r["doc_id"]: tuple(r["embedding"])
+            for r in hash_embed(load_table(spark, "documents", sf_dir)).collect()
+        }
+        assert a == b
+
+    def test_composes_with_embedding_operators(self, spark, sf_dir):
+        """hash_embed output drives the embedding family unchanged:
+        brute-force ANN runs on it and returns a full top-k per query
+        with sane cosine bounds."""
+        from pyspark.sql import functions as F
+        from vedb_gaze_spark.operators.similarity import ann_cosine_topk
+        from vedb_gaze_spark.operators.text import hash_embed
+        from vedb_gaze_spark.sources.tables import load_table
+
+        emb = hash_embed(load_table(spark, "documents", sf_dir)).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        got = ann_cosine_topk(emb).collect()
+        assert len(got) == 50  # n_queries * k
+        assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in got)

@@ -1333,3 +1333,41 @@ def test_streaming_interval_join_parity(spark, sf_dir, tmp_path):
         assert sum(want.values()) > 0
     finally:
         q.stop()
+
+
+def test_stateless_filter_operators_run_unchanged_on_streams(spark, sf_dir, tmp_path):
+    """gopher_rules / c4_clean / quality_classifier are pure per-row
+    projections (zero shuffles), so the SAME operator definition runs on
+    a readStream frame with no streaming twin at all — single-definition
+    batch/stream semantics, row-for-row equal."""
+    import os
+
+    from vedb_gaze_spark.operators import filtering
+
+    batch = load_table(spark, "documents", sf_dir)
+    src = str(tmp_path / "flt_src")
+    batch.coalesce(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    for i, op in enumerate(
+        [filtering.gopher_rules, filtering.c4_clean, filtering.quality_classifier]
+    ):
+        name = f"mem_flt_{i}"
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            got = sorted(map(repr, spark.sql(f"SELECT * FROM {name}").collect()))
+            want = sorted(map(repr, op(batch).collect()))
+            assert got == want, op.__name__
+        finally:
+            q.stop()

@@ -465,3 +465,56 @@ def bm25_search_indexed(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "dl", "score"
     )
+
+
+def hash_embed(documents: DataFrame, dims: int = 64) -> DataFrame:
+    """Model-free document embeddings by signed feature hashing
+    (Weinberger et al. 2009, "Feature Hashing for Large Scale Multitask
+    Learning"): every token adds ±1 (sign from a second hash bit) to
+    one of ``dims`` buckets; the signed-count vector is L2-normalized.
+
+    Bridges the documents table to the embedding-operator family —
+    ann_cosine_topk / semdedup / ann_pq run on hash_embed output
+    unchanged (composition pinned in tests) — giving a semantic-ish
+    dedup path that needs no trained model.
+
+    Exactness: bucket counts are exact integers per row; the norm is
+    sqrt of an integer, so both engines divide the same doubles
+    (rounded to 6dp at the boundary). Plan: ONE md5 pass per token
+    builds (bucket, sign) structs, then the dims-length vector is
+    assembled per row — zero shuffles, the corpus never leaves its
+    scan partitions."""
+    h = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+    hs = "cast(conv(substring(md5(concat('sgn:', t)), 1, 15), 16, 10) as bigint)"
+    pairs = (
+        f"transform({_TOKENS}, t -> "
+        f"struct(cast({h} % {dims} as int) as b, "
+        f"cast({hs} % 2 * 2 - 1 as int) as s))"
+    )
+    counts = (
+        f"transform(sequence(0, {dims - 1}), b -> "
+        f"aggregate(p, 0L, (acc, x) -> acc + IF(x.b = b, x.s, 0L)))"
+    )
+    return (
+        documents.where(F.col("text").isNotNull())
+        .where(F.expr(f"size({_TOKENS})") >= 1)
+        .select("doc_id", F.expr(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.expr(f"{counts}").alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "sqrt(aggregate(c, 0L, (acc, x) -> acc + x * x))"
+            ).alias("nrm"),
+            "c",
+        )
+        .where(F.col("nrm") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(c, x -> floor(x / nrm * 1e6 + 0.5) / 1e6)"
+            ).alias("embedding"),
+        )
+    )

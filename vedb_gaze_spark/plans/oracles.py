@@ -3049,3 +3049,33 @@ FROM pr{iters}
 
 
 TRADE_PAGERANK = _pagerank_sql(10)
+
+
+# Signed feature-hash embeddings (operators/text.py:hash_embed)
+_HE_DIMS = 64
+_HE_SGN = _h60("'sgn:' || x")
+_HE_PAIRS = (
+    f"list_transform(t, x -> struct_pack(b := CAST({_h60('x')} % {_HE_DIMS} AS INT), "
+    f"s := CAST({_HE_SGN} % 2 * 2 - 1 AS INT)))"
+)
+HASH_EMBED = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+  WHERE text IS NOT NULL AND len({_TOKENS_SQL}) >= 1
+), p AS (
+  SELECT doc_id, {_HE_PAIRS} AS pr FROM base
+), c AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, {_HE_DIMS - 1}), b ->
+      CAST(coalesce(list_sum(list_transform(pr,
+        x -> CASE WHEN x.b = b THEN x.s ELSE 0 END)), 0) AS BIGINT)) AS c
+  FROM p
+), n AS (
+  SELECT doc_id, c,
+    sqrt(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT)) AS nrm
+  FROM c
+)
+SELECT doc_id,
+       list_transform(c, x -> floor(x / nrm * 1e6 + 0.5) / 1e6) AS embedding
+FROM n WHERE nrm > 0
+"""

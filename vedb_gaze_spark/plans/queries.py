@@ -799,6 +799,11 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(load_table(spark, "documents", sf_dir))
 
 
+@register("hash_embed", oracles.HASH_EMBED)
+def _hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.hash_embed(load_table(spark, "documents", sf_dir))
+
+
 @register("trade_pagerank", oracles.TRADE_PAGERANK)
 def _trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vedb_gaze_spark.operators import graph
@@ -888,6 +893,7 @@ _GATE_ORDER = [
     "ann_pq",
     "bpe_stats",
     "trade_pagerank",
+    "hash_embed",
     # -- (2) the 32 r3-stale entries -----------------------------------
     "match_asof",
     "ngram_topk",
