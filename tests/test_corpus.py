@@ -348,3 +348,119 @@ def test_corpus_pipeline_mixed_upsamples_to_the_mix(spark, sf_dir, documents):
     )
     for key, tot in pk.items():
         assert tot <= P.PACK_BUDGET_TOKENS or singles[key] == 1, key
+
+
+# --- r6b additions: bloom / containment / cross-source / stats / ----------
+# --- curriculum -----------------------------------------------------------
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, documents):
+    """Bloom membership can only ADD flags: every doc the exact n-gram
+    join flags is bloom-flagged, with n_flagged >= the exact overlap
+    count (a benchmark n-gram's own probe positions are set by
+    construction, so true positives cannot be missed)."""
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in corpus.decontaminate(documents).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in corpus.bloom_decontaminate(documents).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n
+    # the structure is USEFULLY lossy on this corpus: at least one
+    # deterministic false positive distinguishes it from the exact join
+    assert len(bloom) > len(exact)
+
+
+def test_minhash_containment_embedded_doc_scores_one(spark):
+    """A benchmark doc verbatim-embedded in a larger training doc has
+    containment exactly 1.0 — the asymmetric-measure property that
+    motivates containment over Jaccard (which is diluted to ~0.5 here
+    and would fall below the same threshold as the padding grows)."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    train_text = (
+        "pad1 pad2 pad3 pad4 pad5 " + bench_text + " tail1 tail2 tail3 tail4"
+    )
+    docs = spark.createDataFrame(
+        [(0, bench_text), (1, train_text)], "doc_id long, text string"
+    )
+    out = corpus.minhash_containment(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["bench_doc_id"], r["doc_id"]) == (0, 1)
+    assert r["containment"] == 1.0
+    assert r["n_common"] == r["n_bench"]
+
+
+def test_cross_source_dedup_drops_only_worse_ranked(spark, documents):
+    """Every dropped doc's surviving counterpart is strictly better
+    under (rank, source), the pair really is a verified near-dup pair,
+    and within-source duplicates are never dropped."""
+    from vedb_gaze_spark.operators.dedup import dedup_minhash_lsh
+
+    def rank(src):
+        return P.SOURCE_RANK.get(src, P.SOURCE_RANK_DEFAULT)
+
+    pairs = {
+        frozenset((r["doc_a"], r["doc_b"]))
+        for r in dedup_minhash_lsh(documents).collect()
+    }
+    out = corpus.cross_source_dedup(documents).collect()
+    assert out
+    for r in out:
+        assert r["source"] != r["keep_source"]
+        assert (rank(r["keep_source"]), r["keep_source"]) < (
+            rank(r["source"]), r["source"]
+        )
+        assert frozenset((r["doc_id"], r["keep_doc_id"])) in pairs
+        assert r["n_better"] >= 1
+
+
+def test_corpus_stats_matches_pandas(spark, documents):
+    """Per-source totals and the exact lower median agree with a direct
+    pandas computation on the same rows."""
+    import re
+
+    pdf = documents.toPandas()
+    pdf = pdf[pdf["text"].notna()].copy()
+    pdf["n_toks"] = pdf["text"].map(
+        lambda t: len(re.findall(r"[a-z0-9]+", t.lower()))
+    )
+    out = {r["source"]: r for r in corpus.corpus_stats(documents).collect()}
+    for src, g in pdf.groupby("source"):
+        r = out[src]
+        assert r["n_docs"] == len(g)
+        assert r["n_langs"] == g["lang"].nunique()
+        assert r["total_tokens"] == int(g["n_toks"].sum())
+        assert r["total_chars"] == int(g["text"].str.len().sum())
+        ordered = g.sort_values(["n_toks", "doc_id"])["n_toks"].tolist()
+        assert r["median_tokens"] == ordered[(len(ordered) + 1) // 2 - 1]
+
+
+def test_curriculum_pack_orders_by_quality_and_respects_budget(
+    spark, documents
+):
+    """Within every (source, shard) group: pack fill never exceeds the
+    budget (unless a single doc alone does), and pack_id is monotone in
+    the curriculum order (-score_units, doc_id) — cleanest docs land in
+    the earliest packs."""
+    rows = corpus.curriculum_pack(documents).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault((r["source"], r["shard"]), []).append(r)
+    budget = P.PACK_BUDGET_TOKENS
+    assert by_group
+    for g in by_group.values():
+        g.sort(key=lambda r: (-r["score_units"], r["doc_id"]))
+        prev_pack, fill = -1, 0
+        for r in g:
+            assert r["pack_id"] >= prev_pack  # monotone along the order
+            if r["pack_id"] == prev_pack:
+                fill += r["n_tokens"]
+                assert fill <= budget
+            else:
+                assert r["pack_id"] == prev_pack + 1
+                prev_pack, fill = r["pack_id"], r["n_tokens"]

@@ -1371,3 +1371,119 @@ def test_stateless_filter_operators_run_unchanged_on_streams(spark, sf_dir, tmp_
             assert got == want, op.__name__
         finally:
             q.stop()
+
+
+def test_streaming_quality_filters_compose_unchanged(spark, sf_dir):
+    """gopher_rules and quality_classifier are pure per-row expression
+    plans, so the BATCH operators compose over a stream with no twin —
+    row-for-row parity with the batch run, including the keep flags
+    and first-failing-rule labels."""
+    from vedb_gaze_spark.operators.filtering import (
+        gopher_rules,
+        quality_classifier,
+    )
+
+    batch = load_table(spark, "documents", sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    for name, op in (("gopher", gopher_rules), ("qc", quality_classifier)):
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(f"mem_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        try:
+            got = {
+                tuple(r) for r in spark.sql(f"SELECT * FROM mem_{name}").collect()
+            }
+            want = {tuple(r) for r in op(batch).collect()}
+            assert got == want and len(want) > 0, name
+        finally:
+            q.stop()
+
+
+def test_streaming_ccnet_buckets_matches_batch(spark, sf_dir):
+    """The frozen-LM CCNet bucketer over a stream reproduces the batch
+    NTILE assignment BIT-exactly on replayed docs: same rounded
+    cross-entropy (BigDecimal HALF_UP reproduced via Decimal(repr)),
+    same tertile, same bucket label."""
+    from vedb_gaze_spark.operators.filtering import ccnet_ppl_buckets
+    from vedb_gaze_spark.streaming.corpus import (
+        ccnet_model,
+        streaming_ccnet_buckets,
+    )
+
+    batch = load_table(spark, "documents", sf_dir)
+    logq, cutoffs = ccnet_model(batch)
+    assert len(logq) > 0 and len(cutoffs) > 0
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        streaming_ccnet_buckets(stream, logq, cutoffs)
+        .writeStream.format("memory")
+        .queryName("mem_ccnet")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            (r.doc_id, r.lang, r.cross_entropy, r.tertile, r.bucket)
+            for r in spark.sql("SELECT * FROM mem_ccnet").collect()
+        }
+        want = {
+            (r.doc_id, r.lang, r.cross_entropy, r.tertile, r.bucket)
+            for r in ccnet_ppl_buckets(batch).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
+
+
+def test_streaming_bpe_stats_matches_batch(spark, sf_dir):
+    """Frozen-merge streaming BPE scoring emits exactly the batch
+    bpe_stats rows (exact-integer piece counts; the ratio is the same
+    double arithmetic on both sides)."""
+    from vedb_gaze_spark.operators.bpe import bpe_stats, bpe_train
+    from vedb_gaze_spark.streaming.corpus import streaming_bpe_stats
+
+    batch = load_table(spark, "documents", sf_dir)
+    merges = bpe_train(batch)
+    assert len(merges) > 0
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        streaming_bpe_stats(stream, merges)
+        .writeStream.format("memory")
+        .queryName("mem_bpe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            (r.doc_id, r.n_words, r.n_pieces, r.pieces_per_word)
+            for r in spark.sql("SELECT * FROM mem_bpe").collect()
+        }
+        want = {
+            (r.doc_id, r.n_words, r.n_pieces, r.pieces_per_word)
+            for r in bpe_stats(batch).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()

@@ -902,3 +902,300 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+# --- r6 additions: fixed-size decontamination, containment, ---------------
+# --- cross-source keep-best, corpus summary, curriculum packing -----------
+
+
+def bloom_decontaminate(
+    documents: DataFrame,
+    n: int = P.DECONTAM_NGRAM,
+    bench_mod: int = P.DECONTAM_BENCH_MOD,
+    m: int = P.BLOOM_M,
+    salts: tuple = P.BLOOM_SALTS,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the FIXED-SIZE variant
+    of :func:`decontaminate`.
+
+    ``decontaminate`` broadcasts the benchmark's distinct n-gram
+    STRINGS; that broadcast grows with the benchmark. Here the
+    benchmark is folded into a Bloom bit set: k salted 60-bit hashes
+    per n-gram, each taken mod ``m`` — a membership structure bounded
+    by ``m`` no matter how large the benchmark gets (the classic
+    at-scale trade: O(m) memory for a quantified, deterministic
+    false-positive rate). A training n-gram is flagged iff ALL k of
+    its probe positions are set — the standard Bloom test, including
+    its false positives, which are deterministic here because the
+    hashes are (so the driver's value-hash oracle reproduces them
+    exactly in SQL).
+
+    Plan shape: one n-gram explode (shared with decontaminate), a
+    distinct over ≤ m integer positions (the "bit array" as a
+    relation), and a broadcast semi-join of k integer probes per
+    corpus n-gram against it; contaminated = all k present. The
+    corpus side never shuffles on anything wider than (doc_id, ng).
+    """
+    k = len(salts)
+    ngrams = (
+        documents.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .where(F.expr(f"size(toks) >= {n}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(toks) - {n} + 1),"
+                    f" i -> array_join(slice(toks, i, {n}), ' ')))"
+                )
+            ).alias("ng"),
+        )
+    )
+    probes = F.explode(
+        F.array(
+            *[
+                (portable_hash60(F.concat(F.lit(s + ":"), F.col("ng"))) % m)
+                for s in salts
+            ]
+        )
+    ).alias("pos")
+    bits = (
+        ngrams.where(F.col("doc_id") % bench_mod == 0)
+        .select("ng")
+        .distinct()
+        .select(probes)
+        .distinct()
+    )
+    flagged = (
+        ngrams.where(F.col("doc_id") % bench_mod != 0)
+        .select("doc_id", "ng", probes)
+        .join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("doc_id", "ng")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .where(F.col("n_set") == k)
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+
+
+def minhash_containment(
+    documents: DataFrame,
+    n: int = P.CONTAIN_NGRAM,
+    bench_mod: int = P.DECONTAM_BENCH_MOD,
+    tau: float = P.CONTAIN_TAU,
+) -> DataFrame:
+    """Containment-coefficient contamination (Broder 1997's containment
+    C(A,B) = |A∩B| / |A|, A = a benchmark doc's n-gram set): report
+    (benchmark doc, training doc) pairs where the training doc CONTAINS
+    at least ``tau`` of the benchmark doc's n-grams.
+
+    Containment, not Jaccard: an eval item quoted inside a much larger
+    training document has tiny symmetric Jaccard (the union is
+    dominated by the training doc) but containment ~1 — the asymmetric
+    measure is the right contamination test. Pairs are generated by an
+    equi-join on the n-gram (benchmark side distinct-ed and broadcast
+    — eval suites are megabytes against terabytes), counted per pair,
+    then divided by the benchmark doc's set size; fan-out is bounded
+    by benchmark size, never corpus-quadratic.
+    """
+    ngrams = (
+        documents.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .where(F.expr(f"size(toks) >= {n}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(toks) - {n} + 1),"
+                    f" i -> array_join(slice(toks, i, {n}), ' ')))"
+                )
+            ).alias("ng"),
+        )
+    )
+    bench = ngrams.where(F.col("doc_id") % bench_mod == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "ng"
+    )
+    sizes = bench.groupBy("bench_doc_id").agg(
+        F.count(F.lit(1)).alias("n_bench")
+    )
+    train = ngrams.where(F.col("doc_id") % bench_mod != 0)
+    return (
+        train.join(F.broadcast(bench), "ng")
+        .groupBy("bench_doc_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(F.broadcast(sizes), "bench_doc_id")
+        .select(
+            "bench_doc_id",
+            "doc_id",
+            "n_common",
+            "n_bench",
+            F.round(
+                F.col("n_common") / F.col("n_bench").cast("double"), 6
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= tau)
+    )
+
+
+def cross_source_dedup(documents: DataFrame) -> DataFrame:
+    """Cross-source keep-best dedup: in a multi-corpus merge, a document
+    that NEAR-duplicates (MinHash-LSH verified Jaccard ≥ threshold) a
+    document in a more-trusted source is dropped in favor of that
+    source's copy; duplicates WITHIN one source are left alone (each
+    corpus is assumed internally deduped — the merge step's job is only
+    cross-corpus overlap).
+
+    Trust is the explicit P.SOURCE_RANK map (curated sources first),
+    unranked sources last by name; rank is a per-row CASE expression,
+    never a rank-table join. Pairs come from dedup_minhash_lsh — the
+    declared 100 TB near-dup path — so this adds only a pair-sized
+    (not corpus-sized) metadata join and one pair-sized window on top
+    of it. Returns one row per DROPPED doc with its best surviving
+    counterpart: (doc_id, source, keep_doc_id, keep_source, n_better =
+    how many better-ranked near-dups it has).
+    """
+    from vedb_gaze_spark.operators.dedup import dedup_minhash_lsh
+
+    rank = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(r))
+            for s, r in sorted(P.SOURCE_RANK.items())
+        ],
+        F.lit(P.SOURCE_RANK_DEFAULT),
+    )
+    meta = documents.select("doc_id", "source", rank.alias("rnk"))
+    pairs = (
+        dedup_minhash_lsh(documents)
+        .join(
+            F.broadcast(
+                meta.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("src_a"),
+                    F.col("rnk").alias("rnk_a"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                meta.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("src_b"),
+                    F.col("rnk").alias("rnk_b"),
+                )
+            ),
+            "doc_b",
+        )
+        .where(F.col("src_a") != F.col("src_b"))
+    )
+    # sources differ, so (rank, source) already totally orders the pair
+    a_wins = (F.col("rnk_a") < F.col("rnk_b")) | (
+        (F.col("rnk_a") == F.col("rnk_b")) & (F.col("src_a") < F.col("src_b"))
+    )
+    oriented = pairs.select(
+        F.when(a_wins, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_id"),
+        F.when(a_wins, F.col("src_b")).otherwise(F.col("src_a")).alias("source"),
+        F.when(a_wins, F.col("doc_a")).otherwise(F.col("doc_b")).alias("w_doc"),
+        F.when(a_wins, F.col("src_a")).otherwise(F.col("src_b")).alias("w_src"),
+        F.when(a_wins, F.col("rnk_a")).otherwise(F.col("rnk_b")).alias("w_rnk"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("w_rnk", "w_src", "w_doc")
+    return (
+        oriented.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias(
+                "n_better"
+            ),
+            F.col("w_doc").alias("keep_doc_id"),
+            F.col("w_src").alias("keep_source"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """Per-source corpus summary: doc/lang counts, token and char
+    totals, token min/max and the exact lower median — the fact table a
+    mixture planner (mix_plan) or a curation dashboard reads first.
+
+    The median is the order-statistic at floor((n+1)/2) computed with a
+    per-source window — exact and engine-identical (percentile()
+    interpolates differently across engines). One shuffle on source;
+    the window and the aggregate share it (same key, no extra
+    exchange).
+    """
+    d = (
+        documents.where(F.col("text").isNotNull())
+        .select(
+            "source",
+            "lang",
+            "doc_id",
+            F.expr(f"size({_TOKENS})").alias("n_toks"),
+            F.length("text").alias("n_chars"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("n_toks", "doc_id")
+    ranked = d.select(
+        "source",
+        "lang",
+        "n_toks",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("cnt"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_toks").alias("min_tokens"),
+        F.max("n_toks").alias("max_tokens"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("cnt") + 1) / 2), F.col("n_toks")
+            )
+        ).alias("median_tokens"),
+    )
+
+
+def curriculum_pack(
+    documents: DataFrame,
+    budget: int = P.PACK_BUDGET_TOKENS,
+    shard_docs: int = P.PACK_SHARD_DOCS,
+) -> DataFrame:
+    """Curriculum-ordered sequence packing: pack exactly like
+    :func:`pack_sequences` but feed each (source, shard) group in
+    quality order — cleanest documents first (quality_classifier score
+    DESCENDING, doc_id tie-break) — so ascending pack_id within a
+    group IS the curriculum axis (early packs = high-quality slice).
+
+    The integer score_units from the classifier keeps the order (and
+    therefore the packing) exact across engines. Same distribution
+    contract as pack_sequences: per-group state is two scalars, groups
+    are (source, shard)-bounded Arrow batches.
+    """
+    from vedb_gaze_spark.operators.filtering import quality_classifier
+
+    toks = documents.select(
+        "source",
+        "doc_id",
+        F.expr(r"size(split(trim(text), '\\s+'))").cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    scored = toks.join(
+        quality_classifier(documents).select(
+            "doc_id", F.col("score_units").cast("long").alias("score_units")
+        ),
+        "doc_id",
+    ).withColumn("neg_units", -F.col("score_units"))
+    return greedy_pack(
+        scored,
+        budget,
+        extra_cols=(("score_units", "long"),),
+        shard_docs=shard_docs,
+        order_cols=("neg_units", "doc_id"),
+    )

@@ -3079,3 +3079,165 @@ SELECT doc_id,
        list_transform(c, x -> floor(x / nrm * 1e6 + 0.5) / 1e6) AS embedding
 FROM n WHERE nrm > 0
 """
+
+
+# --- r6b: fixed-size decontamination, containment, cross-source -----------
+# --- keep-best, corpus summary, curriculum packing ------------------------
+
+_BLM_SALTS = "[" + ", ".join(f"'{s}'" for s in P.BLOOM_SALTS) + "]"
+_BLM_NG = f"""
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{P.DECONTAM_NGRAM - 1}], ' ') AS ng
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents) t,
+       unnest(generate_series(1, len(toks) - {P.DECONTAM_NGRAM - 1})) AS g(i)
+  WHERE len(toks) >= {P.DECONTAM_NGRAM}
+"""
+
+# Bloom-filter decontamination (operators/corpus.py:bloom_decontaminate):
+# the bit array as a distinct-position relation, probes replayed with
+# the same salted portable hash, membership = all k probes present
+# (false positives and all — deterministic because the hashes are).
+BLOOM_DECONTAMINATE = f"""
+WITH ng AS ({_BLM_NG}),
+salts AS (SELECT unnest({_BLM_SALTS}) AS s),
+bits AS (
+  SELECT DISTINCT {_h60("s || ':' || ng")} % {P.BLOOM_M} AS pos
+  FROM (SELECT DISTINCT ng FROM ng WHERE doc_id % {P.DECONTAM_BENCH_MOD} = 0) b, salts
+),
+probe AS (
+  SELECT doc_id, ng, {_h60("s || ':' || ng")} % {P.BLOOM_M} AS pos
+  FROM (SELECT * FROM ng WHERE doc_id % {P.DECONTAM_BENCH_MOD} <> 0) c, salts
+),
+hit AS (
+  SELECT doc_id, ng FROM probe JOIN bits USING (pos)
+  GROUP BY doc_id, ng HAVING count(*) = {len(P.BLOOM_SALTS)}
+)
+SELECT doc_id, count(*) AS n_flagged FROM hit GROUP BY doc_id
+"""
+
+# Containment-coefficient contamination
+# (operators/corpus.py:minhash_containment).
+_CNT_NG = f"""
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{P.CONTAIN_NGRAM - 1}], ' ') AS ng
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents) t,
+       unnest(generate_series(1, len(toks) - {P.CONTAIN_NGRAM - 1})) AS g(i)
+  WHERE len(toks) >= {P.CONTAIN_NGRAM}
+"""
+MINHASH_CONTAINMENT = f"""
+WITH ng AS ({_CNT_NG}),
+bench AS (
+  SELECT doc_id AS bench_doc_id, ng FROM ng
+  WHERE doc_id % {P.DECONTAM_BENCH_MOD} = 0
+),
+sizes AS (SELECT bench_doc_id, count(*) AS n_bench FROM bench GROUP BY bench_doc_id),
+pairs AS (
+  SELECT b.bench_doc_id, t.doc_id, count(*) AS n_common
+  FROM (SELECT * FROM ng WHERE doc_id % {P.DECONTAM_BENCH_MOD} <> 0) t
+  JOIN bench b USING (ng)
+  GROUP BY b.bench_doc_id, t.doc_id
+)
+SELECT p.bench_doc_id, p.doc_id, p.n_common, s.n_bench,
+       round(p.n_common / CAST(s.n_bench AS DOUBLE), 6) AS containment
+FROM pairs p JOIN sizes s USING (bench_doc_id)
+WHERE round(p.n_common / CAST(s.n_bench AS DOUBLE), 6) >= {P.CONTAIN_TAU}
+"""
+
+# Cross-source keep-best dedup (operators/corpus.py:cross_source_dedup):
+# the full minhash-LSH pair query as the dup CTE (verbatim, like
+# DEDUP_CLUSTERS), then the rank/orientation/keep-best logic.
+_CSD_RANK = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in sorted(P.SOURCE_RANK.items())
+) + f" ELSE {P.SOURCE_RANK_DEFAULT} END"
+CROSS_SOURCE_DEDUP = f"""
+WITH dup AS (
+{DEDUP_MINHASH_LSH}
+),
+meta AS (SELECT doc_id, source, {_CSD_RANK} AS rnk FROM documents),
+x AS (
+  SELECT d.doc_a, d.doc_b, a.source AS src_a, a.rnk AS rnk_a,
+         b.source AS src_b, b.rnk AS rnk_b
+  FROM dup d
+  JOIN meta a ON a.doc_id = d.doc_a
+  JOIN meta b ON b.doc_id = d.doc_b
+  WHERE a.source <> b.source
+),
+oriented AS (
+  SELECT
+    CASE WHEN rnk_a < rnk_b OR (rnk_a = rnk_b AND src_a < src_b)
+         THEN doc_b ELSE doc_a END AS doc_id,
+    CASE WHEN rnk_a < rnk_b OR (rnk_a = rnk_b AND src_a < src_b)
+         THEN src_b ELSE src_a END AS source,
+    CASE WHEN rnk_a < rnk_b OR (rnk_a = rnk_b AND src_a < src_b)
+         THEN doc_a ELSE doc_b END AS w_doc,
+    CASE WHEN rnk_a < rnk_b OR (rnk_a = rnk_b AND src_a < src_b)
+         THEN src_a ELSE src_b END AS w_src,
+    CASE WHEN rnk_a < rnk_b OR (rnk_a = rnk_b AND src_a < src_b)
+         THEN rnk_a ELSE rnk_b END AS w_rnk
+  FROM x
+)
+SELECT doc_id, source, n_better, keep_doc_id, keep_source
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY doc_id ORDER BY w_rnk, w_src, w_doc) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n_better,
+         w_doc AS keep_doc_id, w_src AS keep_source
+  FROM oriented
+) WHERE rn = 1
+"""
+
+# Per-source corpus summary (operators/corpus.py:corpus_stats); the
+# median is the exact order statistic at floor((n+1)/2), not an
+# engine-interpolated percentile.
+CORPUS_STATS = f"""
+WITH d AS (
+  SELECT source, lang, doc_id,
+         CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_toks,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT source, lang, n_toks, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_toks, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM d
+)
+SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(n_toks) AS min_tokens, max(n_toks) AS max_tokens,
+       max(CASE WHEN rn = (cnt + 1) // 2 THEN n_toks END) AS median_tokens
+FROM r GROUP BY source
+"""
+
+# Curriculum-ordered packing (operators/corpus.py:curriculum_pack):
+# PACK_SEQUENCES' recursion with the in-group order flipped to
+# (-score_units, doc_id) — quality_classifier's integer score keeps the
+# order exact across engines.
+CURRICULUM_PACK = rf"""
+WITH RECURSIVE qc AS (
+  SELECT doc_id, CAST(list_sum(list_transform(t, x -> {_QC_W})) AS BIGINT) AS score_units
+  FROM ({_FLT_BASE}) base
+),
+toks AS (
+  SELECT d.source, d.doc_id,
+         CAST(d.doc_id // {P.PACK_SHARD_DOCS} AS BIGINT) AS shard,
+         CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tokens,
+         q.score_units,
+         row_number() OVER (PARTITION BY d.source, d.doc_id // {P.PACK_SHARD_DOCS}
+                            ORDER BY -q.score_units, d.doc_id) AS rn
+  FROM documents d JOIN qc q USING (doc_id)
+),
+packs AS (
+  SELECT source, shard, doc_id, n_tokens, score_units, rn,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.shard, t.doc_id, t.n_tokens, t.score_units, t.rn,
+         CASE WHEN p.fill + t.n_tokens <= {P.PACK_BUDGET_TOKENS}
+              THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + t.n_tokens <= {P.PACK_BUDGET_TOKENS}
+              THEN p.fill + t.n_tokens ELSE t.n_tokens END
+  FROM packs p JOIN toks t
+    ON t.source = p.source AND t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT source, shard, doc_id, n_tokens, score_units, pack_id FROM packs
+"""

@@ -350,3 +350,32 @@ CMS_D = 4
 CMS_W = 16
 CMS_SALTS = ("cms0", "cms1", "cms2", "cms3")
 CMS_HH_FRAC = 0.02              # heavy hitter: estimate >= 2% of stream
+# Bloom-filter decontamination: the fixed-size variant of the exact
+# n-gram broadcast in `decontaminate`. m bits / k salted hashes over the
+# same 8-gram stream; the membership structure is bounded by m (8 KiB of
+# bits; here a <= m-row integer position table so the oracle is exact
+# SQL) REGARDLESS of benchmark size — the property that makes it the
+# 100 TB decontamination shape. m, k sized for ~1% theoretical FP at the
+# synthetic benchmark's ~2k distinct 8-grams (k=(m/n)ln2 ~ 4 at m=2^15).
+BLOOM_M = 1 << 15               # bit-array size
+BLOOM_K = 4                     # salted hash probes per n-gram
+BLOOM_SALTS = ("blm0", "blm1", "blm2", "blm3")
+# MinHash containment contamination (Broder's containment coefficient
+# |A∩B|/|A| with A = benchmark doc's n-gram set): catches an eval doc
+# EMBEDDED in a larger training doc, which symmetric Jaccard dilutes
+# below any fixed threshold. 5-grams overlap enough in the synthetic
+# corpus for live pairs at tau = 0.5.
+CONTAIN_NGRAM = 5
+CONTAIN_TAU = 0.5
+# Cross-source dedup: per-source trust ranking (curated-first). Lower
+# rank wins; sources absent from the map rank last by name. Mirrors the
+# "prefer curated over crawl" keep rule in multi-corpus merges.
+SOURCE_RANK = {
+    "src0": 0, "src1": 1, "src2": 2, "src3": 3, "src4": 4,
+    "src5": 5, "src6": 6, "src7": 7, "src8": 8, "src9": 9,
+}
+SOURCE_RANK_DEFAULT = 99
+# Curriculum packing: pack order within a (source, shard) group is the
+# quality-classifier score DESCENDING (cleanest docs first), so early
+# pack_ids form the early-curriculum slice. Same budget as
+# pack_sequences; stage = pack_id tertile boundaries are downstream.

@@ -865,6 +865,31 @@ def _multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bloom_decontaminate", oracles.BLOOM_DECONTAMINATE)
+def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.bloom_decontaminate(load_table(spark, "documents", sf_dir))
+
+
+@register("minhash_containment", oracles.MINHASH_CONTAINMENT)
+def _minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.minhash_containment(load_table(spark, "documents", sf_dir))
+
+
+@register("cross_source_dedup", oracles.CROSS_SOURCE_DEDUP)
+def _cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.cross_source_dedup(load_table(spark, "documents", sf_dir))
+
+
+@register("corpus_stats", oracles.CORPUS_STATS)
+def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.corpus_stats(load_table(spark, "documents", sf_dir))
+
+
+@register("curriculum_pack", oracles.CURRICULUM_PACK)
+def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.curriculum_pack(load_table(spark, "documents", sf_dir))
+
+
 # --- driver-gate registration order -------------------------------------
 # The driver correctness gate records exactly the first ~50 registry
 # entries per round. Iteration order is therefore explicit, not
@@ -894,6 +919,11 @@ _GATE_ORDER = [
     "bpe_stats",
     "trade_pagerank",
     "hash_embed",
+    "bloom_decontaminate",
+    "minhash_containment",
+    "cross_source_dedup",
+    "corpus_stats",
+    "curriculum_pack",
     # -- (2) the 32 r3-stale entries -----------------------------------
     "match_asof",
     "ngram_topk",

@@ -171,3 +171,200 @@ def streaming_dsir_score(
     return stream.select("doc_id", "text").mapInPandas(
         fn, "doc_id long, logw_unats long, n_grams long"
     )
+
+
+# --- r6b: frozen-model quality scoring over the document stream ----------
+#
+# gopher_rules / c4_clean / quality_classifier are pure per-row
+# DataFrame expressions — they compose over a stream UNCHANGED (like
+# stratified_sample above); the parity tests stream the batch operators
+# directly. The twins below are the two corpus-statistic-bearing
+# scorers, refit to the frozen-model shape:
+#
+# - BPE: the merge TABLE is the model (trained once, offline); the
+#   encoder is vocabulary-free (starts from characters), so a frozen
+#   merge list scores any arriving document, known words or not.
+# - CCNet buckets: production CCNet ships a trained LM to every worker
+#   and buckets against PRECOMPUTED per-language cutoffs (Wenzek et al.
+#   2020 §4.3 — "trained on Wikipedia", thresholds from a sample);
+#   the batch operator's train-on-the-corpus-in-plan form is the
+#   oracle-able special case. The twin takes the frozen micro-nat LM
+#   and the per-language tertile BOUNDARY KEYS ((cross_entropy,
+#   doc_id) at each tertile edge) so replayed docs get bit-identical
+#   buckets and unseen docs a deterministic threshold assignment.
+
+
+def ccnet_model(
+    documents: DataFrame,
+) -> tuple[dict, dict]:
+    """Freeze the CCNet scoring model from a batch corpus: the
+    integer micro-nat unigram log-probs (model state — the shipped LM;
+    one row per distinct corpus token, the streaming analog of a KenLM
+    binary on each worker) and the per-language tertile boundary keys
+    from the batch bucket assignment. Collects MODEL state only: the
+    vocabulary-sized LM table and O(languages) boundary tuples, never
+    corpus rows."""
+    from pyspark.sql import functions as F
+
+    from vedb_gaze_spark.operators.filtering import ccnet_ppl_buckets
+    from vedb_gaze_spark.operators.text import lm_score  # noqa: F401
+
+    toks = documents.select(
+        "doc_id", F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("word")
+    )
+    wc = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = wc.agg(
+        F.sum("cnt").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    logq_rows = (
+        wc.crossJoin(F.broadcast(stats))
+        .select(
+            "word",
+            F.floor(
+                F.log((F.col("cnt") + 1.0) / (F.col("n_total") + F.col("vocab")))
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("logq"),
+        )
+        .collect()
+    )
+    logq = {r["word"]: r["logq"] for r in logq_rows}
+    bounds = (
+        ccnet_ppl_buckets(documents)
+        .groupBy("lang", "tertile")
+        .agg(F.max(F.struct("cross_entropy", "doc_id")).alias("hi"))
+        .collect()
+    )
+    cutoffs: dict = {}
+    for r in bounds:
+        cutoffs.setdefault(r["lang"], {})[r["tertile"]] = (
+            r["hi"]["cross_entropy"],
+            r["hi"]["doc_id"],
+        )
+    return logq, cutoffs
+
+
+def streaming_ccnet_buckets(
+    stream: DataFrame, logq: dict, cutoffs: dict
+) -> DataFrame:
+    """Stateless CCNet bucketer: score each arriving doc against the
+    frozen LM (tokens outside the LM vocabulary are skipped, matching
+    the batch inner join) and assign head/middle/tail by comparing the
+    (cross_entropy, doc_id) key to the frozen per-language boundary
+    keys — bit-identical to the batch NTILE on replayed docs, a
+    deterministic threshold rule on new ones. Row-local, zero state,
+    zero shuffle."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "lang": [], "cross_entropy": [],
+                   "tertile": [], "bucket": []}
+            for doc_id, lang, text in zip(
+                pdf["doc_id"], pdf["lang"], pdf["text"]
+            ):
+                if text is None:
+                    continue
+                vals = [
+                    logq[w]
+                    for w in _TOKEN_RE.findall(str(text).lower())
+                    if w in logq
+                ]
+                if not vals:
+                    continue
+                raw = -sum(vals) / (1e6 * len(vals))
+                # Spark's round(x, 6) is BigDecimal HALF_UP over the
+                # double's shortest decimal form; Decimal(repr(x))
+                # reproduces it exactly (repr = shortest round-trip,
+                # same as Java's Double.toString)
+                ce = float(
+                    Decimal(repr(raw)).quantize(
+                        Decimal("1e-6"), rounding=ROUND_HALF_UP
+                    )
+                )
+                cut = cutoffs.get(lang, {})
+                key = (ce, int(doc_id))
+                if 1 in cut and key <= cut[1]:
+                    tertile = 1
+                elif 2 in cut and key <= cut[2]:
+                    tertile = 2
+                else:
+                    tertile = 3
+                out["doc_id"].append(doc_id)
+                out["lang"].append(lang)
+                out["cross_entropy"].append(ce)
+                out["tertile"].append(tertile)
+                out["bucket"].append(
+                    {1: "head", 2: "middle"}.get(tertile, "tail")
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "lang": pd.Series(out["lang"], dtype="object"),
+                    "cross_entropy": pd.Series(
+                        out["cross_entropy"], dtype="float64"
+                    ),
+                    "tertile": pd.Series(out["tertile"], dtype="int32"),
+                    "bucket": pd.Series(out["bucket"], dtype="object"),
+                }
+            )
+
+    return stream.select("doc_id", "lang", "text").mapInPandas(
+        fn,
+        "doc_id long, lang string, cross_entropy double, "
+        "tertile int, bucket string",
+    )
+
+
+def streaming_bpe_stats(
+    stream: DataFrame, merges: list
+) -> DataFrame:
+    """Stateless streaming twin of bpe_stats' scoring half: encode each
+    arriving doc with the FROZEN merge list (the model — trained
+    offline by bpe_train) and emit the same exact-integer per-doc
+    subword statistics. The encoder starts from characters, so it is
+    total over unseen words — no vocabulary table travels with the
+    stream, only the O(n_merges) merge pairs. A per-batch memo keeps
+    the per-word work amortized exactly like the batch vocabulary
+    encode."""
+    import math
+
+    from vedb_gaze_spark.operators.bpe import encode_word
+
+    mlist = [tuple(m) for m in merges]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        for pdf in batches:
+            out_id, out_w, out_p, out_r = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = _TOKEN_RE.findall(str(text).lower())
+                if not toks:
+                    continue
+                n_pieces = 0
+                for w in toks:
+                    if w not in memo:
+                        memo[w] = len(encode_word(w, mlist))
+                    n_pieces += memo[w]
+                out_id.append(doc_id)
+                out_w.append(len(toks))
+                out_p.append(n_pieces)
+                out_r.append(
+                    math.floor(n_pieces / len(toks) * 1e6 + 0.5) / 1e6
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "n_words": pd.Series(out_w, dtype="int64"),
+                    "n_pieces": pd.Series(out_p, dtype="int64"),
+                    "pieces_per_word": pd.Series(out_r, dtype="float64"),
+                }
+            )
+
+    return stream.select("doc_id", "text").mapInPandas(
+        fn, "doc_id long, n_words long, n_pieces long, pieces_per_word double"
+    )
