@@ -88,6 +88,13 @@ HEADLINE = [
     "incident_window_stats",
     "ann_pq",
     "bpe_stats",
+    "trade_pagerank",
+    "hash_embed",
+    "bloom_decontaminate",
+    "minhash_containment",
+    "cross_source_dedup",
+    "corpus_stats",
+    "curriculum_pack",
 ]
 
 
@@ -112,7 +119,18 @@ def main() -> None:
         "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
     )
     if os.path.isdir(warm_dir):
-        for wname in ("dedup_clusters", "semdedup", "dedup_minhash_lsh"):
+        for wname in (
+            "dedup_clusters",
+            "semdedup",
+            "dedup_minhash_lsh",
+            # the r6 iterative/multi-job shapes: PR's 10 unrolled
+            # rounds, Lloyd's training, BPE's per-merge jobs each
+            # compile distinct generated classes
+            "trade_pagerank",
+            "semdedup_trained",
+            "ann_pq",
+            "bpe_stats",
+        ):
             if wname in QUERIES:
                 QUERIES[wname](spark, warm_dir).collect()
         spark._jvm.System.gc()

@@ -200,6 +200,32 @@ def test_dedup_reuses_doc_set_exchange(spark, sf_dir):
         assert "ReusedExchange" in s, name
 
 
+def test_r6b_scale_shapes(spark, sf_dir):
+    """Scale-shape pins for the r6b corpus family: cross_source_dedup
+    must inherit the LSH kernel's single-corpus-hash property (its
+    executed plan keeps ReusedExchange), and bloom_decontaminate's
+    Bloom bit set must reach the probe join as a BROADCAST (a shuffle
+    join on pos would re-shuffle the corpus n-gram stream against a
+    structure that is ≤ m rows by construction)."""
+    df = QUERIES["cross_source_dedup"](spark, sf_dir)
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in s
+
+    df = QUERIES["bloom_decontaminate"](spark, sf_dir)
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in s
+
+    # group_sample's rank-<=-k predicate must be pushed into a
+    # per-partition partial top-k (WindowGroupLimit) — without it the
+    # window sorts every source's full doc list on one task
+    df = QUERIES["group_sample"](spark, sf_dir)
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in s
+
+
 def test_no_driver_collect_in_operators():
     """No registered query may materialize DATA on the driver: a
     .collect() inside an operator is a corpus-sized driver OOM at 100 TB.

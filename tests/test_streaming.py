@@ -1487,3 +1487,59 @@ def test_streaming_bpe_stats_matches_batch(spark, sf_dir):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_streaming_value_anomalies_across_batches(spark, sf_dir, tmp_path):
+    """The streamed anomaly rows must equal the batch value_anomalies
+    rows BIT-exactly (same rounded mean/z doubles), with each user's
+    trailing cents window carried across the time-split micro-batch
+    boundary."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.analytics import value_anomalies
+    from vedb_gaze_spark.streaming.stateful import streaming_value_anomalies
+
+    batch = load_table(spark, "events", sf_dir)
+    mid = batch.agg(F.median(F.unix_micros("ts"))).collect()[0][0]
+    src = str(tmp_path / "anom_src")
+    batch.where(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "c0")
+    )
+    batch.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "c1")
+    )
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(src, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        streaming_value_anomalies(stream)
+        .writeStream.format("memory")
+        .queryName("mem_anom")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            (r.event_id, r.user_id, r.value, r.n_prev, r.mean_prev, r.z)
+            for r in spark.sql("SELECT * FROM mem_anom").collect()
+        }
+        want = {
+            (r.event_id, r.user_id, r.value, r.n_prev, r.mean_prev, r.z)
+            for r in value_anomalies(batch).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vedb_gaze_spark.plans import params as P
+
 _DAY_US = 86_400_000_000
 
 
@@ -187,4 +189,105 @@ def event_transitions(events: DataFrame, k: int = 10) -> DataFrame:
     wr = Window.orderBy(F.desc("n_transitions"), "from_type", "to_type")
     return top.withColumn("rank", F.row_number().over(wr)).select(
         "rank", "from_type", "to_type", "n_transitions", "n_users"
+    )
+
+
+def value_anomalies(events: DataFrame) -> DataFrame:
+    """Per-user rolling z-score anomalies over event values: an event is
+    anomalous when its value sits ≥ ANOM_Z standard deviations from the
+    mean of that user's previous ANOM_W events (≥ ANOM_MIN of them) —
+    the classic ops-dashboard outlier feed.
+
+    Determinism: values are exact integer cents, so the trailing-frame
+    count/sum/sum-of-squares are order-independent integers; mean,
+    variance and z are then ONE double expression over those integers,
+    identical on any engine and partitioning. One shuffle on user_id;
+    the frame is row-bounded so state per user is O(W) regardless of
+    history length."""
+    from vedb_gaze_spark.functions.core import cents
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-P.ANOM_W, -1)
+    )
+    u = events.select(
+        "event_id", "user_id", "ts", "value", cents("value").alias("u")
+    )
+    stats = u.select(
+        "event_id",
+        "user_id",
+        "value",
+        "u",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum("u").over(w).alias("s1"),
+        F.sum(F.col("u") * F.col("u")).over(w).alias("s2"),
+    ).where(F.col("n_prev") >= P.ANOM_MIN)
+    z = F.expr(
+        "(u - s1 / cast(n_prev as double)) / "
+        "sqrt((s2 - s1 * s1 / cast(n_prev as double)) / cast(n_prev as double))"
+    )
+    return (
+        stats.withColumn(
+            "var_num",
+            F.expr("s2 - s1 * s1 / cast(n_prev as double)"),
+        )
+        .where(F.col("var_num") > 0)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            "n_prev",
+            F.expr(
+                "floor((s1 / cast(n_prev as double)) / 100.0 * 1e6 + 0.5) / 1e6"
+            ).alias("mean_prev"),
+            F.expr(
+                "floor(((u - s1 / cast(n_prev as double)) / "
+                "sqrt((s2 - s1 * s1 / cast(n_prev as double)) / cast(n_prev as double))) "
+                "* 1e6 + 0.5) / 1e6"
+            ).alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= P.ANOM_Z)
+    )
+
+
+def key_skew_report(events: DataFrame) -> DataFrame:
+    """Join-key skew diagnostics for the user_id key: the top SKEW_TOPK
+    keys by row count with their share of the stream and ratio to the
+    MEDIAN key's count — the number you read before deciding a join
+    needs salting. One groupBy on the key; the exact median comes from
+    a count-of-counts HISTOGRAM (one row per distinct count value — a
+    bounded table even at billion-key cardinality, so its cumulative
+    window is metadata-sized), never a global rank over the key table;
+    top-k is TakeOrdered, never a global sort of the stream."""
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("freq"))
+    wcum = Window.orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    med = (
+        hist.select(
+            "cnt",
+            F.sum("freq").over(wcum).alias("cum"),
+            F.sum("freq").over(Window.partitionBy()).alias("n_keys"),
+        )
+        .where(F.col("cum") >= F.floor((F.col("n_keys") + 1) / 2))
+        .agg(F.min("cnt").alias("median_cnt"))
+    )
+    total = events.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(total))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(P.SKEW_TOPK)
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("floor(cnt / cast(total as double) * 1e6 + 0.5) / 1e6").alias(
+                "share"
+            ),
+            F.expr(
+                "floor(cnt / cast(median_cnt as double) * 1e6 + 0.5) / 1e6"
+            ).alias("ratio_to_median"),
+        )
     )

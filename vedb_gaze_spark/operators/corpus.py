@@ -1199,3 +1199,32 @@ def curriculum_pack(
         shard_docs=shard_docs,
         order_cols=("neg_units", "doc_id"),
     )
+
+
+def group_sample(
+    documents: DataFrame,
+    k: int = P.GROUP_SAMPLE_K,
+    salt: str = P.GROUP_SAMPLE_SALT,
+) -> DataFrame:
+    """Fixed-size deterministic per-source sample: the k documents per
+    source with the smallest salted 60-bit hash — the fixed-COUNT
+    complement of stratified_sample's fixed-RATE keep (use this for
+    "give me 1000 docs from every source for eyeballing/eval", where a
+    rate would under-sample small sources and over-sample big ones).
+
+    The hash order makes the sample reproducible on any engine and
+    partitioning, and uniform-without-replacement within each source.
+    Scale shape: the rank-≤-k predicate over the per-source window is
+    rewritten by Spark's WindowGroupLimit to a per-partition partial
+    top-k BEFORE the shuffle, so no task ever sorts a whole source —
+    the same physical shape as a grouped TakeOrdered."""
+    h = portable_hash60(
+        F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        documents.select("doc_id", "source", h.alias("h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .select("source", "doc_id", "sample_rank")
+    )

@@ -54,28 +54,46 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
     fraction → duplicate-line fraction. All signals are per-row array
     expressions over the token stream; the whole operator is one scan
     with zero shuffles.
+
+    Cost discipline (the hash_embed/pHash lesson, PERF_NOTES): the
+    token array is materialized ONCE as a named column — Catalyst's
+    CollapseProject refuses to duplicate a non-cheap alias like
+    regexp_extract_all, so every signal reads the same array. Writing
+    the tokenizer inline instead put a fresh regex evaluation inside
+    each lambda (element_at(tokenize(text), i) per gram index —
+    O(tokens) regex passes per row; measured 7.3 s at sf0.1 against
+    1.2 s for this form). The top-word count is a linear fold over the
+    sorted array, not the O(n²) distinct×filter textbook form.
     """
     segs = (
-        f"transform(sequence(0, cast(ceil(size({_TOKS}) / {P.LINE_DEDUP_WORDS}.0) as int) - 1),"
-        f" i -> array_join(slice({_TOKS}, i * {P.LINE_DEDUP_WORDS} + 1, {P.LINE_DEDUP_WORDS}), ' '))"
+        f"transform(sequence(0, cast(ceil(size(t) / {P.LINE_DEDUP_WORDS}.0) as int) - 1),"
+        f" i -> array_join(slice(t, i * {P.LINE_DEDUP_WORDS} + 1, {P.LINE_DEDUP_WORDS}), ' '))"
     )
     grams = (
-        f"transform(sequence(1, size({_TOKS}) - 1),"
-        f" i -> concat(element_at({_TOKS}, i), ' ', element_at({_TOKS}, i + 1)))"
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
     )
     top = (
-        f"array_max(transform(array_distinct({_TOKS}),"
-        f" t -> size(filter({_TOKS}, x -> x = t))))"
+        "aggregate(array_sort(t),"
+        " named_struct('prev', '', 'run', 0, 'best', 0),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x = acc.prev, acc.run + 1, 1),"
+        "   'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1))),"
+        " acc -> acc.best)"
     )
     sw = ", ".join(f"'{s}'" for s in P.STOPWORDS)
-    d = documents.where(F.col("text").isNotNull()).select(
+    base = documents.where(F.col("text").isNotNull()).select(
+        "doc_id", "text", F.expr(_TOKS).alias("t")
+    )
+    d = base.select(
         "doc_id",
-        F.expr(f"size({_TOKS})").alias("n_words"),
-        F.expr(f"size(filter({_TOKS}, t -> t IN ({sw})))").alias("n_stop"),
+        F.expr("size(t)").alias("n_words"),
+        F.expr(f"size(filter(t, x -> x IN ({sw})))").alias("n_stop"),
         F.expr(
             _round6(
-                f"length(regexp_replace(lower(text), '[^a-z0-9]', ''))"
-                f" / cast(size({_TOKS}) as double)"
+                "length(regexp_replace(lower(text), '[^a-z0-9]', ''))"
+                " / cast(size(t) as double)"
             )
         ).alias("mean_word_len"),
         F.expr(
@@ -84,13 +102,13 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
                 " / cast(length(text) as double)"
             )
         ).alias("symbol_ratio"),
-        F.expr(_round6(f"{top} / cast(size({_TOKS}) as double)")).alias(
+        F.expr(_round6(f"{top} / cast(size(t) as double)")).alias(
             "top_word_frac"
         ),
         F.expr(
-            f"CASE WHEN size({_TOKS}) >= 2 THEN "
+            "CASE WHEN size(t) >= 2 THEN "
             + _round6(
-                f"1.0 - size(array_distinct({grams})) / cast(size({_TOKS}) - 1 as double)"
+                f"1.0 - size(array_distinct({grams})) / cast(size(t) - 1 as double)"
             )
             + " ELSE 0.0d END"
         ).alias("dup_2gram_frac"),
@@ -142,29 +160,37 @@ def c4_clean(documents: DataFrame) -> DataFrame:
     array_join — C4's per-line pass costs zero shuffles here, vs the
     explode → filter → groupBy(doc) shape a naive port would use
     (which re-shuffles the whole corpus on doc_id).
+
+    Tokenization, segmentation and the kept-lines filter are each
+    materialized ONCE as named columns (non-cheap aliases CollapseProject
+    won't duplicate — the gopher_rules cost discipline); the four
+    consumers of `kept` read an attribute, not four filter() copies.
     """
     segs = (
-        f"transform(sequence(0, cast(ceil(size({_TOKS}) / {P.LINE_DEDUP_WORDS}.0) as int) - 1),"
-        f" i -> array_join(slice({_TOKS}, i * {P.LINE_DEDUP_WORDS} + 1, {P.LINE_DEDUP_WORDS}), ' '))"
+        f"transform(sequence(0, cast(ceil(size(t) / {P.LINE_DEDUP_WORDS}.0) as int) - 1),"
+        f" i -> array_join(slice(t, i * {P.LINE_DEDUP_WORDS} + 1, {P.LINE_DEDUP_WORDS}), ' '))"
     )
     kept = (
-        f"filter({segs}, s -> size(split(s, ' ')) >= {P.C4_MIN_LINE_WORDS}"
+        f"filter(segs, s -> size(split(s, ' ')) >= {P.C4_MIN_LINE_WORDS}"
         f" AND NOT array_contains(split(s, ' '), '{P.C4_BOILERPLATE}'))"
     )
     return (
         documents.where(F.col("text").isNotNull())
-        .where(F.expr(f"size({_TOKS})") >= 1)
+        .select("doc_id", F.expr(_TOKS).alias("t"))
+        .where(F.expr("size(t)") >= 1)
+        .select("doc_id", F.expr(segs).alias("segs"))
+        .select("doc_id", "segs", F.expr(kept).alias("k"))
         .select(
             "doc_id",
-            F.expr(f"size({segs})").alias("n_lines"),
-            F.expr(f"size({kept})").alias("n_lines_kept"),
+            F.expr("size(segs)").alias("n_lines"),
+            F.expr("size(k)").alias("n_lines_kept"),
             F.expr(
-                f"CASE WHEN size({kept}) > 0 THEN array_join({kept}, ' ') END"
+                "CASE WHEN size(k) > 0 THEN array_join(k, ' ') END"
             ).alias("clean_text"),
             F.expr(
-                f"aggregate({kept}, 0, (acc, s) -> acc + size(split(s, ' ')))"
+                "aggregate(k, 0, (acc, s) -> acc + size(split(s, ' ')))"
             ).alias("n_words_clean"),
-            (F.expr(f"size({kept})") >= P.C4_MIN_LINES).alias("kept"),
+            (F.expr("size(k)") >= P.C4_MIN_LINES).alias("kept"),
         )
     )
 
@@ -192,18 +218,22 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
         f"(cast(conv(substring(md5(concat('qcw:', cast({bucket} as string))), 1, 15),"
         f" 16, 10) as bigint) % {nw} - {P.QC_SCALE})"
     )
-    w = f"aggregate({_TOKS}, 0L, (acc, t) -> acc + {weight})"
+    w = f"aggregate(tk, 0L, (acc, t) -> acc + {weight})"
     return (
         documents.where(F.col("text").isNotNull())
-        .where(F.expr(f"size({_TOKS})") >= 1)
+        .select("doc_id", F.expr(_TOKS).alias("tk"))
+        .where(F.expr("size(tk)") >= 1)
         .select(
             "doc_id",
-            F.expr(f"size({_TOKS})").alias("n_tokens"),
+            F.expr("size(tk)").alias("n_tokens"),
             F.expr(f"cast({w} as long)").alias("score_units"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_units",
             F.expr(
-                _round6(
-                    f"cast({w} as long) / ({P.QC_SCALE}.0 * size({_TOKS}))"
-                )
+                _round6(f"score_units / ({P.QC_SCALE}.0 * n_tokens)")
             ).alias("score"),
         )
         .withColumn("label", F.col("score") > 0.0)
@@ -242,4 +272,53 @@ def ccnet_ppl_buckets(documents: DataFrame) -> DataFrame:
         F.when(F.col("tertile") == 1, "head")
         .when(F.col("tertile") == 2, "middle")
         .otherwise("tail"),
+    )
+
+
+def filter_funnel(documents: DataFrame) -> DataFrame:
+    """Per-source filter funnel: how many documents survive each quality
+    gate (Gopher rules, C4 cleaning, the hashed classifier) and their
+    conjunction — the curation dashboard's first table, and the input
+    to deciding which gate to tune per source.
+
+    Composes the three published-recipe filters by doc_id joins over
+    their SHARED base (text non-null, ≥1 token — each filter re-derives
+    it identically, so the inner joins lose nothing) and aggregates per
+    source. Three scans of one string column + doc_id-keyed joins AQE
+    is free to broadcast or co-shuffle; the report output is
+    O(sources). A report operator, not a hot-path one — the per-doc
+    decision tables it joins are themselves single-scan zero-shuffle
+    plans."""
+    base = documents.where(F.col("text").isNotNull()).where(
+        F.expr(f"size({_TOKS})") >= 1
+    ).select("doc_id", "source")
+    g = gopher_rules(documents).select("doc_id", F.col("keep").alias("g"))
+    c = c4_clean(documents).select("doc_id", F.col("kept").alias("c"))
+    q = quality_classifier(documents).select(
+        "doc_id", F.col("label").alias("q")
+    )
+    joined = base.join(g, "doc_id").join(c, "doc_id").join(q, "doc_id")
+    cnt = lambda col: F.sum(F.when(F.col(col), 1).otherwise(0))  # noqa: E731
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("g").alias("n_gopher"),
+            cnt("c").alias("n_c4"),
+            cnt("q").alias("n_classifier"),
+            F.sum(
+                F.when(F.col("g") & F.col("c") & F.col("q"), 1).otherwise(0)
+            ).alias("n_all"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_gopher",
+            "n_c4",
+            "n_classifier",
+            "n_all",
+            F.expr(_round6("n_all / cast(n_docs as double)")).alias(
+                "survival_rate"
+            ),
+        )
     )

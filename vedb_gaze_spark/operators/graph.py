@@ -45,7 +45,13 @@ def trade_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    return e0.union(e0.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # symmetrize by a per-row inline explode, NOT union(e0, e0.swap):
+    # the union form evaluates the join+distinct subtree twice (two
+    # full edge-build pipelines unless AQE happens to reuse the
+    # exchange — measured ~2 s of the 5 s edge build at sf0.1)
+    return e0.select(
+        F.expr("inline(array(struct(s, d), struct(d AS s, s AS d)))")
+    )
 
 
 def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
@@ -53,11 +59,11 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     iterations. Every node in a symmetric edge list has in- and
     out-degree ≥ 1, so there are no dangling nodes to redistribute."""
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    ed = (
-        edges.join(deg, "s")
-        .repartition(F.col("s"))
-        .persist()
-    )
+    # deg is node-sized — AQE broadcasts it, so the edge list is built
+    # without an extra shuffle. No repartition(s): the per-iteration
+    # rank join is itself a node-sized broadcast, so edge partitioning
+    # buys nothing and the explicit shuffle was pure cost.
+    ed = edges.join(deg, "s").persist()
     ranks = deg.select(F.col("s").alias("n"), F.lit(PR_R0).cast("long").alias("r"))
     for i in range(iters):
         ranks = (

@@ -478,30 +478,48 @@ def hash_embed(documents: DataFrame, dims: int = 64) -> DataFrame:
     unchanged (composition pinned in tests) — giving a semantic-ish
     dedup path that needs no trained model.
 
-    Exactness: bucket counts are exact integers per row; the norm is
-    sqrt of an integer, so both engines divide the same doubles
-    (rounded to 6dp at the boundary). Plan: ONE md5 pass per token
-    builds (bucket, sign) structs, then the dims-length vector is
-    assembled per row — zero shuffles, the corpus never leaves its
-    scan partitions."""
-    h = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
-    hs = "cast(conv(substring(md5(concat('sgn:', t)), 1, 15), 16, 10) as bigint)"
-    pairs = (
-        f"transform({_TOKENS}, t -> "
-        f"struct(cast({h} % {dims} as int) as b, "
-        f"cast({hs} % 2 * 2 - 1 as int) as s))"
-    )
-    counts = (
-        f"transform(sequence(0, {dims - 1}), b -> "
-        f"aggregate(p, 0L, (acc, x) -> acc + IF(x.b = b, x.s, 0L)))"
-    )
-    return (
+    Exactness: bucket counts are exact integers; the norm is sqrt of
+    an integer, so both engines divide the same doubles (rounded to
+    6dp at the boundary).
+
+    Plan (the dedup_simhash shape): explode the token stream ONCE —
+    each token's two md5s are computed exactly once — and fold it with
+    a single whole-stage-codegen groupBy carrying ``dims`` conditional
+    integer sums; the vector assembles from the aggregate columns. One
+    uniform doc_id-keyed shuffle whose payload is ``dims`` longs per
+    doc. The previous zero-shuffle form built the vector with a
+    per-row transform(sequence(dims), b -> aggregate(tokens, ...)):
+    higher-order functions evaluate INTERPRETED and CollapseProject
+    inlined the md5 chain into all ``dims`` aggregates — measured 74 s
+    at sf0.1 vs ~1 s for this form (the multimodal_phash_dedup lesson,
+    PERF_NOTES r5)."""
+    toks = (
         documents.where(F.col("text").isNotNull())
         .where(F.expr(f"size({_TOKENS})") >= 1)
-        .select("doc_id", F.expr(pairs).alias("p"))
+        .select("doc_id", F.explode(F.expr(_TOKENS)).alias("t"))
         .select(
             "doc_id",
-            F.expr(f"{counts}").alias("c"),
+            F.expr(
+                f"cast(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+                f" % {dims} as int)"
+            ).alias("b"),
+            F.expr(
+                "cast(cast(conv(substring(md5(concat('sgn:', t)), 1, 15), 16, 10)"
+                " as bigint) % 2 * 2 - 1 as long)"
+            ).alias("s"),
+        )
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("b") == i, F.col("s")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(dims)
+        ]
+    )
+    return (
+        sums.select(
+            "doc_id", F.array(*[f"c{i}" for i in range(dims)]).alias("c")
         )
         .select(
             "doc_id",

@@ -3241,3 +3241,94 @@ packs AS (
 )
 SELECT source, shard, doc_id, n_tokens, score_units, pack_id FROM packs
 """
+
+
+# Per-source filter funnel (operators/filtering.py:filter_funnel):
+# the three gate queries as CTEs, joined on doc_id over the shared
+# base, aggregated per source.
+FILTER_FUNNEL = f"""
+WITH g AS ({GOPHER_RULES}),
+c AS ({C4_CLEAN}),
+q AS ({QUALITY_CLASSIFIER}),
+base AS (
+  SELECT doc_id, source FROM documents
+  WHERE text IS NOT NULL AND len({_TOKENS_SQL}) >= 1
+),
+j AS (
+  SELECT base.source, g.keep AS gk, c.kept AS ck, q.label AS qk
+  FROM base
+  JOIN g USING (doc_id) JOIN c USING (doc_id) JOIN q USING (doc_id)
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+       CAST(sum(CASE WHEN ck THEN 1 ELSE 0 END) AS BIGINT) AS n_c4,
+       CAST(sum(CASE WHEN qk THEN 1 ELSE 0 END) AS BIGINT) AS n_classifier,
+       CAST(sum(CASE WHEN gk AND ck AND qk THEN 1 ELSE 0 END) AS BIGINT) AS n_all,
+       floor(sum(CASE WHEN gk AND ck AND qk THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS survival_rate
+FROM j GROUP BY source
+"""
+
+
+# Rolling per-user z-score anomalies (operators/analytics.py:
+# value_anomalies): exact integer cents feed one double expression.
+_ANM = f"ROWS BETWEEN {P.ANOM_W} PRECEDING AND 1 PRECEDING"
+VALUE_ANOMALIES = f"""
+WITH u AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS u
+  FROM events
+),
+s AS (
+  SELECT event_id, user_id, value, u,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id {_ANM}) AS n_prev,
+         sum(u)   OVER (PARTITION BY user_id ORDER BY ts, event_id {_ANM}) AS s1,
+         sum(u*u) OVER (PARTITION BY user_id ORDER BY ts, event_id {_ANM}) AS s2
+  FROM u
+)
+SELECT event_id, user_id, value, n_prev,
+       floor((s1 / CAST(n_prev AS DOUBLE)) / 100.0 * 1e6 + 0.5) / 1e6 AS mean_prev,
+       floor(((u - s1 / CAST(n_prev AS DOUBLE)) /
+              sqrt((s2 - s1 * s1 / CAST(n_prev AS DOUBLE)) / CAST(n_prev AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS z
+FROM (SELECT *, CAST(s1 AS BIGINT) AS s1b, CAST(s2 AS BIGINT) AS s2b FROM s) t
+WHERE n_prev >= {P.ANOM_MIN}
+  AND (s2 - s1 * s1 / CAST(n_prev AS DOUBLE)) > 0
+  AND abs((u - s1 / CAST(n_prev AS DOUBLE)) /
+          sqrt((s2 - s1 * s1 / CAST(n_prev AS DOUBLE)) / CAST(n_prev AS DOUBLE)))
+      >= {P.ANOM_Z}
+"""
+
+# Join-key skew diagnostics (operators/analytics.py:key_skew_report).
+KEY_SKEW_REPORT = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+),
+hist AS (SELECT cnt, count(*) AS freq FROM counts GROUP BY cnt),
+med AS (
+  SELECT min(cnt) AS median_cnt FROM (
+    SELECT cnt,
+           sum(freq) OVER (ORDER BY cnt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(freq) OVER () AS n_keys
+    FROM hist
+  ) WHERE cum >= (n_keys + 1) // 2
+),
+tot AS (SELECT count(*) AS total FROM events)
+SELECT user_id, cnt,
+       floor(cnt / CAST(total AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share,
+       floor(cnt / CAST(median_cnt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ratio_to_median
+FROM counts, med, tot
+ORDER BY cnt DESC, user_id LIMIT {P.SKEW_TOPK}
+"""
+
+# Fixed-size per-source sample (operators/corpus.py:group_sample).
+GROUP_SAMPLE = f"""
+SELECT source, doc_id, sample_rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_h60(f"'{P.GROUP_SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {P.GROUP_SAMPLE_K}
+"""

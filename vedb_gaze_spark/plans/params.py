@@ -379,3 +379,18 @@ SOURCE_RANK_DEFAULT = 99
 # quality-classifier score DESCENDING (cleanest docs first), so early
 # pack_ids form the early-curriculum slice. Same budget as
 # pack_sequences; stage = pack_id tertile boundaries are downstream.
+# Rolling per-user anomaly detection over events.value: trailing-window
+# z-score on exact integer cents (value is cents-grid data), so the
+# window sums are order-independent integers and the float z is one
+# deterministic expression over them on either engine.
+ANOM_W = 20                     # trailing window, rows
+ANOM_MIN = 5                    # minimum prior rows before scoring
+ANOM_Z = 3.0                    # |z| threshold
+# Fixed-size deterministic per-group sample: k docs per source by
+# salted-hash order (the fixed-COUNT complement of stratified_sample's
+# fixed-RATE keep).
+GROUP_SAMPLE_K = 5
+GROUP_SAMPLE_SALT = "gsmp"
+# Join-key skew diagnostics: top-N keys by frequency with share and
+# ratio to the median key count.
+SKEW_TOPK = 10

@@ -865,6 +865,26 @@ def _multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("value_anomalies", oracles.VALUE_ANOMALIES)
+def _value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.value_anomalies(load_table(spark, "events", sf_dir))
+
+
+@register("key_skew_report", oracles.KEY_SKEW_REPORT)
+def _key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.key_skew_report(load_table(spark, "events", sf_dir))
+
+
+@register("group_sample", oracles.GROUP_SAMPLE)
+def _group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.group_sample(load_table(spark, "documents", sf_dir))
+
+
+@register("filter_funnel", oracles.FILTER_FUNNEL)
+def _filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filtering.filter_funnel(load_table(spark, "documents", sf_dir))
+
+
 @register("bloom_decontaminate", oracles.BLOOM_DECONTAMINATE)
 def _bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bloom_decontaminate(load_table(spark, "documents", sf_dir))
@@ -895,16 +915,18 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries per round. Iteration order is therefore explicit, not
 # declaration order, and ROTATES each round so every entry's official
 # record stays fresh. r6 window (~50):
-#  (1) never recorded: entries new this round;
+#  (1) never recorded: the 17 entries new this round;
 #  (2) the 32 entries whose latest official row is r3 (r5 verdict
 #      item #1 — includes the rows-only no_oracle float fits, which
-#      also age) — after this round no record is older than r4;
+#      also age) — after this round no record is older than r4.
+# (1)+(2) = 49 ≈ the whole window; blocks (3)/(4) below are best-effort
+# overflow if the gate runs deeper:
 #  (3) entries whose code changed in r6: the pack shard-bound default
 #      (pack_sequences + corpus_pipeline), the mix_plan zero-token
 #      guard, semdedup family (centroids-override refactor), the
-#      multimodal family (real PNM decode path), dsir_select
-#      (corpus.py edits), dedup_clusters (bench warmup interplay);
-#  (4) r4-recorded entries, cheapest-first, filling the window.
+#      multimodal family (real PNM decode path) — all r5-fresh if the
+#      window cuts before them;
+#  (4) r4-recorded entries, cheapest-first.
 # Tail: remaining r4-fresh rows, then the r5-fresh rows (newest).
 _GATE_ORDER = [
     # -- (1) never recorded (new in r6) --------------------------------
@@ -924,6 +946,10 @@ _GATE_ORDER = [
     "cross_source_dedup",
     "corpus_stats",
     "curriculum_pack",
+    "filter_funnel",
+    "value_anomalies",
+    "key_skew_report",
+    "group_sample",
     # -- (2) the 32 r3-stale entries -----------------------------------
     "match_asof",
     "ngram_topk",

@@ -1180,3 +1180,100 @@ def streaming_event_transitions(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- rolling per-user z-score anomalies (analytics.py:value_anomalies) ----
+
+_ANOM_OUT_SCHEMA = (
+    "event_id bigint, user_id bigint, value double, n_prev bigint, "
+    "mean_prev double, z double"
+)
+_ANOM_STATE_SCHEMA = "us array<bigint>"
+
+
+def _make_anomaly_fn(w: int, n_min: int, z_thr: float):
+    import math
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = int(key[0])
+        hist: list[int] = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["t_us", "event_id"])
+        out = {k: [] for k in
+               ("event_id", "value", "n_prev", "mean_prev", "z")}
+        for event_id, value, u in zip(
+            rows["event_id"], rows["value"], rows["u"]
+        ):
+            u = int(u)
+            n = len(hist)
+            if n >= n_min:
+                s1 = sum(hist)
+                s2 = sum(x * x for x in hist)
+                # EXACTLY the batch double expression over the same
+                # integers: s1*s1 < 2^53 so int/int division equals the
+                # JVM's double/double division bit-for-bit
+                mean = s1 / n
+                var_num = s2 - s1 * s1 / n
+                if var_num > 0:
+                    z = (u - mean) / math.sqrt(var_num / n)
+                    zr = math.floor(z * 1e6 + 0.5) / 1e6
+                    if abs(zr) >= z_thr:
+                        out["event_id"].append(int(event_id))
+                        out["value"].append(float(value))
+                        out["n_prev"].append(n)
+                        out["mean_prev"].append(
+                            math.floor(mean / 100.0 * 1e6 + 0.5) / 1e6
+                        )
+                        out["z"].append(zr)
+            hist.append(u)
+            if len(hist) > w:
+                hist = hist[-w:]
+        state.update((hist,))
+        if out["event_id"]:
+            yield pd.DataFrame(
+                {
+                    "event_id": pd.Series(out["event_id"], dtype="int64"),
+                    "user_id": pd.Series(
+                        [user_id] * len(out["event_id"]), dtype="int64"
+                    ),
+                    "value": pd.Series(out["value"], dtype="float64"),
+                    "n_prev": pd.Series(out["n_prev"], dtype="int64"),
+                    "mean_prev": pd.Series(out["mean_prev"], dtype="float64"),
+                    "z": pd.Series(out["z"], dtype="float64"),
+                }
+            )
+
+    return fn
+
+
+def streaming_value_anomalies(events: DataFrame) -> DataFrame:
+    """Stateful streaming twin of analytics.py:value_anomalies — the
+    live monitoring shape of the batch report. State per user is the
+    last ≤ ANOM_W integer-cents values (one small array, bounded by
+    the window width); each arriving event is scored against that
+    trailing window with EXACTLY the batch double expression over the
+    same exact integers, so emitted anomalies are bit-identical to the
+    batch rows for the same data.
+
+    PRECONDITION (the streaming_event_transitions contract): each
+    user's events must arrive in event-time order across micro-batches
+    — state keeps the last-arrived window. Within a batch the handler
+    sorts by (t, event_id)."""
+    g = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        "value",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("u"),
+    )
+    return g.groupBy("user_id").applyInPandasWithState(
+        _make_anomaly_fn(P.ANOM_W, P.ANOM_MIN, P.ANOM_Z),
+        outputStructType=_ANOM_OUT_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
