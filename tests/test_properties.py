@@ -704,3 +704,70 @@ class TestPagerank:
             .collect()
         }
         assert a == b
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=40), min_size=1,
+        max_size=8,
+    )
+)
+def test_gopher_top_word_fold_matches_reference_count(spark, texts):
+    """The sorted-array max-run fold (the O(n log n) replacement for the
+    O(n^2) distinct x filter form) must equal the straightforward max
+    occurrence count for arbitrary token streams, including all-equal,
+    all-distinct, and single-token arrays."""
+    import re
+
+    from vedb_gaze_spark.operators.filtering import gopher_rules
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["top_word_frac"], r["n_words"])
+        for r in gopher_rules(docs).collect()
+    }
+    import math
+
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        if not toks:
+            assert i not in got
+            continue
+        top = max(toks.count(x) for x in set(toks))
+        want = math.floor(top / len(toks) * 1e6 + 0.5) / 1e6
+        assert got[i][0] == want, (t, toks)
+
+
+def test_bloom_decontaminate_partitioning_invariant(spark, sf_dir):
+    """Bloom flags (false positives included) are a pure function of the
+    data — a different shuffle layout must produce byte-identical
+    (doc_id, n_flagged) rows."""
+    from vedb_gaze_spark.operators.corpus import bloom_decontaminate
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    a = {tuple(r) for r in bloom_decontaminate(docs).collect()}
+    b = {
+        tuple(r)
+        for r in bloom_decontaminate(docs.repartition(7)).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_value_anomalies_partitioning_invariant(spark, sf_dir):
+    """The rolling z-score is a deterministic double expression over
+    order-independent window integers: identical rows under a different
+    partitioning of the events table."""
+    from vedb_gaze_spark.operators.analytics import value_anomalies
+    from vedb_gaze_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    a = {tuple(r) for r in value_anomalies(ev).collect()}
+    b = {tuple(r) for r in value_anomalies(ev.repartition(11)).collect()}
+    assert a == b and len(a) > 0

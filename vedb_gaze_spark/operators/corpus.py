@@ -1228,3 +1228,36 @@ def group_sample(
         .where(F.col("sample_rank") <= k)
         .select("source", "doc_id", "sample_rank")
     )
+
+
+def pack_efficiency(documents: DataFrame) -> DataFrame:
+    """Packing efficiency report per source: packs, docs, token totals,
+    capacity (packs × budget) and the fill rate — the utilization
+    number a training-data pipeline watches when tuning the sequence
+    budget (low fill = wasted padding, oversize docs = truncation
+    pressure upstream).
+
+    A pack-output-sized aggregation on top of pack_sequences; adds one
+    source-keyed rollup to the packing plan."""
+    packs = pack_sequences(documents)
+    budget = P.PACK_BUDGET_TOKENS
+    return (
+        packs.groupBy("source")
+        .agg(
+            F.countDistinct("shard", "pack_id").alias("n_packs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
+        )
+        .select(
+            "source",
+            "n_packs",
+            "n_docs",
+            "total_tokens",
+            "max_doc_tokens",
+            (F.col("n_packs") * budget).alias("capacity_tokens"),
+            F.expr(
+                f"floor(total_tokens / cast(n_packs * {budget} as double) * 1e6 + 0.5) / 1e6"
+            ).alias("fill_rate"),
+        )
+    )

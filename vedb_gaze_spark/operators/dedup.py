@@ -991,3 +991,36 @@ def dedup_minhash_incremental(
         .distinct()
     )
     return _verify_jaccard(cand, index_doc_sets.unionByName(new_ds))
+
+
+def dedup_recall(documents: DataFrame) -> DataFrame:
+    """Measurement-as-operator (the ann_recall pattern, applied to
+    dedup): compare the MinHash-LSH near-dup pairs against the exact
+    PPJoin pair set on the same corpus and report ONE row — exact pair
+    count, LSH pair count, their intersection, recall and precision.
+    The number you read before trusting the LSH path as the 100 TB
+    primary: if banding parameters drop below recall 1 at the
+    threshold, it shows here first.
+
+    Both kernels share the _doc_sets relation, so the corpus is
+    shingle-hashed once per side and the comparison adds only
+    pair-sized joins."""
+    exact = dedup_ngram_jaccard(documents).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
+    common = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
+    stats = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+    )
+    return stats.select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        F.expr(
+            "CASE WHEN n_exact > 0 THEN floor(n_common / cast(n_exact as double) * 1e6 + 0.5) / 1e6 END"
+        ).alias("recall"),
+        F.expr(
+            "CASE WHEN n_lsh > 0 THEN floor(n_common / cast(n_lsh as double) * 1e6 + 0.5) / 1e6 END"
+        ).alias("precision"),
+    )

@@ -455,7 +455,10 @@ def ivf_train_centroids(
     Deterministic init: the first k vectors by vec_id."""
     import numpy as np
 
-    v = _vecs(embeddings)
+    # cache the parsed vector relation: every Lloyd's iteration scans
+    # it, and without the persist each of the `iters` jobs re-reads the
+    # parquet and re-parses the arrays
+    v = _vecs(embeddings).persist()
     init = (
         v.where(F.col("vec_id") < k).orderBy("vec_id").select("v").collect()
     )
@@ -481,6 +484,7 @@ def ivf_train_centroids(
         nrm[nrm == 0] = 1.0
         M = M / nrm[:, None]
         cents = [[round(float(x), 6) for x in row] for row in M]
+    v.unpersist()
     return cents
 
 
@@ -836,7 +840,9 @@ def pq_train(
     never the corpus. Driver holds only the codebooks between
     iterations (the ivf_train_centroids model-state pattern).
     Deterministic init: subvectors of the first k_sub vectors."""
-    v = _vecs(embeddings)
+    # cached: each Lloyd's iteration (plus the dims probe and init
+    # collect) scans the parsed vector relation
+    v = _vecs(embeddings).persist()
     dims = len(v.select("v").first()["v"])
     d_sub = dims // m
     init = v.where(F.col("vec_id") < k_sub).orderBy("vec_id").select("v").collect()
@@ -864,6 +870,7 @@ def pq_train(
         for r in rows:
             nxt[r["sub"]][r["code"]][r["dim"]] = round(float(r["mu"]), 6)
         books = nxt
+    v.unpersist()
     return books
 
 

@@ -3332,3 +3332,43 @@ SELECT source, doc_id, sample_rank FROM (
   FROM documents
 ) WHERE sample_rank <= {P.GROUP_SAMPLE_K}
 """
+
+
+# LSH-vs-exact dedup pair recall/precision
+# (operators/dedup.py:dedup_recall) — both pair queries verbatim.
+DEDUP_RECALL = f"""
+WITH ex AS (
+{DEDUP_NGRAM_JACCARD}
+),
+ls AS (
+{DEDUP_MINHASH_LSH}
+),
+c AS (
+  SELECT count(*) AS n_common
+  FROM (SELECT doc_a, doc_b FROM ex INTERSECT SELECT doc_a, doc_b FROM ls)
+),
+ne AS (SELECT count(*) AS n_exact FROM ex),
+nl AS (SELECT count(*) AS n_lsh FROM ls)
+SELECT n_exact, n_lsh, n_common,
+       CASE WHEN n_exact > 0
+            THEN floor(n_common / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS recall,
+       CASE WHEN n_lsh > 0
+            THEN floor(n_common / CAST(n_lsh AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS precision
+FROM ne, nl, c
+"""
+
+# Packing fill-rate report (operators/corpus.py:pack_efficiency) over
+# the PACK_SEQUENCES recursion.
+PACK_EFFICIENCY = f"""
+WITH packs AS (
+{PACK_SEQUENCES}
+)
+SELECT source,
+       count(DISTINCT (shard, pack_id)) AS n_packs,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       max(n_tokens) AS max_doc_tokens,
+       count(DISTINCT (shard, pack_id)) * {P.PACK_BUDGET_TOKENS} AS capacity_tokens,
+       floor(sum(n_tokens) / CAST(count(DISTINCT (shard, pack_id)) * {P.PACK_BUDGET_TOKENS} AS DOUBLE) * 1e6 + 0.5) / 1e6 AS fill_rate
+FROM packs GROUP BY source
+"""

@@ -865,6 +865,16 @@ def _multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_recall", oracles.DEDUP_RECALL)
+def _dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_recall(load_table(spark, "documents", sf_dir))
+
+
+@register("pack_efficiency", oracles.PACK_EFFICIENCY)
+def _pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.pack_efficiency(load_table(spark, "documents", sf_dir))
+
+
 @register("value_anomalies", oracles.VALUE_ANOMALIES)
 def _value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.value_anomalies(load_table(spark, "events", sf_dir))
@@ -950,20 +960,19 @@ _GATE_ORDER = [
     "value_anomalies",
     "key_skew_report",
     "group_sample",
-    # -- (2) the 32 r3-stale entries -----------------------------------
+    "dedup_recall",
+    "pack_efficiency",
+    # -- (2) the 32 r3-stale entries: the 25 verdict-named HASH entries
+    #    first (they must land inside the window); the 7 rows-only
+    #    no_oracle float fits bring up the rear — their records carry
+    #    only a row count, so they are the right ones to risk past the
+    #    cutoff ------------------------------------------------------
     "match_asof",
     "ngram_topk",
     "gaze_error",
     "gaze_error_weighted",
     "calibration_poly3",
-    "calibration_poly",
-    "calibration_3d",
-    "calibration_rbf",
-    "calibration_tps",
-    "resample_tps",
-    "error_surface_tps",
     "ann_ivf",
-    "ann_ivf_trained",
     "eyelid_distance_c2f",
     "multimodal_sample",
     "multimodal_resize",
@@ -983,6 +992,14 @@ _GATE_ORDER = [
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q22_sales_opportunity",
+    # rows-only r3-stale float fits (records carry row counts only)
+    "calibration_poly",
+    "calibration_3d",
+    "calibration_rbf",
+    "calibration_tps",
+    "resample_tps",
+    "error_surface_tps",
+    "ann_ivf_trained",
     # -- (3) r6-changed code paths -------------------------------------
     "pack_sequences",
     "corpus_pipeline",
