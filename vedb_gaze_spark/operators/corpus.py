@@ -1176,22 +1176,33 @@ def curriculum_pack(
     therefore the packing) exact across engines. Same distribution
     contract as pack_sequences: per-group state is two scalars, groups
     are (source, shard)-bounded Arrow batches.
-    """
-    from vedb_gaze_spark.operators.filtering import quality_classifier
 
-    toks = documents.select(
-        "source",
-        "doc_id",
-        F.expr(r"size(split(trim(text), '\\s+'))").cast("long").alias(
-            "n_tokens"
-        ),
+    The score is a per-row expression (qc_score_units_expr — the one
+    classifier definition), so tokens + whitespace count + score come
+    from ONE scan; the original join of two corpus scans on doc_id was
+    a shuffle with no information in it.
+    """
+    from vedb_gaze_spark.operators.filtering import qc_score_units_expr
+
+    scored = (
+        documents.where(F.col("text").isNotNull())
+        .select(
+            "source",
+            "doc_id",
+            "text",
+            F.expr(_TOKENS).alias("tk"),
+        )
+        .where(F.expr("size(tk)") >= 1)
+        .select(
+            "source",
+            "doc_id",
+            F.expr(r"size(split(trim(text), '\\s+'))").cast("long").alias(
+                "n_tokens"
+            ),
+            F.expr(qc_score_units_expr("tk")).alias("score_units"),
+        )
+        .withColumn("neg_units", -F.col("score_units"))
     )
-    scored = toks.join(
-        quality_classifier(documents).select(
-            "doc_id", F.col("score_units").cast("long").alias("score_units")
-        ),
-        "doc_id",
-    ).withColumn("neg_units", -F.col("score_units"))
     return greedy_pack(
         scored,
         budget,

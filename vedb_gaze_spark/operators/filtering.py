@@ -195,6 +195,24 @@ def c4_clean(documents: DataFrame) -> DataFrame:
     )
 
 
+def qc_score_units_expr(arr: str = "tk") -> str:
+    """The classifier's integer score as a SQL fragment over a
+    materialized token-array column — the ONE definition of the model
+    shared by quality_classifier and curriculum_pack (pass a column
+    NAME, never an inline tokenizer expression: see the r6 PERF_NOTES
+    inline-tokenizer rule)."""
+    nw = 2 * P.QC_SCALE + 1
+    bucket = (
+        f"(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+        f" % {P.QC_BUCKETS})"
+    )
+    weight = (
+        f"(cast(conv(substring(md5(concat('qcw:', cast({bucket} as string))), 1, 15),"
+        f" 16, 10) as bigint) % {nw} - {P.QC_SCALE})"
+    )
+    return f"cast(aggregate({arr}, 0L, (acc, t) -> acc + {weight}) as long)"
+
+
 def quality_classifier(documents: DataFrame) -> DataFrame:
     """fastText-style linear quality classifier over hashed bag-of-words.
 
@@ -212,13 +230,6 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
     exact integer sums. A production swap loads real weights as a
     QC_BUCKETS-row broadcast and keeps the identical plan.
     """
-    nw = 2 * P.QC_SCALE + 1
-    bucket = f"(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % {P.QC_BUCKETS})"
-    weight = (
-        f"(cast(conv(substring(md5(concat('qcw:', cast({bucket} as string))), 1, 15),"
-        f" 16, 10) as bigint) % {nw} - {P.QC_SCALE})"
-    )
-    w = f"aggregate(tk, 0L, (acc, t) -> acc + {weight})"
     return (
         documents.where(F.col("text").isNotNull())
         .select("doc_id", F.expr(_TOKS).alias("tk"))
@@ -226,7 +237,7 @@ def quality_classifier(documents: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.expr("size(tk)").alias("n_tokens"),
-            F.expr(f"cast({w} as long)").alias("score_units"),
+            F.expr(qc_score_units_expr("tk")).alias("score_units"),
         )
         .select(
             "doc_id",
