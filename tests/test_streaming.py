@@ -1543,3 +1543,61 @@ def test_streaming_value_anomalies_across_batches(spark, sf_dir, tmp_path):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_streaming_pq_serving_matches_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch PQ-serving job must answer streamed queries with
+    EXACTLY the batch ann_pq rows: the index (codes + rerank vectors)
+    is stored once, each micro-batch runs the shared _pq_search kernel
+    against it, and replaying a batch id rewrites identical rows
+    (exactly-once by idempotent overwrite)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.similarity import ann_pq
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.streaming.serving import PQServing, write_pq_index
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = str(tmp_path / "pq_index")
+    books = write_pq_index(emb, idx)
+
+    # queries stream in two micro-batches, split by vec_id parity
+    qsrc = str(tmp_path / "pq_queries")
+    queries = emb.where(F.col("vec_id") < P.ANN_N_QUERIES)
+    queries.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(qsrc, "c0")
+    )
+    queries.where(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(qsrc, "c1")
+    )
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(qsrc, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    job = PQServing(idx, str(tmp_path / "pq_out"), books)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(qsrc)
+    )
+    q = (
+        stream.writeStream.foreachBatch(job.process)
+        .option("checkpointLocation", str(tmp_path / "pq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {tuple(r) for r in job.results(spark).collect()}
+    want = {tuple(r) for r in ann_pq(emb).collect()}
+    assert got == want and len(want) > 0
+
+    # crash-replay idempotency: re-running a batch id rewrites the same rows
+    job.process(queries.where(F.col("vec_id") % 2 == 0), 0)
+    again = {tuple(r) for r in job.results(spark).collect()}
+    assert again == want

@@ -909,39 +909,55 @@ def ann_pq(
     Rows-only oracle (trained codebooks inherit avg() float order);
     recall vs the exact scan is pinned in tests/test_plans.py."""
     books = pq_train(embeddings, m=m, k_sub=k_sub, iters=iters)
-    d_sub = len(books[0][0])
-    B = _pq_books_lit(books)
     v = _vecs(embeddings)
-    corpus = (
+    corpus_codes = (
         v.where(F.col("vec_id") >= n_queries)
         .select(
             F.col("vec_id").alias("neighbor_id"),
-            F.col("v").alias("nv"),
             F.expr(_pq_codes_expr(books, "v")).alias("codes"),
         )
     )
+    queries = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    full = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    return _pq_search(queries, corpus_codes, full, books, k, rerank_mult)
+
+
+def _pq_search(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    full_vectors: DataFrame,
+    books: list[list[list[float]]],
+    k: int,
+    rerank_mult: int,
+) -> DataFrame:
+    """The PQ search kernel over a STORED index: queries (query_id, qv)
+    against corpus_codes (neighbor_id, codes) with exact rerank against
+    full_vectors (neighbor_id, nv) — shared verbatim by the batch
+    ann_pq registry face and the foreachBatch serving job
+    (streaming/serving.py), so streamed answers are definitionally the
+    batch rows. The codes side never carries full vectors; the rerank
+    fetch touches rerank_mult·k candidates per query (the production
+    PQ shape: scan the byte-code index, fetch originals per
+    candidate)."""
+    m = len(books)
+    d_sub = len(books[0][0])
+    B = _pq_books_lit(books)
     lut = (
         f"transform(sequence(0, {m - 1}), j -> "
         f"transform(element_at({B}, j + 1), c -> "
-        f"aggregate(zip_with(slice(v, j * {d_sub} + 1, {d_sub}), c, "
+        f"aggregate(zip_with(slice(qv, j * {d_sub} + 1, {d_sub}), c, "
         f"(x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)))"
     )
-    queries = (
-        v.where(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.expr(lut).alias("lut"),
-        )
-    )
+    q = queries.select("query_id", "qv", F.expr(lut).alias("lut"))
     adc = F.expr(
         "round(aggregate(zip_with(sequence(0, size(codes) - 1), codes, "
         "(j, c) -> element_at(element_at(lut, j + 1), c + 1)), "
         "cast(0.0 as double), (acc, x) -> acc + x), 6)"
     )
     scored = (
-        corpus.drop("nv")
-        .crossJoin(F.broadcast(queries.drop("qv")))
+        corpus_codes.crossJoin(F.broadcast(q.drop("qv")))
         .withColumn("cosine", adc)  # ADC estimate drives the prune order
         .drop("lut")
     )
@@ -957,14 +973,11 @@ def ann_pq(
         .where(F.col("r") <= rerank_mult * k)
         .select("query_id", "neighbor_id", F.col("cosine").alias("adc_score"))
     )
-    full = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
-    qfull = v.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
+    qfull = queries.select("query_id", "qv")
     exact = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        cand.join(full, "neighbor_id")
+        cand.join(full_vectors, "neighbor_id")
         .join(F.broadcast(qfull), "query_id")
         .withColumn("cosine", exact)
         .withColumn("rank", F.row_number().over(w))
