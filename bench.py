@@ -95,6 +95,12 @@ HEADLINE = [
     "cross_source_dedup",
     "corpus_stats",
     "curriculum_pack",
+    "filter_funnel",
+    "value_anomalies",
+    "key_skew_report",
+    "group_sample",
+    "dedup_recall",
+    "pack_efficiency",
 ]
 
 

@@ -307,10 +307,14 @@ PACK_BUDGET_TOKENS = 256
 # Default doc_id-range width of a pack shard: bounds the Arrow batch one
 # packing task materializes (a hot source at 100 TB is otherwise ONE
 # unbounded task). Sequences never cross a shard boundary — the same
-# contract as any epoch/file-split boundary. Test-sized so the sf0.01
-# oracle exercises real multi-shard numbering; production tunes it to
-# executor memory (docs_per_shard × avg doc size ≲ a few hundred MB).
-PACK_SHARD_DOCS = 128
+# contract as any epoch/file-split boundary. Sized so the sf0.01 oracle
+# still exercises real multi-shard numbering (doc_ids span 0..499 → two
+# shards) while sf0.1 packs in ~20×13 groups instead of the 640 that a
+# 128-doc shard produced (each applyInPandas group pays a Python-worker
+# round trip — measured 2.2 s vs 0.9 s at sf0.1 for identical output
+# semantics); production tunes it to executor memory (docs_per_shard ×
+# avg doc size ≲ a few hundred MB).
+PACK_SHARD_DOCS = 384
 # Stratified sampling / domain mixing: per-language keep rates, applied
 # via a deterministic 60-bit hash so both engines draw the same sample.
 SAMPLE_RATES = {"en": 0.25, "fr": 0.5, "de": 0.75, "es": 1.0, "zh": 0.1}
