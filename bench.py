@@ -101,6 +101,7 @@ HEADLINE = [
     "group_sample",
     "dedup_recall",
     "pack_efficiency",
+    "lm_score_bigram",
 ]
 
 

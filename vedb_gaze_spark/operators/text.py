@@ -536,3 +536,90 @@ def hash_embed(documents: DataFrame, dims: int = 64) -> DataFrame:
             ).alias("embedding"),
         )
     )
+
+
+def lm_score_bigram(documents: DataFrame) -> DataFrame:
+    """Interpolated bigram-LM cross-entropy per document — the stronger
+    CCNet-style quality signal (Jelinek-Mercer smoothing: λ·ML bigram +
+    (1−λ)·Laplace unigram, both trained on the corpus in the same
+    plan). Lower = more corpus-typical; repeated boilerplate phrases
+    score much lower than lm_score's unigram model can express, which
+    is why production pipelines filter on an n-gram LM, not unigrams.
+
+    Determinism: the interpolated log-prob is quantized to integer
+    micro-nats per DISTINCT (prev, word) in the model table BEFORE the
+    corpus-sized sum — the lm_score trick, one ln() per distinct
+    bigram. First tokens (no predecessor) take the unigram micro-nat
+    table. Both model tables are vocabulary-sized — NO forced
+    broadcast (the r4 lesson); AQE chooses the join strategy.
+
+    One posexplode, one per-doc lag window (uniform doc_id key), the
+    model aggregations, and a doc_id rollup of exact integers.
+    """
+    toks = documents.select(
+        "doc_id", F.posexplode(F.expr(_TOKENS)).alias("i", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    stream = toks.withColumn("prev", F.lag("word").over(w))
+    # unigram model (identical to lm_score's table)
+    wc = stream.groupBy("word").agg(F.count(F.lit(1)).alias("cu"))
+    stats = wc.agg(
+        F.sum("cu").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    uni = wc.crossJoin(F.broadcast(stats)).select(
+        "word",
+        "cu",
+        F.floor(
+            F.log((F.col("cu") + 1.0) / (F.col("n_total") + F.col("vocab")))
+            * 1e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("logq_u"),
+        (F.col("n_total") + F.col("vocab")).alias("denom_u"),
+    )
+    # bigram ML counts: c2(prev, word) and c1s(prev) = bigram starts
+    big = stream.where(F.col("prev").isNotNull())
+    c2 = big.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("c2"))
+    c1s = big.groupBy("prev").agg(F.count(F.lit(1)).alias("c1s"))
+    lam = P.LM2_LAMBDA
+    bi = (
+        c2.join(c1s, "prev")
+        .join(uni.select("word", "cu", "denom_u"), "word")
+        .select(
+            "prev",
+            "word",
+            F.floor(
+                F.log(
+                    F.lit(lam) * F.col("c2") / F.col("c1s")
+                    + F.lit(1.0 - lam)
+                    * (F.col("cu") + 1.0)
+                    / F.col("denom_u")
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("logq_b"),
+        )
+    )
+    first = (
+        stream.where(F.col("prev").isNull())
+        .join(uni.select("word", "logq_u"), "word")
+        .select("doc_id", F.col("logq_u").alias("lq"))
+    )
+    rest = big.join(bi, ["prev", "word"]).select(
+        "doc_id", F.col("logq_b").alias("lq")
+    )
+    return (
+        first.unionByName(rest)
+        .groupBy("doc_id")
+        .agg(F.sum("lq").alias("s"), F.count(F.lit(1)).alias("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(-F.col("s") / (1e6 * F.col("n_tokens")), 6).alias(
+                "cross_entropy"
+            ),
+        )
+    )

@@ -3372,3 +3372,49 @@ SELECT source,
        floor(sum(n_tokens) / CAST(count(DISTINCT (shard, pack_id)) * {P.PACK_BUDGET_TOKENS} AS DOUBLE) * 1e6 + 0.5) / 1e6 AS fill_rate
 FROM packs GROUP BY source
 """
+
+
+# Interpolated bigram-LM cross-entropy (operators/text.py:lm_score_bigram).
+# The (1-lambda) literal is emitted via repr() so both engines compute
+# with the IDENTICAL double (1.0-0.7 is 0.30000000000000004, not 0.3).
+_LM2_L = repr(P.LM2_LAMBDA)
+_LM2_1ML = repr(1.0 - P.LM2_LAMBDA)
+LM_SCORE_BIGRAM = f"""
+WITH toks AS (
+  SELECT doc_id, i, t[i] AS word
+  FROM (SELECT doc_id, {{tok}} AS t FROM documents) x,
+       unnest(generate_series(1, len(t))) AS g(i)
+),
+stream AS (
+  SELECT doc_id, i, word,
+         lag(word) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM toks
+),
+wc AS (SELECT word, count(*) AS cu FROM stream GROUP BY word),
+stats AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total, count(*) AS vocab FROM wc),
+uni AS (
+  SELECT word, cu,
+         CAST(floor(ln((cu + 1.0) / (n_total + vocab)) * 1e6 + 0.5) AS BIGINT) AS logq_u,
+         (n_total + vocab) AS denom_u
+  FROM wc CROSS JOIN stats
+),
+big AS (SELECT doc_id, prev, word FROM stream WHERE prev IS NOT NULL),
+c2 AS (SELECT prev, word, count(*) AS c2 FROM big GROUP BY prev, word),
+c1s AS (SELECT prev, count(*) AS c1s FROM big GROUP BY prev),
+bi AS (
+  SELECT c2.prev, c2.word,
+         CAST(floor(ln({_LM2_L} * c2 / c1s + {_LM2_1ML} * (cu + 1.0) / denom_u)
+                    * 1e6 + 0.5) AS BIGINT) AS logq_b
+  FROM c2 JOIN c1s USING (prev) JOIN uni USING (word)
+),
+terms AS (
+  SELECT s.doc_id, u.logq_u AS lq FROM stream s JOIN uni u USING (word)
+  WHERE s.prev IS NULL
+  UNION ALL
+  SELECT b.doc_id, bi.logq_b FROM big b
+  JOIN bi ON bi.prev = b.prev AND bi.word = b.word
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(-CAST(sum(lq) AS BIGINT) / (1e6 * count(*)), 6) AS cross_entropy
+FROM terms GROUP BY doc_id
+""".format(tok=_TOKENS_SQL)

@@ -398,3 +398,7 @@ GROUP_SAMPLE_SALT = "gsmp"
 # Join-key skew diagnostics: top-N keys by frequency with share and
 # ratio to the median key count.
 SKEW_TOPK = 10
+# Interpolated bigram LM (Jelinek-Mercer): P(w|prev) = LAMBDA·ML(w|prev)
+# + (1-LAMBDA)·Laplace-unigram(w). Same micro-nat integer quantization
+# as lm_score so per-doc sums are order-independent.
+LM2_LAMBDA = 0.7

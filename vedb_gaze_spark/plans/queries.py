@@ -865,6 +865,11 @@ def _multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("lm_score_bigram", oracles.LM_SCORE_BIGRAM)
+def _lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lm_score_bigram(load_table(spark, "documents", sf_dir))
+
+
 @register("dedup_recall", oracles.DEDUP_RECALL)
 def _dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_recall(load_table(spark, "documents", sf_dir))
@@ -962,6 +967,7 @@ _GATE_ORDER = [
     "group_sample",
     "dedup_recall",
     "pack_efficiency",
+    "lm_score_bigram",
     # -- (2) the 32 r3-stale entries: the 25 verdict-named HASH entries
     #    first (they must land inside the window); the 7 rows-only
     #    no_oracle float fits bring up the rear — their records carry
