@@ -102,6 +102,9 @@ HEADLINE = [
     "dedup_recall",
     "pack_efficiency",
     "lm_score_bigram",
+    # r7 additions
+    "dedup_recall_sampled",
+    "ccnet_ppl_threshold",
 ]
 
 
@@ -195,6 +198,26 @@ def main() -> None:
             )
             out["delta_vs_local_baseline"] = round(
                 out["total_common"] - out["baseline_total_common"], 3
+            )
+    # v2 local baseline (r7): a quiet-window record over the FULL
+    # headline set, so the 2×-regression gate covers every query, not
+    # just the 20 r2-era shapes. The old field stays for cross-round
+    # continuity; both are same-host, same-methodology artifacts.
+    base2_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_local_v2.json")
+    if os.path.exists(base2_path):
+        with open(base2_path) as fh:
+            base2 = json.load(fh)
+        if base2.get("sf") == out["sf"]:
+            common2 = [n for n in per_query if n in base2.get("queries", {})]
+            out["baseline_v2_total_common"] = round(
+                sum(base2["queries"][n] for n in common2), 3
+            )
+            out["total_common_v2"] = round(
+                sum(per_query[n] for n in common2), 3
+            )
+            out["delta_vs_local_baseline_v2"] = round(
+                out["total_common_v2"] - out["baseline_v2_total_common"], 3
             )
     # Per-pass raw timings go to a side file, NOT the summary line: r4's
     # one-line JSON outgrew the driver's tail capture once pass_detail

@@ -151,6 +151,45 @@ class TestCcnetBuckets:
         }
         assert got == {(1, "head"), (2, "middle"), (3, "tail")}
 
+    def test_threshold_variant_equals_ntile_up_to_tie_groups(
+        self, spark, sf_dir
+    ):
+        """ccnet_ppl_threshold (the documented scale path) must assign
+        every doc the MINIMUM NTILE tertile of its (lang, cross_entropy)
+        tie group: on distinct cross-entropies that is row-identical to
+        ccnet_ppl_buckets; where NTILE splits equal-CE docs by doc_id
+        across a boundary, the value-determined threshold form sends the
+        whole tie group to the lower bucket."""
+        from vedb_gaze_spark.sources.tables import load_table
+
+        docs = load_table(spark, "documents", sf_dir)
+        ntile = filtering.ccnet_ppl_buckets(docs).collect()
+        thr = filtering.ccnet_ppl_threshold(docs).collect()
+        assert len(ntile) == len(thr)
+        min_tile = {}
+        for r in ntile:
+            k = (r["lang"], r["cross_entropy"])
+            min_tile[k] = min(min_tile.get(k, 4), r["tertile"])
+        names = {1: "head", 2: "middle", 3: "tail"}
+        for r in thr:
+            want = min_tile[(r["lang"], r["cross_entropy"])]
+            assert r["tertile"] == want, r
+            assert r["bucket"] == names[want], r
+
+    def test_threshold_variant_plan_has_no_per_language_full_sort(
+        self, spark, sf_dir
+    ):
+        """The scale property being bought: no NTILE (whose window ranks
+        every doc of a language on one task chain) in the executed plan —
+        the only windows run over the (lang, cross_entropy) histogram."""
+        from vedb_gaze_spark.sources.tables import load_table
+
+        df = filtering.ccnet_ppl_threshold(load_table(spark, "documents", sf_dir))
+        df.collect()
+        s = df._jdf.queryExecution().executedPlan().toString()
+        assert "ntile" not in s
+        assert "row_number" not in s
+
 
 class TestHashEmbed:
     def test_unit_norm_and_determinism(self, spark, sf_dir):

@@ -226,6 +226,24 @@ def test_r6b_scale_shapes(spark, sf_dir):
     assert "WindowGroupLimit" in s
 
 
+def test_corpus_stats_median_is_histogram_not_full_sort(spark, sf_dir):
+    """corpus_stats' exact median must come from the count-of-counts
+    histogram (bounded by distinct token counts per source), never a
+    row_number window over every document of a source — source is the
+    lowest-cardinality key in the schema, so a partitionBy(source) sort
+    of the doc relation is the hot-partition shape at scale (r6 verdict
+    'what's wrong' #2). Pin: no row_number in the executed plan; every
+    Window node sits above the histogram aggregation."""
+    df = QUERIES["corpus_stats"](spark, sf_dir)
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in s, "median fell back to a per-doc rank window"
+    # both windows (cumulative + per-source total) run over the
+    # (source, n_toks) histogram, i.e. below them sits a HashAggregate
+    # keyed by source AND n_toks — not the raw doc relation
+    assert "Window" in s and "n_toks" in s
+
+
 def test_no_driver_collect_in_operators():
     """No registered query may materialize DATA on the driver: a
     .collect() inside an operator is a corpus-sized driver OOM at 100 TB.
@@ -405,6 +423,50 @@ def test_jaccard_verify_strategies_agree(spark, sf_dir):
     }
     assert outs["grid"] == outs["join"] == outs["broadcast_index"]
     assert len(outs["grid"]) > 0
+
+
+def test_sampled_recall_pairs_are_full_pairs_restricted_to_sample(
+    spark, sf_dir
+):
+    """The unbiasedness argument in dedup_recall(sample_mod=...) rests on
+    pair-level outcomes being independent of which OTHER docs are present:
+    each kernel's pair set on the sampled sub-corpus must equal its
+    full-corpus pair set restricted to pairs whose BOTH endpoints were
+    sampled. (For PPJoin the df-ordered prefix filter shifts under
+    sampling, but the filters are lossless, so the exact output set is
+    invariant; for LSH, signatures and band keys are per-document.)"""
+    from pyspark.sql import functions as F
+
+    from vedb_gaze_spark.functions.core import portable_hash60
+    from vedb_gaze_spark.operators import dedup
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = docs.where(
+        portable_hash60(
+            F.concat(
+                F.lit(P.RECALL_SAMPLE_SALT + ":"), F.col("doc_id").cast("string")
+            )
+        )
+        % P.RECALL_SAMPLE_MOD
+        == 0
+    )
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 < len(kept_ids) < docs.count()
+    for kernel in (dedup.dedup_ngram_jaccard, dedup.dedup_minhash_lsh):
+        full = {
+            (r.doc_a, r.doc_b)
+            for r in kernel(docs).select("doc_a", "doc_b").collect()
+        }
+        sampled = {
+            (r.doc_a, r.doc_b)
+            for r in kernel(kept).select("doc_a", "doc_b").collect()
+        }
+        restricted = {
+            (a, b) for a, b in full if a in kept_ids and b in kept_ids
+        }
+        assert sampled == restricted, kernel.__name__
 
 
 def test_minhash_pairs_subset_of_exact_ngram(spark, sf_dir):

@@ -393,3 +393,85 @@ def test_image_decode_resize_phash_end_to_end(spark):
     assert pairs.get((0, 2)) == 1        # planted one-bit near dup found
     assert pairs.get((1, 2)) == 1
     assert not any(3 in p or 4 in p for p in pairs), pairs
+
+
+def test_frame_marker_detection_recovers_planted_centers(spark):
+    """Frame-level DETECTION on the real pixel path (r6 verdict #7 —
+    the reference's _find_circles_frame contract, marker_detection.py:29):
+    planted bright blobs in PNM frames round-trip through
+    decode → threshold → connected components → centroid, with EXACT
+    centroids/sizes/norm positions; sub-min_size speckles and malformed
+    payloads drop; and the detection stream feeds marker_filter_cluster,
+    which drops the low-position mode via the bimodality gate and
+    recovers the planted marker's position clusters."""
+    import datetime
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import (
+        detect_frame_markers,
+        detections_to_marker_stream,
+        encode_pnm,
+    )
+    from vedb_gaze_spark.plans.pipeline import marker_filter_cluster
+
+    H, W = 100, 200
+    base_t = 1_700_000_000
+    rows = []
+    # 41 frames every 6 h for 10 days (one epoch, gap < SESSION_GAP_S,
+    # duration > BRIEF_MIN_S), ONE detection per frame so the
+    # duplicate-timestamp gate keeps them: even frames carry the real
+    # marker (7×7, x ≈ 160), odd frames a spurious low-position blob
+    # (5×5, x ≈ 8) — the noise mode the bimodality gate must reject.
+    for s in range(41):
+        j = ((s // 2) % 5) - 2  # deterministic jitter, ±2 px
+        a = np.zeros((H, W), dtype=np.uint8)
+        if s % 2 == 0:
+            a[47:54, 157 + j : 164 + j] = 255  # marker: centroid x = 160+j
+        else:
+            a[20:25, 6 + j : 11 + j] = 255     # noise blob: centroid x = 8+j
+        if s == 0:
+            a[90, 190:192] = 255               # 2-px speckle < min_size
+        rows.append(
+            (
+                7,
+                s,
+                datetime.datetime.utcfromtimestamp(base_t + s * 21_600),
+                bytearray(encode_pnm(a)),
+            )
+        )
+    # malformed payload: dropped, detections unaffected
+    rows.append(
+        (7, 99, datetime.datetime.utcfromtimestamp(base_t), bytearray(b"P5 junk"))
+    )
+    frames = spark.createDataFrame(
+        rows, "user_id long, frame_id long, ts timestamp, payload binary"
+    )
+
+    det = detect_frame_markers(frames).collect()
+    by_frame = {}
+    for r in det:
+        by_frame.setdefault(r.frame_id, []).append(r)
+    assert set(by_frame) == set(range(41))  # frame 99 dropped
+    for s in range(41):
+        j = ((s // 2) % 5) - 2
+        got = by_frame[s]
+        assert len(got) == 1, (s, got)  # the frame-0 speckle never surfaces
+        d = got[0]
+        if s % 2 == 0:
+            assert (d.x, d.y, d.size) == (160.0 + j, 50.0, 49), d
+        else:
+            assert (d.x, d.y, d.size) == (8.0 + j, 22.0, 25), d
+        assert d.norm_x == np.floor(d.x / W * 1e6 + 0.5) / 1e6
+        assert d.norm_y == np.floor(d.y / H * 1e6 + 0.5) / 1e6
+
+    stream = detections_to_marker_stream(detect_frame_markers(frames))
+    clusters = marker_filter_cluster(stream).collect()
+    # marker frames land every 12 h: three FULL 3-day grid cells of 6
+    # marker detections each survive (the trailing partial cell has 3 <
+    # GRID_MIN_PTS); every noise-mode detection fell to the bimodality
+    # gate, so no cluster sits near x = 8
+    assert len(clusters) == 3, clusters
+    for c in clusters:
+        assert 158.0 <= c.med_value <= 162.0, c
+        assert c.n_in_cell == 6, c

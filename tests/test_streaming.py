@@ -1409,6 +1409,66 @@ def test_streaming_quality_filters_compose_unchanged(spark, sf_dir):
             q.stop()
 
 
+def test_streaming_frame_detection_composes_unchanged(spark, tmp_path):
+    """detect_frame_markers is a stateless Arrow-batched map (one frame =
+    one independent work item), so the BATCH operator composes over a
+    frame STREAM with no twin — row-for-row parity with the batch run
+    across micro-batches, malformed payloads dropped in both."""
+    import datetime
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import (
+        detect_frame_markers,
+        encode_pnm,
+    )
+
+    rows = []
+    for s in range(8):
+        a = np.zeros((60, 80), dtype=np.uint8)
+        a[10:15, 20 + s : 25 + s] = 255
+        rows.append(
+            (
+                1,
+                s,
+                datetime.datetime.utcfromtimestamp(1_700_000_000 + s),
+                bytearray(encode_pnm(a)),
+            )
+        )
+    rows.append(
+        (1, 99, datetime.datetime.utcfromtimestamp(1_700_000_100), bytearray(b"nope"))
+    )
+    schema = "user_id long, frame_id long, ts timestamp, payload binary"
+    batch = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "frames")
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    batch.where("frame_id % 2 = 0").coalesce(1).write.parquet(src + "/a")
+    batch.where("frame_id % 2 = 1").coalesce(1).write.parquet(src + "/b")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        detect_frame_markers(stream)
+        .writeStream.format("memory")
+        .queryName("mem_framedet")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            tuple(r) for r in spark.sql("SELECT * FROM mem_framedet").collect()
+        }
+        want = {tuple(r) for r in detect_frame_markers(batch).collect()}
+        assert got == want and len(want) == 8
+    finally:
+        q.stop()
+
+
 def test_streaming_ccnet_buckets_matches_batch(spark, sf_dir):
     """The frozen-LM CCNet bucketer over a stream reproduces the batch
     NTILE assignment BIT-exactly on replayed docs: same rounded

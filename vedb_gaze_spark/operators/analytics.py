@@ -223,10 +223,6 @@ def value_anomalies(events: DataFrame) -> DataFrame:
         F.sum("u").over(w).alias("s1"),
         F.sum(F.col("u") * F.col("u")).over(w).alias("s2"),
     ).where(F.col("n_prev") >= P.ANOM_MIN)
-    z = F.expr(
-        "(u - s1 / cast(n_prev as double)) / "
-        "sqrt((s2 - s1 * s1 / cast(n_prev as double)) / cast(n_prev as double))"
-    )
     return (
         stats.withColumn(
             "var_num",

@@ -993,7 +993,9 @@ def dedup_minhash_incremental(
     return _verify_jaccard(cand, index_doc_sets.unionByName(new_ds))
 
 
-def dedup_recall(documents: DataFrame) -> DataFrame:
+def dedup_recall(
+    documents: DataFrame, sample_mod: int | None = None
+) -> DataFrame:
     """Measurement-as-operator (the ann_recall pattern, applied to
     dedup): compare the MinHash-LSH near-dup pairs against the exact
     PPJoin pair set on the same corpus and report ONE row — exact pair
@@ -1002,9 +1004,36 @@ def dedup_recall(documents: DataFrame) -> DataFrame:
     primary: if banding parameters drop below recall 1 at the
     threshold, it shows here first.
 
+    ``sample_mod`` (r7, the scale path): when set, a deterministic
+    salted doc_id-hash sample (keep iff hash % mod == 0) gates the
+    corpus BEFORE both kernels, bounding the exact PPJoin side — which
+    is superlinear on repetitive corpora (PERF_NOTES 10×-slope
+    measurement) — to a 1/mod-sized sub-corpus. The estimate is
+    UNBIASED: MinHash signatures and band keys are per-document and
+    Jaccard verification is per-pair, so whether a given pair is
+    emitted by either kernel does not depend on which OTHER documents
+    are present; a uniform doc sample therefore yields a uniform
+    (both-endpoints-kept, rate 1/mod²) sample of true pairs with their
+    full-corpus outcomes, and sample recall estimates pair recall.
+    (The exact kernel's df-ORDERED prefix filter does shift under
+    sampling, but PPJoin's filters are lossless, so its output set on
+    the sample is exactly the full pair set restricted to sampled
+    docs.) The unsampled form stays the bounded-corpus oracle face.
+
     Both kernels share the _doc_sets relation, so the corpus is
     shingle-hashed once per side and the comparison adds only
     pair-sized joins."""
+    if sample_mod is not None:
+        documents = documents.where(
+            portable_hash60(
+                F.concat(
+                    F.lit(P.RECALL_SAMPLE_SALT + ":"),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+            % sample_mod
+            == 0
+        )
     exact = dedup_ngram_jaccard(documents).select("doc_a", "doc_b")
     lsh = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
     common = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")

@@ -286,6 +286,78 @@ def ccnet_ppl_buckets(documents: DataFrame) -> DataFrame:
     )
 
 
+def ccnet_ppl_threshold(documents: DataFrame) -> DataFrame:
+    """The documented SCALE path for ccnet_ppl_buckets (r6 verdict #8):
+    per-language tertile CUTOFF VALUES from one aggregation, then a
+    broadcast compare — what CCNet itself does (Wenzek et al. 2020
+    compute bucket thresholds once and ship them with the model) —
+    instead of the exact NTILE, whose per-language window sorts each
+    language's full doc list on one task chain.
+
+    Cutoffs are EXACT order statistics, but computed from a
+    count-of-counts histogram per (lang, cross_entropy) — the
+    corpus_stats/key_skew_report median shape: the histogram is bounded
+    by distinct 6dp cross-entropy values, its cumulative window is
+    metadata-sized, and c_i = min CE with cum ≥ ceil(i·n/3). Bucket
+    assignment is then a per-row compare against the O(languages)
+    broadcast cutoff table: head iff ce ≤ c1, middle iff ce ≤ c2, else
+    tail. Ties AT a cutoff all take the lower bucket (value-determined
+    — NTILE instead splits tied docs by doc_id), so on distinct
+    cross-entropies this is ROW-IDENTICAL to ccnet_ppl_buckets
+    (pytest-pinned: threshold tertile == min NTILE tertile over each
+    tied (lang, ce) group).
+
+    The lm_score scan runs twice (once under the histogram, once under
+    the final compare) — DataFrame reuse is not plan reuse (the r4
+    corpus_pipeline lesson); at scale you persist the scored
+    projection or read it from the stored lm_score table, and the
+    operator's contract is unchanged."""
+    from vedb_gaze_spark.operators.text import lm_score
+
+    scored = lm_score(documents).join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    hist = scored.groupBy("lang", "cross_entropy").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("cross_entropy")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = hist.select(
+        "lang",
+        "cross_entropy",
+        F.sum("freq").over(wcum).alias("cum"),
+        F.sum("freq").over(Window.partitionBy("lang")).alias("n"),
+    )
+    cuts = cums.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 2) div 3"), F.col("cross_entropy"))
+        ).alias("c1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("cross_entropy")
+            )
+        ).alias("c2"),
+    )
+    tert = (
+        F.when(F.col("cross_entropy") <= F.col("c1"), F.lit(1))
+        .when(F.col("cross_entropy") <= F.col("c2"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "cross_entropy",
+        tert.alias("tertile"),
+        F.when(tert == 1, "head")
+        .when(tert == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 def filter_funnel(documents: DataFrame) -> DataFrame:
     """Per-source filter funnel: how many documents survive each quality
     gate (Gopher rules, C4 cleaning, the hashed classifier) and their

@@ -610,6 +610,152 @@ def phash_image(
     )
 
 
+def _label_components(mask):
+    """4-connected component labels over a boolean mask by iterative
+    min-label propagation, pure numpy: every foreground pixel starts
+    labeled with its own (pixel index + 1) and repeatedly takes the
+    minimum of itself and its foreground neighbors until fixpoint, so
+    a component's final label is its minimum pixel index + 1 —
+    deterministic on any platform (integer ops only, no float). Pass
+    count is bounded by the largest component's graph diameter
+    (marker blobs are tens of pixels); each pass is four vectorized
+    shifted minimums over the frame."""
+    import numpy as np
+
+    lab = np.where(
+        mask, np.arange(mask.size, dtype=np.int64).reshape(mask.shape) + 1, 0
+    )
+    while True:
+        new = lab.copy()
+        for src, dst in (
+            (np.s_[:-1, :], np.s_[1:, :]),
+            (np.s_[1:, :], np.s_[:-1, :]),
+            (np.s_[:, :-1], np.s_[:, 1:]),
+            (np.s_[:, 1:], np.s_[:, :-1]),
+        ):
+            nb = lab[src]
+            tgt = new[dst]
+            take = (nb > 0) & (tgt > 0) & (nb < tgt)
+            tgt[take] = nb[take]
+        if np.array_equal(new, lab):
+            return lab
+        lab = new
+
+
+_DETECT_SCHEMA = (
+    "user_id bigint, frame_id bigint, ts timestamp, marker_id int, "
+    "x double, y double, size bigint, norm_x double, norm_y double"
+)
+
+
+def detect_frame_markers(
+    frames: DataFrame,
+    payload_col: str = "payload",
+    threshold: int = 200,
+    min_size: int = 4,
+) -> DataFrame:
+    """Frame-level marker DETECTION on real pixels — the Spark-first
+    analog of the reference's per-frame circle-marker detector
+    (marker_detection.py:29 _find_circles_frame: detect blobs in a
+    frame, emit per-detection location / normalized position / size /
+    timestamp; the cv2 blob machinery is replaced by the declarative
+    threshold → connected components → centroid chain, the same
+    detection contract):
+
+      decode (PNM, the real codec path) → integer luma → intensity
+      threshold → 4-connected components (pure-numpy min-label
+      propagation) → one row per component with ≥ min_size pixels:
+      centroid (x, y — exact integer coordinate sums divided once,
+      floor-rounded 6dp), pixel count, and norm_x/norm_y = centroid
+      over frame dims (the reference's norm_pos).
+
+    Input rows carry (user_id, frame_id, ts, payload); output is the
+    detection STREAM that the marker pipelines consume (see
+    detections_to_marker_stream). marker_id ranks components by their
+    minimum pixel index — deterministic across platforms and
+    partitionings. Arrow-batched mapInPandas over frames: each frame
+    is one independent work item, so the operator scales with frame
+    count exactly like decode_image_frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "user_id": [], "frame_id": [], "ts": [], "marker_id": [],
+                "x": [], "y": [], "size": [], "norm_x": [], "norm_y": [],
+            }
+            for uid, fid, ts, b in zip(
+                pdf["user_id"], pdf["frame_id"], pdf["ts"], pdf[payload_col]
+            ):
+                a = decode_pnm(b) if b is not None else None
+                if a is None:
+                    continue
+                y = _luma(a)
+                h, w = y.shape
+                lab = _label_components(y >= threshold)
+                ids, inv = np.unique(lab[lab > 0], return_inverse=True)
+                if len(ids) == 0:
+                    continue
+                flat = np.flatnonzero(lab.ravel())
+                ys, xs = np.unravel_index(flat, lab.shape)
+                cnt = np.bincount(inv)
+                sx = np.bincount(inv, weights=xs.astype(np.float64))
+                sy = np.bincount(inv, weights=ys.astype(np.float64))
+                mid = 0
+                for i in range(len(ids)):
+                    if cnt[i] < min_size:
+                        continue
+                    mid += 1
+                    out["user_id"].append(uid)
+                    out["frame_id"].append(fid)
+                    out["ts"].append(ts)
+                    out["marker_id"].append(mid)
+                    cx = np.floor(sx[i] / cnt[i] * 1e6 + 0.5) / 1e6
+                    cy = np.floor(sy[i] / cnt[i] * 1e6 + 0.5) / 1e6
+                    out["x"].append(cx)
+                    out["y"].append(cy)
+                    out["size"].append(int(cnt[i]))
+                    out["norm_x"].append(np.floor(cx / w * 1e6 + 0.5) / 1e6)
+                    out["norm_y"].append(np.floor(cy / h * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(out["user_id"], dtype="int64"),
+                    "frame_id": pd.Series(out["frame_id"], dtype="int64"),
+                    "ts": pd.Series(out["ts"], dtype="datetime64[us]"),
+                    "marker_id": pd.Series(out["marker_id"], dtype="int32"),
+                    "x": pd.Series(out["x"], dtype="float64"),
+                    "y": pd.Series(out["y"], dtype="float64"),
+                    "size": pd.Series(out["size"], dtype="int64"),
+                    "norm_x": pd.Series(out["norm_x"], dtype="float64"),
+                    "norm_y": pd.Series(out["norm_y"], dtype="float64"),
+                }
+            )
+
+    return frames.select(
+        "user_id", "frame_id", "ts", payload_col
+    ).mapInPandas(run, schema=_DETECT_SCHEMA)
+
+
+def detections_to_marker_stream(
+    detections: DataFrame, value_col: str = "x"
+) -> DataFrame:
+    """Adapt the detection stream to the events schema the marker
+    pipelines consume (user_id, event_id, ts, event_type='error',
+    value) — value defaults to the detection's horizontal centroid, so
+    marker_filter_cluster's grid clustering recovers marker POSITIONS
+    (med_value ≈ the planted center). event_id packs (frame_id,
+    marker_id) so duplicate-timestamp removal and ordering stay
+    deterministic without a global row_number."""
+    return detections.select(
+        "user_id",
+        (F.col("frame_id") * 1000 + F.col("marker_id")).alias("event_id"),
+        "ts",
+        F.lit("error").alias("event_type"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+
+
 def image_phash_dedup(
     documents: DataFrame,
     payload_col: str = "payload",

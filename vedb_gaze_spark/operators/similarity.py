@@ -791,43 +791,40 @@ def semdedup_prune(
 # Nearest Neighbor Search") ------------------------------------------------
 
 
-def _pq_books_lit(books: list[list[list[float]]]) -> str:
-    """Codebooks as ONE nested literal array expression
-    (books[sub][cell][dim] — m·k_sub·d_sub floats, ~1k for the default
-    8×16×8 config): model state lives in the PLAN, never broadcast."""
-    return (
-        "array("
-        + ", ".join(
-            "array("
-            + ", ".join(
-                "array(" + ", ".join(repr(float(x)) for x in c) + ")"
-                for c in book
+def _pq_encode_gen(books: list[list[list[float]]], id_col: str, out_id: str):
+    """mapInPandas generator: PQ-encode each Arrow batch with one numpy
+    pass — for each subspace j, the argmin-L2 codebook cell of the j-th
+    subvector (np.argmin = first minimum, the same tie rule the old
+    array_position expression had). The codebooks ride the CLOSURE
+    (m·k_sub·d_sub floats — model state, never a corpus broadcast).
+
+    Why Python here and not Catalyst array algebra: the expression form
+    was m nested transform/aggregate higher-order functions per row,
+    which evaluate INTERPRETED (outside whole-stage codegen) — the exact
+    mechanism behind hash_embed's 74 s and multimodal_phash_dedup's
+    15.7 s before their rewrites (PERF_NOTES r5/r6). One vectorized
+    Arrow batch replaces ~2·m·k_sub·d_sub interpreted ops per row."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        B = np.array(books, dtype=np.float64)  # (m, k_sub, d_sub)
+        m, _, d_sub = B.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+            Vs = V.reshape(len(V), m, d_sub)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                D = ((Vs[:, j, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = D.argmin(1)
+            yield pd.DataFrame(
+                {out_id: pdf[id_col].to_numpy(), "codes": list(codes)}
             )
-            + ")"
-            for book in books
-        )
-        + ")"
-    )
 
-
-def _pq_codes_expr(books: list[list[list[float]]], vec_col: str) -> str:
-    """PQ encoding as a per-row expression: for each subspace j, the
-    argmin-L2 codebook cell of the j-th subvector. First-minimum ties
-    via array_position — deterministic on both engines."""
-    m, d = len(books), len(books[0][0])
-    B = _pq_books_lit(books)
-    return (
-        f"transform(sequence(0, {m - 1}), j -> "
-        f"cast(array_position("
-        f"  transform(element_at({B}, j + 1), c -> "
-        f"    aggregate(zip_with(slice({vec_col}, j * {d} + 1, {d}), c, "
-        f"      (x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
-        f"      (acc, x) -> acc + x)), "
-        f"  array_min(transform(element_at({B}, j + 1), c -> "
-        f"    aggregate(zip_with(slice({vec_col}, j * {d} + 1, {d}), c, "
-        f"      (x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
-        f"      (acc, x) -> acc + x)))) - 1 as int))"
-    )
+    return gen
 
 
 def pq_train(
@@ -854,21 +851,58 @@ def pq_train(
         for j in range(m)
     ]
     for _ in range(iters):
-        pairs = (
-            v.select(
-                F.expr(
-                    f"inline(zip_with(sequence(0, {m - 1}), "
-                    f"{_pq_codes_expr(books, 'v')}, "
-                    f"(j, c) -> struct(j as sub, c as code, "
-                    f"slice(v, j * {d_sub} + 1, {d_sub}) as sv)))"
-                )
+        bk = [list(map(list, book)) for book in books]
+
+        def partials(batches, _bk=bk):
+            import numpy as np
+            import pandas as pd
+
+            B = np.array(_bk, dtype=np.float64)  # (m, k_sub, d_sub)
+            mm, kk, dd = B.shape
+            s = np.zeros((mm, kk, dd), dtype=np.float64)
+            n = np.zeros((mm, kk), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+                Vs = V.reshape(len(V), mm, dd)
+                for j in range(mm):
+                    D = ((Vs[:, j, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+                    c = D.argmin(1)
+                    np.add.at(s[j], c, Vs[:, j])
+                    n[j] += np.bincount(c, minlength=kk)
+            sub, code, dim = np.meshgrid(
+                np.arange(mm), np.arange(kk), np.arange(dd), indexing="ij"
             )
-            .select("sub", "code", F.posexplode("sv").alias("dim", "x"))
+            yield pd.DataFrame(
+                {
+                    "sub": sub.ravel().astype(np.int32),
+                    "code": code.ravel().astype(np.int32),
+                    "dim": dim.ravel().astype(np.int32),
+                    "s": s.ravel(),
+                    "n": np.repeat(n.ravel(), dd),
+                }
+            )
+
+        # each task emits ONE fixed-size partial-sum table (m·k_sub·d_sub
+        # rows) regardless of how many vectors it assigned — the shuffle
+        # is model-sized, the corpus never moves (map-side combine done
+        # by hand in numpy; the old form exploded corpus×dims rows)
+        rows = (
+            v.mapInPandas(
+                partials,
+                "sub int, code int, dim int, s double, n bigint",
+            )
+            .groupBy("sub", "code", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .where(F.col("n") > 0)
+            .collect()
         )
-        rows = pairs.groupBy("sub", "code", "dim").agg(F.avg("x").alias("mu")).collect()
         nxt = [[list(c) for c in book] for book in books]
         for r in rows:
-            nxt[r["sub"]][r["code"]][r["dim"]] = round(float(r["mu"]), 6)
+            nxt[r["sub"]][r["code"]][r["dim"]] = round(
+                float(r["s"]) / float(r["n"]), 6
+            )
         books = nxt
     v.unpersist()
     return books
@@ -879,9 +913,11 @@ def pq_encode(
 ) -> DataFrame:
     """Corpus → (vec_id, codes array<int>): m bytes of index per vector
     instead of dims floats — the 32× compression that makes a 100 TB
-    embedding store scannable from a few TB of codes."""
-    return _vecs(embeddings).select(
-        "vec_id", F.expr(_pq_codes_expr(books, "v")).alias("codes")
+    embedding store scannable from a few TB of codes. One narrow
+    no-shuffle numpy pass (_pq_encode_gen)."""
+    return _vecs(embeddings).mapInPandas(
+        _pq_encode_gen(books, "vec_id", "vec_id"),
+        "vec_id bigint, codes array<int>",
     )
 
 
@@ -895,27 +931,20 @@ def ann_pq(
     rerank_mult: int = 8,
 ) -> DataFrame:
     """PQ asymmetric-distance search with exact rerank: train codebooks
-    (pq_train), encode the corpus once, score candidates by table
-    lookup, exact-cosine only the survivors.
-
-    ADC in-plan: each QUERY row carries its m×k_sub lookup table
-    (query-subvector · codebook-cell dots, built from the codebook
-    literal — one tiny array per query), broadcast to the corpus; a
-    candidate's score is then an m-term LUT sum — O(m) per pair instead
-    of O(dims), the PQ speedup, expressed entirely in JVM array
-    algebra. Partition-local top-(rerank_mult·k) pruning keeps the
-    per-query window metadata-sized (the _partial_topk argument), and
-    the exact rerank touches only rerank_mult·k full vectors per query.
-    Rows-only oracle (trained codebooks inherit avg() float order);
-    recall vs the exact scan is pinned in tests/test_plans.py."""
+    (pq_train), encode the corpus once (numpy mapInPandas — the
+    interpreted-HOF expression form cost ~2·m·k_sub·d_sub interpreted
+    ops per row, PERF_NOTES r5/r6), score candidates by table lookup
+    in chunked numpy tasks with the top-(rerank_mult·k) prune fused in
+    (_pq_search), exact-cosine only the survivors (Catalyst
+    expression, so rerank cosines stay bit-equal to the brute-force
+    operator — test-pinned). Rows-only oracle (trained codebooks
+    inherit float summation order); recall vs the exact scan is pinned
+    in tests/test_plans.py."""
     books = pq_train(embeddings, m=m, k_sub=k_sub, iters=iters)
     v = _vecs(embeddings)
-    corpus_codes = (
-        v.where(F.col("vec_id") >= n_queries)
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(_pq_codes_expr(books, "v")).alias("codes"),
-        )
+    corpus_codes = v.where(F.col("vec_id") >= n_queries).mapInPandas(
+        _pq_encode_gen(books, "vec_id", "neighbor_id"),
+        "neighbor_id bigint, codes array<int>",
     )
     queries = v.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -940,33 +969,81 @@ def _pq_search(
     batch rows. The codes side never carries full vectors; the rerank
     fetch touches rerank_mult·k candidates per query (the production
     PQ shape: scan the byte-code index, fetch originals per
-    candidate)."""
+    candidate).
+
+    ADC layout (r7 rewrite — the interpreted-HOF kill, PERF_NOTES
+    r5/r6): the codes table groups into neighbor_id-range CHUNKS
+    (collect_list — the dedup_embedding_cosine blocked-GEMM work unit);
+    the bounded query set aggregates into ONE row; their crossJoin
+    gives n/CHUNK rows, each scored by a numpy task that builds every
+    query's m×k_sub lookup table ONCE (subvector·codebook dots from
+    the closure-held codebooks), gathers each candidate's m-term LUT
+    sum, and emits only the per-(chunk, query) top-(rerank_mult·k)
+    under the final total order (ADC desc, neighbor_id asc) — the
+    partial-top-k prune fused into the scoring pass. Arrow traffic is
+    one pass over the codes plus rerank-candidate rows out; the old
+    per-(code,query)-row expression form evaluated an INTERPRETED
+    aggregate/zip_with chain per pair and shipped a per-row LUT through
+    the broadcast join. The shuffle that builds chunks moves m ints
+    per vector — the compressed index, never vectors."""
     m = len(books)
-    d_sub = len(books[0][0])
-    B = _pq_books_lit(books)
-    lut = (
-        f"transform(sequence(0, {m - 1}), j -> "
-        f"transform(element_at({B}, j + 1), c -> "
-        f"aggregate(zip_with(slice(qv, j * {d_sub} + 1, {d_sub}), c, "
-        f"(x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)))"
+    bk = [list(map(list, book)) for book in books]
+    rk = rerank_mult * k
+    chunks = corpus_codes.groupBy(
+        F.floor(F.col("neighbor_id") / P.PQ_CHUNK).alias("blk")
+    ).agg(F.collect_list(F.struct("neighbor_id", "codes")).alias("items"))
+    qagg = queries.agg(
+        F.collect_list(F.struct("query_id", "qv")).alias("qs")
     )
-    q = queries.select("query_id", "qv", F.expr(lut).alias("lut"))
-    adc = F.expr(
-        "round(aggregate(zip_with(sequence(0, size(codes) - 1), codes, "
-        "(j, c) -> element_at(element_at(lut, j + 1), c + 1)), "
-        "cast(0.0 as double), (acc, x) -> acc + x), 6)"
+
+    def score_topk(batches, _bk=bk, _rk=rk):
+        import numpy as np
+        import pandas as pd
+
+        B = np.array(_bk, dtype=np.float64)  # (m, k_sub, d_sub)
+        mm, _, dd = B.shape
+        for pdf in batches:
+            outs = []
+            for items, qs in zip(pdf["items"], pdf["qs"]):
+                if len(items) == 0 or len(qs) == 0:
+                    continue
+                nid = np.array([r["neighbor_id"] for r in items], np.int64)
+                C = np.array([r["codes"] for r in items], np.int64)  # (n, m)
+                jj = np.arange(mm)[None, :]
+                for qr in qs:
+                    qv = np.array(list(qr["qv"]), np.float64).reshape(mm, dd)
+                    lut = (B * qv[:, None, :]).sum(-1)  # (m, k_sub)
+                    adc = np.round(lut[jj, C].sum(1), 6)
+                    if len(nid) > _rk:
+                        top = np.lexsort((nid, -adc))[:_rk]
+                    else:
+                        top = np.arange(len(nid))
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(
+                                    len(top), qr["query_id"], np.int64
+                                ),
+                                "neighbor_id": nid[top],
+                                "cosine": adc[top],
+                            }
+                        )
+                    )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype="int64"),
+                        "neighbor_id": pd.Series(dtype="int64"),
+                        "cosine": pd.Series(dtype="float64"),
+                    }
+                )
+            )
+
+    pruned = chunks.crossJoin(F.broadcast(qagg)).mapInPandas(
+        score_topk, "query_id bigint, neighbor_id bigint, cosine double"
     )
-    scored = (
-        corpus_codes.crossJoin(F.broadcast(q.drop("qv")))
-        .withColumn("cosine", adc)  # ADC estimate drives the prune order
-        .drop("lut")
-    )
-    # _partial_topk keeps only (query_id, neighbor_id, cosine): the codes
-    # scan never carries full vectors. Rerank re-joins the candidate ids
-    # against the full-precision store — the production PQ shape, where
-    # the byte-code table is scanned and originals are fetched per
-    # candidate (candidate set is queries·rerank_mult·k rows, tiny).
-    pruned = _partial_topk(scored, rerank_mult * k)
     wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     cand = (
         pruned.withColumn("r", F.row_number().over(wq))

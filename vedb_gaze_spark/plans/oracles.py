@@ -2990,6 +2990,56 @@ SELECT c.doc_id, d.lang, c.cross_entropy,
 FROM ce c JOIN documents d USING (doc_id)
 """
 
+# Threshold-bucketing variant (operators/filtering.py:
+# ccnet_ppl_threshold): exact order-statistic cutoffs from the
+# count-of-counts histogram, broadcast compare; ties at a cutoff take
+# the lower bucket.
+_CCN_CE = """
+toks AS (
+  SELECT doc_id, unnest({tok}) AS word FROM documents
+),
+wc AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+stats AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, count(*) AS vocab FROM wc),
+logq AS (
+  SELECT word, CAST(floor(ln((cnt + 1.0) / (n_total + vocab)) * 1e6 + 0.5) AS BIGINT) AS logq
+  FROM wc CROSS JOIN stats
+),
+ce AS (
+  SELECT t.doc_id, round(-CAST(sum(l.logq) AS BIGINT) / (1e6 * count(*)), 6) AS cross_entropy
+  FROM toks t JOIN logq l USING (word) GROUP BY t.doc_id
+)
+""".format(tok=_TOKENS_SQL)
+
+CCNET_PPL_THRESHOLD = f"""
+WITH {_CCN_CE},
+sc AS (
+  SELECT c.doc_id, d.lang, c.cross_entropy
+  FROM ce c JOIN documents d USING (doc_id)
+),
+hist AS (
+  SELECT lang, cross_entropy, count(*) AS freq FROM sc GROUP BY lang, cross_entropy
+),
+cums AS (
+  SELECT lang, cross_entropy,
+         sum(freq) OVER (PARTITION BY lang ORDER BY cross_entropy
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(freq) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+cuts AS (
+  SELECT lang,
+         min(CASE WHEN cum >= (n + 2) // 3 THEN cross_entropy END) AS c1,
+         min(CASE WHEN cum >= (2 * n + 2) // 3 THEN cross_entropy END) AS c2
+  FROM cums GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.cross_entropy,
+       CAST(CASE WHEN s.cross_entropy <= c.c1 THEN 1
+                 WHEN s.cross_entropy <= c.c2 THEN 2 ELSE 3 END AS INT) AS tertile,
+       CASE WHEN s.cross_entropy <= c.c1 THEN 'head'
+            WHEN s.cross_entropy <= c.c2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM sc s JOIN cuts c USING (lang)
+"""
+
 
 # Point-in-interval range join, aggregated per incident
 # (operators/temporal.py:incident_window_stats over interval_join).
@@ -3075,9 +3125,10 @@ WITH base AS (
     sqrt(CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT)) AS nrm
   FROM c
 )
-SELECT doc_id,
-       list_transform(c, x -> floor(x / nrm * 1e6 + 0.5) / 1e6) AS embedding
-FROM n WHERE nrm > 0
+SELECT doc_id, CAST(g.i - 1 AS INT) AS bucket,
+       floor(c[g.i] / nrm * 1e6 + 0.5) / 1e6 AS value
+FROM n, unnest(generate_series(1, len(c))) AS g(i)
+WHERE nrm > 0
 """
 
 
@@ -3291,11 +3342,15 @@ SELECT event_id, user_id, value, n_prev,
        floor(((u - s1 / CAST(n_prev AS DOUBLE)) /
               sqrt((s2 - s1 * s1 / CAST(n_prev AS DOUBLE)) / CAST(n_prev AS DOUBLE)))
              * 1e6 + 0.5) / 1e6 AS z
-FROM (SELECT *, CAST(s1 AS BIGINT) AS s1b, CAST(s2 AS BIGINT) AS s2b FROM s) t
+FROM s
 WHERE n_prev >= {P.ANOM_MIN}
   AND (s2 - s1 * s1 / CAST(n_prev AS DOUBLE)) > 0
-  AND abs((u - s1 / CAST(n_prev AS DOUBLE)) /
-          sqrt((s2 - s1 * s1 / CAST(n_prev AS DOUBLE)) / CAST(n_prev AS DOUBLE)))
+  -- threshold on the 6dp-ROUNDED z, exactly as the Spark plan (and the
+  -- streaming twin) gate it — gating on raw z would emit a different
+  -- set whenever |z| lands in [Z - 5e-7, Z) (r6 ADVICE item)
+  AND abs(floor(((u - s1 / CAST(n_prev AS DOUBLE)) /
+                 sqrt((s2 - s1 * s1 / CAST(n_prev AS DOUBLE)) / CAST(n_prev AS DOUBLE)))
+                * 1e6 + 0.5) / 1e6)
       >= {P.ANOM_Z}
 """
 
@@ -3342,6 +3397,37 @@ WITH ex AS (
 ),
 ls AS (
 {DEDUP_MINHASH_LSH}
+),
+c AS (
+  SELECT count(*) AS n_common
+  FROM (SELECT doc_a, doc_b FROM ex INTERSECT SELECT doc_a, doc_b FROM ls)
+),
+ne AS (SELECT count(*) AS n_exact FROM ex),
+nl AS (SELECT count(*) AS n_lsh FROM ls)
+SELECT n_exact, n_lsh, n_common,
+       CASE WHEN n_exact > 0
+            THEN floor(n_common / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS recall,
+       CASE WHEN n_lsh > 0
+            THEN floor(n_common / CAST(n_lsh AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS precision
+FROM ne, nl, c
+"""
+
+# Sampled dedup-recall gate (operators/dedup.py:dedup_recall with
+# sample_mod — the scale-runnable variant): the identical two pair
+# kernels over a deterministic salted doc_id-hash sub-corpus. The pair
+# SQLs read documents only through the shingle CTE, so retargeting that
+# one FROM at the sampled CTE is the whole rewrite (asserted).
+assert DEDUP_NGRAM_JACCARD.count("FROM documents") == 1
+assert DEDUP_MINHASH_LSH.count("FROM documents") == 1
+_DRS_KEY = f"'{P.RECALL_SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)"
+_DRS_PRED = f"{_h60(_DRS_KEY)} % {P.RECALL_SAMPLE_MOD} = 0"
+DEDUP_RECALL_SAMPLED = f"""
+WITH dsmp AS (SELECT * FROM documents WHERE {_DRS_PRED}),
+ex AS (
+{DEDUP_NGRAM_JACCARD.replace("FROM documents,", "FROM dsmp,")}
+),
+ls AS (
+{DEDUP_MINHASH_LSH.replace("FROM documents,", "FROM dsmp,")}
 ),
 c AS (
   SELECT count(*) AS n_common

@@ -402,3 +402,18 @@ SKEW_TOPK = 10
 # + (1-LAMBDA)·Laplace-unigram(w). Same micro-nat integer quantization
 # as lm_score so per-doc sums are order-independent.
 LM2_LAMBDA = 0.7
+# Sampled dedup-recall gate (r7): deterministic doc_id-hash sample fed
+# to BOTH dedup kernels so the recall measurement is runnable at any
+# corpus size (the exact PPJoin kernel is superlinear on repetitive
+# corpora — PERF_NOTES 10×-slope table). Pair-level decisions are
+# unaffected by which OTHER docs are present (signatures/verification
+# are per-doc/per-pair), so recall on a uniform doc sample is an
+# unbiased estimate of pair recall. MOD=2 keeps ~1/4 of true pairs.
+RECALL_SAMPLE_MOD = 2
+RECALL_SAMPLE_SALT = "rs"
+# PQ ADC chunking (r7): neighbor_id-range width of one codes chunk —
+# the numpy scoring task's work unit (the dedup_embedding_cosine
+# blocked-GEMM pattern). Each task holds CHUNK·m code ints + the
+# bounded query set; sized so a chunk's LUT-gather saturates one core
+# without approaching task memory (4096 codes × 8 subs × 8 B = 256 KB).
+PQ_CHUNK = 4096

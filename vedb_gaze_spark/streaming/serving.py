@@ -53,7 +53,7 @@ def write_pq_index(
     it fetches candidates from. One encode pass; serving never
     re-encodes."""
     from vedb_gaze_spark.operators.similarity import (
-        _pq_codes_expr,
+        _pq_encode_gen,
         _vecs,
         pq_train,
     )
@@ -61,9 +61,9 @@ def write_pq_index(
     books = pq_train(embeddings, m=m, k_sub=k_sub, iters=iters)
     v = _vecs(embeddings)
     corpus = v.where(F.col("vec_id") >= n_queries)
-    corpus.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.expr(_pq_codes_expr(books, "v")).alias("codes"),
+    corpus.mapInPandas(
+        _pq_encode_gen(books, "vec_id", "neighbor_id"),
+        "neighbor_id bigint, codes array<int>",
     ).write.mode("overwrite").parquet(f"{path}/codes")
     corpus.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
