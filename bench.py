@@ -105,6 +105,7 @@ HEADLINE = [
     # r7 additions
     "dedup_recall_sampled",
     "ccnet_ppl_threshold",
+    "ann_ivfpq",
 ]
 
 
@@ -139,6 +140,7 @@ def main() -> None:
             "trade_pagerank",
             "semdedup_trained",
             "ann_pq",
+            "ann_ivfpq",
             "bpe_stats",
         ):
             if wname in QUERIES:

@@ -281,6 +281,10 @@ def test_no_driver_collect_in_operators():
         # (model state — the streaming analog of shipping a KenLM
         # binary per worker) and O(languages) tertile boundary keys
         "def ccnet_model",
+        # IVFADC serving probe: collects the DISTINCT probed cell ids
+        # for a query batch (≤ n_cells ints — partition-pruning
+        # metadata, the maintenance.py bucket-id pattern), never rows
+        "def probed_codes",
     )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []
@@ -1131,3 +1135,52 @@ def test_pq_encode_shape_and_recall(spark, sf_dir):
     assert len(common) / len(eset) >= 0.5
     for pair in common:
         assert gset[pair] == eset[pair], pair
+
+
+def test_ann_ivfpq_probes_cells_and_reranks_exactly(spark, sf_dir):
+    """IVFADC pins: (a) every returned neighbor lives in one of its
+    query's nprobe probed cells (the inverted-file contract — the scan
+    never left the probe set); (b) rerank cosines are bit-equal to the
+    brute-force operator on common pairs; (c) recall vs the exact scan
+    clears the floor this layout reaches on near-uniform vectors with
+    nprobe/n_cells coverage; (d) the probe meets the codes via an
+    EQUI-JOIN on cell, never a cartesian (the IVF win over ann_pq's
+    scan-all-codes)."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators import similarity
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    df = similarity.ann_ivfpq(emb)
+    got = df.collect()
+    assert len(got) > 0
+
+    C = np.array(P.IVF_CENTROIDS, dtype=np.float64)
+    vecs = {
+        r.vec_id: np.array(list(r.embedding), dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    nq = P.ANN_N_QUERIES
+    probed = {
+        q: set(np.argsort(-(vecs[q] @ C.T), kind="stable")[: P.IVF_PROBES])
+        for q in range(nq)
+        if q in vecs
+    }
+    for r in got:
+        cell = int((vecs[r.neighbor_id] @ C.T).argmax())
+        assert cell in probed[r.query_id], (r, cell)
+
+    exact = similarity.ann_cosine_topk(emb).collect()
+    gset = {(r.query_id, r.neighbor_id): r.cosine for r in got}
+    eset = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    common = set(gset) & set(eset)
+    # probe coverage bounds recall on this near-uniform corpus; the
+    # floor is what nprobe/n_cells coverage yields with margin
+    assert len(common) / len(eset) >= 0.2, len(common) / len(eset)
+    for pair in common:
+        assert gset[pair] == eset[pair], pair
+
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s

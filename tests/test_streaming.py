@@ -1661,3 +1661,71 @@ def test_streaming_pq_serving_matches_batch(spark, sf_dir, tmp_path):
     job.process(queries.where(F.col("vec_id") % 2 == 0), 0)
     again = {tuple(r) for r in job.results(spark).collect()}
     assert again == want
+
+
+def test_streaming_ivfpq_serving_prunes_partitions_and_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """The cell-partitioned IVFADC index: (a) the per-batch codes scan
+    carries the probed-cell predicate as a PartitionFilter (parquet
+    file pruning — the scan never reads unprobed cells' files); (b)
+    streamed answers equal the batch ann_ivfpq rows exactly (shared
+    _ivfpq_search kernel over the same trained codebooks); (c)
+    replaying a batch id is idempotent."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.similarity import ann_ivfpq, _vecs
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.streaming.serving import (
+        IVFPQServing,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = str(tmp_path / "ivfpq_index")
+    books = write_ivfpq_index(emb, idx)
+    # the stored layout IS the inverted file: one directory per cell
+    cells_on_disk = {
+        d for d in os.listdir(os.path.join(idx, "codes")) if d.startswith("cell=")
+    }
+    assert len(cells_on_disk) > 1
+
+    job = IVFPQServing(idx, str(tmp_path / "ivfpq_out"), books)
+    queries = _vecs(
+        emb.where(F.col("vec_id") < P.ANN_N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    pruned_scan = job.probed_codes(spark, queries)
+    plan = pruned_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    qsrc = str(tmp_path / "ivfpq_queries")
+    qraw = emb.where(F.col("vec_id") < P.ANN_N_QUERIES)
+    qraw.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(qsrc, "c0")
+    )
+    qraw.where(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(qsrc, "c1")
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(qsrc)
+    )
+    q = (
+        stream.writeStream.foreachBatch(job.process)
+        .option("checkpointLocation", str(tmp_path / "ivfpq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {tuple(r) for r in job.results(spark).collect()}
+    want = {tuple(r) for r in ann_ivfpq(emb).collect()}
+    assert got == want and len(want) > 0
+
+    job.process(qraw.where(F.col("vec_id") % 2 == 1), 1)
+    again = {tuple(r) for r in job.results(spark).collect()}
+    assert again == want

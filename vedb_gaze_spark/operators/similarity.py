@@ -828,43 +828,63 @@ def _pq_encode_gen(books: list[list[list[float]]], id_col: str, out_id: str):
 
 
 def pq_train(
-    embeddings: DataFrame, m: int = 8, k_sub: int = 16, iters: int = 3
+    embeddings: DataFrame,
+    m: int = 8,
+    k_sub: int = 16,
+    iters: int = 3,
+    coarse_centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Distributed Lloyd's over every subspace AT ONCE: one Spark job
     per iteration assigns all (vector, subspace) pairs to their argmin
-    cell and averages components per (subspace, cell, dim) with
-    map-side partial aggregation — the shuffle is m·k_sub·d_sub rows,
+    cell and sums components per (subspace, cell, dim) as FIXED-SIZE
+    numpy partial tables per task — the shuffle is m·k_sub·d_sub rows,
     never the corpus. Driver holds only the codebooks between
     iterations (the ivf_train_centroids model-state pattern).
-    Deterministic init: subvectors of the first k_sub vectors."""
+    Deterministic init: subvectors of the first k_sub vectors.
+
+    ``coarse_centroids`` (IVFADC): when given, training runs on the
+    RESIDUALS v − centroid[argmax-dot cell] — the codebooks quantize
+    what the coarse quantizer does not explain (Jégou et al. 2011
+    §IV)."""
+    import numpy as np
+
     # cached: each Lloyd's iteration (plus the dims probe and init
     # collect) scans the parsed vector relation
     v = _vecs(embeddings).persist()
     dims = len(v.select("v").first()["v"])
     d_sub = dims // m
     init = v.where(F.col("vec_id") < k_sub).orderBy("vec_id").select("v").collect()
+    init_V = np.array([list(r["v"]) for r in init], dtype=np.float64)
+    if coarse_centroids is not None:
+        Cc = np.array(coarse_centroids, dtype=np.float64)
+        init_V = init_V - Cc[(init_V @ Cc.T).argmax(1)]
     books = [
         [
-            [round(float(x), 6) for x in r["v"][j * d_sub : (j + 1) * d_sub]]
-            for r in init
+            [round(float(x), 6) for x in row[j * d_sub : (j + 1) * d_sub]]
+            for row in init_V
         ]
         for j in range(m)
     ]
     for _ in range(iters):
         bk = [list(map(list, book)) for book in books]
 
-        def partials(batches, _bk=bk):
+        def partials(batches, _bk=bk, _cc=coarse_centroids):
             import numpy as np
             import pandas as pd
 
             B = np.array(_bk, dtype=np.float64)  # (m, k_sub, d_sub)
             mm, kk, dd = B.shape
+            Cc = (
+                np.array(_cc, dtype=np.float64) if _cc is not None else None
+            )
             s = np.zeros((mm, kk, dd), dtype=np.float64)
             n = np.zeros((mm, kk), dtype=np.int64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 V = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+                if Cc is not None:
+                    V = V - Cc[(V @ Cc.T).argmax(1)]
                 Vs = V.reshape(len(V), mm, dd)
                 for j in range(mm):
                     D = ((Vs[:, j, None, :] - B[j][None, :, :]) ** 2).sum(-1)
@@ -1044,6 +1064,22 @@ def _pq_search(
     pruned = chunks.crossJoin(F.broadcast(qagg)).mapInPandas(
         score_topk, "query_id bigint, neighbor_id bigint, cosine double"
     )
+    return _pq_rerank(pruned, queries, full_vectors, k, rerank_mult)
+
+
+def _pq_rerank(
+    pruned: DataFrame,
+    queries: DataFrame,
+    full_vectors: DataFrame,
+    k: int,
+    rerank_mult: int,
+) -> DataFrame:
+    """Shared ADC→exact tail (ann_pq, ann_ivfpq, PQ serving): global
+    top-(rerank_mult·k) per query over the pre-pruned ADC estimates
+    (metadata-sized window), fetch those candidates' full vectors, and
+    rank by the EXACT sequential-fold cosine — a Catalyst expression,
+    so rerank cosines are bit-equal to the brute-force operator
+    (test-pinned)."""
     wq = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     cand = (
         pruned.withColumn("r", F.row_number().over(wq))
@@ -1061,3 +1097,201 @@ def _pq_search(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_score", "cosine")
     )
+
+
+def ann_ivfpq(
+    embeddings: DataFrame,
+    k: int = P.ANN_K,
+    n_queries: int = P.ANN_N_QUERIES,
+    m: int = 8,
+    k_sub: int = 16,
+    iters: int = 3,
+    nprobe: int = P.IVF_PROBES,
+    rerank_mult: int = 8,
+) -> DataFrame:
+    """IVFADC — the inverted-file + PQ composition (Jégou et al. 2011
+    §IV, the production large-scale ANN layout): coarse cells in front
+    of the compressed codes, so a query scans nprobe/n_cells of the
+    code table instead of all of it — the r6 verdict's named gap for
+    ann_pq at 100 TB ("scan-all-codes ... wants IVF cells in front").
+
+    Layout: every corpus vector is assigned its argmax-dot coarse cell
+    (the fixed P.IVF_CENTROIDS literals, same geometry as ann_ivf) and
+    PQ-encoded as the RESIDUAL v − centroid (the paper's IVFADC: the
+    codebooks quantize what the coarse cell does not explain, trained
+    by the same model-state-only Lloyd's on residuals). The stored
+    index is (neighbor_id, cell, codes) — cell is a plain partition/
+    bucket column at scale.
+
+    Search: queries coarse-assign to their nprobe best cells (numpy,
+    bounded query set), then an EQUI-JOIN on cell — not a crossJoin —
+    meets the (cell, chunk)-grouped code table; each joined row scores
+    one chunk of one probed cell against one query with the residual
+    LUT (ADC estimate = q·centroid + Σ_j LUT_j[code_j], the constant
+    cell term re-added so estimates compare ACROSS cells in the global
+    prune window) and emits only its top-(rerank_mult·k). Exact rerank
+    shares _pq_rerank with ann_pq. Hot cells do not become hot tasks:
+    the chunk key splits a cell at PQ_CHUNK codes.
+
+    Rows-only (trained residual codebooks inherit float summation
+    order); pins in tests/test_plans.py: probed-cell containment,
+    recall floor vs the exact scan, rerank cosines bit-equal,
+    cell-equi-join plan shape."""
+    cents = [list(map(float, c)) for c in P.IVF_CENTROIDS]
+    v = _vecs(embeddings)
+    corpus_v = v.where(F.col("vec_id") >= n_queries)
+    books = pq_train(
+        embeddings, m=m, k_sub=k_sub, iters=iters, coarse_centroids=cents
+    )
+    codes = corpus_v.mapInPandas(
+        _ivfpq_encode_gen(books, cents),
+        "neighbor_id bigint, cell int, codes array<int>",
+    )
+    queries = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    full = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    return _ivfpq_search(
+        queries, codes, full, books, cents, k, nprobe, rerank_mult
+    )
+
+
+def _ivfpq_encode_gen(
+    books: list[list[list[float]]], cents: list[list[float]]
+):
+    """mapInPandas generator: coarse-assign (argmax dot) + residual PQ
+    codes in one numpy pass. Shared by ann_ivfpq and write_ivfpq_index
+    (streaming/serving.py)."""
+    bk = [list(map(list, book)) for book in books]
+
+    def gen(batches, _bk=bk, _c=cents):
+        import numpy as np
+        import pandas as pd
+
+        B = np.array(_bk, dtype=np.float64)
+        C = np.array(_c, dtype=np.float64)
+        mm, _, dd = B.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+            cell = (V @ C.T).argmax(1)
+            R = (V - C[cell]).reshape(len(V), mm, dd)
+            codes = np.empty((len(V), mm), dtype=np.int32)
+            for j in range(mm):
+                D = ((R[:, j, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = D.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    return gen
+
+
+def _ivf_probe(
+    queries: DataFrame, cents: list[list[float]], nprobe: int
+) -> DataFrame:
+    """(query_id, qv) → one row per (query, probed cell): the nprobe
+    argmax-dot cells per query, computed in one numpy pass over the
+    bounded query set."""
+
+    def gen(batches, _c=cents, _np=nprobe):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(_c, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array([list(x) for x in pdf["qv"]], dtype=np.float64)
+            order = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :_np]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(), order.shape[1]
+                    ),
+                    "cell": order.ravel().astype(np.int32),
+                    "qv": [list(x) for x in np.repeat(Q, order.shape[1], 0)],
+                }
+            )
+
+    return queries.mapInPandas(gen, "query_id bigint, cell int, qv array<double>")
+
+
+def _ivfpq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    full_vectors: DataFrame,
+    books: list[list[list[float]]],
+    cents: list[list[float]],
+    k: int,
+    nprobe: int,
+    rerank_mult: int,
+) -> DataFrame:
+    """The IVFADC search kernel over a codes relation (neighbor_id,
+    cell, codes) — shared verbatim by the batch ann_ivfpq face and the
+    partition-pruned serving job (streaming/serving.py), so streamed
+    answers are definitionally the batch rows. See ann_ivfpq for the
+    layout rationale."""
+    bk = [list(map(list, book)) for book in books]
+    rk = rerank_mult * k
+    chunks = codes.groupBy(
+        "cell", F.floor(F.col("neighbor_id") / P.PQ_CHUNK).alias("blk")
+    ).agg(F.collect_list(F.struct("neighbor_id", "codes")).alias("items"))
+    qprobe = _ivf_probe(queries, cents, nprobe)
+
+    def score_topk(batches, _bk=bk, _c=cents, _rk=rk):
+        import numpy as np
+        import pandas as pd
+
+        B = np.array(_bk, dtype=np.float64)
+        C = np.array(_c, dtype=np.float64)
+        mm, _, dd = B.shape
+        jj = np.arange(mm)[None, :]
+        for pdf in batches:
+            outs = []
+            for qid, items, cell, qv in zip(
+                pdf["query_id"], pdf["items"], pdf["cell"], pdf["qv"]
+            ):
+                if len(items) == 0:
+                    continue
+                nid = np.array([r["neighbor_id"] for r in items], np.int64)
+                Cd = np.array([r["codes"] for r in items], np.int64)
+                q = np.array(list(qv), np.float64)
+                lut = (B * q.reshape(mm, dd)[:, None, :]).sum(-1)
+                qc = float(q @ C[int(cell)])
+                adc = np.round(qc + lut[jj, Cd].sum(1), 6)
+                if len(nid) > _rk:
+                    top = np.lexsort((nid, -adc))[:_rk]
+                else:
+                    top = np.arange(len(nid))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(top), qid, np.int64),
+                            "neighbor_id": nid[top],
+                            "cosine": adc[top],
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype="int64"),
+                        "neighbor_id": pd.Series(dtype="int64"),
+                        "cosine": pd.Series(dtype="float64"),
+                    }
+                )
+            )
+
+    scored = chunks.join(F.broadcast(qprobe), "cell")
+    pruned = scored.mapInPandas(
+        score_topk, "query_id bigint, neighbor_id bigint, cosine double"
+    )
+    return _pq_rerank(pruned, queries, full_vectors, k, rerank_mult)

@@ -841,6 +841,14 @@ def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_pq(load_table(spark, "embeddings", sf_dir))
 
 
+@register("ann_ivfpq")
+def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: trained residual codebooks inherit float summation
+    # order; probed-cell containment, recall floor, bit-equal rerank
+    # and the cell-equi-join plan shape are pinned in tests/test_plans.py
+    return similarity.ann_ivfpq(load_table(spark, "embeddings", sf_dir))
+
+
 @register("incident_window_stats", oracles.INCIDENT_WINDOW_STATS)
 def _incident_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.incident_window_stats(load_table(spark, "events", sf_dir))
@@ -964,10 +972,10 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      "what's missing" #1, verbatim list).
 # (1)+(2) = 47 < 50: both blocks land inside the window with slack.
 # Best-effort overflow past the cutoff:
-#  (3) ann_pq (encode/ADC kernels vectorized in r7 — rows-only record,
-#      cheap to refresh) + the 5 rows-only float fits whose records sit
-#      at r3 (row-count-only records, the right ones to risk at the
-#      boundary).
+#  (3) ann_pq (encode/ADC kernels vectorized in r7) and ann_ivfpq (new
+#      in r7) — both rows-only records, cheap to refresh — + the 5
+#      rows-only float fits whose records sit at r3 (row-count-only
+#      records, the right ones to risk at the boundary).
 # Tail: the r5-recorded rows (oldest after this rotation — r8's debt),
 # then the r6-recorded rows (freshest).
 _GATE_ORDER = [
@@ -1021,8 +1029,9 @@ _GATE_ORDER = [
     "curation_full",
     "ann_recall",
     # ---- window boundary (~position 50; 47 entries above) ------------
-    # -- (3) r7-changed rows-only + r3-stale rows-only fits -------------
+    # -- (3) r7-changed/new rows-only + r3-stale rows-only fits ---------
     "ann_pq",
+    "ann_ivfpq",
     "calibration_rbf",
     "calibration_tps",
     "resample_tps",

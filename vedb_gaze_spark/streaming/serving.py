@@ -119,3 +119,112 @@ class PQServing:
         return spark.read.schema(_OUT_SCHEMA).option(
             "recursiveFileLookup", "true"
         ).parquet(self.out_dir)
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_queries: int = P.ANN_N_QUERIES,
+    m: int = 8,
+    k_sub: int = 16,
+    iters: int = 3,
+) -> list[list[list[float]]]:
+    """IVFADC serving index (the ann_ivfpq layout, stored): residual PQ
+    codes written PARTITIONED BY coarse cell — `codes/cell=N/` — so a
+    serving batch that probes nprobe cells READS nprobe/n_cells of the
+    index via plain parquet partition pruning (the physical realization
+    of the inverted file; the same partition-keyed layout
+    streaming/maintenance.py uses for bucket overwrite). Rerank vectors
+    stored unpartitioned (fetched by id, candidate-sized reads)."""
+    from vedb_gaze_spark.operators.similarity import (
+        _ivfpq_encode_gen,
+        _vecs,
+        pq_train,
+    )
+
+    cents = [list(map(float, c)) for c in P.IVF_CENTROIDS]
+    books = pq_train(
+        embeddings, m=m, k_sub=k_sub, iters=iters, coarse_centroids=cents
+    )
+    v = _vecs(embeddings)
+    corpus = v.where(F.col("vec_id") >= n_queries)
+    corpus.mapInPandas(
+        _ivfpq_encode_gen(books, cents),
+        "neighbor_id bigint, cell int, codes array<int>",
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+    ).write.mode("overwrite").parquet(f"{path}/vectors")
+    return books
+
+
+class IVFPQServing:
+    """foreachBatch handler over the cell-partitioned IVFADC index:
+    per micro-batch, coarse-probe the batch's queries (numpy over the
+    bounded query set), push `cell IN (probed)` into the codes scan —
+    partition pruning reads only the probed cells' files — and run the
+    shared _ivfpq_search kernel. Same idempotent batch-id-versioned
+    output contract as PQServing. The driver holds codebooks + the
+    probed-cell id set (≤ n_cells ints) — model state, never rows."""
+
+    def __init__(
+        self,
+        index_path: str,
+        out_dir: str,
+        books: list[list[list[float]]],
+        k: int = P.ANN_K,
+        nprobe: int = P.IVF_PROBES,
+        rerank_mult: int = 8,
+    ) -> None:
+        self.index_path = index_path
+        self.out_dir = out_dir
+        self.books = books
+        self.k = k
+        self.nprobe = nprobe
+        self.rerank_mult = rerank_mult
+
+    def probed_codes(
+        self, spark: SparkSession, queries: DataFrame
+    ) -> DataFrame:
+        """The pruned codes scan for a query batch: collects the probed
+        CELL IDS (≤ n_cells ints — partition metadata, not data) and
+        filters the partition column, which parquet answers with file
+        pruning, not a full scan."""
+        from vedb_gaze_spark.operators.similarity import _ivf_probe
+
+        cents = [list(map(float, c)) for c in P.IVF_CENTROIDS]
+        cells = sorted(
+            {
+                r["cell"]
+                for r in _ivf_probe(queries, cents, self.nprobe)
+                .select("cell")
+                .distinct()
+                .collect()
+            }
+        )
+        codes = spark.read.parquet(f"{self.index_path}/codes")
+        return codes.where(F.col("cell").isin([int(c) for c in cells]))
+
+    def process(self, batch_queries: DataFrame, batch_id: int) -> None:
+        from vedb_gaze_spark.operators.similarity import (
+            _ivfpq_search,
+            _vecs,
+        )
+
+        spark = batch_queries.sparkSession
+        cents = [list(map(float, c)) for c in P.IVF_CENTROIDS]
+        queries = _vecs(batch_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        codes = self.probed_codes(spark, queries)
+        full = spark.read.parquet(f"{self.index_path}/vectors")
+        out = _ivfpq_search(
+            queries, codes, full, self.books, cents,
+            self.k, self.nprobe, self.rerank_mult,
+        )
+        out.write.mode("overwrite").parquet(f"{self.out_dir}/batch={batch_id}")
+
+    def results(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(_OUT_SCHEMA).option(
+            "recursiveFileLookup", "true"
+        ).parquet(self.out_dir)
