@@ -106,6 +106,8 @@ HEADLINE = [
     "dedup_recall_sampled",
     "ccnet_ppl_threshold",
     "ann_ivfpq",
+    "ngram_novelty",
+    "pmi_bigrams",
 ]
 
 

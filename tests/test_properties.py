@@ -771,3 +771,57 @@ def test_value_anomalies_partitioning_invariant(spark, sf_dir):
     a = {tuple(r) for r in value_anomalies(ev).collect()}
     b = {tuple(r) for r in value_anomalies(ev.repartition(11)).collect()}
     assert a == b and len(a) > 0
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**12 - 1), min_size=1, max_size=24
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_label_components_equals_reference_bfs(rows):
+    """_label_components (iterative min-label propagation, the frame
+    detector's kernel) must produce exactly the 4-connected components
+    a reference BFS flood fill finds on arbitrary masks — same pixel
+    partition, and each component labeled by its minimum pixel index."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import _label_components
+
+    mask = np.array(
+        [[(r >> j) & 1 == 1 for j in range(12)] for r in rows], dtype=bool
+    )
+    lab = _label_components(mask)
+    # background stays zero; foreground labels are min-pixel-index + 1
+    assert np.all((lab > 0) == mask)
+
+    # reference: BFS flood fill
+    h, w = mask.shape
+    seen = np.zeros_like(mask)
+    comps = {}
+    for i in range(h):
+        for j in range(w):
+            if mask[i, j] and not seen[i, j]:
+                stack, px = [(i, j)], []
+                seen[i, j] = True
+                while stack:
+                    y, x = stack.pop()
+                    px.append((y, x))
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx = y + dy, x + dx
+                        if (
+                            0 <= ny < h and 0 <= nx < w
+                            and mask[ny, nx] and not seen[ny, nx]
+                        ):
+                            seen[ny, nx] = True
+                            stack.append((ny, nx))
+                ref_label = min(y * w + x for y, x in px) + 1
+                for y, x in px:
+                    comps[(y, x)] = ref_label
+    got = {
+        (i, j): int(lab[i, j])
+        for i in range(h)
+        for j in range(w)
+        if mask[i, j]
+    }
+    assert got == comps

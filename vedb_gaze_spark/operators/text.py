@@ -623,3 +623,132 @@ def lm_score_bigram(documents: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def ngram_novelty(
+    documents: DataFrame, n: int = P.NOVELTY_NGRAM
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct n-grams whose FIRST corpus occurrence (minimum doc_id over
+    all documents containing the gram) is this document — the
+    "new-information" curation signal that separates template spam
+    (novelty ~0 after the first copy) from genuinely fresh content, and
+    the doc-level complement of line_dedup's first-occurrence keep rule.
+
+    Scale shape: NO corpus-sized join — the naive form joins the
+    first-occurrence table back onto the whole gram stream; here both
+    sides collapse to DOC-level aggregates first (per-doc gram counts;
+    per-gram min doc_id re-aggregated into per-doc first-ownership
+    counts — every stage map-side-combines over uniform hashed-gram /
+    doc_id keys) and the final join carries one row per document.
+    Novelty is an exact integer ratio rounded 6dp at the boundary."""
+    grams = (
+        documents.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .where(F.expr(f"size(toks) >= {n}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(toks) - {n} + 1),"
+                    f" i -> array_join(slice(toks, i, {n}), ' ')))"
+                )
+            ).alias("ng"),
+        )
+        .select("doc_id", portable_hash60("ng").alias("g"))
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    owned = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )
+    return (
+        per_doc.join(owned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_first",
+            F.expr(
+                "floor(n_first / cast(n_grams as double) * 1e6 + 0.5) / 1e6"
+            ).alias("novelty"),
+        )
+    )
+
+
+def pmi_bigrams(
+    documents: DataFrame,
+    k: int = P.PMI_TOPK,
+    min_count: int = P.PMI_MIN_COUNT,
+) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual information
+    (Church & Hanks 1990): pmi(a,b) = ln(p(a,b) / (p(a)·p(b))) with
+    p(a,b) = c2/M (bigram count over total bigrams) and p(·) = c1/N
+    (unigram counts over total tokens) — the corpus-level phrase miner
+    (multi-word expressions, boilerplate signatures) beside ngram_topk's
+    raw frequency view.
+
+    Determinism: all counts are exact integers; pmi evaluates as ONE
+    ln() over the product of three ratios written IDENTICALLY on both
+    engines — (c2/M)·(N/c1a)·(N/c1b), each division double, left
+    associative — then quantized to micro-nats (the lm_score trick)
+    BEFORE ranking, so the (pmi, a, b) order is engine-identical. (The
+    integer form c2·N² overflows int64 at web-scale token counts —
+    the ratios never leave double range.) Scale shape: one posexplode
+    + per-doc lag window (uniform doc_id key), two map-side-combining
+    groupBys over short token keys, count-scalar cross-joins, and a
+    TakeOrdered top-k — the frequency floor (min_count) prunes the
+    rank input to the collocation head, never the corpus."""
+    toks = documents.select(
+        "doc_id", F.posexplode(F.expr(_TOKENS)).alias("i", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    stream = toks.withColumn("prev", F.lag("word").over(w))
+    uni = stream.groupBy("word").agg(F.count(F.lit(1)).alias("c1"))
+    totals = uni.agg(
+        F.sum("c1").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    big = stream.where(F.col("prev").isNotNull())
+    c2 = (
+        big.groupBy("prev", "word")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .where(F.col("c2") >= min_count)
+    )
+    m_tot = big.agg(F.count(F.lit(1)).alias("m_bigrams"))
+    scored = (
+        c2.join(
+            uni.select(F.col("word").alias("prev"), F.col("c1").alias("c1a")),
+            "prev",
+        )
+        .join(uni.select("word", F.col("c1").alias("c1b")), "word")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(m_tot))
+        .select(
+            F.col("prev").alias("w1"),
+            F.col("word").alias("w2"),
+            "c2",
+            "c1a",
+            "c1b",
+            F.floor(
+                F.expr(
+                    "ln((cast(c2 as double) / m_bigrams)"
+                    " * (cast(n_tokens as double) / c1a)"
+                    " * (cast(n_tokens as double) / c1b))"
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("pmi_units"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi_units"), "w1", "w2").limit(k)
+    wr = Window.orderBy(F.desc("pmi_units"), "w1", "w2")
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "rank", "w1", "w2", "c2", "pmi_units"
+    )

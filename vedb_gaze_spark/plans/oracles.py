@@ -3504,3 +3504,63 @@ SELECT doc_id, count(*) AS n_tokens,
        round(-CAST(sum(lq) AS BIGINT) / (1e6 * count(*)), 6) AS cross_entropy
 FROM terms GROUP BY doc_id
 """.format(tok=_TOKENS_SQL)
+
+
+# Per-document n-gram novelty (operators/text.py:ngram_novelty): first
+# corpus occurrence per 60-bit-hashed distinct gram, exact integer
+# fraction per doc.
+NGRAM_NOVELTY = f"""
+WITH ng AS (
+  SELECT DISTINCT doc_id,
+         {_h60(f"array_to_string(toks[i:i+{P.NOVELTY_NGRAM - 1}], ' ')")} AS g
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents) t,
+       unnest(generate_series(1, len(toks) - {P.NOVELTY_NGRAM - 1})) AS gi(i)
+  WHERE len(toks) >= {P.NOVELTY_NGRAM}
+),
+first AS (SELECT g, min(doc_id) AS first_doc FROM ng GROUP BY g)
+SELECT n.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = n.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_first,
+       floor(sum(CASE WHEN f.first_doc = n.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS novelty
+FROM ng n JOIN first f USING (g)
+GROUP BY n.doc_id
+"""
+
+# Top-k adjacent-pair PMI collocations (operators/text.py:pmi_bigrams):
+# identical double arithmetic (three ratios, left-associative) feeding
+# one micro-nat-quantized ln on both engines.
+PMI_BIGRAMS = f"""
+WITH toks AS (
+  SELECT doc_id, i, t[i] AS word
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents) x,
+       unnest(generate_series(1, len(t))) AS g(i)
+),
+stream AS (
+  SELECT doc_id, i, word,
+         lag(word) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM toks
+),
+uni AS (SELECT word, count(*) AS c1 FROM stream GROUP BY word),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tokens FROM uni),
+big AS (SELECT prev, word FROM stream WHERE prev IS NOT NULL),
+mt AS (SELECT count(*) AS m_bigrams FROM big),
+c2t AS (
+  SELECT prev, word, count(*) AS c2 FROM big
+  GROUP BY prev, word HAVING count(*) >= {P.PMI_MIN_COUNT}
+),
+scored AS (
+  SELECT c2t.prev AS w1, c2t.word AS w2, c2t.c2, a.c1 AS c1a, b.c1 AS c1b,
+         CAST(floor(ln((CAST(c2t.c2 AS DOUBLE) / m_bigrams)
+                       * (CAST(n_tokens AS DOUBLE) / a.c1)
+                       * (CAST(n_tokens AS DOUBLE) / b.c1))
+                    * 1e6 + 0.5) AS BIGINT) AS pmi_units
+  FROM c2t
+  JOIN uni a ON a.word = c2t.prev
+  JOIN uni b ON b.word = c2t.word
+  CROSS JOIN tot CROSS JOIN mt
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi_units DESC, w1, w2) AS INT) AS rank,
+       w1, w2, c2, pmi_units
+FROM scored ORDER BY pmi_units DESC, w1, w2 LIMIT {P.PMI_TOPK}
+"""

@@ -417,3 +417,8 @@ RECALL_SAMPLE_SALT = "rs"
 # bounded query set; sized so a chunk's LUT-gather saturates one core
 # without approaching task memory (4096 codes × 8 subs × 8 B = 256 KB).
 PQ_CHUNK = 4096
+# n-gram novelty (r7): gram order for the first-occurrence novelty
+# fraction; PMI collocation mining: rank floor and top-k size.
+NOVELTY_NGRAM = 3
+PMI_TOPK = 25
+PMI_MIN_COUNT = 5

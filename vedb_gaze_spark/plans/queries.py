@@ -891,6 +891,16 @@ def _lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lm_score_bigram(load_table(spark, "documents", sf_dir))
 
 
+@register("ngram_novelty", oracles.NGRAM_NOVELTY)
+def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_novelty(load_table(spark, "documents", sf_dir))
+
+
+@register("pmi_bigrams", oracles.PMI_BIGRAMS)
+def _pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pmi_bigrams(load_table(spark, "documents", sf_dir))
+
+
 @register("dedup_recall", oracles.DEDUP_RECALL)
 def _dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_recall(load_table(spark, "documents", sf_dir))
@@ -1029,14 +1039,18 @@ _GATE_ORDER = [
     "curation_full",
     "ann_recall",
     # ---- window boundary (~position 50; 47 entries above) ------------
-    # -- (3) r7-changed/new rows-only + r3-stale rows-only fits ---------
-    "ann_pq",
+    # -- (3) overflow, never-recorded first: the 2 late-r7 SQL-oracled
+    #    entries, then ann_ivfpq (new, rows-only), then the r3-stale
+    #    rows-only fits, then ann_pq (r6-fresh record, r7-changed code)
+    "ngram_novelty",
+    "pmi_bigrams",
     "ann_ivfpq",
     "calibration_rbf",
     "calibration_tps",
     "resample_tps",
     "error_surface_tps",
     "ann_ivf_trained",
+    "ann_pq",
     # -- r5-recorded rows (the oldest official records after this
     #    rotation — r8's freshness debt, cheapest shapes first) ---------
     "time_slice",
