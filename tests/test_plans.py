@@ -1184,3 +1184,59 @@ def test_ann_ivfpq_probes_cells_and_reranks_exactly(spark, sf_dir):
 
     s = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
+
+
+def test_novelty_vs_index_semantics_and_bucketed_probe(spark, sf_dir):
+    """Frozen-gram-index novelty: (a) scores match a set-arithmetic
+    reference (distinct grams of the probe doc minus the stored corpus
+    gram set); (b) with auto-broadcast off, the bucketed index side
+    joins with ZERO Exchange above its scan — only the probe batch
+    shuffles on g (one hashpartitioning(g) exchange in the whole plan)."""
+    from vedb_gaze_spark.operators.text import (
+        _doc_grams,
+        novelty_vs_index,
+        write_gram_index,
+    )
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.where("doc_id % 5 != 0")
+    probe = docs.where("doc_id % 5 = 0")
+    tbl = "novelty_gram_idx_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        write_gram_index(corpus, tbl)
+        index = spark.table(tbl)
+
+        corpus_grams = {r.g for r in index.collect()}
+        ref = {}
+        for r in _doc_grams(probe, P.NOVELTY_NGRAM).collect():
+            ng, nn = ref.get(r.doc_id, (0, 0))
+            ref[r.doc_id] = (ng + 1, nn + (0 if r.g in corpus_grams else 1))
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = novelty_vs_index(probe, spark.table(tbl))
+            got = {r.doc_id: (r.n_grams, r.n_new, r.novelty) for r in df.collect()}
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        assert set(got) == set(ref)
+        for d, (ng, nn) in ref.items():
+            import math
+
+            want_nov = math.floor(nn / ng * 1e6 + 0.5) / 1e6
+            assert got[d] == (ng, nn, want_nov), (d, got[d], ref[d])
+
+        # AQE's executedPlan string prints Final AND Initial sections;
+        # assert on the final one only
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in final
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning\(g#", final)) == 1, final
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -1729,3 +1729,61 @@ def test_streaming_ivfpq_serving_prunes_partitions_and_matches_batch(
     job.process(qraw.where(F.col("vec_id") % 2 == 1), 1)
     again = {tuple(r) for r in job.results(spark).collect()}
     assert again == want
+
+
+def test_streaming_novelty_scoring_matches_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch novelty gate over the frozen gram index: the
+    document stream's scores equal the batch novelty_vs_index rows
+    exactly (shared kernel, shared stored index), and replaying a batch
+    id rewrites identical rows."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.text import (
+        novelty_vs_index,
+        write_gram_index,
+    )
+    from vedb_gaze_spark.streaming.corpus import NoveltyScoring
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.where("doc_id % 5 != 0")
+    probe = docs.where("doc_id % 5 = 0")
+    tbl = "novelty_gram_idx_stream_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        write_gram_index(corpus, tbl)
+
+        src = str(tmp_path / "novelty_docs")
+        probe.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+            os.path.join(src, "c0")
+        )
+        probe.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+            os.path.join(src, "c1")
+        )
+        job = NoveltyScoring(tbl, str(tmp_path / "novelty_out"))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(job.process)
+            .option("checkpointLocation", str(tmp_path / "novelty_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = {tuple(r) for r in job.results(spark).collect()}
+        want = {
+            tuple(r) for r in novelty_vs_index(probe, spark.table(tbl)).collect()
+        }
+        assert got == want and len(want) > 0
+
+        job.process(probe.where(F.col("doc_id") % 2 == 0), 0)
+        again = {tuple(r) for r in job.results(spark).collect()}
+        assert again == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

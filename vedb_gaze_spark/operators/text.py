@@ -625,6 +625,82 @@ def lm_score_bigram(documents: DataFrame) -> DataFrame:
     )
 
 
+def _doc_grams(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, g): each document's DISTINCT word n-grams as 60-bit
+    portable hashes — the gram relation behind ngram_novelty and the
+    frozen gram index (write_gram_index / novelty_vs_index)."""
+    return (
+        documents.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .where(F.expr(f"size(toks) >= {n}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(toks) - {n} + 1),"
+                    f" i -> array_join(slice(toks, i, {n}), ' ')))"
+                )
+            ).alias("ng"),
+        )
+        .select("doc_id", portable_hash60("ng").alias("g"))
+    )
+
+
+def write_gram_index(
+    documents: DataFrame,
+    table: str,
+    n: int = P.NOVELTY_NGRAM,
+    n_buckets: int = 32,
+) -> None:
+    """Freeze a corpus's distinct gram hashes as a bucketed managed
+    table — the stored-index side of novelty_vs_index. Bucketing by g
+    means every later probe join reads the corpus-sized side
+    PRE-PARTITIONED (zero Exchange above its scan, plan-pinned): the
+    nightly novelty gate re-shuffles only the incoming batch, never
+    the index (the write_doc_sets_bucketed / bm25 index pattern)."""
+    (
+        _doc_grams(documents, n)
+        .select("g")
+        .distinct()
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "g")
+        .sortBy("g")
+        .saveAsTable(table)
+    )
+
+
+def novelty_vs_index(
+    documents: DataFrame, index: DataFrame, n: int = P.NOVELTY_NGRAM
+) -> DataFrame:
+    """Novelty of NEW documents against a FROZEN corpus gram index
+    (write_gram_index): per document, the fraction of its distinct
+    n-grams absent from the index — the intake-gate complement of
+    ngram_novelty's within-corpus first-occurrence form (score a
+    crawl/delivery batch against yesterday's corpus without touching
+    it). Left join on the uniform hashed gram key — with the bucketed
+    index the corpus side joins exchange-free — then one doc_id
+    rollup of exact integers."""
+    grams = _doc_grams(documents, n)
+    hit = index.select("g", F.lit(1).alias("seen"))
+    return (
+        grams.join(hit, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_new",
+            F.expr(
+                "floor(n_new / cast(n_grams as double) * 1e6 + 0.5) / 1e6"
+            ).alias("novelty"),
+        )
+    )
+
+
 def ngram_novelty(
     documents: DataFrame, n: int = P.NOVELTY_NGRAM
 ) -> DataFrame:
@@ -642,20 +718,7 @@ def ngram_novelty(
     counts — every stage map-side-combines over uniform hashed-gram /
     doc_id keys) and the final join carries one row per document.
     Novelty is an exact integer ratio rounded 6dp at the boundary."""
-    grams = (
-        documents.select("doc_id", F.expr(_TOKENS).alias("toks"))
-        .where(F.expr(f"size(toks) >= {n}"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"array_distinct(transform(sequence(1, size(toks) - {n} + 1),"
-                    f" i -> array_join(slice(toks, i, {n}), ' ')))"
-                )
-            ).alias("ng"),
-        )
-        .select("doc_id", portable_hash60("ng").alias("g"))
-    )
+    grams = _doc_grams(documents, n)
     per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     owned = (
         grams.groupBy("g")

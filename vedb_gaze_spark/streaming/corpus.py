@@ -368,3 +368,45 @@ def streaming_bpe_stats(
     return stream.select("doc_id", "text").mapInPandas(
         fn, "doc_id long, n_words long, n_pieces long, pieces_per_word double"
     )
+
+
+class NoveltyScoring:
+    """foreachBatch handler: novelty-score each arriving micro-batch of
+    documents against the FROZEN bucketed gram index
+    (operators/text.py:write_gram_index) — the intake gate a crawl
+    pipeline runs on every delivery before admitting documents to the
+    corpus. The batch kernel (novelty_vs_index) runs verbatim per
+    micro-batch, so streamed scores are definitionally the batch rows;
+    the index side of the probe join stays exchange-free (bucketed) and
+    is never collected or broadcast by hand. Exactly-once via the
+    batch-id-versioned overwrite contract (serving.py / maintenance.py).
+
+    Usage::
+
+        job = NoveltyScoring("gram_index_table", out_dir)
+        (doc_stream.writeStream.foreachBatch(job.process)
+         .trigger(availableNow=True).start())
+    """
+
+    _OUT_SCHEMA = "doc_id bigint, n_grams bigint, n_new bigint, novelty double"
+
+    def __init__(
+        self, index_table: str, out_dir: str, n: int = P.NOVELTY_NGRAM
+    ) -> None:
+        self.index_table = index_table
+        self.out_dir = out_dir
+        self.n = n
+
+    def process(self, batch_docs: DataFrame, batch_id: int) -> None:
+        from vedb_gaze_spark.operators.text import novelty_vs_index
+
+        spark = batch_docs.sparkSession
+        out = novelty_vs_index(
+            batch_docs, spark.table(self.index_table), self.n
+        )
+        out.write.mode("overwrite").parquet(f"{self.out_dir}/batch={batch_id}")
+
+    def results(self, spark) -> DataFrame:
+        return spark.read.schema(self._OUT_SCHEMA).option(
+            "recursiveFileLookup", "true"
+        ).parquet(self.out_dir)
