@@ -108,6 +108,7 @@ HEADLINE = [
     "ann_ivfpq",
     "ngram_novelty",
     "pmi_bigrams",
+    "mix_plan_temperature",
 ]
 
 

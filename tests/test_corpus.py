@@ -464,3 +464,26 @@ def test_curriculum_pack_orders_by_quality_and_respects_budget(
             else:
                 assert r["pack_id"] == prev_pack + 1
                 prev_pack, fill = r["pack_id"], r["n_tokens"]
+
+
+def test_mix_plan_temperature_flattens_toward_uniform(spark, sf_dir):
+    """Temperature semantics: alpha=1 reproduces natural token shares
+    (up to the 1e-9 quantization); alpha<1 strictly RAISES the scarcest
+    language's share and lowers the most abundant one's — the
+    low-resource upweighting the rule exists for. Shares always sum to
+    ~1."""
+    from vedb_gaze_spark.operators.corpus import mix_plan_temperature
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    nat = {r.lang: r for r in mix_plan_temperature(docs, alpha=1.0).collect()}
+    cool = {r.lang: r for r in mix_plan_temperature(docs, alpha=0.3).collect()}
+    assert set(nat) == set(cool) and len(nat) >= 2
+    total = sum(r.avail_tokens for r in nat.values())
+    for lang, r in nat.items():
+        assert abs(r.share - r.avail_tokens / total) < 1e-5, (lang, r)
+    assert abs(sum(r.share for r in cool.values()) - 1.0) < 1e-4
+    scarce = min(nat, key=lambda l: nat[l].avail_tokens)
+    rich = max(nat, key=lambda l: nat[l].avail_tokens)
+    assert cool[scarce].share > nat[scarce].share, (scarce, cool[scarce])
+    assert cool[rich].share < nat[rich].share, (rich, cool[rich])

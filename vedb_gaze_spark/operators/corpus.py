@@ -789,6 +789,76 @@ def mix_plan(
     )
 
 
+def mix_plan_temperature(
+    documents: DataFrame,
+    alpha: float = P.MIX_TEMPERATURE_ALPHA,
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture planning (Conneau & Lample 2019 §3.1;
+    the mT5/XLM multilingual sampling rule): instead of an explicit
+    target map (mix_plan), the target share per language DERIVES from
+    availability — share_l ∝ p_l^alpha with p_l the language's token
+    fraction. alpha < 1 flattens the distribution toward uniform,
+    upweighting low-resource languages without a hand-written target;
+    alpha = 1 reproduces natural proportions.
+
+    Determinism across engines: p_l is a ratio of exact integer token
+    sums; p_l^alpha quantizes to integer NANO-units BEFORE the
+    normalizing sum, so the denominator is an order-free exact integer
+    sum (float pow drift is confined to the 1e-9 quantization
+    boundary — the lm_score ln() precedent) and every share/rate is
+    one double division of exact integers. Same aggregate shape and
+    output contract as mix_plan (rate capped at 1, epochs > 1 =
+    upsampling); one tiny-key rollup, dashboard-sized output."""
+    budget = P.MIX_BUDGET_TOKENS if budget_tokens is None else budget_tokens
+    per_lang = (
+        documents.where(F.col("text").isNotNull())
+        .select("lang", F.expr(f"size({_TOKENS})").cast("long").alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("avail_tokens"),
+        )
+    )
+    totals = per_lang.agg(F.sum("avail_tokens").alias("total_tokens"))
+    u = F.expr(
+        f"cast(floor(pow(avail_tokens / cast(total_tokens as double),"
+        f" cast({alpha!r} as double)) * 1e9 + 0.5) as bigint)"
+    )
+    with_u = per_lang.crossJoin(F.broadcast(totals)).withColumn(
+        "u", F.when(F.col("avail_tokens") > 0, u).otherwise(F.lit(0))
+    )
+    denom = with_u.agg(F.sum("u").alias("denom"))
+    alloc = F.expr(f"floor({budget} * (u / cast(denom as double)) + 0.5)")
+    has_tok = F.col("avail_tokens") > 0
+    return (
+        with_u.crossJoin(F.broadcast(denom))
+        .select(
+            "lang",
+            "n_docs",
+            "avail_tokens",
+            F.expr(
+                "floor(u / cast(denom as double) * 1e6 + 0.5) / 1e6"
+            ).alias("share"),
+            alloc.cast("long").alias("alloc_tokens"),
+            F.when(
+                has_tok,
+                F.expr(
+                    f"floor(least(cast(1.0 as double), floor({budget} * (u / cast(denom as double)) + 0.5)"
+                    f" / avail_tokens) * 1e6 + 0.5) / 1e6"
+                ),
+            ).otherwise(F.lit(0.0)).alias("rate"),
+            F.when(
+                has_tok,
+                F.expr(
+                    f"floor(floor({budget} * (u / cast(denom as double)) + 0.5)"
+                    f" / avail_tokens * 1e6 + 0.5) / 1e6"
+                ),
+            ).otherwise(F.lit(0.0)).alias("epochs"),
+        )
+    )
+
+
 def contamination_report(
     documents: DataFrame,
     n: int = P.DECONTAM_NGRAM,

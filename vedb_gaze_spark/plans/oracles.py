@@ -3564,3 +3564,42 @@ SELECT CAST(row_number() OVER (ORDER BY pmi_units DESC, w1, w2) AS INT) AS rank,
        w1, w2, c2, pmi_units
 FROM scored ORDER BY pmi_units DESC, w1, w2 LIMIT {P.PMI_TOPK}
 """
+
+
+# Temperature-based mixture planning
+# (operators/corpus.py:mix_plan_temperature): p^alpha quantized to
+# integer nano-units BEFORE the normalizing sum, so the denominator is
+# an order-free exact integer sum on both engines.
+MIX_PLAN_TEMPERATURE = f"""
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS avail_tokens
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY lang
+),
+tot AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS total_tokens FROM per_lang),
+wu AS (
+  SELECT p.*, t.total_tokens,
+         CASE WHEN p.avail_tokens > 0
+              THEN CAST(floor(pow(p.avail_tokens / CAST(t.total_tokens AS DOUBLE),
+                                  CAST({repr(P.MIX_TEMPERATURE_ALPHA)} AS DOUBLE))
+                        * 1e9 + 0.5) AS BIGINT)
+              ELSE 0 END AS u
+  FROM per_lang p CROSS JOIN tot t
+),
+dn AS (SELECT CAST(sum(u) AS BIGINT) AS denom FROM wu)
+SELECT lang, n_docs, avail_tokens,
+       floor(u / CAST(denom AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share,
+       CAST(floor({P.MIX_BUDGET_TOKENS} * (u / CAST(denom AS DOUBLE)) + 0.5) AS BIGINT)
+         AS alloc_tokens,
+       CASE WHEN avail_tokens > 0
+            THEN floor(least(CAST(1.0 AS DOUBLE),
+                 floor({P.MIX_BUDGET_TOKENS} * (u / CAST(denom AS DOUBLE)) + 0.5)
+                 / avail_tokens) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS rate,
+       CASE WHEN avail_tokens > 0
+            THEN floor(floor({P.MIX_BUDGET_TOKENS} * (u / CAST(denom AS DOUBLE)) + 0.5)
+                 / avail_tokens * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS epochs
+FROM wu CROSS JOIN dn
+"""

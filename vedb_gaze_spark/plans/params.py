@@ -422,3 +422,6 @@ PQ_CHUNK = 4096
 NOVELTY_NGRAM = 3
 PMI_TOPK = 25
 PMI_MIN_COUNT = 5
+# Temperature mixture sampling (Conneau & Lample 2019 / mT5): share_l
+# proportional to p_l^alpha; alpha < 1 flattens toward uniform.
+MIX_TEMPERATURE_ALPHA = 0.5

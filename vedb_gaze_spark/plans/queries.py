@@ -901,6 +901,11 @@ def _pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pmi_bigrams(load_table(spark, "documents", sf_dir))
 
 
+@register("mix_plan_temperature", oracles.MIX_PLAN_TEMPERATURE)
+def _mix_plan_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.mix_plan_temperature(load_table(spark, "documents", sf_dir))
+
+
 @register("dedup_recall", oracles.DEDUP_RECALL)
 def _dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_recall(load_table(spark, "documents", sf_dir))
@@ -1044,6 +1049,7 @@ _GATE_ORDER = [
     #    rows-only fits, then ann_pq (r6-fresh record, r7-changed code)
     "ngram_novelty",
     "pmi_bigrams",
+    "mix_plan_temperature",
     "ann_ivfpq",
     "calibration_rbf",
     "calibration_tps",
