@@ -3416,7 +3416,13 @@ FROM ne, nl, c
 # sample_mod — the scale-runnable variant): the identical two pair
 # kernels over a deterministic salted doc_id-hash sub-corpus. The pair
 # SQLs read documents only through the shingle CTE, so retargeting that
-# one FROM at the sampled CTE is the whole rewrite (asserted).
+# one FROM at the sampled CTE is the whole rewrite. Assert on the EXACT
+# string the replace below consumes ("FROM documents," — comma form),
+# so a formatting drift in the shingle CTE fails loudly here instead of
+# silently no-oping the rewrite and gating an unsampled oracle against
+# the sampled Spark plan.
+assert DEDUP_NGRAM_JACCARD.count("FROM documents,") == 1
+assert DEDUP_MINHASH_LSH.count("FROM documents,") == 1
 assert DEDUP_NGRAM_JACCARD.count("FROM documents") == 1
 assert DEDUP_MINHASH_LSH.count("FROM documents") == 1
 _DRS_KEY = f"'{P.RECALL_SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)"
