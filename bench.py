@@ -109,6 +109,9 @@ HEADLINE = [
     "ngram_novelty",
     "pmi_bigrams",
     "mix_plan_temperature",
+    # r8 additions
+    "ann_ivfpq_trained",
+    "corpus_pipeline_novelty",
 ]
 
 
@@ -144,6 +147,7 @@ def main() -> None:
             "semdedup_trained",
             "ann_pq",
             "ann_ivfpq",
+            "ann_ivfpq_trained",
             "bpe_stats",
         ):
             if wname in QUERIES:

@@ -208,6 +208,48 @@ def test_corpus_pipeline_semantics_and_single_chain(spark, sf_dir, documents):
     assert over == 0
 
 
+def test_corpus_pipeline_novelty_gates_and_stays_bounded(
+    spark, sf_dir, documents
+):
+    """The novelty-gated assembly: every surviving doc clears
+    P.NOVELTY_MIN with the score ngram_novelty assigns it over the
+    non-benchmark pool, survivors are a subset of corpus_pipeline's
+    (the gate only removes), and the plan holds at 5 corpus scans
+    (benchmark n-grams, contamination probe, the two novelty rollups,
+    the train chain — the pool-not-train novelty scoring keeps the
+    decontamination subtree out of the novelty branch, 9 scans
+    otherwise)."""
+    from vedb_gaze_spark.operators.text import ngram_novelty
+    from vedb_gaze_spark.plans.pipeline import (
+        corpus_pipeline,
+        corpus_pipeline_novelty,
+    )
+
+    fresh = corpus_pipeline_novelty(load_table(spark, "documents", sf_dir))
+    fresh.count()
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 5, plan.count("FileScan")
+
+    out = corpus_pipeline_novelty(documents).collect()
+    assert out
+    pool = documents.where(F.col("doc_id") % P.DECONTAM_BENCH_MOD != 0)
+    nov = {r["doc_id"]: r["novelty"] for r in ngram_novelty(pool).collect()}
+    got_ids = {r["doc_id"] for r in out}
+    for r in out:
+        assert r["novelty"] == nov[r["doc_id"]]
+        assert r["novelty"] >= P.NOVELTY_MIN
+    # NOT a subset pin vs corpus_pipeline: dropping a low-novelty
+    # segment OWNER before line_dedup can revive a doc the ungated
+    # pipeline fully deduped. The gate's contract is exactly: no
+    # sub-threshold (or unscorable) doc ever survives…
+    low = {d for d, v in nov.items() if v < P.NOVELTY_MIN}
+    assert not (got_ids & low)
+    # …and it actually bites: some doc the ungated pipeline keeps is
+    # low-novelty and gone here
+    base_ids = {r["doc_id"] for r in corpus_pipeline(documents).collect()}
+    assert base_ids & low
+
+
 def test_cms_never_underestimates_and_finds_all_heavy_hitters(spark, documents):
     """CMS guarantee: estimate >= exact for every word, so every TRUE
     heavy hitter is reported (no false negatives); with w=16 against a

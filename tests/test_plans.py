@@ -285,6 +285,10 @@ def test_no_driver_collect_in_operators():
         # for a query batch (≤ n_cells ints — partition-pruning
         # metadata, the maintenance.py bucket-id pattern), never rows
         "def probed_codes",
+        # IVFADC serving quantizer load: collects the index's ONE
+        # stored centroids row (n_cells·dim floats — the model the
+        # codes were encoded against), once per job, never rows
+        "def _load_cents",
     )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []
@@ -1186,6 +1190,40 @@ def test_ann_ivfpq_probes_cells_and_reranks_exactly(spark, sf_dir):
     assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
 
 
+def test_ann_ivfpq_trained_override_identity_and_recall_floor(spark, sf_dir):
+    """The full Jégou IVFADC recipe (trained coarse quantizer +
+    residual PQ). Pins: (a) the coarse_centroids override handed
+    P.IVF_CENTROIDS verbatim reproduces the fixed-literal ann_ivfpq
+    row-for-row (the trained face differs ONLY in cell geometry);
+    (b) trained cells clear the fixed-cell recall floor vs the exact
+    scan on the bench vectors (Lloyd's balances probe coverage —
+    measured 0.80 vs 0.42 at sf0.01)."""
+    from vedb_gaze_spark.operators import similarity
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    fixed = similarity.ann_ivfpq(emb).collect()
+    override = similarity.ann_ivfpq(
+        emb, coarse_centroids=[list(map(float, c)) for c in P.IVF_CENTROIDS]
+    ).collect()
+    assert sorted(map(tuple, fixed)) == sorted(map(tuple, override))
+
+    trained = similarity.ann_ivfpq_trained(emb).collect()
+    assert len(trained) > 0
+    exact = similarity.ann_cosine_topk(emb).collect()
+    eset = {(r.query_id, r.neighbor_id) for r in exact}
+    r_fixed = len({(r.query_id, r.neighbor_id) for r in fixed} & eset)
+    r_trained = len({(r.query_id, r.neighbor_id) for r in trained} & eset)
+    assert r_trained >= r_fixed, (r_trained, r_fixed)
+    # rerank emits TRUE cosines regardless of the trained geometry
+    ecos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in trained:
+        pair = (r.query_id, r.neighbor_id)
+        if pair in ecos:
+            assert r.cosine == ecos[pair], pair
+
+
 def test_novelty_vs_index_semantics_and_bucketed_probe(spark, sf_dir):
     """Frozen-gram-index novelty: (a) scores match a set-arithmetic
     reference (distinct grams of the probe doc minus the stored corpus
@@ -1240,3 +1278,84 @@ def test_novelty_vs_index_semantics_and_bucketed_probe(spark, sf_dir):
         assert len(re.findall(r"Exchange hashpartitioning\(g#", final)) == 1, final
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_append_gram_index_incremental_equals_rebuild(spark, sf_dir):
+    """Incremental gram-index maintenance: (a) append_gram_index(old
+    index, new batch) yields the SAME gram set as write_gram_index over
+    old ∪ new; (b) every pre-existing index file is byte-identical
+    after the append (O(batch) merge, never a rewrite); (c) probe
+    scores against the grown index ≡ against the rebuilt index; (d)
+    re-appending the same batch is a no-op (anti-join idempotency);
+    (e) the grown multi-file table still reads Bucketed: true."""
+    import hashlib
+    import os
+
+    from vedb_gaze_spark.operators.text import (
+        append_gram_index,
+        novelty_vs_index,
+        write_gram_index,
+    )
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.where("doc_id % 5 in (1, 2)")
+    new = docs.where("doc_id % 5 in (3, 4)")
+    probe = docs.where("doc_id % 5 = 0")
+    tbl, tbl_full = "gram_idx_inc_test", "gram_idx_full_test"
+    for t in (tbl, tbl_full):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        write_gram_index(old, tbl)
+        loc = (
+            spark.sql(f"DESC FORMATTED {tbl}")
+            .where("col_name = 'Location'")
+            .collect()[0]["data_type"]
+        ).replace("file:", "")
+
+        def file_hashes():
+            out = {}
+            for root, _, files in os.walk(loc):
+                for f in files:
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        out[p] = hashlib.sha256(fh.read()).hexdigest()
+            return out
+
+        before = file_hashes()
+        append_gram_index(new, tbl, since=1)
+        after = file_hashes()
+        for p, h in before.items():
+            assert after[p] == h, f"pre-existing file rewritten: {p}"
+        assert len(after) > len(before)
+
+        write_gram_index(old.unionByName(new), tbl_full)
+        grown = {r.g for r in spark.table(tbl).collect()}
+        full = {r.g for r in spark.table(tbl_full).collect()}
+        assert grown == full and len(grown) > 0
+
+        got = {
+            tuple(r)
+            for r in novelty_vs_index(probe, spark.table(tbl)).collect()
+        }
+        want = {
+            tuple(r)
+            for r in novelty_vs_index(probe, spark.table(tbl_full)).collect()
+        }
+        assert got == want and len(want) > 0
+
+        n_before = spark.table(tbl).count()
+        append_gram_index(new, tbl, since=2)
+        assert spark.table(tbl).count() == n_before
+
+        df = novelty_vs_index(probe, spark.table(tbl))
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "Bucketed: true" in final
+    finally:
+        for t in (tbl, tbl_full):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

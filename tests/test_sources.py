@@ -475,3 +475,10 @@ def test_frame_marker_detection_recovers_planted_centers(spark):
     for c in clusters:
         assert 158.0 <= c.med_value <= 162.0, c
         assert c.n_in_cell == 6, c
+
+    # the composed single-callable face (find_epochs-on-real-frames) is
+    # definitionally the same plan — identical rows
+    from vedb_gaze_spark.plans.pipeline import marker_pixel_pipeline
+
+    composed = marker_pixel_pipeline(frames).collect()
+    assert sorted(map(tuple, composed)) == sorted(map(tuple, clusters))

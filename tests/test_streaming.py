@@ -1731,6 +1731,46 @@ def test_streaming_ivfpq_serving_prunes_partitions_and_matches_batch(
     assert again == want
 
 
+def test_streaming_ivfpq_serving_uses_the_indexs_own_quantizer(
+    spark, sf_dir, tmp_path
+):
+    """A TRAINED IVFADC index is self-describing: write_ivfpq_index
+    persists its coarse quantizer at `{path}/centroids`, and the server
+    probes/decodes with THOSE centroids (never the P.IVF_CENTROIDS
+    literals — residual codes are meaningless under any other
+    quantizer). Served answers over the trained index equal batch
+    ann_ivfpq handed the same trained centroids."""
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.similarity import (
+        _vecs,
+        ann_ivfpq,
+        ivf_train_centroids,
+    )
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.streaming.serving import (
+        IVFPQServing,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = ivf_train_centroids(emb, k=16, iters=2)
+    assert cents != [list(map(float, c)) for c in P.IVF_CENTROIDS]
+    idx = str(tmp_path / "ivfpq_trained_index")
+    books = write_ivfpq_index(emb, idx, coarse_centroids=cents)
+
+    job = IVFPQServing(idx, str(tmp_path / "ivfpq_trained_out"), books)
+    assert job._load_cents(spark) == cents
+
+    qraw = emb.where(F.col("vec_id") < P.ANN_N_QUERIES)
+    job.process(qraw, 0)
+    got = {tuple(r) for r in job.results(spark).collect()}
+    want = {
+        tuple(r) for r in ann_ivfpq(emb, coarse_centroids=cents).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_streaming_novelty_scoring_matches_batch(spark, sf_dir, tmp_path):
     """The foreachBatch novelty gate over the frozen gram index: the
     document stream's scores equal the batch novelty_vs_index rows
@@ -1785,5 +1825,84 @@ def test_streaming_novelty_scoring_matches_batch(spark, sf_dir, tmp_path):
         job.process(probe.where(F.col("doc_id") % 2 == 0), 0)
         again = {tuple(r) for r in job.results(spark).collect()}
         assert again == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_streaming_novelty_advances_index_with_idempotent_replay(
+    spark, sf_dir, tmp_path
+):
+    """NoveltyScoring(advance=True) — the intake gate that ADMITS each
+    scored batch: (a) after two batches, the index gram set equals a
+    from-scratch rebuild over base ∪ batch0 ∪ batch1; (b) batch 1's
+    streamed scores equal batch novelty_vs_index against the index as
+    grown by batch 0 (the gate sees admissions from earlier batches);
+    (c) replaying batch 1 (crash-recovery: its grams are already
+    appended, `since`-stamped) reproduces IDENTICAL scores — the
+    prior-corpus view `since < batch_id` excludes the batch's own
+    half-committed grams — and leaves the index unchanged."""
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.text import (
+        novelty_vs_index,
+        write_gram_index,
+    )
+    from vedb_gaze_spark.sources.tables import load_table
+    from vedb_gaze_spark.streaming.corpus import NoveltyScoring
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.where("doc_id % 5 in (1, 2, 3, 4)")
+    b0 = docs.where("doc_id % 10 = 0")
+    b1 = docs.where("doc_id % 10 = 5")
+    tbl = "novelty_gram_idx_advance_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        write_gram_index(base, tbl)
+        job = NoveltyScoring(
+            tbl, str(tmp_path / "adv_out"), advance=True
+        )
+        job.process(b0, 0)
+        # scores batch 1 must see: the index grown by batch 0
+        want_b1 = {
+            tuple(r)
+            for r in novelty_vs_index(
+                b1, spark.table(tbl).where(F.col("since") < 1)
+            ).collect()
+        }
+        job.process(b1, 1)
+        grown = {r.g for r in spark.table(tbl).select("g").collect()}
+
+        from vedb_gaze_spark.operators.text import _doc_grams
+        from vedb_gaze_spark.plans import params as P
+
+        rebuilt = {
+            r.g
+            for r in _doc_grams(
+                base.unionByName(b0).unionByName(b1), P.NOVELTY_NGRAM
+            )
+            .select("g")
+            .distinct()
+            .collect()
+        }
+        assert grown == rebuilt and len(grown) > 0
+        got_b1 = {
+            tuple(r)
+            for r in spark.read.schema(NoveltyScoring._OUT_SCHEMA)
+            .parquet(str(tmp_path / "adv_out" / "batch=1"))
+            .collect()
+        }
+        assert got_b1 == want_b1 and len(want_b1) > 0
+
+        # crash-replay of batch 1: same scores, index unchanged
+        n_rows = spark.table(tbl).count()
+        job.process(b1, 1)
+        replay_b1 = {
+            tuple(r)
+            for r in spark.read.schema(NoveltyScoring._OUT_SCHEMA)
+            .parquet(str(tmp_path / "adv_out" / "batch=1"))
+            .collect()
+        }
+        assert replay_b1 == want_b1
+        assert spark.table(tbl).count() == n_rows
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")

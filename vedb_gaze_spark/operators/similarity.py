@@ -1033,7 +1033,10 @@ def _pq_search(
                 for qr in qs:
                     qv = np.array(list(qr["qv"]), np.float64).reshape(mm, dd)
                     lut = (B * qv[:, None, :]).sum(-1)  # (m, k_sub)
-                    adc = np.round(lut[jj, C].sum(1), 6)
+                    # repo rounding convention: half-up at 6dp (matches
+                    # the Spark round() this kernel replaced), not
+                    # numpy's banker's half-even
+                    adc = np.floor(lut[jj, C].sum(1) * 1e6 + 0.5) / 1e6
                     if len(nid) > _rk:
                         top = np.lexsort((nid, -adc))[:_rk]
                     else:
@@ -1108,6 +1111,7 @@ def ann_ivfpq(
     iters: int = 3,
     nprobe: int = P.IVF_PROBES,
     rerank_mult: int = 8,
+    coarse_centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVFADC — the inverted-file + PQ composition (Jégou et al. 2011
     §IV, the production large-scale ANN layout): coarse cells in front
@@ -1136,8 +1140,16 @@ def ann_ivfpq(
     Rows-only (trained residual codebooks inherit float summation
     order); pins in tests/test_plans.py: probed-cell containment,
     recall floor vs the exact scan, rerank cosines bit-equal,
-    cell-equi-join plan shape."""
-    cents = [list(map(float, c)) for c in P.IVF_CENTROIDS]
+    cell-equi-join plan shape.
+
+    coarse_centroids overrides the fixed P.IVF_CENTROIDS cell geometry
+    (the semdedup_trained pattern) — ann_ivfpq_trained passes Lloyd's
+    output here; the plan is identical either way."""
+    cents = [
+        list(map(float, c))
+        for c in (coarse_centroids
+                  if coarse_centroids is not None else P.IVF_CENTROIDS)
+    ]
     v = _vecs(embeddings)
     corpus_v = v.where(F.col("vec_id") >= n_queries)
     books = pq_train(
@@ -1153,6 +1165,47 @@ def ann_ivfpq(
     full = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     return _ivfpq_search(
         queries, codes, full, books, cents, k, nprobe, rerank_mult
+    )
+
+
+def ann_ivfpq_trained(
+    embeddings: DataFrame,
+    k: int = P.ANN_K,
+    n_queries: int = P.ANN_N_QUERIES,
+    m: int = 8,
+    k_sub: int = 16,
+    iters: int = 3,
+    nprobe: int = P.IVF_PROBES,
+    rerank_mult: int = 8,
+    n_cells: int = 16,
+    coarse_iters: int = 3,
+) -> DataFrame:
+    """The FULL IVFADC recipe of Jégou et al. 2011 §IV: a TRAINED
+    coarse quantizer (ivf_train_centroids — distributed Lloyd's,
+    model-state-only collects) in front of residual PQ codebooks,
+    composed through ann_ivfpq's coarse_centroids override — the same
+    trained-vs-fixed relationship ann_ivf_trained has to ann_ivf and
+    semdedup_trained has to semdedup. The plan downstream of training
+    is byte-identical to ann_ivfpq: residual encode per argmax-dot
+    cell, nprobe cell EQUI-join probe, cross-cell q·centroid offset,
+    chunked cells, shared exact rerank.
+
+    Rows-only by design (Lloyd's means inherit float summation order,
+    so cell boundaries are not bit-reproducible across engines);
+    pytest pins: ≡ ann_ivfpq when handed P.IVF_CENTROIDS verbatim, and
+    recall vs the exact scan clears the fixed-cell variant's floor on
+    the bench vectors (trained cells balance probe coverage)."""
+    cents = ivf_train_centroids(embeddings, k=n_cells, iters=coarse_iters)
+    return ann_ivfpq(
+        embeddings,
+        k=k,
+        n_queries=n_queries,
+        m=m,
+        k_sub=k_sub,
+        iters=iters,
+        nprobe=nprobe,
+        rerank_mult=rerank_mult,
+        coarse_centroids=cents,
     )
 
 
@@ -1264,7 +1317,8 @@ def _ivfpq_search(
                 q = np.array(list(qv), np.float64)
                 lut = (B * q.reshape(mm, dd)[:, None, :]).sum(-1)
                 qc = float(q @ C[int(cell)])
-                adc = np.round(qc + lut[jj, Cd].sum(1), 6)
+                # half-up 6dp — the repo-wide rounding convention
+                adc = np.floor((qc + lut[jj, Cd].sum(1)) * 1e6 + 0.5) / 1e6
                 if len(nid) > _rk:
                     top = np.lexsort((nid, -adc))[:_rk]
                 else:

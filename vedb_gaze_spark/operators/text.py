@@ -650,18 +650,67 @@ def write_gram_index(
     table: str,
     n: int = P.NOVELTY_NGRAM,
     n_buckets: int = 32,
+    since: int = -1,
 ) -> None:
     """Freeze a corpus's distinct gram hashes as a bucketed managed
     table — the stored-index side of novelty_vs_index. Bucketing by g
     means every later probe join reads the corpus-sized side
     PRE-PARTITIONED (zero Exchange above its scan, plan-pinned): the
     nightly novelty gate re-shuffles only the incoming batch, never
-    the index (the write_doc_sets_bucketed / bm25 index pattern)."""
+    the index (the write_doc_sets_bucketed / bm25 index pattern).
+
+    `since` stamps each gram's admission batch (-1 = the base build):
+    append_gram_index writes later batches with their batch id, so a
+    replayed streaming scorer can reconstruct the exact prior-corpus
+    view (`since < batch_id`) — the batch-id-versioned idempotency
+    contract of streaming/maintenance.py, carried in a column instead
+    of a directory version because grams hash uniformly (every bucket
+    is touched by every batch, so partition-scoped overwrite would
+    degenerate to a full rewrite; append-only is the right merge for
+    an immutable gram SET)."""
     (
         _doc_grams(documents, n)
         .select("g")
         .distinct()
+        .select("g", F.lit(int(since)).cast("long").alias("since"))
         .write.mode("overwrite")
+        .bucketBy(n_buckets, "g")
+        .sortBy("g")
+        .saveAsTable(table)
+    )
+
+
+def append_gram_index(
+    documents: DataFrame,
+    table: str,
+    n: int = P.NOVELTY_NGRAM,
+    n_buckets: int = 32,
+    since: int = 0,
+) -> None:
+    """Merge a batch's NEW distinct grams into an existing bucketed
+    gram index WITHOUT rewriting it — the incremental-maintenance twin
+    of write_gram_index (the dedup_minhash_incremental pattern: the
+    nightly intake gate advances the index by O(batch), never O(index)).
+
+    One anti-join (batch grams LEFT ANTI stored grams — the index side
+    reads bucketed, exchange-free) selects only grams absent from the
+    index; the append adds new files per bucket under the SAME bucket
+    spec, so every pre-existing index file stays byte-identical
+    (pytest-pinned) and later probe joins remain exchange-free over
+    the union of files. Idempotent by construction: replaying a batch
+    whose append committed anti-joins to zero fresh grams. The `since`
+    stamp (see write_gram_index) lets a replayed scorer exclude the
+    batch's own grams from its prior-corpus view."""
+    spark = documents.sparkSession
+    fresh = (
+        _doc_grams(documents, n)
+        .select("g")
+        .distinct()
+        .join(spark.table(table).select("g"), "g", "left_anti")
+        .select("g", F.lit(int(since)).cast("long").alias("since"))
+    )
+    (
+        fresh.write.mode("append")
         .bucketBy(n_buckets, "g")
         .sortBy("g")
         .saveAsTable(table)

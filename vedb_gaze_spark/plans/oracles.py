@@ -2296,6 +2296,112 @@ FROM packs p JOIN samp s USING (doc_id)
 """
 
 
+# corpus_pipeline with the novelty gate folded in between
+# decontamination and sampling (plans/pipeline.py:corpus_pipeline_novelty):
+# the same recursive-CTE assembly, with an ngram_novelty sub-query over
+# the NON-BENCHMARK POOL (see the pipeline docstring for why the pool,
+# not the decontaminated survivors) gating train docs at P.NOVELTY_MIN
+# before line_dedup. Docs too short to form one NOVELTY_NGRAM-gram have
+# no novelty row and drop with the inner join, mirroring the Spark plan.
+CORPUS_PIPELINE_NOVELTY = rf"""
+WITH RECURSIVE alltoks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_DC_N - 1}], ' ') AS ng
+  FROM (SELECT * FROM alltoks WHERE len(toks) >= {_DC_N}) t,
+       unnest(generate_series(1, len(toks) - {_DC_N - 1})) AS g(i)
+),
+bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % {_DC_M} = 0),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT * FROM ng WHERE doc_id % {_DC_M} <> 0) c JOIN bench USING (ng)
+),
+train AS (
+  SELECT * FROM documents
+  WHERE doc_id % {_DC_M} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+nvg AS (
+  SELECT DISTINCT doc_id,
+         {_h60(f"array_to_string(toks[i:i+{P.NOVELTY_NGRAM - 1}], ' ')")} AS g
+  FROM (SELECT doc_id, toks FROM alltoks WHERE doc_id % {_DC_M} <> 0) t,
+       unnest(generate_series(1, len(toks) - {P.NOVELTY_NGRAM - 1})) AS gi(i)
+  WHERE len(toks) >= {P.NOVELTY_NGRAM}
+),
+nvfirst AS (SELECT g, min(doc_id) AS first_doc FROM nvg GROUP BY g),
+nov AS (
+  SELECT n.doc_id,
+         floor(sum(CASE WHEN f.first_doc = n.doc_id THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS novelty
+  FROM nvg n JOIN nvfirst f USING (g)
+  GROUP BY n.doc_id
+),
+gated AS (
+  SELECT t.*, nov.novelty FROM train t JOIN nov USING (doc_id)
+  WHERE nov.novelty >= {P.NOVELTY_MIN!r}
+),
+w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM gated
+),
+segs AS (
+  SELECT doc_id, i - 1 AS seg_no,
+         array_to_string(ws[((i-1)*{_LD_W}+1):((i-1)*{_LD_W}+{_LD_W})], ' ') AS seg
+  FROM w, unnest(generate_series(1, CAST(ceil(len(ws) / {_LD_W}.0) AS BIGINT))) AS t(i)
+),
+flagged AS (
+  SELECT doc_id, seg_no, seg,
+         CASE WHEN row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM segs
+),
+dd AS (
+  SELECT doc_id,
+         CAST(sum(keep) AS BIGINT) AS kept_segments,
+         coalesce(string_agg(CASE WHEN keep = 1 THEN seg END, ' ' ORDER BY seg_no), '')
+           AS text
+  FROM flagged GROUP BY doc_id
+  HAVING CAST(sum(keep) AS BIGINT) > 0
+),
+surv AS (
+  SELECT t.doc_id, t.lang, t.source, t.novelty, d.text
+  FROM gated t JOIN dd d USING (doc_id)
+),
+samp AS (
+  SELECT doc_id, round(CAST(1.0 AS DOUBLE) / rate, 6) AS weight
+  FROM (
+    SELECT doc_id, {_RATE_CASE} AS rate,
+           {_h60(f"'{P.SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")}
+             / CAST(1152921504606846976 AS DOUBLE) AS u
+    FROM surv
+  ) WHERE u < rate
+),
+ptoks AS (
+  SELECT s.source, s.doc_id, s.novelty,
+         CAST(s.doc_id // {P.PACK_SHARD_DOCS} AS BIGINT) AS shard,
+         CAST(len(regexp_split_to_array(trim(s.text), '\s+')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY s.source, s.doc_id // {P.PACK_SHARD_DOCS}
+                            ORDER BY s.doc_id) AS rn
+  FROM surv s JOIN samp USING (doc_id)
+),
+packs AS (
+  SELECT source, shard, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+  FROM ptoks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.shard, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN p.fill + t.n_tokens <= {P.PACK_BUDGET_TOKENS}
+              THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + t.n_tokens <= {P.PACK_BUDGET_TOKENS}
+              THEN p.fill + t.n_tokens ELSE t.n_tokens END
+  FROM packs p JOIN ptoks t
+    ON t.source = p.source AND t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT p.source, p.shard, p.doc_id, p.n_tokens, p.pack_id, s.weight, n.novelty
+FROM packs p JOIN samp s USING (doc_id) JOIN nov n USING (doc_id)
+"""
+
+
 # Mixture share CASE (shared by MIX_PLAN and the mixed pipeline)
 _MIX_SHARE = "CASE " + " ".join(
     f"WHEN lang = '{k}' THEN {v!r}" for k, v in sorted(P.MIX_TARGET.items())

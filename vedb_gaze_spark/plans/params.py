@@ -420,6 +420,11 @@ PQ_CHUNK = 4096
 # n-gram novelty (r7): gram order for the first-occurrence novelty
 # fraction; PMI collocation mining: rank floor and top-k size.
 NOVELTY_NGRAM = 3
+# Intake-gate novelty floor (plans/pipeline.py:corpus_pipeline_novelty):
+# drop docs whose first-occurrence gram fraction falls below this —
+# median novelty on the synthetic corpus is ~0.63, so 0.5 gates
+# meaningfully without emptying the assembly.
+NOVELTY_MIN = 0.5
 PMI_TOPK = 25
 PMI_MIN_COUNT = 5
 # Temperature mixture sampling (Conneau & Lample 2019 / mT5): share_l

@@ -251,6 +251,44 @@ def marker_filter_cluster(events: DataFrame) -> DataFrame:
     )
 
 
+def marker_pixel_pipeline(
+    frames: DataFrame,
+    threshold: int = 200,
+    min_size: int = 4,
+    value_col: str = "x",
+) -> DataFrame:
+    """find_epochs ON REAL FRAMES as one callable plan — the reference's
+    full camera-to-calibration-marker chain (marker_detection.py:29
+    _find_circles_frame per frame, then marker_parsing.py:470
+    find_epochs over the detection stream): raw frame payloads →
+    detect_frame_markers (PNM decode → threshold → linear connected
+    components → centroid/size/norm_pos) → detections_to_marker_stream
+    (events-schema adapter, collision-free event_id packing) →
+    marker_filter_cluster (dedup/outlier/bimodal gates + grid cluster
+    rollup with per-cluster quality gates).
+
+    One row per surviving marker cluster. The whole chain is a single
+    DataFrame expression: frame decoding parallelizes per frame
+    (Arrow-batched mapInPandas), and everything downstream is the same
+    shared-scan declarative plan as marker_filter_cluster — Catalyst
+    sees detection and clustering at once, no intermediate
+    materialization. Planted-frame e2e pin: tests/test_sources.py
+    (exact centroids in, planted position clusters out)."""
+    from vedb_gaze_spark.operators.multimodal import (
+        detect_frame_markers,
+        detections_to_marker_stream,
+    )
+
+    return marker_filter_cluster(
+        detections_to_marker_stream(
+            detect_frame_markers(
+                frames, threshold=threshold, min_size=min_size
+            ),
+            value_col=value_col,
+        )
+    )
+
+
 def curation_pipeline(documents: DataFrame) -> DataFrame:
     """Training-corpus curation as ONE declarative plan — the LLM-data
     analog of gaze_pipeline's composed DAG (reference pipelines.py wires
@@ -399,6 +437,78 @@ def corpus_pipeline(documents: DataFrame) -> DataFrame:
         extra_cols=("weight",),
         shard_docs=P.PACK_SHARD_DOCS,
     ).select("source", "shard", "doc_id", "n_tokens", "pack_id", "weight")
+
+
+def corpus_pipeline_novelty(documents: DataFrame) -> DataFrame:
+    """corpus_pipeline with the NOVELTY GATE folded in between
+    decontamination and sampling — the intake-gate composition
+    ngram_novelty exists for (score what a batch adds over what the
+    corpus already has, BEFORE spending sampling/packing budget on it):
+
+    1. decontaminate      (as corpus_pipeline)
+    2. novelty gate       ngram_novelty over the NON-BENCHMARK pool;
+                          keep train docs with novelty ≥ P.NOVELTY_MIN
+                          (docs too short to form a single n-gram have
+                          no assessable novelty and drop with the gate)
+    3. line_dedup         segment-level exact dedup on survivors
+    4. stratified_sample  row-local hash-threshold mixing
+    5. pack_sequences     greedy token-budget packing
+
+    Output adds the doc's novelty score to corpus_pipeline's schema.
+    Novelty is scored against the WHOLE candidate pool (every
+    non-benchmark doc), not the post-decontamination survivors: "what
+    does this doc add over what the pool already has" counts grams
+    first owned by a later-dropped contaminated doc as seen — and,
+    mechanically, scoring the pool keeps the decontamination anti-join
+    subtree out of the novelty branch, which would otherwise be
+    re-evaluated once per novelty rollup (measured: 9 FileScans → 6).
+    Scale shape: the gate adds ngram_novelty's two doc-level rollups
+    (map-side-combining over hashed-gram / doc_id keys — no
+    corpus-sized gram join, see ngram_novelty) plus ONE doc-keyed
+    inner join of the train set against its per-doc scores; novelty
+    rides line_dedup's carry columns so nothing re-joins downstream."""
+    from vedb_gaze_spark.operators.corpus import (
+        decontaminate,
+        greedy_pack,
+        line_dedup,
+        sample_cols,
+    )
+    from vedb_gaze_spark.operators.text import ngram_novelty
+
+    contaminated = decontaminate(documents).select("doc_id")
+    pool = documents.where(F.col("doc_id") % P.DECONTAM_BENCH_MOD != 0)
+    train = pool.join(contaminated, "doc_id", "left_anti")
+    nov = ngram_novelty(pool).where(
+        F.col("novelty") >= P.NOVELTY_MIN
+    ).select("doc_id", "novelty")
+    gated = train.join(nov, "doc_id")
+    dd = line_dedup(gated, carry=("lang", "source", "novelty")).where(
+        F.col("kept_segments") > 0
+    )
+    rate, u = sample_cols()
+    sampled = (
+        dd.withColumn("rate", rate)
+        .withColumn("u", u)
+        .where(F.col("u") < F.col("rate"))
+        .select(
+            "source",
+            "doc_id",
+            F.expr("size(split(trim(text_dedup), '\\\\s+'))")
+            .cast("long")
+            .alias("n_tokens"),
+            F.round(F.lit(1.0) / F.col("rate"), 6).alias("weight"),
+            "novelty",
+        )
+    )
+    return greedy_pack(
+        sampled,
+        P.PACK_BUDGET_TOKENS,
+        extra_cols=("weight", "novelty"),
+        shard_docs=P.PACK_SHARD_DOCS,
+    ).select(
+        "source", "shard", "doc_id", "n_tokens", "pack_id", "weight",
+        "novelty",
+    )
 
 
 def corpus_pipeline_mixed(documents: DataFrame) -> DataFrame:

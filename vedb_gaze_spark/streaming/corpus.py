@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from vedb_gaze_spark.plans import params as P
 
@@ -372,7 +373,7 @@ def streaming_bpe_stats(
 
 class NoveltyScoring:
     """foreachBatch handler: novelty-score each arriving micro-batch of
-    documents against the FROZEN bucketed gram index
+    documents against the bucketed gram index
     (operators/text.py:write_gram_index) — the intake gate a crawl
     pipeline runs on every delivery before admitting documents to the
     corpus. The batch kernel (novelty_vs_index) runs verbatim per
@@ -381,9 +382,19 @@ class NoveltyScoring:
     is never collected or broadcast by hand. Exactly-once via the
     batch-id-versioned overwrite contract (serving.py / maintenance.py).
 
+    With ``advance=True`` the gate also ADMITS each batch after scoring
+    it: append_gram_index merges the batch's new grams into the index
+    (O(batch) appended files, pre-existing files untouched), so batch
+    N+1 scores against the corpus GROWN by batches ≤ N. Replay-stable
+    end to end: scoring reads the prior-corpus view ``since < batch_id``
+    (a crash between the index append and the checkpoint commit replays
+    the batch against exactly the view it saw the first time — its own
+    half-committed grams are excluded by their `since` stamp), and the
+    re-append anti-joins to zero rows.
+
     Usage::
 
-        job = NoveltyScoring("gram_index_table", out_dir)
+        job = NoveltyScoring("gram_index_table", out_dir, advance=True)
         (doc_stream.writeStream.foreachBatch(job.process)
          .trigger(availableNow=True).start())
     """
@@ -391,20 +402,39 @@ class NoveltyScoring:
     _OUT_SCHEMA = "doc_id bigint, n_grams bigint, n_new bigint, novelty double"
 
     def __init__(
-        self, index_table: str, out_dir: str, n: int = P.NOVELTY_NGRAM
+        self,
+        index_table: str,
+        out_dir: str,
+        n: int = P.NOVELTY_NGRAM,
+        advance: bool = False,
+        n_buckets: int = 32,
     ) -> None:
         self.index_table = index_table
         self.out_dir = out_dir
         self.n = n
+        self.advance = advance
+        self.n_buckets = n_buckets
 
     def process(self, batch_docs: DataFrame, batch_id: int) -> None:
-        from vedb_gaze_spark.operators.text import novelty_vs_index
+        from vedb_gaze_spark.operators.text import (
+            append_gram_index,
+            novelty_vs_index,
+        )
 
         spark = batch_docs.sparkSession
-        out = novelty_vs_index(
-            batch_docs, spark.table(self.index_table), self.n
-        )
+        index = spark.table(self.index_table)
+        if self.advance and "since" in index.columns:
+            index = index.where(F.col("since") < batch_id)
+        out = novelty_vs_index(batch_docs, index, self.n)
         out.write.mode("overwrite").parquet(f"{self.out_dir}/batch={batch_id}")
+        if self.advance:
+            append_gram_index(
+                batch_docs,
+                self.index_table,
+                n=self.n,
+                n_buckets=self.n_buckets,
+                since=batch_id,
+            )
 
     def results(self, spark) -> DataFrame:
         return spark.read.schema(self._OUT_SCHEMA).option(

@@ -128,6 +128,7 @@ def write_ivfpq_index(
     m: int = 8,
     k_sub: int = 16,
     iters: int = 3,
+    coarse_centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """IVFADC serving index (the ann_ivfpq layout, stored): residual PQ
     codes written PARTITIONED BY coarse cell — `codes/cell=N/` — so a
@@ -135,14 +136,25 @@ def write_ivfpq_index(
     index via plain parquet partition pruning (the physical realization
     of the inverted file; the same partition-keyed layout
     streaming/maintenance.py uses for bucket overwrite). Rerank vectors
-    stored unpartitioned (fetched by id, candidate-sized reads)."""
+    stored unpartitioned (fetched by id, candidate-sized reads).
+
+    The index is SELF-DESCRIBING: its coarse quantizer (the trained
+    Lloyd's centroids, or the P.IVF_CENTROIDS default) is persisted at
+    `{path}/centroids` — residual codes are meaningless under any other
+    quantizer, so the server must probe and decode with exactly the
+    centroids the codes were written against (IVFPQServing reads them
+    from the index, never from params)."""
     from vedb_gaze_spark.operators.similarity import (
         _ivfpq_encode_gen,
         _vecs,
         pq_train,
     )
 
-    cents = [list(map(float, c)) for c in P.IVF_CENTROIDS]
+    cents = [
+        list(map(float, c))
+        for c in (coarse_centroids
+                  if coarse_centroids is not None else P.IVF_CENTROIDS)
+    ]
     books = pq_train(
         embeddings, m=m, k_sub=k_sub, iters=iters, coarse_centroids=cents
     )
@@ -155,6 +167,10 @@ def write_ivfpq_index(
     corpus.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
     ).write.mode("overwrite").parquet(f"{path}/vectors")
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(cents,)], "cents array<array<double>>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return books
 
 
@@ -182,6 +198,26 @@ class IVFPQServing:
         self.k = k
         self.nprobe = nprobe
         self.rerank_mult = rerank_mult
+        self._cents: list[list[float]] | None = None
+
+    def _load_cents(self, spark: SparkSession) -> list[list[float]]:
+        """The index's OWN coarse quantizer (`{path}/centroids`,
+        written by write_ivfpq_index) — residual codes only decode
+        under the centroids they were encoded against. Falls back to
+        the P.IVF_CENTROIDS literals for pre-r8 indexes that did not
+        persist theirs (which were always written with the literals).
+        Model state: n_cells·dim floats, loaded once per job."""
+        if self._cents is None:
+            from pyspark.errors import AnalysisException
+
+            try:
+                row = spark.read.parquet(
+                    f"{self.index_path}/centroids"
+                ).collect()[0]
+                self._cents = [list(map(float, c)) for c in row["cents"]]
+            except AnalysisException:
+                self._cents = [list(map(float, c)) for c in P.IVF_CENTROIDS]
+        return self._cents
 
     def probed_codes(
         self, spark: SparkSession, queries: DataFrame
@@ -192,7 +228,7 @@ class IVFPQServing:
         pruning, not a full scan."""
         from vedb_gaze_spark.operators.similarity import _ivf_probe
 
-        cents = [list(map(float, c)) for c in P.IVF_CENTROIDS]
+        cents = self._load_cents(spark)
         cells = sorted(
             {
                 r["cell"]
@@ -212,7 +248,7 @@ class IVFPQServing:
         )
 
         spark = batch_queries.sparkSession
-        cents = [list(map(float, c)) for c in P.IVF_CENTROIDS]
+        cents = self._load_cents(spark)
         queries = _vecs(batch_queries).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
         )
