@@ -637,11 +637,16 @@ def dedup_clusters(
     if pairs is None:
         pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
     labels = _cc_labels(pairs, max_iters)
-    sizes = labels.groupBy("label").agg(
-        F.count(F.lit(1)).cast("int").alias("cluster_size")
-    )
-    return labels.join(sizes, "label").select(
-        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    # component size as ONE window over label (labels are checkpointed,
+    # so this is a single pair-graph-sized shuffle), not a groupBy +
+    # join back — same rows, one fewer aggregate and no join exchange
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .cast("int")
+        .alias("cluster_size"),
     )
 
 
@@ -650,11 +655,27 @@ def _cc_labels(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     pair relation — the solver under dedup_clusters and the contracted
     graph of dedup_clusters_incremental. See dedup_clusters for the
     algorithm notes."""
+    # Symmetrize with ONE explode, not a self-union: the union's two
+    # branches re-evaluated the whole upstream pair plan (the LSH
+    # pipeline — 8 FileScans, zero ReusedExchange measured) before the
+    # persist could help, doubling the query's CPU for identical
+    # output. The explode scans the pair plan once by construction.
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"),
+                        F.col("doc_a").alias("dst"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .persist()
     )
     # Reliable checkpoints when the cluster has a checkpoint dir (executor
