@@ -112,6 +112,7 @@ HEADLINE = [
     # r8 additions
     "ann_ivfpq_trained",
     "corpus_pipeline_novelty",
+    "winnow_overlap",
 ]
 
 

@@ -437,6 +437,79 @@ def test_minhash_containment_embedded_doc_scores_one(spark):
     assert r["n_common"] == r["n_bench"]
 
 
+def test_winnow_overlap_matches_reference_and_caps_ubiquitous(spark):
+    """MOSS-style pair report: (a) exact match against a pure-Python
+    winnowing + pairing reference on planted docs (two docs sharing a
+    long verbatim passage must pair with high containment; unrelated
+    docs must not); (b) a fingerprint present in every doc (shared
+    boilerplate) is dropped by the max_df cap and creates NO pairs."""
+    import hashlib
+
+    from vedb_gaze_spark.operators.text import winnow_overlap
+
+    def hash60_py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, "intro words here " + shared + " closing remark one"),
+        (1, "other opening text " + shared + " different ending two"),
+        (2, "zx qv wm kj catalyst optimizer rewrites logical plans"),
+        (3, "bn pf yt rd parquet footers prune row groups early"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def fps_of(text, k=P.SHINGLE_K, w=P.WINNOW_WINDOW):
+        t = text.lower()
+        hs = [hash60_py(t[i : i + k]) for i in range(len(t) - k + 1)]
+        out = set()
+        for i in range(w - 1, len(hs)):
+            out.add(min(hs[i - w + 1 : i + 1]))
+        return out
+
+    ref_fps = {d: fps_of(t) for d, t in rows}
+    # cap: drop fps in > max_df docs (use the operator's default)
+    df_cnt = {}
+    for s in ref_fps.values():
+        for f in s:
+            df_cnt[f] = df_cnt.get(f, 0) + 1
+    kept = {
+        d: {f for f in s if df_cnt[f] <= P.WINNOW_MAX_DF}
+        for d, s in ref_fps.items()
+    }
+    import math
+
+    want = {}
+    ids = sorted(kept)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            n = len(kept[a] & kept[b])
+            if n >= P.WINNOW_MIN_SHARED:
+                c = math.floor(
+                    n / min(len(kept[a]), len(kept[b])) * 1e6 + 0.5
+                ) / 1e6
+                want[(a, b)] = (n, len(kept[a]), len(kept[b]), c)
+
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_fp_a, r.n_fp_b, r.containment)
+        for r in winnow_overlap(docs).collect()
+    }
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)][3] > 0.3
+    assert not any(2 in p or 3 in p for p in got)
+
+    # ubiquitous-fingerprint cap: the same boilerplate in EVERY doc of a
+    # >max_df corpus pairs nothing through that passage
+    many = spark.createDataFrame(
+        [(i, f"unique{i} opener " + shared + f" tail{i}") for i in range(
+            P.WINNOW_MAX_DF + 2
+        )],
+        "doc_id long, text string",
+    )
+    pairs = winnow_overlap(many, max_df=1).collect()
+    assert pairs == []
+
+
 def test_cross_source_dedup_drops_only_worse_ranked(spark, documents):
     """Every dropped doc's surviving counterpart is strictly better
     under (rank, source), the pair really is a verified near-dup pair,

@@ -119,6 +119,75 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def winnow_overlap(
+    documents: DataFrame,
+    max_df: int = P.WINNOW_MAX_DF,
+    min_shared: int = P.WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """MOSS-style pairwise overlap report over winnowing fingerprints
+    (Schleimer, Wilkerson & Aiken, SIGMOD 2003 §4 — the plagiarism/
+    boilerplate detector built on doc_fingerprint): document pairs
+    ranked by shared fingerprints, with containment = shared over the
+    smaller doc's fingerprint count.
+
+    Scale shape: fingerprints present in more than max_df documents are
+    dropped BEFORE pairing — MOSS's own "ignore matches in too many
+    documents" rule, and the hot-bucket bound (a fingerprint shared by
+    B docs would otherwise emit B² pair rows; after the cap the pair
+    fan-out per fingerprint is ≤ max_df²). The pair build is the
+    dedup_exact shape: equi self-join on the fingerprint key (uniform
+    60-bit hashes — no skew by construction after the cap), one
+    pair-keyed rollup, two doc-keyed joins for the per-doc counts.
+    Exact integers end-to-end; containment rounded 6dp at the boundary."""
+    fps = doc_fingerprint(documents)
+    df_ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fp")
+    )
+    kept = fps.join(df_ok, "fp")
+    # denominators over the SAME capped set: containment is "of the
+    # informative (non-ubiquitous) fingerprints, how many are shared"
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp")
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr(
+                "floor(n_shared / cast(least(n_fp_a, n_fp_b) as double)"
+                " * 1e6 + 0.5) / 1e6"
+            ).alias("containment"),
+        )
+    )
+
+
 def char_entropy(documents: DataFrame) -> DataFrame:
     """Shannon entropy of each document's character distribution — the
     zero-dependency perplexity proxy a quality-filtering pipeline uses to

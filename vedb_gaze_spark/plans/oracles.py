@@ -1378,6 +1378,41 @@ wm AS (
 SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= {P.WINNOW_WINDOW}
 """
 
+# MOSS-style pair overlap over the winnowing fingerprints
+# (operators/text.py:winnow_overlap): the DOC_FINGERPRINT relation,
+# ubiquitous fingerprints (df > WINNOW_MAX_DF) dropped before pairing,
+# pair rollup + capped-set per-doc counts, half-up 6dp containment.
+WINNOW_OVERLAP = f"""
+WITH sh AS ({_SHINGLES_POS}),
+h AS (SELECT doc_id, pos, {_h60('sh')} AS hh FROM sh),
+wm AS (
+  SELECT doc_id, pos,
+    min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN {P.WINNOW_WINDOW - 1} PRECEDING AND CURRENT ROW) AS fp
+  FROM h
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= {P.WINNOW_WINDOW}),
+kept AS (
+  SELECT doc_id, fp FROM fps
+  WHERE fp IN (SELECT fp FROM fps GROUP BY fp
+               HAVING count(*) <= {P.WINNOW_MAX_DF})
+),
+per_doc AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {P.WINNOW_MIN_SHARED}
+)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       pa.n_fp AS n_fp_a, pb.n_fp AS n_fp_b,
+       floor(s.n_shared / CAST(least(pa.n_fp, pb.n_fp) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS containment
+FROM shared s
+JOIN per_doc pa ON pa.doc_id = s.doc_a
+JOIN per_doc pb ON pb.doc_id = s.doc_b
+"""
+
 # sh is the 60-bit md5 hash of the shingle text — identical to the Spark
 # side's _shingle_sets, so joins/sets over it match bit-for-bit
 _SHINGLE_SETS = (

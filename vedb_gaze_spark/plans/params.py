@@ -75,6 +75,13 @@ MINHASH_BANDS = 4               # 4 bands x 4 rows
 MINHASH_PRIME = 2147483647      # 2^31-1: a*h fits in int64
 SIMHASH_BITS = 60               # portable_hash60 width
 WINNOW_WINDOW = 4               # winnowing fingerprint window
+# winnow_overlap (the MOSS-style pair report over doc_fingerprint):
+# ignore fingerprints present in more than MAX_DF documents (ubiquitous
+# boilerplate — MOSS's "too many documents" rule, and the hot-bucket
+# bound: a fingerprint shared by B docs yields B^2 pair rows), and
+# report only pairs sharing at least MIN_SHARED fingerprints.
+WINNOW_MAX_DF = 10
+WINNOW_MIN_SHARED = 2
 FEATURE_BINS = 16               # multimodal feature stub: byte-nibble bins
 COSINE_DUP_THRESHOLD = 0.35     # testdata embeddings: top ~0.1% of pairs
 ANN_K = 5

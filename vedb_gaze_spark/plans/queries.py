@@ -571,6 +571,11 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(load_table(spark, "documents", sf_dir))
 
 
+@register("winnow_overlap", oracles.WINNOW_OVERLAP)
+def _winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_overlap(load_table(spark, "documents", sf_dir))
+
+
 # --- dedup family (SURVEY §2.G) ----------------------------------------------
 
 @register("dedup_exact", oracles.DEDUP_EXACT)
@@ -1014,6 +1019,7 @@ _GATE_ORDER = [
     "ann_ivfpq",
     "ann_ivfpq_trained",
     "corpus_pipeline_novelty",
+    "winnow_overlap",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
