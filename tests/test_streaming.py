@@ -1771,6 +1771,101 @@ def test_streaming_ivfpq_serving_uses_the_indexs_own_quantizer(
     assert got == want and len(want) > 0
 
 
+def test_append_ivfpq_index_grows_without_rewrite(spark, sf_dir, tmp_path):
+    """The stored-index GROW step (train → store → serve → grow):
+    (a) appending two batches yields exactly the codes that encoding
+    the full corpus with the index's STORED quantizer+codebooks would
+    (never retrained — residual codes stay commensurable); (b) every
+    pre-existing index file is byte-identical after the appends; (c)
+    replaying an appended batch is a no-op (neighbor_id anti-join);
+    (d) a server handed NO model state (books=None) loads the stored
+    codebooks and its answers over the grown index equal the shared
+    search kernel over the same codes."""
+    import hashlib
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.similarity import (
+        _ivfpq_encode_gen,
+        _ivfpq_search,
+        _vecs,
+    )
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.streaming.serving import (
+        IVFPQServing,
+        append_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n_total = emb.count()
+    cut1 = P.ANN_N_QUERIES + (n_total - P.ANN_N_QUERIES) // 2
+    cut2 = cut1 + (n_total - cut1) // 2
+    idx = str(tmp_path / "ivfpq_grow_index")
+    books = write_ivfpq_index(emb.where(F.col("vec_id") < cut1), idx)
+
+    def file_hashes():
+        out = {}
+        for root, _, files in os.walk(idx):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[p] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    before = file_hashes()
+    append_ivfpq_index(
+        emb.where((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2)), idx
+    )
+    append_ivfpq_index(emb.where(F.col("vec_id") >= cut2), idx)
+    after = file_hashes()
+    for p, h in before.items():
+        assert after[p] == h, f"pre-existing index file rewritten: {p}"
+    assert len(after) > len(before)
+
+    cents = [list(map(float, c)) for c in P.IVF_CENTROIDS]
+    corpus = _vecs(emb).where(F.col("vec_id") >= P.ANN_N_QUERIES)
+    expected = {
+        (r.neighbor_id, r.cell, tuple(r.codes))
+        for r in corpus.mapInPandas(
+            _ivfpq_encode_gen(books, cents),
+            "neighbor_id bigint, cell int, codes array<int>",
+        ).collect()
+    }
+    grown = spark.read.parquet(f"{idx}/codes")
+    got = {
+        (r.neighbor_id, int(r.cell), tuple(r.codes)) for r in grown.collect()
+    }
+    assert got == expected and len(got) == n_total - P.ANN_N_QUERIES
+
+    n_rows = grown.count()
+    append_ivfpq_index(
+        emb.where((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2)), idx
+    )
+    assert spark.read.parquet(f"{idx}/codes").count() == n_rows
+
+    queries = _vecs(emb.where(F.col("vec_id") < P.ANN_N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    job = IVFPQServing(idx, str(tmp_path / "grow_out"), books=None)
+    job.process(emb.where(F.col("vec_id") < P.ANN_N_QUERIES), 0)
+    got_srv = {tuple(r) for r in job.results(spark).collect()}
+    codes_df = spark.read.parquet(f"{idx}/codes").select(
+        "neighbor_id", F.col("cell").cast("int").alias("cell"), "codes"
+    )
+    full = spark.read.parquet(f"{idx}/vectors")
+    want_srv = {
+        tuple(r)
+        for r in _ivfpq_search(
+            queries, codes_df, full, books, cents, P.ANN_K, P.IVF_PROBES, 8
+        ).collect()
+    }
+    assert got_srv == want_srv and len(want_srv) > 0
+
+
 def test_streaming_novelty_scoring_matches_batch(spark, sf_dir, tmp_path):
     """The foreachBatch novelty gate over the frozen gram index: the
     document stream's scores equal the batch novelty_vs_index rows

@@ -171,7 +171,64 @@ def write_ivfpq_index(
     spark.createDataFrame(
         [(cents,)], "cents array<array<double>>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [([[list(map(float, c)) for c in book] for book in books],)],
+        "books array<array<array<double>>>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     return books
+
+
+def append_ivfpq_index(embeddings_new: DataFrame, path: str) -> None:
+    """Grow a stored IVFADC index by a batch of NEW vectors WITHOUT
+    rewriting it — the ANN-index twin of the gram index's
+    append_gram_index (and the last step of the production index
+    lifecycle: train → store → serve → GROW). New vectors are encoded
+    with the index's OWN stored quantizer and codebooks (never
+    retrained — residual codes must stay commensurable with the rows
+    already in the index; periodic retraining is a REBUILD, by design),
+    then appended under the same cell partitioning: only probed cells'
+    directories gain files, every pre-existing file stays
+    byte-identical, and the rerank vector store grows by the same rows.
+
+    Idempotent by construction: an anti-join on neighbor_id against the
+    stored codes drops vectors already indexed, so replaying a batch
+    whose append committed adds nothing. ALL input rows are treated as
+    corpus vectors — the caller owns query/corpus splits."""
+    from vedb_gaze_spark.operators.similarity import (
+        _ivfpq_encode_gen,
+        _vecs,
+    )
+
+    spark = embeddings_new.sparkSession
+    cents = [
+        list(map(float, c))
+        for c in spark.read.parquet(f"{path}/centroids").collect()[0]["cents"]
+    ]
+    books = [
+        [list(map(float, c)) for c in book]
+        for book in spark.read.parquet(f"{path}/codebooks").collect()[0][
+            "books"
+        ]
+    ]
+    existing = spark.read.parquet(f"{path}/codes").select("neighbor_id")
+    fresh = (
+        _vecs(embeddings_new)
+        .select(F.col("vec_id"), F.col("v"))
+        .join(
+            existing.select(F.col("neighbor_id").alias("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
+        .persist()
+    )
+    fresh.mapInPandas(
+        _ivfpq_encode_gen(books, cents),
+        "neighbor_id bigint, cell int, codes array<int>",
+    ).write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+    fresh.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+    ).write.mode("append").parquet(f"{path}/vectors")
+    fresh.unpersist()
 
 
 class IVFPQServing:
@@ -187,18 +244,31 @@ class IVFPQServing:
         self,
         index_path: str,
         out_dir: str,
-        books: list[list[list[float]]],
+        books: list[list[list[float]]] | None = None,
         k: int = P.ANN_K,
         nprobe: int = P.IVF_PROBES,
         rerank_mult: int = 8,
     ) -> None:
         self.index_path = index_path
         self.out_dir = out_dir
-        self.books = books
+        self.books = books  # None → load the index's stored codebooks
         self.k = k
         self.nprobe = nprobe
         self.rerank_mult = rerank_mult
         self._cents: list[list[float]] | None = None
+
+    def _load_books(self, spark: SparkSession) -> list[list[list[float]]]:
+        """The index's stored residual codebooks ({path}/codebooks,
+        written by write_ivfpq_index) when none were handed in — model
+        state (m·k_sub·d_sub floats), loaded once per job."""
+        if self.books is None:
+            row = spark.read.parquet(
+                f"{self.index_path}/codebooks"
+            ).collect()[0]
+            self.books = [
+                [list(map(float, c)) for c in book] for book in row["books"]
+            ]
+        return self.books
 
     def _load_cents(self, spark: SparkSession) -> list[list[float]]:
         """The index's OWN coarse quantizer (`{path}/centroids`,
@@ -255,7 +325,7 @@ class IVFPQServing:
         codes = self.probed_codes(spark, queries)
         full = spark.read.parquet(f"{self.index_path}/vectors")
         out = _ivfpq_search(
-            queries, codes, full, self.books, cents,
+            queries, codes, full, self._load_books(spark), cents,
             self.k, self.nprobe, self.rerank_mult,
         )
         out.write.mode("overwrite").parquet(f"{self.out_dir}/batch={batch_id}")
