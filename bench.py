@@ -113,6 +113,7 @@ HEADLINE = [
     "ann_ivfpq_trained",
     "corpus_pipeline_novelty",
     "winnow_overlap",
+    "embed_project",
 ]
 
 

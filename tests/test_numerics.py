@@ -276,3 +276,53 @@ def test_resample_tps_reproduces_linear_signal(spark):
     assert len(out) > 50
     for r in out:
         assert abs(r.value_interp - (3.0 * r.t + 2.0)) < 1e-3, r
+
+
+def test_embed_project_matches_numpy_and_preserves_geometry(spark, sf_dir):
+    """Random projection: (a) every projected vector equals the numpy
+    signs @ v reference exactly (up to the shared half-up 6dp boundary
+    rounding — the ±1 arithmetic itself is exact in binary FP); (b) the
+    JL sanity: squared norms are preserved up to the d_out scale —
+    mean ratio ||Sv||²/(d_out·||v||²) near 1 with bounded tails — the
+    property that makes the 4x-smaller vectors usable for ANN
+    pre-indexing."""
+    import math
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.similarity import embed_project, rp_signs
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    got = {
+        r.vec_id: np.array(list(r.proj))
+        for r in embed_project(emb).collect()
+    }
+    S = np.array(rp_signs(), dtype=np.float64)  # (d_out, d_in)
+    vecs = {
+        r.vec_id: np.array(list(r.embedding), dtype=np.float64)
+        for r in emb.collect()
+    }
+    for vid, v in vecs.items():
+        want = S @ v
+        want = np.floor(want * 1e6 + 0.5) / 1e6
+        assert np.array_equal(got[vid], want), vid
+
+    # geometry sanity: the JL guarantee for a ±1 matrix is norm
+    # preservation — E[||Sv||²] = d_out·||v||², concentrated. (Pairwise
+    # cosine correlation is the WRONG pin on this synthetic corpus:
+    # near-uniform 64-dim vectors are near-orthogonal, so their cosines
+    # concentrate at 0 with spread below the d_out=16 distortion floor.)
+    d_out = S.shape[0]
+    ratios = []
+    for vid, v in vecs.items():
+        n2 = float(v @ v)
+        if n2 == 0:
+            continue
+        ratios.append(float(got[vid] @ got[vid]) / (d_out * n2))
+    ratios = np.array(ratios)
+    assert 0.85 < ratios.mean() < 1.15, ratios.mean()
+    assert ratios.min() > 0.2 and ratios.max() < 3.0, (
+        ratios.min(),
+        ratios.max(),
+    )

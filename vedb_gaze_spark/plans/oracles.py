@@ -1764,6 +1764,37 @@ SELECT vec_id,
 FROM embeddings
 """
 
+
+def _embed_project_sql() -> str:
+    """Mirror of operators/similarity.py:embed_project — the identical
+    hash-derived ±1 sign matrix and the identical left-associative sum
+    written term-for-term, so the projection is bit-equal before the
+    shared half-up 6dp rounding. Registry face is posexploded to scalar
+    rows (the hash_embed canonicalizer lesson)."""
+    from vedb_gaze_spark.operators.similarity import rp_signs
+
+    signs = rp_signs()
+    d_out = len(signs)
+    d_in = len(signs[0])
+    projs = [
+        "floor(("
+        + " + ".join(
+            f"({signs[j][i]}) * (embedding[{i + 1}]::DOUBLE)"
+            for i in range(d_in)
+        )
+        + ") * 1e6 + 0.5) / 1e6"
+        for j in range(d_out)
+    ]
+    branches = "\nUNION ALL\n".join(
+        f"SELECT vec_id, CAST({j} AS INTEGER) AS dim, {p} AS value"
+        " FROM embeddings"
+        for j, p in enumerate(projs)
+    )
+    return branches
+
+
+EMBED_PROJECT = _embed_project_sql()
+
 MULTIMODAL_META = f"""
 WITH d AS (
   SELECT doc_id, encode(text) AS payload, {_h60('text')} AS h FROM documents

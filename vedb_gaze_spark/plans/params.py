@@ -82,6 +82,11 @@ WINNOW_WINDOW = 4               # winnowing fingerprint window
 # report only pairs sharing at least MIN_SHARED fingerprints.
 WINNOW_MAX_DF = 10
 WINNOW_MIN_SHARED = 2
+# Random-projection dimensionality reduction (embed_project): the
+# embeddings table contract (64-dim float vectors) and the output
+# dimensionality of the ±1 projection (Achlioptas 2003).
+EMB_DIM = 64
+RP_DIM = 16
 FEATURE_BINS = 16               # multimodal feature stub: byte-nibble bins
 COSINE_DUP_THRESHOLD = 0.35     # testdata embeddings: top ~0.1% of pairs
 ANN_K = 5

@@ -675,6 +675,19 @@ def _vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.vector_norm(load_table(spark, "embeddings", sf_dir))
 
 
+@register("embed_project", oracles.EMBED_PROJECT)
+def _embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scalar face for the driver canonicalizer (the hash_embed lesson:
+    # array columns don't hash) — compute plan is the array operator
+    return (
+        similarity.embed_project(load_table(spark, "embeddings", sf_dir))
+        .select(
+            "vec_id",
+            F.posexplode("proj").alias("dim", "value"),
+        )
+    )
+
+
 # --- multimodal plumbing (SURVEY §2.G) -----------------------------------------
 
 @register("multimodal_meta", oracles.MULTIMODAL_META)
@@ -1020,6 +1033,7 @@ _GATE_ORDER = [
     "ann_ivfpq_trained",
     "corpus_pipeline_novelty",
     "winnow_overlap",
+    "embed_project",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
