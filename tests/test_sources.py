@@ -482,3 +482,78 @@ def test_frame_marker_detection_recovers_planted_centers(spark):
 
     composed = marker_pixel_pipeline(frames).collect()
     assert sorted(map(tuple, composed)) == sorted(map(tuple, clusters))
+
+
+def test_zorder_layout_prunes_files_and_matches_exact_filter(
+    spark, sf_dir, tmp_path
+):
+    """Z-order layout: (a) a rectangle query over the pruned reader
+    returns exactly the rows of the plain filter over the raw table;
+    (b) the zbucket IN (covering cells) predicate lands as a
+    PartitionFilter; (c) the covering scan physically touches a strict
+    subset of the store's parquet files — 2-D file pruning from one
+    partition key."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.sources.tables import load_table
+    from vedb_gaze_spark.sources.writers import (
+        read_zorder_pruned,
+        write_zorder_layout,
+    )
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").cast("double").alias("t"),
+            "value",
+        )
+    )
+    bounds = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("t"), F.max("t")
+    ).collect()[0]
+    u0, u1, t0, t1 = [float(x) for x in bounds]
+    store = str(tmp_path / "zstore")
+    write_zorder_layout(
+        ev, store, ("user_id", u0, u1), ("t", t0, t1), bits=3
+    )
+
+    qu = (u0 + 0.25 * (u1 - u0), u0 + 0.35 * (u1 - u0))
+    qt = (t0 + 0.40 * (t1 - t0), t0 + 0.55 * (t1 - t0))
+    got = read_zorder_pruned(spark, store, qu, qt)
+    got_rows = {
+        (r.user_id, r.event_id) for r in got.collect()
+    }
+    want_rows = {
+        (r.user_id, r.event_id)
+        for r in ev.where(
+            (F.col("user_id") >= qu[0]) & (F.col("user_id") <= qu[1])
+            & (F.col("t") >= qt[0]) & (F.col("t") <= qt[1])
+        ).collect()
+    }
+    assert got_rows == want_rows and len(want_rows) > 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "zbucket" in plan
+
+    total_files = sum(
+        1
+        for root, _, files in os.walk(os.path.join(store, "data"))
+        for f in files
+        if f.endswith(".parquet")
+    )
+    # the covering-cells scan alone (no row predicate): every file it
+    # touches surfaces via input_file_name
+    m = spark.read.parquet(f"{store}/zmeta").collect()[0]
+    covering = {r.zbucket for r in got.select("zbucket").distinct().collect()}
+    touched = (
+        spark.read.parquet(f"{store}/data")
+        .where(F.col("zbucket").isin([int(c) for c in covering]))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert touched < total_files, (touched, total_files)

@@ -109,3 +109,117 @@ def compact_table(
         "overwrite"
     ).parquet(dst)
     return dst
+
+
+def _zbucket_expr(col: str, mn: float, mx: float, bits: int) -> str:
+    """Per-dimension bucket id: the value's position in [mn, mx] scaled
+    to 2^bits cells, clamped — computable from a PREDICATE's constants
+    alone, which is what makes read-side pruning possible."""
+    span = float(mx) - float(mn)
+    if span <= 0:
+        return "0"
+    return (
+        f"least(greatest(cast(floor((cast({col} as double) - {float(mn)!r})"
+        f" / {span!r} * {1 << bits}) as int), 0), {(1 << bits) - 1})"
+    )
+
+
+def _z_interleave(b1: str, b2: str, bits: int) -> str:
+    """Bit-interleave two bucket ids into one Morton (z-order) code —
+    non-overlapping bit positions, so + is |; all integer codegen."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"(((({b1}) >> {k}) & 1) << {2 * k})")
+        terms.append(f"(((({b2}) >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(terms)
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    dim1: tuple,
+    dim2: tuple,
+    bits: int = 4,
+) -> None:
+    """Two-dimensional Z-ORDER data layout (the Morton-curve clustering
+    behind Delta/Iceberg's OPTIMIZE ZORDER, here as an explicit hive
+    partition column): each row's (dim1, dim2) values bucket into a
+    2^bits × 2^bits grid whose cell ids interleave into ONE `zbucket`
+    partition column. A reader filtering a RECTANGLE in (dim1, dim2)
+    space touches only the covering z-cells' directories — file-level
+    pruning on TWO dimensions from ONE partition key, without the
+    directory explosion of partitionBy(dim1_bucket, dim2_bucket)
+    nesting at higher dimensionality.
+
+    dimN = (column, min, max) with numeric columns; the grid geometry
+    is persisted at {path}/zmeta (the self-describing-index pattern:
+    pruning constants must travel with the data they describe). The
+    layout is SELF-VERIFYING on read: read_zorder_pruned re-applies the
+    exact predicate, so correctness never depends on the pruning math.
+    One repartition on zbucket collapses the many-small-files problem
+    exactly as write_partitioned does."""
+    (c1, mn1, mx1), (c2, mn2, mx2) = dim1, dim2
+    z = _z_interleave(
+        _zbucket_expr(c1, mn1, mx1, bits),
+        _zbucket_expr(c2, mn2, mx2, bits),
+        bits,
+    )
+    (
+        df.withColumn("zbucket", F.expr(z))
+        .repartition("zbucket")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(f"{path}/data")
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(c1, float(mn1), float(mx1), c2, float(mn2), float(mx2), int(bits))],
+        "c1 string, mn1 double, mx1 double, c2 string, mn2 double,"
+        " mx2 double, bits int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/zmeta")
+
+
+def read_zorder_pruned(
+    spark,
+    path: str,
+    r1: tuple,
+    r2: tuple,
+) -> DataFrame:
+    """Rectangle query over a write_zorder_layout store: enumerate the
+    z-cells covering [r1] × [r2] from the persisted grid geometry
+    (driver-side PARTITION METADATA — ≤ 2^2bits ints, the IVFPQ
+    probed-cells pattern, never data), push `zbucket IN (covering)`
+    into the scan as a PartitionFilter, and re-apply the exact range
+    predicate on top. Rows are exactly those of the unpartitioned
+    filter; only the I/O differs (inputFiles ⊂ all files, pytest-pinned)."""
+    m = spark.read.parquet(f"{path}/zmeta").collect()[0]
+    bits = int(m["bits"])
+    ncells = 1 << bits
+
+    def brange(lo, hi, mn, mx):
+        span = mx - mn
+        if span <= 0:
+            return [0]
+        blo = min(max(int((lo - mn) / span * ncells), 0), ncells - 1)
+        bhi = min(max(int((hi - mn) / span * ncells), 0), ncells - 1)
+        return list(range(blo, bhi + 1))
+
+    def interleave(b1: int, b2: int) -> int:
+        z = 0
+        for k in range(bits):
+            z |= ((b1 >> k) & 1) << (2 * k)
+            z |= ((b2 >> k) & 1) << (2 * k + 1)
+        return z
+
+    covering = sorted(
+        interleave(b1, b2)
+        for b1 in brange(r1[0], r1[1], m["mn1"], m["mx1"])
+        for b2 in brange(r2[0], r2[1], m["mn2"], m["mx2"])
+    )
+    data = spark.read.parquet(f"{path}/data")
+    return data.where(F.col("zbucket").isin(covering)).where(
+        (F.col(m["c1"]) >= r1[0])
+        & (F.col(m["c1"]) <= r1[1])
+        & (F.col(m["c2"]) >= r2[0])
+        & (F.col(m["c2"]) <= r2[1])
+    )
