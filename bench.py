@@ -114,6 +114,8 @@ HEADLINE = [
     "corpus_pipeline_novelty",
     "winnow_overlap",
     "embed_project",
+    "ann_sq8",
+    "length_batches",
 ]
 
 

@@ -602,3 +602,33 @@ def test_mix_plan_temperature_flattens_toward_uniform(spark, sf_dir):
     rich = max(nat, key=lambda l: nat[l].avail_tokens)
     assert cool[scarce].share > nat[scarce].share, (scarce, cool[scarce])
     assert cool[rich].share < nat[rich].share, (rich, cool[rich])
+
+
+def test_length_batches_sorted_strategy_reduces_padding(spark, sf_dir):
+    """The operator's reason to exist, as an assertion: per source, the
+    length-sorted strategy never pads MORE than arrival order in total,
+    and strictly less overall on the bench corpus. Also pins the batch
+    geometry: every batch holds exactly batch_docs docs except the last
+    per (strategy, source), and utilization = sum/(n·max) on every row."""
+    from vedb_gaze_spark.operators import corpus
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.sources.tables import load_table
+
+    rows = corpus.length_batches(
+        load_table(spark, "documents", sf_dir)
+    ).collect()
+    waste = {}
+    by_group = {}
+    for r in rows:
+        waste[r.strategy] = waste.get(r.strategy, 0) + r.pad_waste
+        by_group.setdefault((r.strategy, r.source), []).append(r)
+        assert r.pad_waste == r.n_docs * r.max_len - r.sum_len
+        got = r.sum_len / (r.n_docs * r.max_len)
+        import math
+
+        assert r.utilization == math.floor(got * 1e6 + 0.5) / 1e6
+    assert waste["length_sorted"] < waste["arrival"], waste
+    for (strat, src), batches in by_group.items():
+        batches.sort(key=lambda r: r.batch_id)
+        for r in batches[:-1]:
+            assert r.n_docs == P.LB_BATCH_DOCS, (strat, src, r)

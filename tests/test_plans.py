@@ -289,6 +289,20 @@ def test_no_driver_collect_in_operators():
         # stored centroids row (n_cells·dim floats — the model the
         # codes were encoded against), once per job, never rows
         "def _load_cents",
+        # SQ8 scalar-quantizer training: collects per-dim (min, max) —
+        # EMB_DIM rows of model state, the same class as the Lloyd's
+        # trainers' centroid collects
+        "def sq8_stats",
+        # stored-index growth: loads the index's OWN quantizer +
+        # codebooks (one row each of model state — the _load_cents
+        # pattern) before encoding the new batch with them
+        "def append_ivfpq_index",
+        # IVFADC serving codebook load: the codebooks row (model
+        # state), once per job, never data rows
+        "def _load_books",
+        # Z-order rectangle reader: the persisted grid-geometry row
+        # (bits/min/max — partition METADATA, the probed-cells pattern)
+        "def read_zorder_pruned",
     )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []
@@ -1359,3 +1373,36 @@ def test_append_gram_index_incremental_equals_rebuild(spark, sf_dir):
     finally:
         for t in (tbl, tbl_full):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ann_sq8_recall_and_code_range(spark, sf_dir):
+    """SQ8 pins: (a) 8-bit uniform scalar quantization is near-lossless
+    at ANN granularity — the SQ8 top-k recovers ≥ 0.9 of the exact
+    brute-force top-k on the bench vectors (FAISS QT_8bit behavior:
+    per-dim reconstruction error ≤ range/510 barely moves a 64-dim
+    cosine); (b) codes stay in [0, 255] with both endpoints attained
+    (the encoder hits the full range, i.e. min→0 and max→255); (c) the
+    plan keeps the broadcast-queries shape — no sort of the scored
+    corpus, top-k arrives through the partial-prune + window."""
+    from vedb_gaze_spark.operators import similarity
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    got = similarity.ann_sq8(emb).collect()
+    exact = similarity.ann_cosine_topk(emb).collect()
+    gset = {(r.query_id, r.neighbor_id) for r in got}
+    eset = {(r.query_id, r.neighbor_id) for r in exact}
+    assert len(gset) == len(eset) == P.ANN_K * P.ANN_N_QUERIES
+    recall = len(gset & eset) / len(eset)
+    assert recall >= 0.9, recall
+
+    stats = similarity.sq8_stats(emb)
+    enc = similarity.sq8_encode(emb, stats)
+    from pyspark.sql import functions as F
+
+    rng = enc.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).collect()[0]
+    assert rng.lo == 0 and rng.hi == 255, (rng.lo, rng.hi)

@@ -1368,3 +1368,63 @@ def pack_efficiency(documents: DataFrame) -> DataFrame:
             ).alias("fill_rate"),
         )
     )
+
+
+def length_batches(
+    documents: DataFrame, batch_docs: int = P.LB_BATCH_DOCS
+) -> DataFrame:
+    """Length-bucketed dynamic batching report — the padding-waste
+    calculator behind every trainer's group-by-length sampler (fairseq
+    LengthGroupedSampler / HF group_by_length; public API semantics).
+    A padded batch costs n_docs·max_len tokens; batching in arrival
+    order pads every short doc up to the batch's longest, while
+    batching in length order co-locates similar lengths. The report
+    emits both strategies' per-batch fill so the waste delta is a
+    number, not folklore: strategy, source, batch_id, n_docs, max_len,
+    sum_len, pad_waste, utilization.
+
+    Deterministic: 'arrival' = doc_id order; 'length_sorted' =
+    (n_tokens DESC, doc_id). batch_id = floor(rank/batch_docs) within
+    the source group.
+
+    Scale shape: the ranking windows are keyed BY SOURCE — parallel
+    across groups, sequential within (pack_sequences' distribution
+    unit) — so there is no global sort; each strategy is one window +
+    one (source, batch) groupBy over a 3-column projection of the
+    corpus. Zero-token docs never reach a loader and are filtered."""
+    d = documents.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    parts = []
+    for strat, order in (
+        ("arrival", [F.col("doc_id")]),
+        ("length_sorted", [F.desc("n_tokens"), F.col("doc_id")]),
+    ):
+        w = Window.partitionBy("source").orderBy(*order)
+        parts.append(
+            d.withColumn("rn", F.row_number().over(w)).select(
+                F.lit(strat).alias("strategy"),
+                "source",
+                F.floor((F.col("rn") - 1) / F.lit(float(batch_docs))).alias(
+                    "batch_id"
+                ),
+                "n_tokens",
+            )
+        )
+    u = parts[0].unionByName(parts[1])
+    padded = F.count(F.lit(1)) * F.max("n_tokens")
+    return (
+        u.groupBy("strategy", "source", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_len"),
+            (padded - F.sum("n_tokens")).alias("pad_waste"),
+            F.expr(
+                "floor(sum(n_tokens) / cast(count(1) * max(n_tokens) as double)"
+                " * 1e6 + 0.5) / 1e6"
+            ).alias("utilization"),
+        )
+    )

@@ -1400,3 +1400,116 @@ def _ivfpq_search(
         score_topk, "query_id bigint, neighbor_id bigint, cosine double"
     )
     return _pq_rerank(pruned, queries, full_vectors, k, rerank_mult)
+
+
+# --- SQ8: scalar-quantized ANN (FAISS IndexScalarQuantizer QT_8bit) ------
+
+
+def sq8_stats(embeddings: DataFrame) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) of the embedding table — the SQ8 'model'
+    (reference anchor: FAISS ScalarQuantizer QT_8bit train(), public
+    API). One posexplode + one dim-keyed groupBy whose output is EMB_DIM
+    rows — model state, the same collect class as the Lloyd's trainers.
+    min/max of doubles are exact element picks, so the Spark-collected
+    stats equal the oracle's SQL-computed stats bit-for-bit."""
+    v = _vecs(embeddings)
+    rows = (
+        v.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in rows}
+    return [by_pos[i] for i in range(len(by_pos))]
+
+
+def sq8_encode(
+    embeddings: DataFrame, stats: list[tuple[float, float]]
+) -> DataFrame:
+    """8-bit scalar quantization: code_d = floor((x_d − mn_d)/(mx_d −
+    mn_d)·255 + 0.5) — one whole-stage-codegen array projection, no
+    shuffle, no UDF. 4× compression vs float32 (8× vs the double math);
+    each step is a single IEEE op on identical doubles in both engines,
+    so codes are exactly reproducible (no summation order anywhere)."""
+    v = _vecs(embeddings)
+    cols = []
+    for d, (mn, mx) in enumerate(stats):
+        x = F.element_at("v", d + 1)
+        if mx > mn:
+            code = F.floor(
+                (x - F.lit(mn)) / (F.lit(mx) - F.lit(mn)) * F.lit(255.0)
+                + F.lit(0.5)
+            ).cast("int")
+        else:  # degenerate constant dimension
+            code = F.lit(0)
+        cols.append(code)
+    return v.select(
+        "vec_id", "v", F.array(*cols).alias("codes")
+    )
+
+
+def ann_sq8(
+    embeddings: DataFrame, k: int = P.ANN_K, n_queries: int = P.ANN_N_QUERIES
+) -> DataFrame:
+    """Scalar-quantized ANN (the FAISS SQ8 layout, Jégou et al. 2011 §II
+    baseline 'SDC/ADC over uniform quantizers'): the corpus is stored as
+    8-bit codes; queries stay exact and score against the DECODED
+    reconstruction x̂_d = mn_d + code_d·(mx_d − mn_d)/255 (asymmetric
+    distance — only the database side is quantized, per the paper's ADC
+    argument). Unlike PQ's trained codebooks (rows-only records), SQ8's
+    model is two exact order statistics per dimension, so the WHOLE
+    operator — train, encode, score, rank — is SQL-expressible and the
+    oracle match is a full value-hash gate: the hash-green compressed-ANN
+    contrast to the rows-only ann_pq/ann_ivfpq family.
+
+    Scale shape: train = one dim-bounded agg (EMB_DIM-row model state);
+    encode = one codegen projection over the corpus (no shuffle); scoring
+    = broadcast tiny query set × one corpus scan with the partition-local
+    top-k prune (_partial_topk) ahead of the per-query ranking window —
+    identical plan skeleton to ann_cosine_topk at 1/4 the stored bytes.
+    Ranking uses the ADC score rounded half-even 6dp (both engines round
+    an O(1e-16)-stable double — see PERF_NOTES determinism ledger) with
+    neighbor_id tie-breaks."""
+    stats = sq8_stats(embeddings)
+    enc = sq8_encode(embeddings, stats)
+    mn_arr = F.array(*[F.lit(mn) for mn, _ in stats])
+    mx_arr = F.array(*[F.lit(mx) for _, mx in stats])
+    # decode ONCE per corpus row (plan-level strength reduction of the
+    # per-pair decode; values identical — decode does not involve q)
+    decoded = F.transform(
+        "codes",
+        lambda c, i: F.element_at(mn_arr, i + F.lit(1))
+        + c.cast("double")
+        * (
+            (
+                F.element_at(mx_arr, i + F.lit(1))
+                - F.element_at(mn_arr, i + F.lit(1))
+            )
+            / F.lit(255.0)
+        ),
+    )
+    corpus = enc.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), decoded.alias("xhat")
+    )
+    queries = enc.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "xhat", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "score_sq8", F.round(dot, 6)
+    )
+    pruned = _partial_topk(
+        scored.withColumnRenamed("score_sq8", "cosine"), k
+    ).withColumnRenamed("cosine", "score_sq8")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_sq8"), "neighbor_id"
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score_sq8")
+    )

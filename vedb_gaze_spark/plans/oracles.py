@@ -3781,3 +3781,78 @@ SELECT lang, n_docs, avail_tokens,
             ELSE 0.0 END AS epochs
 FROM wu CROSS JOIN dn
 """
+
+
+# SQ8 scalar-quantized ANN (operators/similarity.py:ann_sq8): the whole
+# train/encode/score/rank chain in SQL. Stats are exact min/max picks;
+# the encode is single-op IEEE arithmetic on identical doubles; only the
+# final ADC dot is a float SUM, rounded 6dp before ranking (the repo's
+# established sum-order bridge, see ANN_COSINE_TOPK).
+ANN_SQ8 = f"""
+WITH dims AS MATERIALIZED (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), stats AS MATERIALIZED (
+  SELECT pos, min(x) AS mn, max(x) AS mx FROM dims GROUP BY pos
+), codes AS MATERIALIZED (
+  SELECT d.vec_id, d.pos,
+         CASE WHEN s.mx > s.mn
+              THEN CAST(floor((d.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
+                        AS INTEGER)
+              ELSE 0 END AS code,
+         s.mn, s.mx
+  FROM dims d JOIN stats s USING (pos)
+  WHERE d.vec_id >= {P.ANN_N_QUERIES}
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(sum(q.x * (c.mn + c.code * ((c.mx - c.mn) / 255.0))), 6)
+           AS score_sq8
+  FROM dims q JOIN codes c USING (pos)
+  WHERE q.vec_id < {P.ANN_N_QUERIES}
+  GROUP BY q.vec_id, c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY score_sq8 DESC, neighbor_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score_sq8
+FROM ranked WHERE rank <= {P.ANN_K}
+"""
+
+
+# Length-bucketed dynamic batching (operators/corpus.py:length_batches):
+# per-source ranking windows (arrival vs length-sorted), batch_id =
+# floor(rank/B), per-batch padding-waste rollup. Integer token counts
+# end-to-end; only utilization is a quantized ratio.
+LENGTH_BATCHES = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+    AND len({_TOKENS_SQL}) > 0
+), arr AS (
+  SELECT 'arrival' AS strategy, source,
+         CAST(floor((row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                     - 1) / {float(P.LB_BATCH_DOCS)!r}) AS BIGINT) AS batch_id,
+         n_tokens
+  FROM d
+), srt AS (
+  SELECT 'length_sorted' AS strategy, source,
+         CAST(floor((row_number() OVER (
+                       PARTITION BY source ORDER BY n_tokens DESC, doc_id)
+                     - 1) / {float(P.LB_BATCH_DOCS)!r}) AS BIGINT) AS batch_id,
+         n_tokens
+  FROM d
+), u AS (SELECT * FROM arr UNION ALL SELECT * FROM srt)
+SELECT strategy, source, batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS max_len,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+       CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_waste,
+       floor(sum(n_tokens) / CAST(count(*) * max(n_tokens) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS utilization
+FROM u GROUP BY strategy, source, batch_id
+"""

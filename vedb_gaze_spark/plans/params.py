@@ -442,3 +442,7 @@ PMI_MIN_COUNT = 5
 # Temperature mixture sampling (Conneau & Lample 2019 / mT5): share_l
 # proportional to p_l^alpha; alpha < 1 flattens toward uniform.
 MIX_TEMPERATURE_ALPHA = 0.5
+
+# Length-bucketed dynamic batching (length_batches): docs per training
+# batch. Small enough that sf0.01's 500 docs yield ~30 batches/strategy.
+LB_BATCH_DOCS = 16

@@ -665,6 +665,11 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(load_table(spark, "embeddings", sf_dir))
 
 
+@register("ann_sq8", oracles.ANN_SQ8)
+def _ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_sq8(load_table(spark, "embeddings", sf_dir))
+
+
 @register("ann_recall", oracles.ANN_RECALL)
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(load_table(spark, "embeddings", sf_dir))
@@ -997,6 +1002,11 @@ def _cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.cross_source_dedup(load_table(spark, "documents", sf_dir))
 
 
+@register("length_batches", oracles.LENGTH_BATCHES)
+def _length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.length_batches(load_table(spark, "documents", sf_dir))
+
+
 @register("corpus_stats", oracles.CORPUS_STATS)
 def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.corpus_stats(load_table(spark, "documents", sf_dir))
@@ -1034,6 +1044,8 @@ _GATE_ORDER = [
     "corpus_pipeline_novelty",
     "winnow_overlap",
     "embed_project",
+    "ann_sq8",
+    "length_batches",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
