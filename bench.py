@@ -116,6 +116,7 @@ HEADLINE = [
     "embed_project",
     "ann_sq8",
     "length_batches",
+    "ann_ivf_kmeanspar",
 ]
 
 

@@ -1406,3 +1406,51 @@ def test_ann_sq8_recall_and_code_range(spark, sf_dir):
         F.max(F.array_max("codes")).alias("hi"),
     ).collect()[0]
     assert rng.lo == 0 and rng.hi == 255, (rng.lo, rng.hi)
+
+
+def test_kmeanspar_init_deterministic_and_improves_objective(spark, sf_dir):
+    """k-means|| pins (Bahmani et al. 2012): (a) hash-derived coin flips
+    make the whole train deterministic — two runs, identical centroids;
+    (b) after the SAME Lloyd's refinement, the k-means|| start beats the
+    naive first-k start on the spherical objective (mean max-dot) on the
+    bench vectors; (c) every cell is non-empty (the balanced-quantizer
+    property the init exists for); (d) the trained search face returns
+    the full k·q rows with a sane recall floor. Recall at fixed nprobe
+    is NOT pinned kpp ≥ first_k: on near-uniform vectors probe-set
+    luck dominates (measured 0.60 vs 0.88 at sf0.01 while the objective
+    still improves — quantizer quality and fixed-budget probe recall are
+    different quantities)."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators import similarity
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    c1 = similarity.ivf_train_centroids(emb, k=16, iters=3, init="kmeanspar")
+    c2 = similarity.ivf_train_centroids(emb, k=16, iters=3, init="kmeanspar")
+    assert c1 == c2
+
+    c_first = similarity.ivf_train_centroids(emb, k=16, iters=3)
+    vecs = np.stack(
+        [
+            np.array(list(r.embedding), dtype=np.float64)
+            for r in emb.select("embedding").collect()
+        ]
+    )
+
+    def obj(cents):
+        return float((vecs @ np.array(cents).T).max(1).mean())
+
+    assert obj(c1) > obj(c_first), (obj(c1), obj(c_first))
+    assigned = (vecs @ np.array(c1).T).argmax(1)
+    assert len(set(assigned.tolist())) == 16
+
+    got = similarity.ann_ivf_trained(emb, init="kmeanspar").collect()
+    assert len(got) == P.ANN_K * P.ANN_N_QUERIES
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_cosine_topk(emb).collect()
+    }
+    hits = sum((r.query_id, r.neighbor_id) in exact for r in got)
+    assert hits / len(exact) >= 0.4, hits / len(exact)

@@ -490,7 +490,7 @@ def _dots_expr_for(cents: list[list[float]], vec_col: str) -> str:
 
 
 def ivf_train_centroids(
-    embeddings: DataFrame, k: int = 16, iters: int = 5
+    embeddings: DataFrame, k: int = 16, iters: int = 5, init: str = "first_k"
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means for IVF coarse centroids — the
     production path params.IVF_CENTROIDS stands in for (its comment:
@@ -503,17 +503,23 @@ def ivf_train_centroids(
     driver holds only MODEL STATE (k·dim floats) between iterations —
     that is the legitimate iterative-algorithm pattern (MLlib's KMeans
     does the same aggregate-collect per step), not a data collect.
-    Deterministic init: the first k vectors by vec_id."""
+    Deterministic init, two flavors: 'first_k' = the first k vectors by
+    vec_id (the cheap default); 'kmeanspar' = the k-means|| oversampling
+    pass (kmeanspar_init, Bahmani et al. 2012) — a few extra corpus
+    scans for a near-k-means++-quality starting point."""
     import numpy as np
 
     # cache the parsed vector relation: every Lloyd's iteration scans
     # it, and without the persist each of the `iters` jobs re-reads the
     # parquet and re-parses the arrays
     v = _vecs(embeddings).persist()
-    init = (
-        v.where(F.col("vec_id") < k).orderBy("vec_id").select("v").collect()
-    )
-    cents = [list(map(float, r["v"])) for r in init]
+    if init == "kmeanspar":
+        cents = kmeanspar_init(embeddings, k=k)
+    else:
+        rows0 = (
+            v.where(F.col("vec_id") < k).orderBy("vec_id").select("v").collect()
+        )
+        cents = [list(map(float, r["v"])) for r in rows0]
     for _ in range(iters):
         cell = (
             F.expr(f"array_position(d, array_max(d))").cast("int") - 1
@@ -546,14 +552,17 @@ def ann_ivf_trained(
     n_probes: int = P.IVF_PROBES,
     n_cells: int = 16,
     iters: int = 3,
+    init: str = "first_k",
 ) -> DataFrame:
     """ann_ivf with TRAINED coarse centroids (ivf_train_centroids)
     instead of the fixed literals — identical plan shape (assign → probe
     → exact rerank), different cell geometry. Rows-only oracle: the
     trained centroids depend on float summation order inside avg(), so
     cell boundaries are not bit-reproducible across engines, but the
-    output is always n_queries·k rows with the exact rerank semantics."""
-    cents = ivf_train_centroids(embeddings, k=n_cells, iters=iters)
+    output is always n_queries·k rows with the exact rerank semantics.
+    init='kmeanspar' swaps the naive first-k starting point for the
+    k-means|| oversampling init (kmeanspar_init)."""
+    cents = ivf_train_centroids(embeddings, k=n_cells, iters=iters, init=init)
     v = _vecs(embeddings).withColumn("dots", F.expr(_dots_expr_for(cents, "v")))
     cell = (F.expr("array_position(dots, array_max(dots))") - 1).cast("int")
     corpus = v.where(F.col("vec_id") >= n_queries).select(
@@ -1513,3 +1522,134 @@ def ann_sq8(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score_sq8")
     )
+
+
+# --- k-means|| initialization (Bahmani et al. 2012) -----------------------
+
+
+def _min_d2_kernel(C):
+    """mapInPandas kernel: per-row min squared Euclidean distance to the
+    candidate set C (numpy (m, d), shipped in the task closure — model
+    sized). One BLAS GEMM per Arrow batch; vectors pass through so the
+    selection filter needs no join back."""
+    import numpy as np
+
+    cn = (C * C).sum(1)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
+            pdf = pdf.copy()
+            pdf["d2"] = np.maximum(d2.min(1), 0.0)
+            yield pdf
+
+    return gen
+
+
+def kmeanspar_init(
+    embeddings: DataFrame,
+    k: int = 16,
+    l: int | None = None,
+    rounds: int = 4,
+    salt: str = "kpp",
+) -> list[list[float]]:
+    """k-means|| oversampling initialization (Bahmani et al. 2012,
+    "Scalable k-means++", VLDB — §3.1 Algorithm 2). k-means++ picks one
+    center per pass (k passes — serial and unusable at corpus scale);
+    k-means|| oversamples ~l candidates per pass for O(log n)≈`rounds`
+    passes, then reclusters the tiny weighted candidate set driver-side.
+    This is THE distributed init — MLlib's KMeans default — and replaces
+    the naive first-k-vectors init of ivf_train_centroids when handed
+    init='kmeanspar'.
+
+    Determinism: the paper's independent coin flips (keep x ⇔ u <
+    l·d²(x,C)/φ) use u = portable md5 hash of (salt, round, vec_id)
+    scaled to [0,1) — replay re-picks the identical candidate set, so
+    trained indexes are reproducible (the repo-wide hash-derived-
+    randomness rule).
+
+    Scale shape per round: one corpus pass for d² (numpy GEMM kernel,
+    candidate set in the closure), one scalar collect for φ, one
+    filtered collect of ≈l candidate VECTORS (model state). The final
+    weighting pass is one more corpus scan + a candidate-count groupBy;
+    greedy weighted k-means++ and weighted Lloyd's then run on the
+    ≈l·rounds candidates in numpy — never on corpus rows."""
+    import numpy as np
+
+    from vedb_gaze_spark.functions.core import portable_hash60
+
+    if l is None:
+        l = 2 * k
+    v = _vecs(embeddings).persist()
+    first = v.orderBy("vec_id").limit(1).collect()[0]["v"]
+    C = np.array([list(map(float, first))], dtype=np.float64)
+    schema = "vec_id bigint, v array<double>, d2 double"
+    for r in range(rounds):
+        d2f = v.mapInPandas(_min_d2_kernel(C), schema)
+        phi = d2f.agg(F.sum("d2")).collect()[0][0]
+        if not phi or phi <= 0:
+            break
+        u = portable_hash60(
+            F.concat(F.lit(f"{salt}:{r}:"), F.col("vec_id").cast("string"))
+        ) / F.lit(float(1 << 60))
+        picked = d2f.where(
+            u < F.lit(float(l)) * F.col("d2") / F.lit(float(phi))
+        ).collect()
+        if picked:
+            C = np.vstack(
+                [C] + [np.array(list(map(float, p["v"]))) for p in picked]
+            )
+    if len(C) < k:  # degenerate corpus: top up with the first vectors
+        extra = v.orderBy("vec_id").limit(k).collect()
+        C = np.vstack([C] + [np.array(list(map(float, e["v"]))) for e in extra])[
+            : max(k, len(C))
+        ]
+    # weight candidates by |points nearest to them| — one corpus pass
+    def nearest_gen(batches):
+        import pandas as pd
+
+        cn = (C * C).sum(1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + cn[None, :]
+            yield pd.DataFrame({"cand": d2.argmin(1).astype("int64")})
+
+    import pandas as pd  # noqa: F401  (kernel import scope)
+
+    wrows = (
+        v.mapInPandas(nearest_gen, "cand bigint")
+        .groupBy("cand")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    v.unpersist()
+    w = np.zeros(len(C))
+    for row in wrows:
+        w[row["cand"]] = row["w"]
+
+    # greedy weighted k-means++ on the candidates (deterministic: argmax
+    # of w·d² with lowest-index tie-break), then weighted Lloyd's
+    chosen = [int(np.argmax(w))]
+    d2c = ((C - C[chosen[0]]) ** 2).sum(1)
+    while len(chosen) < k:
+        gain = w * d2c
+        gain[chosen] = -1.0
+        nxt = int(np.argmax(gain))
+        chosen.append(nxt)
+        d2c = np.minimum(d2c, ((C - C[nxt]) ** 2).sum(1))
+    M = C[chosen].copy()
+    for _ in range(10):
+        d2 = ((C[:, None, :] - M[None, :, :]) ** 2).sum(2)
+        a = d2.argmin(1)
+        for j in range(k):
+            sel = a == j
+            if w[sel].sum() > 0:
+                M[j] = (C[sel] * w[sel, None]).sum(0) / w[sel].sum()
+    return [[round(float(x), 6) for x in row] for row in M]

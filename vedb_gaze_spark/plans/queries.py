@@ -665,6 +665,13 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(load_table(spark, "embeddings", sf_dir))
 
 
+@register("ann_ivf_kmeanspar")  # trained floats → rows-only (as ann_ivf_trained)
+def _ann_ivf_kmeanspar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_ivf_trained(
+        load_table(spark, "embeddings", sf_dir), init="kmeanspar"
+    )
+
+
 @register("ann_sq8", oracles.ANN_SQ8)
 def _ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_sq8(load_table(spark, "embeddings", sf_dir))
@@ -1046,6 +1053,7 @@ _GATE_ORDER = [
     "embed_project",
     "ann_sq8",
     "length_batches",
+    "ann_ivf_kmeanspar",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
