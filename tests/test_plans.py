@@ -303,6 +303,13 @@ def test_no_driver_collect_in_operators():
         # Z-order rectangle reader: the persisted grid-geometry row
         # (bits/min/max — partition METADATA, the probed-cells pattern)
         "def read_zorder_pruned",
+        # SQ8 serving quantizer load: the index's ONE stored stats row
+        # (per-dim min/max — model state), once per job, never rows
+        "def _load_stats",
+        # k-means|| init: seed vector, phi scalar, ~l candidate vectors
+        # per round, and candidate weights — ALL model state (the
+        # Lloyd's-trainer collect class, Bahmani et al. Algorithm 2)
+        "def kmeanspar_init",
     )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []

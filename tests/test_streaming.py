@@ -2001,3 +2001,61 @@ def test_streaming_novelty_advances_index_with_idempotent_replay(
         assert spark.table(tbl).count() == n_rows
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_streaming_sq8_serving_matches_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch SQ8-serving job answers streamed queries with
+    EXACTLY the batch ann_sq8 rows: the self-describing index (per-dim
+    stats + 8-bit codes) is stored once, each micro-batch runs the
+    shared _sq8_search kernel against it (quantizer loaded from the
+    index, never from params), and replaying a batch id rewrites
+    identical rows (exactly-once by idempotent overwrite)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.similarity import ann_sq8
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.streaming.serving import SQ8Serving, write_sq8_index
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = str(tmp_path / "sq8_index")
+    write_sq8_index(emb, idx)
+
+    qsrc = str(tmp_path / "sq8_queries")
+    queries = emb.where(F.col("vec_id") < P.ANN_N_QUERIES)
+    queries.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(qsrc, "c0")
+    )
+    queries.where(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(qsrc, "c1")
+    )
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(qsrc, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    job = SQ8Serving(idx, str(tmp_path / "sq8_out"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(qsrc)
+    )
+    q = (
+        stream.writeStream.foreachBatch(job.process)
+        .option("checkpointLocation", str(tmp_path / "sq8_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {tuple(r) for r in job.results(spark).collect()}
+    want = {tuple(r) for r in ann_sq8(emb).collect()}
+    assert got == want and len(want) > 0
+
+    # crash-replay idempotency
+    job.process(queries.where(F.col("vec_id") % 2 == 0), 0)
+    again = {tuple(r) for r in job.results(spark).collect()}
+    assert again == want

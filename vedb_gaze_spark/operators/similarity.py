@@ -1481,6 +1481,26 @@ def ann_sq8(
     neighbor_id tie-breaks."""
     stats = sq8_stats(embeddings)
     enc = sq8_encode(embeddings, stats)
+    corpus = enc.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+    queries = enc.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return _sq8_search(queries, corpus, stats, k)
+
+
+def _sq8_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    stats: list[tuple[float, float]],
+    k: int = P.ANN_K,
+) -> DataFrame:
+    """Shared SQ8 ADC kernel — the batch registry face (ann_sq8) and the
+    streaming server (streaming/serving.py:SQ8Serving) run THIS plan, so
+    served answers are the batch answers by construction. queries =
+    (query_id, qv array<double>); codes = (neighbor_id, codes
+    array<int>); stats = the per-dim (min, max) model."""
     mn_arr = F.array(*[F.lit(mn) for mn, _ in stats])
     mx_arr = F.array(*[F.lit(mx) for _, mx in stats])
     # decode ONCE per corpus row (plan-level strength reduction of the
@@ -1497,12 +1517,7 @@ def ann_sq8(
             / F.lit(255.0)
         ),
     )
-    corpus = enc.where(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("neighbor_id"), decoded.alias("xhat")
-    )
-    queries = enc.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
+    corpus = codes.select("neighbor_id", decoded.alias("xhat"))
     dot = F.aggregate(
         F.zip_with("qv", "xhat", lambda a, b: a * b),
         F.lit(0.0),

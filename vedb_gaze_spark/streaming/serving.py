@@ -334,3 +334,74 @@ class IVFPQServing:
         return spark.read.schema(_OUT_SCHEMA).option(
             "recursiveFileLookup", "true"
         ).parquet(self.out_dir)
+
+
+def write_sq8_index(
+    embeddings: DataFrame, path: str, n_queries: int = P.ANN_N_QUERIES
+) -> list[tuple[float, float]]:
+    """Build and store the SQ8 serving index: per-dim (min, max) stats
+    (the whole model — two order statistics per dimension) and the 8-bit
+    codes. SELF-DESCRIBING like the IVFPQ index: `{path}/stats` holds
+    the quantizer beside `{path}/codes`, so a server needs only the
+    path. 4× smaller than the float32 vectors; no rerank store — SQ8
+    answers are ADC scores (operators/similarity.py:ann_sq8)."""
+    from vedb_gaze_spark.operators.similarity import sq8_encode, sq8_stats
+
+    stats = sq8_stats(embeddings)
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [([float(mn) for mn, _ in stats], [float(mx) for _, mx in stats])],
+        "mn array<double>, mx array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    (
+        sq8_encode(embeddings, stats)
+        .where(F.col("vec_id") >= n_queries)
+        .select(F.col("vec_id").alias("neighbor_id"), "codes")
+        .write.mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    return stats
+
+
+class SQ8Serving:
+    """foreachBatch handler: answer each micro-batch of query vectors
+    from the stored SQ8 index via the shared _sq8_search kernel — the
+    PQServing pattern at the SQL-oracled end of the compression family.
+
+    Exactly-once: batch-id-keyed overwrite directories (the
+    maintenance.py idempotency contract)."""
+
+    def __init__(
+        self, index_path: str, out_dir: str, k: int = P.ANN_K
+    ) -> None:
+        self.index_path = index_path
+        self.out_dir = out_dir
+        self.k = k
+        self._stats: list[tuple[float, float]] | None = None
+
+    def _load_stats(self, spark: SparkSession) -> list[tuple[float, float]]:
+        """The index's own quantizer ({path}/stats — ONE row of model
+        state: per-dim min/max), loaded once per job, never data rows."""
+        if self._stats is None:
+            row = spark.read.parquet(f"{self.index_path}/stats").collect()[0]
+            self._stats = list(zip(map(float, row["mn"]), map(float, row["mx"])))
+        return self._stats
+
+    def process(self, batch_queries: DataFrame, batch_id: int) -> None:
+        from vedb_gaze_spark.operators.similarity import _sq8_search, _vecs
+
+        spark = batch_queries.sparkSession
+        stats = self._load_stats(spark)
+        queries = _vecs(batch_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        codes = spark.read.parquet(f"{self.index_path}/codes")
+        out = _sq8_search(queries, codes, stats, self.k)
+        out.write.mode("overwrite").parquet(
+            f"{self.out_dir}/batch={batch_id}"
+        )
+
+    def results(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(
+            "query_id bigint, rank int, neighbor_id bigint, score_sq8 double"
+        ).option("recursiveFileLookup", "true").parquet(self.out_dir)
