@@ -310,6 +310,10 @@ def test_no_driver_collect_in_operators():
         # per round, and candidate weights — ALL model state (the
         # Lloyd's-trainer collect class, Bahmani et al. Algorithm 2)
         "def kmeanspar_init",
+        # stats-manifest reader: collects the overlapping FILE LIST
+        # from the manifest (file-skipping metadata — the Delta/Iceberg
+        # log-read decision), never data rows
+        "def read_stats_pruned",
     )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []

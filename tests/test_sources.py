@@ -557,3 +557,67 @@ def test_zorder_layout_prunes_files_and_matches_exact_filter(
         .count()
     )
     assert touched < total_files, (touched, total_files)
+
+
+def test_stats_manifest_skips_files_and_matches_exact_filter(
+    spark, sf_dir, tmp_path
+):
+    """File-stats data skipping (the Delta/Iceberg manifest pattern on
+    plain parquet): (a) the pruned reader returns exactly the rows of
+    the plain range filter over the raw table; (b) it physically opens
+    a strict subset of the store's files (range clustering makes the
+    per-file bounds selective); (c) the manifest covers every data file
+    with exact per-file min/max; (d) an out-of-range query reads ZERO
+    files and returns zero rows."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.sources.tables import load_table
+    from vedb_gaze_spark.sources.writers import (
+        read_stats_pruned,
+        write_stats_layout,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    store = str(tmp_path / "statstore")
+    write_stats_layout(li, store, "l_extendedprice", n_files=16)
+
+    lo, hi = 20000.0, 25000.0
+    got = read_stats_pruned(spark, store, "l_extendedprice", lo, hi)
+    got_rows = {(r.l_orderkey, r.l_linenumber) for r in got.collect()}
+    want_rows = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in li.where(
+            (F.col("l_extendedprice") >= lo)
+            & (F.col("l_extendedprice") <= hi)
+        ).collect()
+    }
+    assert got_rows == want_rows and len(want_rows) > 0
+
+    all_files = set(spark.read.parquet(f"{store}/data").inputFiles())
+    touched = set(got.inputFiles())
+    assert touched < all_files, (len(touched), len(all_files))
+
+    manifest = {
+        r.file: r for r in spark.read.parquet(f"{store}/manifest").collect()
+    }
+    assert set(manifest) == all_files
+    per_file = (
+        spark.read.parquet(f"{store}/data")
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    )
+    for r in per_file:
+        assert manifest[r.file].mn == r.mn and manifest[r.file].mx == r.mx
+
+    empty = read_stats_pruned(
+        spark, store, "l_extendedprice", -2.0, -1.0
+    )
+    assert empty.count() == 0

@@ -223,3 +223,67 @@ def read_zorder_pruned(
         & (F.col(m["c2"]) >= r2[0])
         & (F.col(m["c2"]) <= r2[1])
     )
+
+
+def write_stats_layout(
+    df: DataFrame,
+    path: str,
+    stat_col: str,
+    n_files: int = 16,
+) -> None:
+    """FILE-LEVEL min/max statistics manifest — the data-skipping layer
+    of Delta/Iceberg table formats (Delta's per-file stats in the
+    transaction log; Iceberg's manifest-file column bounds), re-derived
+    on plain parquet. Parquet footers already carry row-group min/max,
+    but a reader must OPEN every footer to use them; a table-format
+    manifest answers "which files can contain x ∈ [lo, hi]" from one
+    tiny sidecar read — at 10^5 files that is the difference between
+    10^5 footer round-trips and one metadata scan.
+
+    Skipping only pays when values are CLUSTERED into files, so the
+    writer range-partitions on stat_col first (Delta OPTIMIZE's
+    clustering step): each of the n_files write tasks holds one tight
+    value range. The manifest ({path}/manifest: file, mn, mx, rows) is
+    computed in one pass over the written files via input_file_name()
+    — per-file rollup, never a collect of data rows."""
+    d = df.repartitionByRange(n_files, F.col(stat_col))
+    d.write.mode("overwrite").parquet(f"{path}/data")
+    spark = df.sparkSession
+    (
+        spark.read.parquet(f"{path}/data")
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(stat_col).alias("mn"),
+            F.max(stat_col).alias("mx"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/manifest")
+    )
+
+
+def read_stats_pruned(spark, path: str, stat_col: str, lo, hi) -> DataFrame:
+    """Range query over a write_stats_layout store: select the files
+    whose [mn, mx] overlaps [lo, hi] FROM THE MANIFEST (driver-side
+    file-list metadata — the partition-pruning decision Delta/Iceberg
+    make from their logs), read only those, and re-apply the exact
+    predicate so correctness never depends on the manifest (the
+    Z-order self-verifying-read discipline). Returns exactly the rows
+    of the unpartitioned filter; only the I/O differs (files read ⊂
+    all files, pytest-pinned)."""
+    manifest = spark.read.parquet(f"{path}/manifest")
+    keep = [
+        r["file"]
+        for r in manifest.where(
+            (F.col("mn") <= hi) & (F.col("mx") >= lo)
+        ).collect()
+    ]
+    if not keep:
+        return (
+            spark.read.parquet(f"{path}/data")
+            .where(F.lit(False))
+        )
+    return spark.read.parquet(*keep).where(
+        (F.col(stat_col) >= lo) & (F.col(stat_col) <= hi)
+    )
