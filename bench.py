@@ -117,6 +117,7 @@ HEADLINE = [
     "ann_sq8",
     "length_batches",
     "ann_ivf_kmeanspar",
+    "quality_classifier_trained",
 ]
 
 

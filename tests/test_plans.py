@@ -314,6 +314,10 @@ def test_no_driver_collect_in_operators():
         # from the manifest (file-skipping metadata — the Delta/Iceberg
         # log-read decision), never data rows
         "def read_stats_pruned",
+        # distilled-classifier training: per-epoch exact-integer
+        # gradient/loss rollups and the standardization stats — model
+        # state (the MLlib LogisticRegression aggregate-collect loop)
+        "def quality_classifier_train",
     )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []

@@ -665,6 +665,13 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(load_table(spark, "embeddings", sf_dir))
 
 
+@register("quality_classifier_trained")  # trained float weights → rows-only
+def _quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filtering.quality_classifier_trained(
+        load_table(spark, "documents", sf_dir)
+    )
+
+
 @register("ann_ivf_kmeanspar")  # trained floats → rows-only (as ann_ivf_trained)
 def _ann_ivf_kmeanspar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_trained(
@@ -1054,6 +1061,7 @@ _GATE_ORDER = [
     "ann_sq8",
     "length_batches",
     "ann_ivf_kmeanspar",
+    "quality_classifier_trained",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
