@@ -118,6 +118,7 @@ HEADLINE = [
     "length_batches",
     "ann_ivf_kmeanspar",
     "quality_classifier_trained",
+    "unigram_lm_stats",
 ]
 
 

@@ -75,3 +75,65 @@ def test_bpe_stats_consistency(spark, sf_dir):
         F.expr("size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))").alias("n")
     ).agg(F.sum("n")).collect()[0][0]
     assert total_words == expect
+
+
+def test_unigram_lm_train_deterministic_lossless_and_stats(spark, sf_dir):
+    """Unigram-LM tokenizer pins (Kudo 2018 hard-EM variant): (a) exact
+    integer Viterbi counts make training bit-reproducible — identical
+    scores and code-length traces across runs; (b) the trace improves
+    from the seed model to the converged model (corpus code length in
+    micro-nats, exact longs); (c) segmentation is LOSSLESS (pieces
+    concatenate back to every word type) and compresses (pieces <
+    characters); (d) every single char stays in the vocab (the
+    segmentability guarantee); (e) the stats face emits one row per doc
+    with exact integer counts."""
+    from vedb_gaze_spark.operators import unigram
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    s1, t1 = unigram.unigram_train(docs)
+    s2, t2 = unigram.unigram_train(docs)
+    assert s1 == s2 and t1 == t2
+    assert t1[-1] < t1[0]
+
+    enc = unigram.unigram_encode_types(docs, s1).collect()
+    assert all("".join(r.pieces) == r.word for r in enc)
+    n_pieces = sum(len(r.pieces) * r.cnt for r in enc)
+    n_chars = sum(len(r.word) * r.cnt for r in enc)
+    assert n_pieces < n_chars
+    chars = {c for r in enc for c in r.word}
+    assert chars <= set(s1)
+
+    out = unigram.unigram_lm_stats(docs).collect()
+    assert len(out) == docs.where("text IS NOT NULL").count()
+    for r in out[:50]:
+        assert r.n_pieces >= r.n_words > 0
+
+
+def test_unigram_lm_learns_compositional_pieces(spark):
+    """Planted compositional corpus: words are built from the morphemes
+    ab/cd/xy (e.g. 'abxy', 'cdab') plus rare full words; with the piece
+    length capped below word length, the trained vocabulary must keep
+    the frequent morphemes and segment every word into them — the
+    behavior that distinguishes a trained unigram model from character
+    fallback."""
+    from vedb_gaze_spark.operators import unigram
+
+    words = ["abxy", "abcd", "cdxy", "cdab", "xyab", "xycd"]
+    rows = []
+    for i in range(120):
+        rows.append((i, " ".join(words[(i + j) % len(words)] for j in range(8))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    old_len = unigram.MAX_PIECE_LEN
+    unigram.MAX_PIECE_LEN = 2
+    try:
+        scores, _ = unigram.unigram_train(
+            docs, seed_vocab=64, target_vocab=12, em_iters=3
+        )
+        enc = unigram.unigram_encode_types(docs, scores).collect()
+    finally:
+        unigram.MAX_PIECE_LEN = old_len
+    assert {"ab", "cd", "xy"} <= set(scores)
+    for r in enc:
+        assert r.pieces == [r.word[:2], r.word[2:]], r

@@ -318,6 +318,10 @@ def test_no_driver_collect_in_operators():
         # gradient/loss rollups and the standardization stats — model
         # state (the MLlib LogisticRegression aggregate-collect loop)
         "def quality_classifier_train",
+        # unigram-LM tokenizer training: seed vocabulary, char set, and
+        # per-EM-step Viterbi piece counts — vocabulary-sized model
+        # state (the bpe_train collect class)
+        "def unigram_train",
     )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []

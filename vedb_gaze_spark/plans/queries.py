@@ -665,6 +665,13 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(load_table(spark, "embeddings", sf_dir))
 
 
+@register("unigram_lm_stats")  # trained piece table (EM) → rows-only (as bpe_stats)
+def _unigram_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vedb_gaze_spark.operators import unigram
+
+    return unigram.unigram_lm_stats(load_table(spark, "documents", sf_dir))
+
+
 @register("quality_classifier_trained")  # trained float weights → rows-only
 def _quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtering.quality_classifier_trained(
@@ -1062,6 +1069,7 @@ _GATE_ORDER = [
     "length_batches",
     "ann_ivf_kmeanspar",
     "quality_classifier_trained",
+    "unigram_lm_stats",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
