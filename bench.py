@@ -119,6 +119,9 @@ HEADLINE = [
     "ann_ivf_kmeanspar",
     "quality_classifier_trained",
     "unigram_lm_stats",
+    "epoch_shuffle",
+    "token_zipf_fit",
+    "heaps_law",
 ]
 
 

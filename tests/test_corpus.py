@@ -632,3 +632,22 @@ def test_length_batches_sorted_strategy_reduces_padding(spark, sf_dir):
         batches.sort(key=lambda r: r.batch_id)
         for r in batches[:-1]:
             assert r.n_docs == P.LB_BATCH_DOCS, (strat, src, r)
+
+
+def test_epoch_shuffle_is_per_epoch_permutation(spark, sf_dir):
+    """Each epoch's shuffle_pos is an exact permutation of 1..N (the
+    two-level bucket-offset rank is dense and collision-free), and
+    different epochs produce different orders (salted hashes)."""
+    from vedb_gaze_spark.operators import corpus
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    rows = corpus.epoch_shuffle(docs, epochs=2).collect()
+    n = docs.count()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.shuffle_pos
+    assert set(by_epoch) == {0, 1}
+    for e, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(1, n + 1)), e
+    assert by_epoch[0] != by_epoch[1]

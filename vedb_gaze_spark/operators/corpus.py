@@ -1428,3 +1428,63 @@ def length_batches(
             ).alias("utilization"),
         )
     )
+
+
+def epoch_shuffle(documents: DataFrame, epochs: int = 2) -> DataFrame:
+    """Deterministic per-epoch training order: every epoch is an exact
+    permutation of the corpus keyed by a portable hash, so any worker,
+    any restart, and any engine derives the SAME order (the data-order
+    reproducibility contract training runs need for loss-curve
+    comparisons; epoch salts make successive epochs independent
+    permutations).
+
+    shuffle_pos is the exact GLOBAL rank under (h, doc_id) — computed
+    WITHOUT a global single-reducer window: the hash's top 8 bits form
+    256 buckets that are order-PREFIXES of the full sort key, so
+    rank = (docs in lower buckets — a 256·epochs-row cumulative offset,
+    broadcast back) + row_number within the (epoch, bucket) group (a
+    KEYED window, parallel across buckets). The oracle computes the
+    same rank with a plain global window — same rows, different
+    machine shape (the scalable two-level rank pattern).
+    """
+    e = documents.select("doc_id").crossJoin(
+        F.broadcast(
+            documents.sparkSession.range(epochs).select(
+                F.col("id").cast("int").alias("epoch")
+            )
+        )
+    )
+    h = portable_hash60(
+        F.concat(
+            F.lit("shuf:"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    d = e.select("doc_id", "epoch", h.alias("h")).withColumn(
+        "bucket", F.shiftright("h", 52).cast("int")
+    )
+    counts = d.groupBy("epoch", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("epoch")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "epoch",
+        "bucket",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("offset"),
+    )
+    win = Window.partitionBy("epoch", "bucket").orderBy("h", "doc_id")
+    return (
+        d.join(F.broadcast(offsets), ["epoch", "bucket"])
+        .withColumn("rn", F.row_number().over(win))
+        .select(
+            "epoch",
+            "doc_id",
+            (F.col("offset") + F.col("rn")).cast("long").alias("shuffle_pos"),
+        )
+    )

@@ -933,3 +933,89 @@ def pmi_bigrams(
     return top.withColumn("rank", F.row_number().over(wr)).select(
         "rank", "w1", "w2", "c2", "pmi_units"
     )
+
+
+def token_zipf_fit(documents: DataFrame) -> DataFrame:
+    """Zipf rank-frequency diagnostic (Zipf 1949; Piantadosi 2014
+    review): least-squares slope of ln(freq) on ln(rank) over the word
+    vocabulary — the one-number sanity check that a corpus's token
+    distribution looks like natural language (slope ≈ −1) rather than
+    template spam (flat head) or near-duplicate floods (step cliffs).
+
+    Exactness: per-word ln terms quantize to micro-units FIRST; the
+    regression sums (Σx, Σy, Σxy, Σx²) are then exact integer sums of
+    integer products — order-free — and only the final closed-form
+    slope/intercept divisions are floats, rounded 6dp (the micro-nat
+    discipline applied to least squares). Scale: everything after the
+    one corpus-sized word rollup is VOCABULARY-sized; the rank window
+    sorts the vocabulary only (documented bound, ≪ corpus)."""
+    wc = (
+        documents.where(F.col("text").isNotNull())
+        .select(F.explode(F.expr(_TOKENS)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wr = Window.orderBy(F.desc("freq"), "word")
+    pts = wc.withColumn("rank", F.row_number().over(wr)).select(
+        F.expr("cast(floor(ln(cast(rank as double)) * 1e6 + 0.5) as long)").alias("x"),
+        F.expr("cast(floor(ln(cast(freq as double)) * 1e6 + 0.5) as long)").alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        F.col("n").alias("n_types"),
+        F.expr(
+            "floor((n * sxy - sx * sy) / cast(n * sxx - sx * sx as double)"
+            " * 1e6 + 0.5) / 1e6"
+        ).alias("zipf_slope"),
+        F.expr(
+            "floor((sy - (n * sxy - sx * sy) / cast(n * sxx - sx * sx as double)"
+            " * sx) / cast(n as double) + 0.5) / 1e6"
+        ).alias("zipf_intercept"),
+    )
+
+
+def heaps_law(documents: DataFrame) -> DataFrame:
+    """Heaps'-law vocabulary-growth report (Heaps 1978): distinct word
+    types vs corpus size at nested doc_id prefixes (10/25/50/100%) —
+    the curve whose flattening reveals near-duplicate content (dup
+    floods add tokens but no types) and whose slope calibrates
+    hash/vocab sizing before a full tokenizer train.
+
+    One explode, one conditional aggregate — each prefix is a FILTERed
+    count over the same scan, never a per-prefix job; the doc_id bound
+    joins in as a broadcast scalar (no driver collect). doc_id prefixes
+    (not random samples) keep the report deterministic and the SQL
+    mirror exact."""
+    toks = (
+        documents.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.expr(_TOKENS)).alias("word"))
+    )
+    mxdf = toks.agg(F.max("doc_id").alias("mx"))
+    t = toks.crossJoin(F.broadcast(mxdf))
+    aggs = []
+    for pct in (10, 25, 50, 100):
+        cond = F.col("doc_id") <= F.expr(f"cast(floor(mx * {pct} / 100.0) as bigint)")
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"tok_{pct}"))
+        aggs.append(
+            F.count_distinct(F.when(cond, F.col("word"))).alias(f"typ_{pct}")
+        )
+    wide = t.agg(*aggs)
+    parts = []
+    for pct in (10, 25, 50, 100):
+        parts.append(
+            wide.select(
+                F.lit(pct).alias("prefix_pct"),
+                F.col(f"tok_{pct}").cast("long").alias("n_tokens"),
+                F.col(f"typ_{pct}").cast("long").alias("n_types"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

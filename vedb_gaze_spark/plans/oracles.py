@@ -3856,3 +3856,80 @@ SELECT strategy, source, batch_id,
              * 1e6 + 0.5) / 1e6 AS utilization
 FROM u GROUP BY strategy, source, batch_id
 """
+
+
+# Deterministic per-epoch training order (operators/corpus.py:
+# epoch_shuffle): the oracle computes the global (h, doc_id) rank with a
+# plain window; the Spark plan computes the identical rank with the
+# two-level bucket-offset shape — same rows, different machine shape.
+EPOCH_SHUFFLE = f"""
+WITH e AS (
+  SELECT doc_id, epoch
+  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) ep
+), h AS (
+  SELECT doc_id, epoch,
+         {_h60("'shuf:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM e
+)
+SELECT epoch, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+            AS BIGINT) AS shuffle_pos
+FROM h
+"""
+
+# Zipf rank-frequency least squares (operators/text.py:token_zipf_fit):
+# micro-quantized ln terms, exact integer regression sums, closed-form
+# slope/intercept rounded 6dp.
+TOKEN_ZIPF_FIT = f"""
+WITH wc AS (
+  SELECT w AS word, count(*) AS freq
+  FROM (SELECT unnest({_TOKENS_SQL}) AS w
+        FROM documents WHERE text IS NOT NULL) t
+  GROUP BY w
+), pts AS (
+  SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY freq DESC, word)
+                            AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM wc
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n AS n_types,
+       floor((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS zipf_slope,
+       floor((sy - (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+              * sx) / CAST(n AS DOUBLE) + 0.5) / 1e6 AS zipf_intercept
+FROM a
+"""
+
+# Heaps'-law vocabulary growth (operators/text.py:heaps_law): nested
+# doc_id-prefix token/type counts from ONE conditional aggregate.
+_HEAPS_WIDE = ",\n    ".join(
+    f"CAST(sum(CASE WHEN doc_id <= CAST(floor(mx * {pct} / 100.0) AS BIGINT)"
+    f" THEN 1 ELSE 0 END) AS BIGINT) AS tok_{pct},\n    "
+    f"CAST(count(DISTINCT CASE WHEN doc_id <= CAST(floor(mx * {pct} / 100.0)"
+    f" AS BIGINT) THEN word END) AS BIGINT) AS typ_{pct}"
+    for pct in (10, 25, 50, 100)
+)
+HEAPS_LAW = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS word
+  FROM documents WHERE text IS NOT NULL
+), m AS (SELECT max(doc_id) AS mx FROM toks),
+wide AS (
+  SELECT
+    {_HEAPS_WIDE}
+  FROM toks CROSS JOIN m
+)
+SELECT 10 AS prefix_pct, tok_10 AS n_tokens, typ_10 AS n_types FROM wide
+UNION ALL
+SELECT 25, tok_25, typ_25 FROM wide
+UNION ALL
+SELECT 50, tok_50, typ_50 FROM wide
+UNION ALL
+SELECT 100, tok_100, typ_100 FROM wide
+"""

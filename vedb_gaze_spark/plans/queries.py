@@ -665,6 +665,21 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(load_table(spark, "embeddings", sf_dir))
 
 
+@register("epoch_shuffle", oracles.EPOCH_SHUFFLE)
+def _epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.epoch_shuffle(load_table(spark, "documents", sf_dir))
+
+
+@register("token_zipf_fit", oracles.TOKEN_ZIPF_FIT)
+def _token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_zipf_fit(load_table(spark, "documents", sf_dir))
+
+
+@register("heaps_law", oracles.HEAPS_LAW)
+def _heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.heaps_law(load_table(spark, "documents", sf_dir))
+
+
 @register("unigram_lm_stats")  # trained piece table (EM) → rows-only (as bpe_stats)
 def _unigram_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vedb_gaze_spark.operators import unigram
@@ -1070,6 +1085,9 @@ _GATE_ORDER = [
     "ann_ivf_kmeanspar",
     "quality_classifier_trained",
     "unigram_lm_stats",
+    "epoch_shuffle",
+    "token_zipf_fit",
+    "heaps_law",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
