@@ -122,6 +122,7 @@ HEADLINE = [
     "epoch_shuffle",
     "token_zipf_fit",
     "heaps_law",
+    "sq8_recall",
 ]
 
 

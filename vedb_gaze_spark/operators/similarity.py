@@ -1668,3 +1668,33 @@ def kmeanspar_init(
             if w[sel].sum() > 0:
                 M[j] = (C[sel] * w[sel, None]).sum(0) / w[sel].sum()
     return [[round(float(x), 6) for x in row] for row in M]
+
+
+def sq8_recall(embeddings: DataFrame, k: int = P.ANN_K) -> DataFrame:
+    """Recall@k of the SQ8 compressed index vs the exact scan — the
+    ann_recall measurement-as-operator pattern applied to the quantized
+    family, and (unlike PQ recall, pytest-only) fully SQL-oracled:
+    compression loss is a nightly hash-gated metric. Both sides are the
+    registered operators; the comparison joins two k·q-row outputs."""
+    exact = ann_cosine_topk(embeddings, k=k).select("query_id", "neighbor_id")
+    approx = (
+        ann_sq8(embeddings, k=k)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.expr(
+                "floor(n_hit / cast(n_exact as double) * 1e6 + 0.5) / 1e6"
+            ).alias("recall_at_k"),
+        )
+    )

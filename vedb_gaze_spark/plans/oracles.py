@@ -3933,3 +3933,17 @@ SELECT 50, tok_50, typ_50 FROM wide
 UNION ALL
 SELECT 100, tok_100, typ_100 FROM wide
 """
+
+
+# SQ8 recall@k vs the exact scan (operators/similarity.py:sq8_recall) —
+# the ANN_RECALL composition over the SQ8 index.
+SQ8_RECALL = f"""
+WITH exact AS ({ANN_COSINE_TOPK}), approx AS ({ANN_SQ8})
+SELECT e.query_id AS query_id, count(*) AS n_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       floor(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall_at_k
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""

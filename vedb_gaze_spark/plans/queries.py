@@ -680,6 +680,11 @@ def _heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.heaps_law(load_table(spark, "documents", sf_dir))
 
 
+@register("sq8_recall", oracles.SQ8_RECALL)
+def _sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.sq8_recall(load_table(spark, "embeddings", sf_dir))
+
+
 @register("unigram_lm_stats")  # trained piece table (EM) → rows-only (as bpe_stats)
 def _unigram_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vedb_gaze_spark.operators import unigram
@@ -1063,10 +1068,13 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      has never seen; r7 verdict "what's missing" #1) and the entries
 #      NEW in r8 (ann_ivfpq_trained, corpus_pipeline_novelty).
 #  (2) the 50 entries whose latest official row is r5 (r7 verdict
-#      "next round" #3, CORRECTNESS-union list), cheapest shapes first
-#      — (1)+(2) = 53, so the last ~3 of this block ride the window
-#      boundary; the three multimodal rows sit there deliberately
-#      (cheap to re-record in r9 if the window truncates).
+#      "next round" #3, CORRECTNESS-union list), cheapest shapes first.
+#      Block (1) grew to 13 as r8 added operators (every new entry is
+#      never-recorded and outranks stale ones — the discipline), so
+#      (1)+(2) = 63 and the last ~13 of block (2) ride past the window
+#      boundary into r9's debt; the dedup/semdedup/multimodal rows sit
+#      there deliberately (every entry is still re-proven locally each
+#      run by test_driver_parity).
 # Best-effort overflow past the cutoff:
 #  (3) the 5 rows-only float fits whose records still sit at r3
 #      (row-count-only records, the right ones to risk at the
@@ -1088,6 +1096,7 @@ _GATE_ORDER = [
     "epoch_shuffle",
     "token_zipf_fit",
     "heaps_law",
+    "sq8_recall",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
