@@ -322,6 +322,10 @@ def test_no_driver_collect_in_operators():
         # per-EM-step Viterbi piece counts — vocabulary-sized model
         # state (the bpe_train collect class)
         "def unigram_train",
+        # stats-store growth: loads the OLD manifest rows (file-skipping
+        # metadata, manifest-sized — the Delta log read) to union with
+        # the new files' stats; never data rows
+        "def append_stats_layout",
     )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []

@@ -621,3 +621,75 @@ def test_stats_manifest_skips_files_and_matches_exact_filter(
         spark, store, "l_extendedprice", -2.0, -1.0
     )
     assert empty.count() == 0
+
+
+def test_append_stats_layout_grows_without_rewriting(spark, sf_dir, tmp_path):
+    """Stats-store growth pins (the append-maintainable-layout contract):
+    (a) after appending a second batch, the pruned reader over the grown
+    store returns exactly the plain filter over old ∪ new; (b) every
+    pre-existing data file is BYTE-IDENTICAL (append never rewrites);
+    (c) the manifest covers exactly the grown store's files with exact
+    bounds; (d) pruning still skips files on the grown store."""
+    import hashlib
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.sources.tables import load_table
+    from vedb_gaze_spark.sources.writers import (
+        append_stats_layout,
+        read_stats_pruned,
+        write_stats_layout,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    old = li.where(F.col("l_orderkey") % 2 == 0)
+    new = li.where(F.col("l_orderkey") % 2 == 1)
+    store = str(tmp_path / "growstore")
+    write_stats_layout(old, store, "l_extendedprice", n_files=8)
+
+    def file_hashes():
+        out = {}
+        droot = os.path.join(store, "data")
+        for root, _, files in os.walk(droot):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    before = file_hashes()
+    append_stats_layout(new, store, "l_extendedprice", n_files=4)
+    after = file_hashes()
+    for p, h in before.items():
+        assert after[p] == h, p
+    assert len(after) > len(before)
+
+    lo, hi = 20000.0, 25000.0
+    got = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in read_stats_pruned(
+            spark, store, "l_extendedprice", lo, hi
+        ).collect()
+    }
+    want = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in li.where(
+            (F.col("l_extendedprice") >= lo)
+            & (F.col("l_extendedprice") <= hi)
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+    all_files = set(spark.read.parquet(f"{store}/data").inputFiles())
+    manifest = {
+        r.file: r for r in spark.read.parquet(f"{store}/manifest").collect()
+    }
+    assert set(manifest) == all_files
+    touched = set(
+        read_stats_pruned(
+            spark, store, "l_extendedprice", lo, hi
+        ).inputFiles()
+    )
+    assert touched < all_files

@@ -287,3 +287,64 @@ def read_stats_pruned(spark, path: str, stat_col: str, lo, hi) -> DataFrame:
     return spark.read.parquet(*keep).where(
         (F.col(stat_col) >= lo) & (F.col(stat_col) <= hi)
     )
+
+
+def append_stats_layout(
+    df_new: DataFrame, path: str, stat_col: str, n_files: int = 4
+) -> None:
+    """Grow a write_stats_layout store without rewriting it — the
+    manifest analog of append_gram_index / append_ivfpq_index (every
+    stored layout in this repo is append-maintainable; a nightly ingest
+    cannot re-cluster 100 TB). The new batch range-clusters into its own
+    n_files tight-range files (APPENDed — pre-existing data files stay
+    byte-identical), their (file, mn, mx, rows) stats are computed by
+    scanning ONLY the new files, and the manifest is rewritten as old
+    manifest rows ∪ new rows (the manifest is metadata-sized — that
+    rewrite is the cheap part, exactly like Delta's log append).
+
+    Append-clustering note: old and new file RANGES may overlap (each
+    batch clusters within itself), which degrades pruning selectivity,
+    never correctness — read_stats_pruned keeps the exact re-filter.
+    Periodic re-cluster = write_stats_layout over the read-back (the
+    compact_table discipline)."""
+    spark = df_new.sparkSession
+    old_manifest = spark.read.parquet(f"{path}/manifest").collect()
+    old_files = {r["file"] for r in old_manifest}
+    (
+        df_new.repartitionByRange(n_files, F.col(stat_col))
+        .write.mode("append")
+        .parquet(f"{path}/data")
+    )
+    all_files = set(spark.read.parquet(f"{path}/data").inputFiles())
+    new_files = sorted(
+        f
+        for f in all_files
+        if f not in old_files
+        # inputFiles() and input_file_name() agree on this FS; guard
+        # against URI-normalization drift by suffix comparison too
+        and not any(f.split("/")[-1] == o.split("/")[-1] for o in old_files)
+    )
+    fresh = (
+        spark.read.parquet(*new_files)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(stat_col).alias("mn"),
+            F.max(stat_col).alias("mx"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+    )
+    merged = spark.createDataFrame(
+        old_manifest, fresh.schema
+    ).unionByName(fresh)
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/manifest.new"
+    )
+    # atomic-ish swap: manifest dirs are tiny; the store stays readable
+    # under the old manifest until the rename
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p_old = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest")
+    p_new = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest.new")
+    fs = p_old.getFileSystem(conf)
+    fs.delete(p_old, True)
+    fs.rename(p_new, p_old)
