@@ -1477,3 +1477,18 @@ def test_kmeanspar_init_deterministic_and_improves_objective(spark, sf_dir):
     }
     hits = sum((r.query_id, r.neighbor_id) in exact for r in got)
     assert hits / len(exact) >= 0.4, hits / len(exact)
+
+
+def test_epoch_shuffle_plan_has_no_single_partition_exchange(spark, sf_dir):
+    """The two-level rank's reason to exist: the naive global
+    row_number would plan an Exchange SinglePartition (every row
+    through one reducer). The registered plan must rank through KEYED
+    windows only — no SinglePartition anywhere, no cartesian."""
+    from vedb_gaze_spark.operators import corpus
+    from vedb_gaze_spark.sources.tables import load_table
+
+    df = corpus.epoch_shuffle(load_table(spark, "documents", sf_dir))
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in s
+    assert "CartesianProduct" not in s
