@@ -123,6 +123,7 @@ HEADLINE = [
     "token_zipf_fit",
     "heaps_law",
     "sq8_recall",
+    "nb_lang_id",
 ]
 
 

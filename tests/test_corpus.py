@@ -651,3 +651,32 @@ def test_epoch_shuffle_is_per_epoch_permutation(spark, sf_dir):
     for e, m in by_epoch.items():
         assert sorted(m.values()) == list(range(1, n + 1)), e
     assert by_epoch[0] != by_epoch[1]
+
+
+def test_nb_lang_id_recovers_planted_vocabularies(spark):
+    """Planted corpus with DISJOINT per-language vocabularies (plus a
+    shared function-word pool): multinomial NB must identify every
+    document — the mechanism pin behind the honesty note in the
+    operator (the bench corpus has no lexical language signal, so the
+    bench face measures the plan, not a headline accuracy)."""
+    from vedb_gaze_spark.operators import text as T
+
+    vocab = {
+        "aa": ["haus", "katze", "hund", "berg"],
+        "bb": ["maison", "chat", "chien", "montagne"],
+        "cc": ["casa", "gato", "perro", "montana"],
+    }
+    shared = ["the", "of", "and"]
+    rows = []
+    i = 0
+    for lang, words in vocab.items():
+        for k in range(40):
+            toks = [words[(k + j) % len(words)] for j in range(10)] + [
+                shared[(k + j) % 3] for j in range(3)
+            ]
+            rows.append((i, " ".join(toks), lang))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = T.nb_lang_id(docs).collect()
+    assert len(out) == 120
+    assert all(r.correct for r in out)

@@ -1019,3 +1019,114 @@ def heaps_law(documents: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def nb_lang_id(documents: DataFrame, alpha: int = 1) -> DataFrame:
+    """Trained Naive-Bayes language identifier (the fastText-LID shape
+    reduced to its exactly-reproducible core; McCallum & Nigam 1998
+    multinomial NB): class-conditional unigram log-probabilities with
+    Laplace smoothing are trained IN-PLAN from the labeled corpus (the
+    lm_score discipline, per language), and every document is scored
+    argmax_l [ log P(l) + Σ_tokens log P(w|l) ].
+
+    Unlike quality_classifier_trained (gradient floats → rows-only),
+    EVERY number here is derived from exact integer counts: log terms
+    quantize to micro-nats, per-doc sums are exact longs, and argmax
+    ties break lexicographically — so a TRAINED MULTICLASS CLASSIFIER
+    is fully SQL-oracled, train and inference both hash-gated.
+
+    Scale shape: training = one (lang, word) rollup + one lang rollup
+    (vocabulary-sized model tables, joined back — never collected);
+    scoring = doc-token stream × |langs| (a bounded fan-out join on the
+    model table), one (doc, lang) rollup, one doc-keyed window for the
+    argmax. Unseen (lang, word) pairs take the smoothing floor via the
+    left join's null branch.
+
+    Honesty note (measured): the bench corpus draws every language's
+    text from ONE shared token pool — there is NO lexical language
+    signal, so accuracy here sits at the class-prior rate (0.47 at
+    sf0.01 ≈ en's 0.44 doc share; binarized NB measured worse, 0.34).
+    The operator's correctness is pinned on a planted corpus with
+    per-language vocabularies (accuracy 1.0, tests/test_corpus.py);
+    on the bench corpus the value is the hash-gated train+inference
+    plan, not the headline number."""
+    toks = (
+        documents.where(F.col("text").isNotNull())
+        .select("doc_id", "lang", F.explode(F.expr(_TOKENS)).alias("word"))
+    )
+    langs = toks.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+    vocab = toks.agg(F.count_distinct("word").alias("v"))
+    lw = toks.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    # model tables: micro-nat log-likelihoods from exact integers
+    model = (
+        lw.join(F.broadcast(langs.select("lang", "n_tok")), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("mlang"),
+            "word",
+            F.expr(
+                f"cast(floor(ln((c + {alpha}) /"
+                f" cast(n_tok + {alpha} * v as double)) * 1e6) as long)"
+            ).alias("logp"),
+        )
+    )
+    floor_ = (
+        langs.crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("mlang"),
+            F.expr(
+                f"cast(floor(ln({alpha} /"
+                f" cast(n_tok + {alpha} * v as double)) * 1e6) as long)"
+            ).alias("logp0"),
+        )
+    )
+    total_docs = documents.where(F.col("text").isNotNull()).select(
+        F.count(F.lit(1)).alias("nd")
+    )
+    prior = (
+        langs.crossJoin(F.broadcast(total_docs))
+        .select(
+            F.col("lang").alias("mlang"),
+            F.expr(
+                "cast(floor(ln(n_docs / cast(nd as double)) * 1e6) as long)"
+            ).alias("logprior"),
+        )
+    )
+    # score every doc against every language: bounded fan-out on langs
+    cand = toks.crossJoin(
+        F.broadcast(langs.select(F.col("lang").alias("mlang")))
+    )
+    scored = (
+        cand.join(F.broadcast(model), ["mlang", "word"], "left")
+        .join(F.broadcast(floor_), "mlang")
+        .select(
+            "doc_id",
+            "lang",
+            "mlang",
+            F.coalesce("logp", "logp0").alias("term"),
+        )
+        .groupBy("doc_id", "lang", "mlang")
+        .agg(F.sum("term").alias("loglik"))
+        .join(F.broadcast(prior), "mlang")
+        .select(
+            "doc_id",
+            "lang",
+            "mlang",
+            (F.col("loglik") + F.col("logprior")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "mlang")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("mlang").alias("pred_lang"),
+            F.col("score").alias("score_micro_nats"),
+            (F.col("mlang") == F.col("lang")).alias("correct"),
+        )
+    )

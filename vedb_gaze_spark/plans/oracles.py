@@ -3947,3 +3947,60 @@ FROM exact e
 LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
 """
+
+
+# Trained multinomial-NB language ID (operators/text.py:nb_lang_id):
+# train AND inference from exact integer counts — micro-nat log terms,
+# exact long sums, lexicographic argmax ties.
+NB_LANG_ID = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS word
+  FROM documents WHERE text IS NOT NULL
+), langs AS MATERIALIZED (
+  SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_tok
+  FROM toks GROUP BY lang
+), vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM toks),
+lw AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY lang, word
+), model AS (
+  SELECT l.lang AS mlang, lw.word,
+         CAST(floor(ln((lw.c + 1) / CAST(l.n_tok + 1 * v.v AS DOUBLE))
+                    * 1e6) AS BIGINT) AS logp
+  FROM lw JOIN langs l USING (lang) CROSS JOIN vocab v
+), flr AS (
+  SELECT lang AS mlang,
+         CAST(floor(ln(1 / CAST(n_tok + 1 * v AS DOUBLE)) * 1e6)
+              AS BIGINT) AS logp0
+  FROM langs CROSS JOIN vocab
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS ndv
+  FROM documents WHERE text IS NOT NULL
+), prior AS (
+  SELECT lang AS mlang,
+         CAST(floor(ln(n_docs / CAST(ndv AS DOUBLE)) * 1e6)
+              AS BIGINT) AS logprior
+  FROM langs CROSS JOIN nd
+), cand AS (
+  SELECT t.doc_id, t.lang, ml.mlang, t.word
+  FROM toks t CROSS JOIN (SELECT lang AS mlang FROM langs) ml
+), scored AS (
+  SELECT c.doc_id, c.lang, c.mlang,
+         CAST(sum(coalesce(m.logp, f.logp0)) AS BIGINT) AS loglik
+  FROM cand c
+  LEFT JOIN model m ON m.mlang = c.mlang AND m.word = c.word
+  JOIN flr f ON f.mlang = c.mlang
+  GROUP BY c.doc_id, c.lang, c.mlang
+), final AS (
+  SELECT s.doc_id, s.lang, s.mlang,
+         s.loglik + p.logprior AS score,
+         row_number() OVER (
+           PARTITION BY s.doc_id ORDER BY s.loglik + p.logprior DESC, s.mlang
+         ) AS rn
+  FROM scored s JOIN prior p ON p.mlang = s.mlang
+)
+SELECT doc_id, lang, mlang AS pred_lang, score AS score_micro_nats,
+       mlang = lang AS correct
+FROM final WHERE rn = 1
+"""

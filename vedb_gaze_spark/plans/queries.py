@@ -680,6 +680,11 @@ def _heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.heaps_law(load_table(spark, "documents", sf_dir))
 
 
+@register("nb_lang_id", oracles.NB_LANG_ID)
+def _nb_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.nb_lang_id(load_table(spark, "documents", sf_dir))
+
+
 @register("sq8_recall", oracles.SQ8_RECALL)
 def _sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq8_recall(load_table(spark, "embeddings", sf_dir))
@@ -1097,6 +1102,7 @@ _GATE_ORDER = [
     "token_zipf_fit",
     "heaps_law",
     "sq8_recall",
+    "nb_lang_id",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
