@@ -124,6 +124,7 @@ HEADLINE = [
     "heaps_law",
     "sq8_recall",
     "nb_lang_id",
+    "ann_ivf_sq8",
 ]
 
 

@@ -1492,3 +1492,47 @@ def test_epoch_shuffle_plan_has_no_single_partition_exchange(spark, sf_dir):
     s = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in s
     assert "CartesianProduct" not in s
+
+
+def test_ann_ivf_sq8_probes_cells_and_scores_bit_equal(spark, sf_dir):
+    """IVF+SQ8 pins: (a) every returned neighbor lives in one of its
+    query's probed cells (the inverted-file contract); (b) on common
+    (query, neighbor) pairs the ADC score is BIT-equal to the flat
+    ann_sq8 scan (same decode expression — the cell only restricts the
+    scan); (c) full k·q rows."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators import similarity
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    got = similarity.ann_ivf_sq8(emb).collect()
+    assert len(got) == P.ANN_K * P.ANN_N_QUERIES
+
+    C = np.array(P.IVF_CENTROIDS, dtype=np.float64)
+    vecs = {
+        r.vec_id: np.array(list(r.embedding), dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def dots(v):
+        return np.round(v @ C.T, 6)
+
+    probed = {
+        q: set(np.argsort(-dots(vecs[q]), kind="stable")[: P.IVF_PROBES])
+        for q in range(P.ANN_N_QUERIES)
+        if q in vecs
+    }
+    for r in got:
+        cell = int(dots(vecs[r.neighbor_id]).argmax())
+        assert cell in probed[r.query_id], (r, cell)
+
+    flat = {
+        (r.query_id, r.neighbor_id): r.score_sq8
+        for r in similarity.ann_sq8(emb).collect()
+    }
+    common = [r for r in got if (r.query_id, r.neighbor_id) in flat]
+    assert common, "no overlap between IVF-restricted and flat top-k"
+    for r in common:
+        assert r.score_sq8 == flat[(r.query_id, r.neighbor_id)], r

@@ -1490,22 +1490,14 @@ def ann_sq8(
     return _sq8_search(queries, corpus, stats, k)
 
 
-def _sq8_search(
-    queries: DataFrame,
-    codes: DataFrame,
-    stats: list[tuple[float, float]],
-    k: int = P.ANN_K,
-) -> DataFrame:
-    """Shared SQ8 ADC kernel — the batch registry face (ann_sq8) and the
-    streaming server (streaming/serving.py:SQ8Serving) run THIS plan, so
-    served answers are the batch answers by construction. queries =
-    (query_id, qv array<double>); codes = (neighbor_id, codes
-    array<int>); stats = the per-dim (min, max) model."""
+
+def _sq8_decoded(stats: list[tuple[float, float]]):
+    """Column: the SQ8 reconstruction x̂ from a `codes` column — decoded
+    ONCE per corpus row (plan-level strength reduction of the per-pair
+    decode; values identical, decode does not involve q)."""
     mn_arr = F.array(*[F.lit(mn) for mn, _ in stats])
     mx_arr = F.array(*[F.lit(mx) for _, mx in stats])
-    # decode ONCE per corpus row (plan-level strength reduction of the
-    # per-pair decode; values identical — decode does not involve q)
-    decoded = F.transform(
+    return F.transform(
         "codes",
         lambda c, i: F.element_at(mn_arr, i + F.lit(1))
         + c.cast("double")
@@ -1517,7 +1509,20 @@ def _sq8_search(
             / F.lit(255.0)
         ),
     )
-    corpus = codes.select("neighbor_id", decoded.alias("xhat"))
+
+
+def _sq8_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    stats: list[tuple[float, float]],
+    k: int = P.ANN_K,
+) -> DataFrame:
+    """Shared SQ8 ADC kernel — the batch registry face (ann_sq8) and the
+    streaming server (streaming/serving.py:SQ8Serving) run THIS plan, so
+    served answers are the batch answers by construction. queries =
+    (query_id, qv array<double>); codes = (neighbor_id, codes
+    array<int>); stats = the per-dim (min, max) model."""
+    corpus = codes.select("neighbor_id", _sq8_decoded(stats).alias("xhat"))
     dot = F.aggregate(
         F.zip_with("qv", "xhat", lambda a, b: a * b),
         F.lit(0.0),
@@ -1697,4 +1702,64 @@ def sq8_recall(embeddings: DataFrame, k: int = P.ANN_K) -> DataFrame:
                 "floor(n_hit / cast(n_exact as double) * 1e6 + 0.5) / 1e6"
             ).alias("recall_at_k"),
         )
+    )
+
+
+def ann_ivf_sq8(
+    embeddings: DataFrame,
+    k: int = P.ANN_K,
+    n_queries: int = P.ANN_N_QUERIES,
+    n_probes: int = P.IVF_PROBES,
+) -> DataFrame:
+    """Inverted file IN FRONT OF the SQ8 codes — the IVF+SQ layout
+    (FAISS IndexIVFScalarQuantizer; Jégou et al. 2011 §IV's inverted
+    file with a uniform quantizer in place of PQ) with a FULL SQL
+    oracle: unlike ann_ivfpq (trained residual codebooks → rows-only),
+    BOTH stages here are exactly reproducible — cells from the fixed
+    literal coarse quantizer (ann_ivf's assignment) and codes from the
+    min/max scalar quantizer (ann_sq8's encode). SQ8 quantizes ABSOLUTE
+    coordinates (no residual), so the cell only restricts the scan; the
+    ADC expression is ann_sq8's verbatim and scored volume drops to
+    ≈ n_probes/n_cells of the corpus.
+
+    The hash-green production ANN shape: partition-prunable cell key +
+    4× compressed codes + broadcast probe join + partition-local top-k —
+    every row of it value-hash-gated against DuckDB."""
+    stats = sq8_stats(embeddings)
+    enc = sq8_encode(embeddings, stats).withColumn(
+        "dots", F.expr(_centroid_dots_expr("v"))
+    )
+    cell = (F.expr("array_position(dots, array_max(dots))") - 1).cast("int")
+    corpus = enc.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _sq8_decoded(stats).alias("xhat"),
+        cell.alias("cell"),
+    )
+    probes = enc.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.posexplode("dots").alias("cell", "d"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("d"), "cell")
+    probed = probes.withColumn("pr", F.row_number().over(wprobe)).where(
+        F.col("pr") <= n_probes
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "xhat", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.join(
+        F.broadcast(probed.select("query_id", "qv", "cell")), "cell"
+    ).withColumn("score_sq8", F.round(dot, 6))
+    pruned = _partial_topk(
+        scored.withColumnRenamed("score_sq8", "cosine"), k
+    ).withColumnRenamed("cosine", "score_sq8")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_sq8"), "neighbor_id"
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score_sq8")
     )

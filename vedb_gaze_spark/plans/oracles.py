@@ -4004,3 +4004,57 @@ SELECT doc_id, lang, mlang AS pred_lang, score AS score_micro_nats,
        mlang = lang AS correct
 FROM final WHERE rn = 1
 """
+
+
+# IVF + SQ8 (operators/similarity.py:ann_ivf_sq8): ANN_IVF's literal
+# coarse cells restrict the scan; ANN_SQ8's decode scores the survivors.
+ANN_IVF_SQ8 = f"""
+WITH dims AS MATERIALIZED (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), stats AS MATERIALIZED (
+  SELECT pos, min(x) AS mn, max(x) AS mx FROM dims GROUP BY pos
+), codes AS MATERIALIZED (
+  SELECT d.vec_id, d.pos,
+         CASE WHEN s.mx > s.mn
+              THEN CAST(floor((d.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
+                        AS INTEGER)
+              ELSE 0 END AS code,
+         s.mn, s.mx
+  FROM dims d JOIN stats s USING (pos)
+  WHERE d.vec_id >= {P.ANN_N_QUERIES}
+), dots AS MATERIALIZED (
+  SELECT vec_id, embedding,
+    {_IVF_DOTS}
+  FROM embeddings WHERE vec_id >= {P.ANN_N_QUERIES}
+), cells AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, {_IVF_CASE} AS cell
+  FROM (SELECT *, {_IVF_MAX} AS mx FROM dots) t
+), qdots AS MATERIALIZED (
+  {_IVF_PROBE_SELECTS}
+), probed AS (
+  SELECT query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cell) AS pr
+    FROM qdots
+  ) t WHERE pr <= {P.IVF_PROBES}
+), pairs AS (
+  SELECT p.query_id, b.neighbor_id
+  FROM probed p JOIN cells b ON p.cell = b.cell
+), scored AS (
+  SELECT pr.query_id, pr.neighbor_id,
+         round(sum(q.x * (c.mn + c.code * ((c.mx - c.mn) / 255.0))), 6)
+           AS score_sq8
+  FROM pairs pr
+  JOIN dims q ON q.vec_id = pr.query_id
+  JOIN codes c ON c.vec_id = pr.neighbor_id AND c.pos = q.pos
+  GROUP BY pr.query_id, pr.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, score_sq8 FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY score_sq8 DESC, neighbor_id
+         ) AS rank
+  FROM scored
+) t WHERE rank <= {P.ANN_K}
+"""

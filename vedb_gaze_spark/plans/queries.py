@@ -680,6 +680,11 @@ def _heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.heaps_law(load_table(spark, "documents", sf_dir))
 
 
+@register("ann_ivf_sq8", oracles.ANN_IVF_SQ8)
+def _ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_ivf_sq8(load_table(spark, "embeddings", sf_dir))
+
+
 @register("nb_lang_id", oracles.NB_LANG_ID)
 def _nb_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.nb_lang_id(load_table(spark, "documents", sf_dir))
@@ -1103,6 +1108,7 @@ _GATE_ORDER = [
     "heaps_law",
     "sq8_recall",
     "nb_lang_id",
+    "ann_ivf_sq8",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
