@@ -2059,3 +2059,77 @@ def test_streaming_sq8_serving_matches_batch(spark, sf_dir, tmp_path):
     job.process(queries.where(F.col("vec_id") % 2 == 0), 0)
     again = {tuple(r) for r in job.results(spark).collect()}
     assert again == want
+
+
+def test_streaming_ivfsq8_serving_prunes_partitions_and_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """IVF+SQ8 serving pins: (a) the stored layout IS the inverted file
+    (one codes/cell=N/ directory per cell); (b) the probed scan pushes
+    `cell IN (...)` as a parquet PartitionFilter; (c) streamed answers
+    equal the batch ann_ivf_sq8 rows exactly (shared probe + search
+    kernels, quantizer and stats loaded from the index); (d) replaying
+    a batch id rewrites identical rows."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.similarity import (
+        _ivf_sq8_probe,
+        _vecs,
+        ann_ivf_sq8,
+    )
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.streaming.serving import (
+        IVFSQ8Serving,
+        write_ivfsq8_index,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = str(tmp_path / "ivfsq8_index")
+    write_ivfsq8_index(emb, idx)
+    cells_on_disk = {
+        d
+        for d in os.listdir(os.path.join(idx, "codes"))
+        if d.startswith("cell=")
+    }
+    assert len(cells_on_disk) > 1
+
+    job = IVFSQ8Serving(idx, str(tmp_path / "ivfsq8_out"))
+    queries = _vecs(emb.where(F.col("vec_id") < P.ANN_N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probed = _ivf_sq8_probe(queries, job._load_cents(spark), P.IVF_PROBES)
+    pruned_scan = job.probed_codes(spark, probed)
+    plan = pruned_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    qsrc = str(tmp_path / "ivfsq8_queries")
+    qraw = emb.where(F.col("vec_id") < P.ANN_N_QUERIES)
+    qraw.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(qsrc, "c0")
+    )
+    qraw.where(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(qsrc, "c1")
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(qsrc)
+    )
+    q = (
+        stream.writeStream.foreachBatch(job.process)
+        .option("checkpointLocation", str(tmp_path / "ivfsq8_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {tuple(r) for r in job.results(spark).collect()}
+    want = {tuple(r) for r in ann_ivf_sq8(emb).collect()}
+    assert got == want and len(want) > 0
+
+    job.process(qraw.where(F.col("vec_id") % 2 == 1), 1)
+    again = {tuple(r) for r in job.results(spark).collect()}
+    assert again == want

@@ -1726,32 +1726,61 @@ def ann_ivf_sq8(
     4× compressed codes + broadcast probe join + partition-local top-k —
     every row of it value-hash-gated against DuckDB."""
     stats = sq8_stats(embeddings)
+    cents = [list(map(float, c)) for c in P.IVF_CENTROIDS]
     enc = sq8_encode(embeddings, stats).withColumn(
-        "dots", F.expr(_centroid_dots_expr("v"))
+        "dots", F.expr(_dots_expr_for(cents, "v"))
     )
     cell = (F.expr("array_position(dots, array_max(dots))") - 1).cast("int")
     corpus = enc.where(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("neighbor_id"),
-        _sq8_decoded(stats).alias("xhat"),
-        cell.alias("cell"),
+        F.col("vec_id").alias("neighbor_id"), "codes", cell.alias("cell")
     )
-    probes = enc.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.posexplode("dots").alias("cell", "d"),
+    queries = enc.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
+    probed = _ivf_sq8_probe(queries, cents, n_probes)
+    return _ivf_sq8_search(probed, corpus, stats, k)
+
+
+def _ivf_sq8_probe(
+    queries: DataFrame, cents: list[list[float]], n_probes: int
+) -> DataFrame:
+    """(query_id, qv) → (query_id, qv, cell): the nprobe best cells per
+    query under the ROUNDED dot ranking — the same 6dp quantization the
+    corpus assignment and the SQL oracle use, so the probe set is
+    engine-stable (ties cannot flip in one engine only)."""
+    probes = queries.withColumn(
+        "dots", F.expr(_dots_expr_for(cents, "qv"))
+    ).select("query_id", "qv", F.posexplode("dots").alias("cell", "d"))
     wprobe = Window.partitionBy("query_id").orderBy(F.desc("d"), "cell")
-    probed = probes.withColumn("pr", F.row_number().over(wprobe)).where(
-        F.col("pr") <= n_probes
+    return (
+        probes.withColumn("pr", F.row_number().over(wprobe))
+        .where(F.col("pr") <= n_probes)
+        .select("query_id", "qv", "cell")
+    )
+
+
+def _ivf_sq8_search(
+    probed: DataFrame,
+    codes: DataFrame,
+    stats: list[tuple[float, float]],
+    k: int = P.ANN_K,
+) -> DataFrame:
+    """Shared IVF+SQ8 scoring kernel — the batch face (ann_ivf_sq8) and
+    the streaming server (streaming/serving.py:IVFSQ8Serving) run THIS
+    plan: probed (query_id, qv, cell) equi-joins the cell-keyed code
+    table, the SQ8 reconstruction scores survivors, partial top-k
+    prunes before the per-query window."""
+    corpus = codes.select(
+        "neighbor_id", _sq8_decoded(stats).alias("xhat"), "cell"
     )
     dot = F.aggregate(
         F.zip_with("qv", "xhat", lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = corpus.join(
-        F.broadcast(probed.select("query_id", "qv", "cell")), "cell"
-    ).withColumn("score_sq8", F.round(dot, 6))
+    scored = corpus.join(F.broadcast(probed), "cell").withColumn(
+        "score_sq8", F.round(dot, 6)
+    )
     pruned = _partial_topk(
         scored.withColumnRenamed("score_sq8", "cosine"), k
     ).withColumnRenamed("cosine", "score_sq8")

@@ -405,3 +405,130 @@ class SQ8Serving:
         return spark.read.schema(
             "query_id bigint, rank int, neighbor_id bigint, score_sq8 double"
         ).option("recursiveFileLookup", "true").parquet(self.out_dir)
+
+
+def write_ivfsq8_index(
+    embeddings: DataFrame,
+    path: str,
+    n_queries: int = P.ANN_N_QUERIES,
+    cents: list[list[float]] | None = None,
+) -> list[tuple[float, float]]:
+    """IVF+SQ8 serving index: 8-bit codes PARTITIONED BY coarse cell
+    (`codes/cell=N/` — the write_ivfpq_index layout at the SQL-green
+    end of the family) with the SELF-DESCRIBING model beside them:
+    `{path}/stats` (per-dim min/max) and `{path}/centroids` (the coarse
+    quantizer the cells were assigned under)."""
+    from vedb_gaze_spark.operators.similarity import (
+        _dots_expr_for,
+        sq8_encode,
+        sq8_stats,
+    )
+
+    cents = [
+        list(map(float, c))
+        for c in (cents if cents is not None else P.IVF_CENTROIDS)
+    ]
+    stats = sq8_stats(embeddings)
+    enc = sq8_encode(embeddings, stats).withColumn(
+        "dots", F.expr(_dots_expr_for(cents, "v"))
+    )
+    cell = (F.expr("array_position(dots, array_max(dots))") - 1).cast("int")
+    (
+        enc.where(F.col("vec_id") >= n_queries)
+        .select(
+            F.col("vec_id").alias("neighbor_id"), "codes", cell.alias("cell")
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [([float(mn) for mn, _ in stats], [float(mx) for _, mx in stats])],
+        "mn array<double>, mx array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    spark.createDataFrame(
+        [(cents,)], "cents array<array<double>>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return stats
+
+
+class IVFSQ8Serving:
+    """foreachBatch handler over the cell-partitioned IVF+SQ8 index:
+    per micro-batch, probe the queries with the ROUNDED dot ranking
+    (the batch face's own probe — engine-stable ties), push `cell IN
+    (probed)` into the codes scan (parquet partition pruning), and run
+    the shared _ivf_sq8_search kernel. Batch-id-versioned idempotent
+    output, like every server here."""
+
+    def __init__(
+        self,
+        index_path: str,
+        out_dir: str,
+        k: int = P.ANN_K,
+        nprobe: int = P.IVF_PROBES,
+    ) -> None:
+        self.index_path = index_path
+        self.out_dir = out_dir
+        self.k = k
+        self.nprobe = nprobe
+        self._stats: list[tuple[float, float]] | None = None
+        self._cents: list[list[float]] | None = None
+
+    def _load_stats(self, spark: SparkSession) -> list[tuple[float, float]]:
+        """The index's stored quantizer stats (ONE row of model state)."""
+        if self._stats is None:
+            row = spark.read.parquet(f"{self.index_path}/stats").collect()[0]
+            self._stats = list(
+                zip(map(float, row["mn"]), map(float, row["mx"]))
+            )
+        return self._stats
+
+    def _load_cents(self, spark: SparkSession) -> list[list[float]]:
+        """The index's OWN coarse quantizer (one row of model state)."""
+        if self._cents is None:
+            row = spark.read.parquet(
+                f"{self.index_path}/centroids"
+            ).collect()[0]
+            self._cents = [list(map(float, c)) for c in row["cents"]]
+        return self._cents
+
+    def probed_codes(
+        self, spark: SparkSession, probed: DataFrame
+    ) -> DataFrame:
+        """The pruned codes scan for an already-probed query batch:
+        collects the probed CELL IDS (≤ n_cells ints — partition
+        metadata, not data) and filters the partition column."""
+        cells = sorted(
+            {
+                int(r["cell"])
+                for r in probed.select("cell").distinct().collect()
+            }
+        )
+        codes = spark.read.parquet(f"{self.index_path}/codes")
+        return codes.where(F.col("cell").isin(cells))
+
+    def process(self, batch_queries: DataFrame, batch_id: int) -> None:
+        from vedb_gaze_spark.operators.similarity import (
+            _ivf_sq8_probe,
+            _ivf_sq8_search,
+            _vecs,
+        )
+
+        spark = batch_queries.sparkSession
+        queries = _vecs(batch_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        probed = _ivf_sq8_probe(
+            queries, self._load_cents(spark), self.nprobe
+        )
+        codes = self.probed_codes(spark, probed)
+        out = _ivf_sq8_search(probed, codes, self._load_stats(spark), self.k)
+        out.write.mode("overwrite").parquet(
+            f"{self.out_dir}/batch={batch_id}"
+        )
+
+    def results(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(
+            "query_id bigint, rank int, neighbor_id bigint, score_sq8 double"
+        ).option("recursiveFileLookup", "true").parquet(self.out_dir)
