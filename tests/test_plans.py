@@ -326,6 +326,9 @@ def test_no_driver_collect_in_operators():
         # metadata, manifest-sized — the Delta log read) to union with
         # the new files' stats; never data rows
         "def append_stats_layout",
+        # frozen NB language-ID model: collects the vocabulary-sized
+        # model tables (the ccnet_model collect class)
+        "def nb_lang_model",
     )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []

@@ -2133,3 +2133,78 @@ def test_streaming_ivfsq8_serving_prunes_partitions_and_matches_batch(
     job.process(qraw.where(F.col("vec_id") % 2 == 1), 1)
     again = {tuple(r) for r in job.results(spark).collect()}
     assert again == want
+
+
+def test_streaming_nb_lang_id_matches_batch(spark, sf_dir):
+    """The frozen-model NB language-ID scorer over a stream reproduces
+    the batch nb_lang_id rows EXACTLY (exact long log-likelihood sums,
+    same lexicographic argmax ties; the model dicts come from the same
+    frames the batch face joins)."""
+    from vedb_gaze_spark.operators.text import nb_lang_id
+    from vedb_gaze_spark.streaming.corpus import (
+        nb_lang_model,
+        streaming_nb_lang_id,
+    )
+
+    batch = load_table(spark, "documents", sf_dir)
+    logp, logp0, logprior = nb_lang_model(batch)
+    assert len(logp) > 0 and len(logp0) > 0
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        streaming_nb_lang_id(stream, logp, logp0, logprior)
+        .writeStream.format("memory")
+        .queryName("mem_nblid")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {tuple(r) for r in spark.sql("SELECT * FROM mem_nblid").collect()}
+        want = {tuple(r) for r in nb_lang_id(batch).collect()}
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
+
+
+def test_streaming_quality_classifier_score_composes_unchanged(spark, sf_dir):
+    """The trained classifier's scoring half is row-local expressions
+    over gopher_rules' one-scan plan, so it composes UNCHANGED over a
+    document stream (the gopher_rules pattern): train offline, freeze
+    (w, mu, sd), run the same quality_classifier_score on the stream —
+    streamed rows ≡ batch rows."""
+    from vedb_gaze_spark.operators.filtering import (
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    batch = load_table(spark, "documents", sf_dir)
+    w, mu, sd, _ = quality_classifier_train(batch, epochs=4)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        quality_classifier_score(stream, w, mu, sd)
+        .writeStream.format("memory")
+        .queryName("mem_qcscore")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            tuple(r) for r in spark.sql("SELECT * FROM mem_qcscore").collect()
+        }
+        want = {
+            tuple(r) for r in quality_classifier_score(batch, w, mu, sd).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()

@@ -517,6 +517,20 @@ def quality_classifier_trained(
     LM + rules for the same reason); the operator's contribution is
     the exact-integer distributed training loop."""
     w, mu, sd, _ = quality_classifier_train(documents, epochs, lr)
+    return quality_classifier_score(documents, w, mu, sd)
+
+
+def quality_classifier_score(
+    documents: DataFrame,
+    w: list[float],
+    mu: list[float],
+    sd: list[float],
+) -> DataFrame:
+    """Scoring half with FROZEN weights — row-local expressions over
+    gopher_rules' one-scan signal plan, so it composes UNCHANGED over a
+    document stream (the gopher_rules/frame-detection streaming
+    pattern; tests pin streamed ≡ batch row-for-row). The ONE
+    definition the trained batch face and the streaming scorer share."""
     g = gopher_rules(documents)
     feats = g.select(
         "doc_id",

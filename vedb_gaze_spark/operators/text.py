@@ -1021,35 +1021,11 @@ def heaps_law(documents: DataFrame) -> DataFrame:
     return out
 
 
-def nb_lang_id(documents: DataFrame, alpha: int = 1) -> DataFrame:
-    """Trained Naive-Bayes language identifier (the fastText-LID shape
-    reduced to its exactly-reproducible core; McCallum & Nigam 1998
-    multinomial NB): class-conditional unigram log-probabilities with
-    Laplace smoothing are trained IN-PLAN from the labeled corpus (the
-    lm_score discipline, per language), and every document is scored
-    argmax_l [ log P(l) + Σ_tokens log P(w|l) ].
-
-    Unlike quality_classifier_trained (gradient floats → rows-only),
-    EVERY number here is derived from exact integer counts: log terms
-    quantize to micro-nats, per-doc sums are exact longs, and argmax
-    ties break lexicographically — so a TRAINED MULTICLASS CLASSIFIER
-    is fully SQL-oracled, train and inference both hash-gated.
-
-    Scale shape: training = one (lang, word) rollup + one lang rollup
-    (vocabulary-sized model tables, joined back — never collected);
-    scoring = doc-token stream × |langs| (a bounded fan-out join on the
-    model table), one (doc, lang) rollup, one doc-keyed window for the
-    argmax. Unseen (lang, word) pairs take the smoothing floor via the
-    left join's null branch.
-
-    Honesty note (measured): the bench corpus draws every language's
-    text from ONE shared token pool — there is NO lexical language
-    signal, so accuracy here sits at the class-prior rate (0.47 at
-    sf0.01 ≈ en's 0.44 doc share; binarized NB measured worse, 0.34).
-    The operator's correctness is pinned on a planted corpus with
-    per-language vocabularies (accuracy 1.0, tests/test_corpus.py);
-    on the bench corpus the value is the hash-gated train+inference
-    plan, not the headline number."""
+def _nb_model_frames(documents: DataFrame, alpha: int = 1):
+    """The NB model as three vocabulary-sized DataFrames — the ONE
+    definition both the batch face and the frozen-model streaming
+    scorer (streaming/corpus.py:nb_lang_model) derive from, so their
+    micro-nat integers are identical by construction."""
     toks = (
         documents.where(F.col("text").isNotNull())
         .select("doc_id", "lang", F.explode(F.expr(_TOKENS)).alias("word"))
@@ -1095,6 +1071,39 @@ def nb_lang_id(documents: DataFrame, alpha: int = 1) -> DataFrame:
             ).alias("logprior"),
         )
     )
+    return toks, langs, model, floor_, prior
+
+
+def nb_lang_id(documents: DataFrame, alpha: int = 1) -> DataFrame:
+    """Trained Naive-Bayes language identifier (the fastText-LID shape
+    reduced to its exactly-reproducible core; McCallum & Nigam 1998
+    multinomial NB): class-conditional unigram log-probabilities with
+    Laplace smoothing are trained IN-PLAN from the labeled corpus (the
+    lm_score discipline, per language), and every document is scored
+    argmax_l [ log P(l) + Σ_tokens log P(w|l) ].
+
+    Unlike quality_classifier_trained (gradient floats → rows-only),
+    EVERY number here is derived from exact integer counts: log terms
+    quantize to micro-nats, per-doc sums are exact longs, and argmax
+    ties break lexicographically — so a TRAINED MULTICLASS CLASSIFIER
+    is fully SQL-oracled, train and inference both hash-gated.
+
+    Scale shape: training = one (lang, word) rollup + one lang rollup
+    (vocabulary-sized model tables, joined back — never collected);
+    scoring = doc-token stream × |langs| (a bounded fan-out join on the
+    model table), one (doc, lang) rollup, one doc-keyed window for the
+    argmax. Unseen (lang, word) pairs take the smoothing floor via the
+    left join's null branch.
+
+    Honesty note (measured): the bench corpus draws every language's
+    text from ONE shared token pool — there is NO lexical language
+    signal, so accuracy here sits at the class-prior rate (0.47 at
+    sf0.01 ≈ en's 0.44 doc share; binarized NB measured worse, 0.34).
+    The operator's correctness is pinned on a planted corpus with
+    per-language vocabularies (accuracy 1.0, tests/test_corpus.py);
+    on the bench corpus the value is the hash-gated train+inference
+    plan, not the headline number."""
+    toks, langs, model, floor_, prior = _nb_model_frames(documents, alpha)
     # score every doc against every language: bounded fan-out on langs
     cand = toks.crossJoin(
         F.broadcast(langs.select(F.col("lang").alias("mlang")))

@@ -440,3 +440,74 @@ class NoveltyScoring:
         return spark.read.schema(self._OUT_SCHEMA).option(
             "recursiveFileLookup", "true"
         ).parquet(self.out_dir)
+
+
+def nb_lang_model(documents: DataFrame) -> tuple[dict, dict, dict]:
+    """Collect the NB language-ID model (operators/text.py:
+    _nb_model_frames — the SAME frames the batch face joins, so the
+    micro-nat integers are identical by construction): (lang, word) →
+    logp, lang → smoothing floor, lang → log prior. Vocabulary-sized
+    model state — the ccnet_model collect class."""
+    from vedb_gaze_spark.operators.text import _nb_model_frames
+
+    _, _, model, floor_, prior = _nb_model_frames(documents)
+    logp = {(r["mlang"], r["word"]): int(r["logp"]) for r in model.collect()}
+    logp0 = {r["mlang"]: int(r["logp0"]) for r in floor_.collect()}
+    logprior = {r["mlang"]: int(r["logprior"]) for r in prior.collect()}
+    return logp, logp0, logprior
+
+
+def streaming_nb_lang_id(
+    stream: DataFrame, logp: dict, logp0: dict, logprior: dict
+) -> DataFrame:
+    """Stateless frozen-model NB language ID over a document stream:
+    per arriving doc, exact long log-likelihood sums per language
+    (unseen words take the language's smoothing floor — the batch left
+    join's null branch) and argmax with lexicographic ties — row-for-
+    row the batch nb_lang_id on replayed docs. Zero state, zero
+    shuffle; the model dicts ship in the task closure (vocabulary-
+    sized)."""
+    langs = sorted(logp0)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "lang": [], "pred_lang": [],
+                   "score_micro_nats": [], "correct": []}
+            for doc_id, lang, text in zip(
+                pdf["doc_id"], pdf["lang"], pdf["text"]
+            ):
+                if text is None:
+                    continue
+                words = _TOKEN_RE.findall(str(text).lower())
+                if not words:
+                    continue
+                best = None
+                for ml in langs:
+                    s = logprior[ml]
+                    f0 = logp0[ml]
+                    for w in words:
+                        s += logp.get((ml, w), f0)
+                    if best is None or s > best[0]:
+                        best = (s, ml)
+                out["doc_id"].append(doc_id)
+                out["lang"].append(lang)
+                out["pred_lang"].append(best[1])
+                out["score_micro_nats"].append(best[0])
+                out["correct"].append(best[1] == lang)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "lang": pd.Series(out["lang"], dtype="object"),
+                    "pred_lang": pd.Series(out["pred_lang"], dtype="object"),
+                    "score_micro_nats": pd.Series(
+                        out["score_micro_nats"], dtype="int64"
+                    ),
+                    "correct": pd.Series(out["correct"], dtype="bool"),
+                }
+            )
+
+    return stream.select("doc_id", "lang", "text").mapInPandas(
+        fn,
+        "doc_id long, lang string, pred_lang string,"
+        " score_micro_nats long, correct boolean",
+    )
