@@ -125,6 +125,8 @@ HEADLINE = [
     "sq8_recall",
     "nb_lang_id",
     "ann_ivf_sq8",
+    "funnel_windowed",
+    "event_markov",
 ]
 
 

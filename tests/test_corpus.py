@@ -680,3 +680,31 @@ def test_nb_lang_id_recovers_planted_vocabularies(spark):
     out = T.nb_lang_id(docs).collect()
     assert len(out) == 120
     assert all(r.correct for r in out)
+
+
+def test_funnel_windowed_bounded_by_unwindowed_and_markov_rows_normalize(
+    spark, sf_dir
+):
+    """(a) The windowed funnel is bounded above stage-for-stage by the
+    unwindowed funnel (tightening a constraint can only lose users) and
+    the window BINDS on the bench events (strictly fewer windowed
+    conversions); (b) event_markov rows normalize: per from_type, Σn =
+    n_from and Σp ≈ 1 within quantization (≤ #rows·1e-6)."""
+    from vedb_gaze_spark.operators import analytics
+    from vedb_gaze_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    wrow = analytics.funnel_windowed(ev).collect()[0]
+    urow = analytics.funnel_conversion(ev).collect()[0]
+    assert wrow.stage_view == urow.stage_view
+    assert wrow.stage_click_w <= urow.stage_click
+    assert wrow.stage_purchase_w <= urow.stage_purchase
+    assert wrow.stage_purchase_w < urow.stage_purchase, (wrow, urow)
+
+    rows = analytics.event_markov(ev).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for ft, rs in by_from.items():
+        assert sum(r.n for r in rs) == rs[0].n_from
+        assert abs(sum(r.p for r in rs) - 1.0) <= len(rs) * 1e-6, ft

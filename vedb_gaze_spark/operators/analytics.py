@@ -287,3 +287,99 @@ def key_skew_report(events: DataFrame) -> DataFrame:
             ).alias("ratio_to_median"),
         )
     )
+
+
+def funnel_windowed(events: DataFrame, window_s: int = 86400) -> DataFrame:
+    """Time-constrained funnel view → click → purchase: stage k counts
+    only if its FIRST qualifying event lands within ``window_s`` of the
+    previous stage's time (the product-analytics "convert within N
+    hours" definition — funnel_conversion is the unwindowed upper
+    bound, pytest-pinned). Sequential stage times resolve through
+    CHAINED per-user windows (t1 is a per-user constant, so t2's
+    conditional min can reference it in the same plan; same for t3) —
+    three user-keyed window passes on one scan, one user rollup, one
+    scalar rollup; no self-joins."""
+    wu = Window.partitionBy("user_id")
+    us = int(window_s) * 1_000_000
+    e = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tu")
+    )
+    e = e.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("tu"))).over(wu),
+    )
+    e = e.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("tu") >= F.col("t1"))
+                & (F.col("tu") <= F.col("t1") + us),
+                F.col("tu"),
+            )
+        ).over(wu),
+    )
+    e = e.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("tu") >= F.col("t2"))
+                & (F.col("tu") <= F.col("t2") + us),
+                F.col("tu"),
+            )
+        ).over(wu),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    s1 = F.col("t1").isNotNull()
+    s2 = s1 & F.col("t2").isNotNull()
+    s3 = s2 & F.col("t3").isNotNull()
+    agg = per_user.agg(
+        F.sum(s1.cast("long")).alias("stage_view"),
+        F.sum(s2.cast("long")).alias("stage_click_w"),
+        F.sum(s3.cast("long")).alias("stage_purchase_w"),
+    )
+    return agg.select(
+        "stage_view",
+        "stage_click_w",
+        "stage_purchase_w",
+        F.expr(
+            "floor(stage_purchase_w / cast(stage_view as double) * 1e6 + 0.5)"
+            " / 1e6"
+        ).alias("conversion_w"),
+    )
+
+
+def event_markov(events: DataFrame) -> DataFrame:
+    """Full first-order Markov transition matrix over event types
+    (event_transitions without the top-k cut): exact bigram counts from
+    the same per-user lag window, row-normalized into transition
+    probabilities — the "what happens next" model product analytics
+    fits on clickstreams (and the input to expected-path simulation).
+    Integer counts end-to-end; p quantized half-up 6dp from an exact
+    count ratio."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    pairs = events.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.withColumn("n_from", F.sum("n").over(wf)).select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        F.expr(
+            "floor(n / cast(n_from as double) * 1e6 + 0.5) / 1e6"
+        ).alias("p"),
+    )

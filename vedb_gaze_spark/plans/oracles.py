@@ -4058,3 +4058,64 @@ SELECT query_id, rank, neighbor_id, score_sq8 FROM (
   FROM scored
 ) t WHERE rank <= {P.ANN_K}
 """
+
+
+# Time-constrained funnel (operators/analytics.py:funnel_windowed):
+# chained per-user conditional minima with the window bound, then the
+# scalar rollup. 86400 s window in microseconds.
+FUNNEL_WINDOWED = """
+WITH e AS MATERIALIZED (
+  SELECT user_id, event_type, epoch_us(ts) AS tu FROM events
+), u1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN tu END) AS t1
+  FROM e GROUP BY user_id
+), u2 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'click' AND e.tu >= u1.t1
+                   AND e.tu <= u1.t1 + 86400000000 THEN e.tu END) AS t2
+  FROM e JOIN u1 USING (user_id) GROUP BY e.user_id
+), u3 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'purchase' AND e.tu >= u2.t2
+                   AND e.tu <= u2.t2 + 86400000000 THEN e.tu END) AS t3
+  FROM e JOIN u2 USING (user_id) GROUP BY e.user_id
+), per_user AS (
+  SELECT u1.user_id, u1.t1, u2.t2, u3.t3
+  FROM u1 JOIN u2 USING (user_id) JOIN u3 USING (user_id)
+), agg AS (
+  SELECT
+    CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS stage_view,
+    CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS stage_click_w,
+    CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase_w
+  FROM per_user
+)
+SELECT stage_view, stage_click_w, stage_purchase_w,
+       floor(stage_purchase_w / CAST(stage_view AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS conversion_w
+FROM agg
+"""
+
+# Full Markov transition matrix (operators/analytics.py:event_markov).
+EVENT_MARKOV = """
+WITH ordered AS (
+  SELECT user_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS from_type,
+         event_type AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type FROM ordered WHERE from_type IS NOT NULL
+), counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+       floor(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS p
+FROM counts
+"""

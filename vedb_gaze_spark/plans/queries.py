@@ -680,6 +680,16 @@ def _heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.heaps_law(load_table(spark, "documents", sf_dir))
 
 
+@register("funnel_windowed", oracles.FUNNEL_WINDOWED)
+def _funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.funnel_windowed(load_table(spark, "events", sf_dir))
+
+
+@register("event_markov", oracles.EVENT_MARKOV)
+def _event_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.event_markov(load_table(spark, "events", sf_dir))
+
+
 @register("ann_ivf_sq8", oracles.ANN_IVF_SQ8)
 def _ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_sq8(load_table(spark, "embeddings", sf_dir))
@@ -1109,6 +1119,8 @@ _GATE_ORDER = [
     "sq8_recall",
     "nb_lang_id",
     "ann_ivf_sq8",
+    "funnel_windowed",
+    "event_markov",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
