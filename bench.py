@@ -127,6 +127,7 @@ HEADLINE = [
     "ann_ivf_sq8",
     "funnel_windowed",
     "event_markov",
+    "chunk_documents",
 ]
 
 

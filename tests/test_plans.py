@@ -329,6 +329,9 @@ def test_no_driver_collect_in_operators():
         # frozen NB language-ID model: collects the vocabulary-sized
         # model tables (the ccnet_model collect class)
         "def nb_lang_model",
+        # IVF+SQ8 index growth: loads the index's stored stats +
+        # centroids rows (model state — the append_ivfpq_index class)
+        "def append_ivfsq8_index",
     )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []

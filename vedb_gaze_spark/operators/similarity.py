@@ -1441,6 +1441,15 @@ def sq8_encode(
     each step is a single IEEE op on identical doubles in both engines,
     so codes are exactly reproducible (no summation order anywhere)."""
     v = _vecs(embeddings)
+    return v.select(
+        "vec_id", "v", F.array(*_sq8_code_cols(stats)).alias("codes")
+    )
+
+
+def _sq8_code_cols(stats: list[tuple[float, float]]) -> list[Column]:
+    """The per-dimension code expressions over a parsed `v` column —
+    the ONE encode definition sq8_encode and the index-growth path
+    (streaming/serving.py:append_ivfsq8_index) share."""
     cols = []
     for d, (mn, mx) in enumerate(stats):
         x = F.element_at("v", d + 1)
@@ -1452,9 +1461,7 @@ def sq8_encode(
         else:  # degenerate constant dimension
             code = F.lit(0)
         cols.append(code)
-    return v.select(
-        "vec_id", "v", F.array(*cols).alias("codes")
-    )
+    return cols
 
 
 def ann_sq8(

@@ -4119,3 +4119,25 @@ SELECT from_type, to_type, n,
              * 1e6 + 0.5) / 1e6 AS p
 FROM counts
 """
+
+
+# Overlapping token chunking (operators/corpus.py:chunk_documents):
+# starts every 48 tokens, 64-token windows, last chunk short-but-
+# non-empty; DuckDB list_slice bounds are inclusive.
+CHUNK_DOCUMENTS = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, {_TOKENS_SQL} AS t
+  FROM documents WHERE text IS NOT NULL AND len({_TOKENS_SQL}) >= 1
+), starts AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+         generate_subscripts(generate_series(1, len(t), 48), 1) - 1
+           AS chunk_no,
+         unnest(generate_series(1, len(t), 48)) AS st
+  FROM d
+)
+SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+       CAST(st AS BIGINT) AS start_token,
+       CAST(least(64, n_tokens - st + 1) AS BIGINT) AS chunk_len,
+       array_to_string(list_slice(t, st, st + 63), ' ') AS chunk
+FROM starts
+"""

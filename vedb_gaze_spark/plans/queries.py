@@ -680,6 +680,11 @@ def _heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.heaps_law(load_table(spark, "documents", sf_dir))
 
 
+@register("chunk_documents", oracles.CHUNK_DOCUMENTS)
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.chunk_documents(load_table(spark, "documents", sf_dir))
+
+
 @register("funnel_windowed", oracles.FUNNEL_WINDOWED)
 def _funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.funnel_windowed(load_table(spark, "events", sf_dir))
@@ -1121,6 +1126,7 @@ _GATE_ORDER = [
     "ann_ivf_sq8",
     "funnel_windowed",
     "event_markov",
+    "chunk_documents",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",

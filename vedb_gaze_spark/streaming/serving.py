@@ -532,3 +532,39 @@ class IVFSQ8Serving:
         return spark.read.schema(
             "query_id bigint, rank int, neighbor_id bigint, score_sq8 double"
         ).option("recursiveFileLookup", "true").parquet(self.out_dir)
+
+
+def append_ivfsq8_index(embeddings_new: DataFrame, path: str) -> None:
+    """Grow a stored IVF+SQ8 index without rewriting it (the
+    append_ivfpq_index contract at the SQL-green end): encode the new
+    vectors with the index's OWN stored stats + centroids (codes are
+    meaningless under any other quantizer), anti-join out already-
+    indexed ids (idempotent replay), and APPEND under the same cell
+    partitioning — pre-existing files byte-identical, served answers
+    over the grown index ≡ the shared kernel over old ∪ new."""
+    from vedb_gaze_spark.operators.similarity import (
+        _dots_expr_for,
+        _sq8_code_cols,
+        _vecs,
+    )
+
+    spark = embeddings_new.sparkSession
+    srow = spark.read.parquet(f"{path}/stats").collect()[0]
+    stats = list(zip(map(float, srow["mn"]), map(float, srow["mx"])))
+    crow = spark.read.parquet(f"{path}/centroids").collect()[0]
+    cents = [list(map(float, c)) for c in crow["cents"]]
+    existing = spark.read.parquet(f"{path}/codes").select("neighbor_id")
+    v = _vecs(embeddings_new)
+    fresh = v.join(
+        existing, v["vec_id"] == existing["neighbor_id"], "left_anti"
+    )
+    out = fresh.withColumn(
+        "dots", F.expr(_dots_expr_for(cents, "v"))
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.array(*_sq8_code_cols(stats)).alias("codes"),
+        (F.expr("array_position(dots, array_max(dots))") - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    out.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
