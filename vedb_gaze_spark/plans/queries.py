@@ -1094,9 +1094,9 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      NEW in r8 (ann_ivfpq_trained, corpus_pipeline_novelty).
 #  (2) the 50 entries whose latest official row is r5 (r7 verdict
 #      "next round" #3, CORRECTNESS-union list), cheapest shapes first.
-#      Block (1) grew to 15 as r8 added operators (every new entry is
+#      Block (1) grew to 19 as r8 added operators (every new entry is
 #      never-recorded and outranks stale ones — the discipline), so
-#      (1)+(2) = 65 and the last ~15 of block (2) ride past the window
+#      (1)+(2) = 69 and the last ~19 of block (2) ride past the window
 #      boundary into r9's debt; the dedup/semdedup/multimodal rows sit
 #      there deliberately (every entry is still re-proven locally each
 #      run by test_driver_parity).
