@@ -128,6 +128,8 @@ HEADLINE = [
     "funnel_windowed",
     "event_markov",
     "chunk_documents",
+    "data_split",
+    "session_paths",
 ]
 
 

@@ -383,3 +383,38 @@ def event_markov(events: DataFrame) -> DataFrame:
             "floor(n / cast(n_from as double) * 1e6 + 0.5) / 1e6"
         ).alias("p"),
     )
+
+
+def session_paths(events: DataFrame, depth: int = 4, k: int = 15) -> DataFrame:
+    """Top-k opening user journeys: each user's FIRST ``depth`` event
+    types (by ts, event_id) joined into a path string, counted
+    corpus-wide — the "how do sessions start" view behind funnel design
+    (event_transitions is its bigram marginal). One user-keyed ranking
+    window + per-user array assembly + a short-key rollup +
+    TakeOrdered."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    firstn = (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= depth)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ).getField("event_type"),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("path_len"),
+        )
+    )
+    ranked = firstn.groupBy("path", "path_len").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    top = ranked.orderBy(F.desc("n_users"), "path").limit(k)
+    wr = Window.orderBy(F.desc("n_users"), "path")
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "rank", "path", F.col("path_len").cast("long").alias("path_len"),
+        "n_users"
+    )

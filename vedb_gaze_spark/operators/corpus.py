@@ -1525,3 +1525,39 @@ def chunk_documents(
             ),
         )
     )
+
+
+def data_split(
+    documents: DataFrame, train_pct: int = 80, valid_pct: int = 10
+) -> DataFrame:
+    """Deterministic train/valid/test assignment + the balance report:
+    split = bucket of a salted portable doc_id hash (stable under
+    repartitioning, engines, and reruns — the stratified_sample rule
+    applied to the split axis), reported per (source, split) with exact
+    counts and 6dp shares. Row-local hash test, one small rollup; the
+    assignment never needs a shuffle and joins back to any table by
+    doc_id."""
+    bucket = F.pmod(
+        portable_hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + valid_pct, "valid")
+        .otherwise("test")
+    )
+    d = documents.select("doc_id", "source", split.alias("split"))
+    per_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    return (
+        d.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(per_source, "source")
+        .select(
+            "source",
+            "split",
+            "n_docs",
+            F.expr(
+                "floor(n_docs / cast(n_src as double) * 1e6 + 0.5) / 1e6"
+            ).alias("share"),
+        )
+    )

@@ -4141,3 +4141,50 @@ SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
        array_to_string(list_slice(t, st, st + 63), ' ') AS chunk
 FROM starts
 """
+
+
+# Deterministic train/valid/test split report (operators/corpus.py:
+# data_split): salted doc_id-hash buckets, per-(source, split) counts.
+DATA_SPLIT = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, source,
+         CASE WHEN h < 80 THEN 'train'
+              WHEN h < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, source,
+           {_h60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS h
+    FROM documents
+  ) t
+), per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM d GROUP BY source
+)
+SELECT d.source, d.split, CAST(count(*) AS BIGINT) AS n_docs,
+       floor(count(*) / CAST(any_value(p.n_src) AS DOUBLE) * 1e6 + 0.5)
+         / 1e6 AS share
+FROM d JOIN per_source p USING (source)
+GROUP BY d.source, d.split
+"""
+
+# Top-k opening user journeys (operators/analytics.py:session_paths).
+SESSION_PATHS = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS rn
+  FROM events
+), firstn AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+         CAST(count(*) AS BIGINT) AS path_len
+  FROM ordered WHERE rn <= 4 GROUP BY user_id
+), ranked AS (
+  SELECT path, path_len, CAST(count(*) AS BIGINT) AS n_users
+  FROM firstn GROUP BY path, path_len
+), top AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY n_users DESC, path)
+                 AS INTEGER) AS rank
+  FROM ranked
+)
+SELECT rank, path, path_len, n_users FROM top WHERE rank <= 15
+"""

@@ -680,6 +680,16 @@ def _heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.heaps_law(load_table(spark, "documents", sf_dir))
 
 
+@register("data_split", oracles.DATA_SPLIT)
+def _data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.data_split(load_table(spark, "documents", sf_dir))
+
+
+@register("session_paths", oracles.SESSION_PATHS)
+def _session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.session_paths(load_table(spark, "events", sf_dir))
+
+
 @register("chunk_documents", oracles.CHUNK_DOCUMENTS)
 def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.chunk_documents(load_table(spark, "documents", sf_dir))
@@ -1127,6 +1137,8 @@ _GATE_ORDER = [
     "funnel_windowed",
     "event_markov",
     "chunk_documents",
+    "data_split",
+    "session_paths",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
