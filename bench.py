@@ -130,6 +130,7 @@ HEADLINE = [
     "chunk_documents",
     "data_split",
     "session_paths",
+    "trade_hits",
 ]
 
 

@@ -736,3 +736,26 @@ def test_chunk_documents_covers_with_overlap(spark, sf_dir):
         last = chunks[-1]
         n = last.start_token + last.chunk_len - 1
         assert all(c.start_token <= n for c in chunks)
+
+
+def test_trade_hits_deterministic_and_sane(spark, sf_dir):
+    """HITS pins: (a) bit-reproducible across runs (integer sums + exact
+    max normalization); (b) every customer carries a hub score and every
+    supplier an authority score, all in (0, 1e6] with the max at exactly
+    1e6 per side; (c) node ids round-trip the typed encoding."""
+    from vedb_gaze_spark.operators import graph
+    from vedb_gaze_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    od = load_table(spark, "orders", sf_dir)
+    r1 = sorted(map(tuple, graph.trade_hits(li, od).collect()))
+    r2 = sorted(map(tuple, graph.trade_hits(li, od).collect()))
+    assert r1 == r2 and len(r1) > 0
+    by_kind = {}
+    for node_id, kind, entity_key, score in r1:
+        assert node_id // 2 == entity_key
+        assert (node_id % 2 == 0) == (kind == "customer")
+        assert 0 < score <= 1_000_000, (node_id, score)
+        by_kind.setdefault(kind, []).append(score)
+    assert max(by_kind["customer"]) == 1_000_000
+    assert max(by_kind["supplier"]) == 1_000_000

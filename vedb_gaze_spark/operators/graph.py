@@ -94,3 +94,89 @@ def trade_pagerank(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         F.expr("n div 2").alias("entity_key"),
         F.col("r").alias("rank_units"),
     )
+
+
+HITS_ITERS = 8
+HITS_SCALE = 1_000_000
+
+
+def trade_edges_directed(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Distinct DIRECTED customer→supplier edges (hub side = buyers,
+    authority side = suppliers — the natural HITS orientation of a
+    trade graph). Same typed node ids as trade_edges."""
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("h"),
+            (F.col("l_suppkey") * 2 + 1).alias("a"),
+        )
+        .distinct()
+    )
+
+
+def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999, "Authoritative sources in a
+    hyperlinked environment"): authority = Σ hub over in-edges, hub =
+    Σ authority over out-edges, each renormalized per half-iteration.
+    Kleinberg's L2 normalization is replaced by MAX-normalization to
+    micro-units — max is an order-independent exact statistic (a float
+    L2 norm would drift across partitionings), scaling is integer
+    floor division, and the fixpoint DIRECTION (what HITS is for — the
+    principal singular vectors) is normalization-invariant. Every
+    iteration is integer sums + one exact max, so the DuckDB oracle
+    (the same iterations unrolled as CTEs, like trade_pagerank's)
+    matches hash-for-hash.
+
+    Scale shape: edges cached once; each half-iteration shuffles only
+    the node-sized score table; the max is a scalar aggregate joined
+    back by broadcast — no driver collect anywhere."""
+    ed = edges.persist()
+    hubs = ed.select("h").distinct().select(
+        F.col("h").alias("n"), F.lit(HITS_SCALE).cast("long").alias("hub")
+    )
+    auth = None
+    for i in range(iters):
+        a_raw = (
+            ed.join(hubs, ed["h"] == hubs["n"])
+            .groupBy("a")
+            .agg(F.sum("hub").alias("raw"))
+        )
+        a_mx = a_raw.agg(F.max("raw").alias("mx"))
+        auth = a_raw.crossJoin(F.broadcast(a_mx)).select(
+            F.col("a").alias("n"),
+            F.expr(f"(raw * {HITS_SCALE}) div mx").cast("long").alias("auth"),
+        )
+        h_raw = (
+            ed.join(auth, ed["a"] == auth["n"])
+            .groupBy("h")
+            .agg(F.sum("auth").alias("raw"))
+        )
+        h_mx = h_raw.agg(F.max("raw").alias("mx"))
+        hubs = h_raw.crossJoin(F.broadcast(h_mx)).select(
+            F.col("h").alias("n"),
+            F.expr(f"(raw * {HITS_SCALE}) div mx").cast("long").alias("hub"),
+        )
+        if (i + 1) % 2 == 0:
+            hubs = hubs.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
+    return hubs.select(
+        F.col("n").alias("node_id"), F.col("hub").alias("score_units")
+    ).unionByName(
+        auth.select(
+            F.col("n").alias("node_id"), F.col("auth").alias("score_units")
+        )
+    )
+
+
+def trade_hits(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Registry face: hub scores for customers, authority scores for
+    suppliers, over the directed trade graph."""
+    scores = hits(trade_edges_directed(lineitem, orders))
+    return scores.select(
+        "node_id",
+        F.when(F.col("node_id") % 2 == 0, "customer")
+        .otherwise("supplier")
+        .alias("kind"),
+        F.expr("node_id div 2").alias("entity_key"),
+        "score_units",
+    )

@@ -4188,3 +4188,55 @@ WITH ordered AS (
 )
 SELECT rank, path, path_len, n_users FROM top WHERE rank <= 15
 """
+
+
+# Integer-exact HITS (operators/graph.py:trade_hits): the same
+# iterations unrolled as CTEs, max-normalized to micro-units.
+def _hits_sql(iters: int) -> str:
+    from vedb_gaze_spark.operators.graph import HITS_SCALE
+
+    steps = []
+    for i in range(1, iters + 1):
+        # MATERIALIZED is load-bearing: each normalization references its
+        # raw CTE twice (sum + max subquery), so inlined CTEs would
+        # re-evaluate the chain exponentially (observed: fd exhaustion
+        # from thousands of re-opened parquet scans at depth 8)
+        steps.append(
+            f"a{i} AS MATERIALIZED (SELECT a, CAST(sum(hub) AS BIGINT) AS raw "
+            f"FROM edges JOIN h{i - 1} ON edges.h = h{i - 1}.n GROUP BY a)"
+        )
+        steps.append(
+            f"an{i} AS MATERIALIZED (SELECT a AS n, CAST((raw * {HITS_SCALE}) // "
+            f"(SELECT max(raw) FROM a{i}) AS BIGINT) AS auth FROM a{i})"
+        )
+        steps.append(
+            f"hh{i} AS MATERIALIZED (SELECT h, CAST(sum(auth) AS BIGINT) AS raw "
+            f"FROM edges JOIN an{i} ON edges.a = an{i}.n GROUP BY h)"
+        )
+        steps.append(
+            f"h{i} AS MATERIALIZED (SELECT h AS n, CAST((raw * {HITS_SCALE}) // "
+            f"(SELECT max(raw) FROM hh{i}) AS BIGINT) AS hub FROM hh{i})"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey * 2 AS h, l.l_suppkey * 2 + 1 AS a
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+h0 AS MATERIALIZED (SELECT DISTINCT h AS n, CAST({HITS_SCALE} AS BIGINT) AS hub
+       FROM edges),
+{chain},
+allnodes AS (
+  SELECT n AS node_id, hub AS score_units FROM h{iters}
+  UNION ALL
+  SELECT n, auth FROM an{iters}
+)
+SELECT node_id,
+       CASE WHEN node_id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node_id // 2 AS entity_key,
+       score_units
+FROM allnodes
+"""
+
+
+TRADE_HITS = _hits_sql(8)

@@ -680,6 +680,16 @@ def _heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.heaps_law(load_table(spark, "documents", sf_dir))
 
 
+@register("trade_hits", oracles.TRADE_HITS)
+def _trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vedb_gaze_spark.operators import graph
+
+    return graph.trade_hits(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+    )
+
+
 @register("data_split", oracles.DATA_SPLIT)
 def _data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.data_split(load_table(spark, "documents", sf_dir))
@@ -1104,9 +1114,9 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      NEW in r8 (ann_ivfpq_trained, corpus_pipeline_novelty).
 #  (2) the 50 entries whose latest official row is r5 (r7 verdict
 #      "next round" #3, CORRECTNESS-union list), cheapest shapes first.
-#      Block (1) grew to 19 as r8 added operators (every new entry is
+#      Block (1) grew to 22 as r8 added operators (every new entry is
 #      never-recorded and outranks stale ones — the discipline), so
-#      (1)+(2) = 69 and the last ~19 of block (2) ride past the window
+#      (1)+(2) = 72 and the last ~22 of block (2) ride past the window
 #      boundary into r9's debt; the dedup/semdedup/multimodal rows sit
 #      there deliberately (every entry is still re-proven locally each
 #      run by test_driver_parity).
@@ -1139,6 +1149,7 @@ _GATE_ORDER = [
     "chunk_documents",
     "data_split",
     "session_paths",
+    "trade_hits",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
