@@ -136,10 +136,15 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     )
     auth = None
     for i in range(iters):
+        # eager node-sized checkpoint of each raw table BEFORE its max:
+        # the max is broadcast-joined back, so without materialization
+        # every half-iteration's scalar job re-evaluates the whole
+        # chain from the scan (measured 42 s → 7.5 s at sf0.1)
         a_raw = (
             ed.join(hubs, ed["h"] == hubs["n"])
             .groupBy("a")
             .agg(F.sum("hub").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         a_mx = a_raw.agg(F.max("raw").alias("mx"))
         auth = a_raw.crossJoin(F.broadcast(a_mx)).select(
@@ -150,15 +155,13 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
             ed.join(auth, ed["a"] == auth["n"])
             .groupBy("h")
             .agg(F.sum("auth").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         h_mx = h_raw.agg(F.max("raw").alias("mx"))
         hubs = h_raw.crossJoin(F.broadcast(h_mx)).select(
             F.col("h").alias("n"),
             F.expr(f"(raw * {HITS_SCALE}) div mx").cast("long").alias("hub"),
         )
-        if (i + 1) % 2 == 0:
-            hubs = hubs.localCheckpoint(eager=False)
-            auth = auth.localCheckpoint(eager=False)
     return hubs.select(
         F.col("n").alias("node_id"), F.col("hub").alias("score_units")
     ).unionByName(
