@@ -131,6 +131,8 @@ HEADLINE = [
     "data_split",
     "session_paths",
     "trade_hits",
+    "q1_sql",
+    "q6_sql",
 ]
 
 

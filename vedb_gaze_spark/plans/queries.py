@@ -680,6 +680,41 @@ def _heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.heaps_law(load_table(spark, "documents", sf_dir))
 
 
+# --- SQL-text surface (spark.sql) -----------------------------------------
+# The engine's second API face: the SAME SQL text the DuckDB oracle runs
+# is executed by Spark's own SQL parser over temp views — one ANSI string,
+# two engines, identical value hashes. Registered for the flagship
+# scan-agg shapes (Q1, Q6); every other oracle string that sticks to the
+# shared ANSI subset would pass the same way.
+
+
+def _sql_face(sql: str, tables: tuple):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.types import DecimalType
+
+        for t in tables:
+            load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+        out = spark.sql(sql)
+        # boundary type alignment, not value change: Spark parses bare
+        # decimal literals (10000.0) as DECIMAL and propagates exact
+        # decimal division; DuckDB surfaces the same exact rational as
+        # DOUBLE at fetch. Both rationals are exact, so the nearest-
+        # double casts agree bit-for-bit.
+        cols = [
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, DecimalType)
+            else F.col(f.name)
+            for f in out.schema.fields
+        ]
+        return out.select(*cols)
+
+    return fn
+
+
+register("q1_sql", oracles.Q1)(_sql_face(oracles.Q1, ("lineitem",)))
+register("q6_sql", oracles.Q6)(_sql_face(oracles.Q6, ("lineitem",)))
+
+
 @register("trade_hits", oracles.TRADE_HITS)
 def _trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vedb_gaze_spark.operators import graph
@@ -1114,9 +1149,9 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      NEW in r8 (ann_ivfpq_trained, corpus_pipeline_novelty).
 #  (2) the 50 entries whose latest official row is r5 (r7 verdict
 #      "next round" #3, CORRECTNESS-union list), cheapest shapes first.
-#      Block (1) grew to 22 as r8 added operators (every new entry is
+#      Block (1) grew to 24 as r8 added operators (every new entry is
 #      never-recorded and outranks stale ones — the discipline), so
-#      (1)+(2) = 72 and the last ~22 of block (2) ride past the window
+#      (1)+(2) = 74 and the last ~24 of block (2) ride past the window
 #      boundary into r9's debt; the dedup/semdedup/multimodal rows sit
 #      there deliberately (every entry is still re-proven locally each
 #      run by test_driver_parity).
@@ -1150,6 +1185,8 @@ _GATE_ORDER = [
     "data_split",
     "session_paths",
     "trade_hits",
+    "q1_sql",
+    "q6_sql",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
