@@ -133,6 +133,7 @@ HEADLINE = [
     "trade_hits",
     "q1_sql",
     "q6_sql",
+    "daily_trend",
 ]
 
 

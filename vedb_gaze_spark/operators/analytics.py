@@ -418,3 +418,37 @@ def session_paths(events: DataFrame, depth: int = 4, k: int = 15) -> DataFrame:
         "rank", "path", F.col("path_len").cast("long").alias("path_len"),
         "n_users"
     )
+
+
+def daily_trend(events: DataFrame) -> DataFrame:
+    """Least-squares trend of daily event value (the ops-dashboard
+    "are we growing" line): per-day exact integer cents totals, then
+    the closed-form slope/intercept over (day_idx, cents) with EXACT
+    integer regression sums — day indices and cents are already
+    integers, so unlike token_zipf_fit no quantization step is even
+    needed; only the final divisions are floats, rounded 6dp. The
+    day rollup is corpus-sized work; the regression runs on the
+    day-count-sized table."""
+    d = events.where(F.col("value").isNotNull()).select(
+        _day_idx().alias("x"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    days = d.groupBy("x").agg(F.sum("cents").alias("y"))
+    agg = days.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            "floor((n * sxy - sx * sy) / cast(n * sxx - sx * sx as double)"
+            " * 1e6 + 0.5) / 1e6"
+        ).alias("slope_cents_per_day"),
+        F.expr(
+            "floor((sy - (n * sxy - sx * sy) / cast(n * sxx - sx * sx as double)"
+            " * sx) / cast(n as double) * 1e6 + 0.5) / 1e6"
+        ).alias("intercept_cents"),
+    )

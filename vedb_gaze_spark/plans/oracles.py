@@ -4240,3 +4240,30 @@ FROM allnodes
 
 
 TRADE_HITS = _hits_sql(8)
+
+
+# Daily value trend (operators/analytics.py:daily_trend): exact integer
+# regression sums over the per-day cents rollup.
+DAILY_TREND = """
+WITH d AS MATERIALIZED (
+  SELECT ((epoch_us(ts) - (((epoch_us(ts) % 86400000000) + 86400000000)
+           % 86400000000)) // 86400000000) AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), days AS (
+  SELECT x, CAST(sum(cents) AS BIGINT) AS y FROM d GROUP BY x
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM days
+)
+SELECT n AS n_days,
+       floor((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS slope_cents_per_day,
+       floor((sy - (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+              * sx) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS intercept_cents
+FROM a
+"""

@@ -715,6 +715,11 @@ register("q1_sql", oracles.Q1)(_sql_face(oracles.Q1, ("lineitem",)))
 register("q6_sql", oracles.Q6)(_sql_face(oracles.Q6, ("lineitem",)))
 
 
+@register("daily_trend", oracles.DAILY_TREND)
+def _daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.daily_trend(load_table(spark, "events", sf_dir))
+
+
 @register("trade_hits", oracles.TRADE_HITS)
 def _trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vedb_gaze_spark.operators import graph
@@ -1187,6 +1192,7 @@ _GATE_ORDER = [
     "trade_hits",
     "q1_sql",
     "q6_sql",
+    "daily_trend",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
