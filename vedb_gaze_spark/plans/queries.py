@@ -1154,9 +1154,9 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      NEW in r8 (ann_ivfpq_trained, corpus_pipeline_novelty).
 #  (2) the 50 entries whose latest official row is r5 (r7 verdict
 #      "next round" #3, CORRECTNESS-union list), cheapest shapes first.
-#      Block (1) grew to 24 as r8 added operators (every new entry is
+#      Block (1) grew to 25 as r8 added operators (every new entry is
 #      never-recorded and outranks stale ones — the discipline), so
-#      (1)+(2) = 74 and the last ~24 of block (2) ride past the window
+#      (1)+(2) = 75 and the last ~25 of block (2) ride past the window
 #      boundary into r9's debt; the dedup/semdedup/multimodal rows sit
 #      there deliberately (every entry is still re-proven locally each
 #      run by test_driver_parity).
