@@ -134,6 +134,7 @@ HEADLINE = [
     "q1_sql",
     "q6_sql",
     "daily_trend",
+    "dedup_agreement",
 ]
 
 

@@ -1074,3 +1074,67 @@ def dedup_recall(
             "CASE WHEN n_lsh > 0 THEN floor(n_common / cast(n_lsh as double) * 1e6 + 0.5) / 1e6 END"
         ).alias("precision"),
     )
+
+
+def dedup_agreement(documents: DataFrame) -> DataFrame:
+    """Method-AGREEMENT report over the three text near-dup kernels
+    (MinHash-LSH, exact n-gram Jaccard / PPJoin, winnowing-fingerprint
+    overlap): per ordered method pair, each method's pair count, the
+    shared pair count, and the Jaccard of the two pair SETS — the
+    measurement that tells a curation pipeline whether its cheap
+    detector family actually agrees with its exact one (dedup_recall
+    is the two-kernel special case; this is the N-method matrix).
+
+    One evaluation per kernel: every method's (doc_a, doc_b) pairs are
+    tagged and unioned, counts come from one tag rollup, and shared
+    counts from ONE self-join of the tagged pair table on the pair key
+    (pair tables are near-dup-sized — tiny next to the kernels that
+    produce them)."""
+    from vedb_gaze_spark.operators import text as _text
+
+    tagged = (
+        dedup_minhash_lsh(documents)
+        .select("doc_a", "doc_b", F.lit("minhash_lsh").alias("method"))
+        .unionByName(
+            dedup_ngram_jaccard(documents).select(
+                "doc_a", "doc_b", F.lit("ngram_jaccard").alias("method")
+            )
+        )
+        .unionByName(
+            _text.winnow_overlap(documents).select(
+                "doc_a", "doc_b", F.lit("winnow_overlap").alias("method")
+            )
+        )
+    )
+    counts = tagged.groupBy("method").agg(F.count(F.lit(1)).alias("n"))
+    a = tagged.select(
+        "doc_a", "doc_b", F.col("method").alias("method_a")
+    )
+    b = tagged.select(
+        "doc_a", "doc_b", F.col("method").alias("method_b")
+    )
+    both = (
+        a.join(b, ["doc_a", "doc_b"])
+        .where(F.col("method_a") < F.col("method_b"))
+        .groupBy("method_a", "method_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    # all method pairs, including zero-overlap ones
+    m = counts.select(F.col("method").alias("method_a"), F.col("n").alias("n_a"))
+    n = counts.select(F.col("method").alias("method_b"), F.col("n").alias("n_b"))
+    grid = m.crossJoin(n).where(F.col("method_a") < F.col("method_b"))
+    return (
+        grid.join(both, ["method_a", "method_b"], "left")
+        .select(
+            "method_a",
+            "method_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_both", F.lit(0)).alias("n_both"),
+            F.expr(
+                "floor(coalesce(n_both, 0) /"
+                " cast(n_a + n_b - coalesce(n_both, 0) as double)"
+                " * 1e6 + 0.5) / 1e6"
+            ).alias("pair_jaccard"),
+        )
+    )

@@ -4267,3 +4267,37 @@ SELECT n AS n_days,
          AS intercept_cents
 FROM a
 """
+
+
+# Dedup method-agreement matrix (operators/dedup.py:dedup_agreement):
+# the three text near-dup kernels' pair sets compared pairwise. Each
+# kernel's full oracle runs ONCE as a (WITH ...) subquery.
+DEDUP_AGREEMENT = f"""
+WITH tagged AS MATERIALIZED (
+  SELECT doc_a, doc_b, 'minhash_lsh' AS method
+  FROM ({DEDUP_MINHASH_LSH}) t1
+  UNION ALL
+  SELECT doc_a, doc_b, 'ngram_jaccard'
+  FROM ({DEDUP_NGRAM_JACCARD}) t2
+  UNION ALL
+  SELECT doc_a, doc_b, 'winnow_overlap'
+  FROM ({WINNOW_OVERLAP}) t3
+), counts AS (
+  SELECT method, CAST(count(*) AS BIGINT) AS n FROM tagged GROUP BY method
+), shared AS (
+  SELECT a.method AS method_a, b.method AS method_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM tagged a JOIN tagged b
+    ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b AND a.method < b.method
+  GROUP BY a.method, b.method
+)
+SELECT m.method AS method_a, n.method AS method_b,
+       m.n AS n_a, n.n AS n_b,
+       CAST(coalesce(bo.n_both, 0) AS BIGINT) AS n_both,
+       floor(coalesce(bo.n_both, 0)
+             / CAST(m.n + n.n - coalesce(bo.n_both, 0) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS pair_jaccard
+FROM counts m CROSS JOIN counts n
+LEFT JOIN shared bo ON bo.method_a = m.method AND bo.method_b = n.method
+WHERE m.method < n.method
+"""

@@ -715,6 +715,11 @@ register("q1_sql", oracles.Q1)(_sql_face(oracles.Q1, ("lineitem",)))
 register("q6_sql", oracles.Q6)(_sql_face(oracles.Q6, ("lineitem",)))
 
 
+@register("dedup_agreement", oracles.DEDUP_AGREEMENT)
+def _dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_agreement(load_table(spark, "documents", sf_dir))
+
+
 @register("daily_trend", oracles.DAILY_TREND)
 def _daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.daily_trend(load_table(spark, "events", sf_dir))
@@ -1154,9 +1159,9 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      NEW in r8 (ann_ivfpq_trained, corpus_pipeline_novelty).
 #  (2) the 50 entries whose latest official row is r5 (r7 verdict
 #      "next round" #3, CORRECTNESS-union list), cheapest shapes first.
-#      Block (1) grew to 25 as r8 added operators (every new entry is
+#      Block (1) grew to 26 as r8 added operators (every new entry is
 #      never-recorded and outranks stale ones — the discipline), so
-#      (1)+(2) = 75 and the last ~25 of block (2) ride past the window
+#      (1)+(2) = 76 and the last ~26 of block (2) ride past the window
 #      boundary into r9's debt; the dedup/semdedup/multimodal rows sit
 #      there deliberately (every entry is still re-proven locally each
 #      run by test_driver_parity).
@@ -1193,6 +1198,7 @@ _GATE_ORDER = [
     "q1_sql",
     "q6_sql",
     "daily_trend",
+    "dedup_agreement",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
