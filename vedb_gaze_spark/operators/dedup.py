@@ -1122,7 +1122,11 @@ def dedup_agreement(documents: DataFrame) -> DataFrame:
     # all method pairs, including zero-overlap ones
     m = counts.select(F.col("method").alias("method_a"), F.col("n").alias("n_a"))
     n = counts.select(F.col("method").alias("method_b"), F.col("n").alias("n_b"))
-    grid = m.crossJoin(n).where(F.col("method_a") < F.col("method_b"))
+    # broadcast: the grid is |methods|² metadata rows — without the hint
+    # Catalyst plans a CartesianProduct (the plan-guard tripwire)
+    grid = m.crossJoin(F.broadcast(n)).where(
+        F.col("method_a") < F.col("method_b")
+    )
     return (
         grid.join(both, ["method_a", "method_b"], "left")
         .select(
