@@ -135,6 +135,7 @@ HEADLINE = [
     "q6_sql",
     "daily_trend",
     "dedup_agreement",
+    "lm_score_trigram",
 ]
 
 

@@ -759,3 +759,34 @@ def test_trade_hits_deterministic_and_sane(spark, sf_dir):
         by_kind.setdefault(kind, []).append(score)
     assert max(by_kind["customer"]) == 1_000_000
     assert max(by_kind["supplier"]) == 1_000_000
+
+
+def test_lm_score_trigram_rewards_longer_context(spark):
+    """Planted corpus isolating what ONLY a trigram model can see: the
+    training docs are the two 3-word templates "a b x" and "b a y", so
+    the probe "a b a" consists ENTIRELY of seen bigrams (ab, ba) while
+    its trigram (a,b,a) never occurs. The bigram model therefore rates
+    the novel-order probe nearly as typical as the verbatim template,
+    but the trigram model must (a) score verbatim strictly below the
+    novel-order probe and (b) separate them by a wider margin than the
+    bigram model — the longer context is the operator's reason to
+    exist. (A fully-shuffled probe would NOT show this: unseen bigrams
+    already floor the bigram model, and JM interpolation compresses the
+    trigram's extra penalty — measured 0.54 vs 1.24 nats — so the pin
+    targets the seen-bigrams/novel-trigram regime.)"""
+    from vedb_gaze_spark.operators import text as T
+
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, "a b x"))
+        rows.append((2 * i + 1, "b a y"))
+    rows.append((1000, "a b x"))   # verbatim template
+    rows.append((1001, "a b a"))   # all bigrams seen, trigram novel
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    tri = {r.doc_id: r.cross_entropy for r in T.lm_score_trigram(docs).collect()}
+    bi = {r.doc_id: r.cross_entropy for r in T.lm_score_bigram(docs).collect()}
+    assert tri[1000] < tri[1001]
+    gap_tri = tri[1001] - tri[1000]
+    gap_bi = bi[1001] - bi[1000]
+    assert gap_tri > gap_bi, (gap_tri, gap_bi)

@@ -1139,3 +1139,118 @@ def nb_lang_id(documents: DataFrame, alpha: int = 1) -> DataFrame:
             (F.col("mlang") == F.col("lang")).alias("correct"),
         )
     )
+
+
+def lm_score_trigram(documents: DataFrame) -> DataFrame:
+    """Interpolated TRIGRAM-LM cross-entropy per document — one more
+    Jelinek-Mercer level on lm_score_bigram (Jelinek & Mercer 1980;
+    Chen & Goodman 1999 §2.4's recursive interpolation): p₃ = λ₃·ML
+    trigram + (1−λ₃)·p₂, where p₂ is the bigram operator's identical
+    interpolated model. Longer context separates templated boilerplate
+    from fluent text even harder than bigrams — the reason production
+    perplexity filters use a 5-gram KenLM; this is that shape's exact,
+    oracle-checkable 3-gram form.
+
+    Determinism: the lm_score discipline one level deeper — ONE ln per
+    distinct trigram, quantized to integer micro-nats BEFORE the
+    corpus-sized sum; both engines evaluate the identical literal-λ
+    double expression. Token 1 takes the unigram table, token 2 the
+    bigram table, the rest the trigram table; all three model tables
+    are vocabulary/bigram/trigram-type-sized — no forced broadcasts.
+
+    Scale: one posexplode, two lag windows on the SAME doc-keyed sort,
+    three model rollups, one doc rollup of exact longs."""
+    toks = documents.select(
+        "doc_id", F.posexplode(F.expr(_TOKENS)).alias("i", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    stream = toks.withColumn("prev", F.lag("word").over(w)).withColumn(
+        "prev2", F.lag("word", 2).over(w)
+    )
+    wc = stream.groupBy("word").agg(F.count(F.lit(1)).alias("cu"))
+    stats = wc.agg(
+        F.sum("cu").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    uni = wc.crossJoin(F.broadcast(stats)).select(
+        "word",
+        "cu",
+        F.floor(
+            F.log((F.col("cu") + 1.0) / (F.col("n_total") + F.col("vocab")))
+            * 1e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("logq_u"),
+        (F.col("n_total") + F.col("vocab")).alias("denom_u"),
+    )
+    big = stream.where(F.col("prev").isNotNull())
+    c2 = big.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("c2"))
+    c1s = big.groupBy("prev").agg(F.count(F.lit(1)).alias("c1s"))
+    lam2 = P.LM2_LAMBDA
+    p2expr = (
+        F.lit(lam2) * F.col("c2") / F.col("c1s")
+        + F.lit(1.0 - lam2) * (F.col("cu") + 1.0) / F.col("denom_u")
+    )
+    bi = (
+        c2.join(c1s, "prev")
+        .join(uni.select("word", "cu", "denom_u"), "word")
+        .select(
+            "prev",
+            "word",
+            F.floor(F.log(p2expr) * 1e6 + 0.5).cast("long").alias("logq_b"),
+            p2expr.alias("p2"),
+        )
+    )
+    tri_stream = stream.where(F.col("prev2").isNotNull())
+    c3 = tri_stream.groupBy("prev2", "prev", "word").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    c2s = tri_stream.groupBy("prev2", "prev").agg(
+        F.count(F.lit(1)).alias("c2s")
+    )
+    lam3 = P.LM3_LAMBDA
+    tri = (
+        c3.join(c2s, ["prev2", "prev"])
+        .join(bi.select("prev", "word", "p2"), ["prev", "word"])
+        .select(
+            "prev2",
+            "prev",
+            "word",
+            F.floor(
+                F.log(
+                    F.lit(lam3) * F.col("c3") / F.col("c2s")
+                    + F.lit(1.0 - lam3) * F.col("p2")
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("logq_t"),
+        )
+    )
+    first = (
+        stream.where(F.col("prev").isNull())
+        .join(uni.select("word", "logq_u"), "word")
+        .select("doc_id", F.col("logq_u").alias("lq"))
+    )
+    second = (
+        stream.where(F.col("prev").isNotNull() & F.col("prev2").isNull())
+        .join(bi.select("prev", "word", "logq_b"), ["prev", "word"])
+        .select("doc_id", F.col("logq_b").alias("lq"))
+    )
+    rest = tri_stream.join(tri, ["prev2", "prev", "word"]).select(
+        "doc_id", F.col("logq_t").alias("lq")
+    )
+    return (
+        first.unionByName(second)
+        .unionByName(rest)
+        .groupBy("doc_id")
+        .agg(F.sum("lq").alias("s"), F.count(F.lit(1)).alias("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(-F.col("s") / (1e6 * F.col("n_tokens")), 6).alias(
+                "cross_entropy"
+            ),
+        )
+    )

@@ -4301,3 +4301,66 @@ FROM counts m CROSS JOIN counts n
 LEFT JOIN shared bo ON bo.method_a = m.method AND bo.method_b = n.method
 WHERE m.method < n.method
 """
+
+
+# Interpolated trigram-LM cross-entropy (operators/text.py:
+# lm_score_trigram): one more Jelinek-Mercer level on LM_SCORE_BIGRAM;
+# p2 is materialized once in the bigram CTE and reused inside the
+# trigram ln so both engines evaluate the identical doubles.
+_LM3_L = repr(P.LM3_LAMBDA)
+_LM3_1ML = repr(1.0 - P.LM3_LAMBDA)
+LM_SCORE_TRIGRAM = f"""
+WITH toks AS (
+  SELECT doc_id, i, t[i] AS word
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents) x,
+       unnest(generate_series(1, len(t))) AS g(i)
+),
+stream AS (
+  SELECT doc_id, i, word,
+         lag(word) OVER (PARTITION BY doc_id ORDER BY i) AS prev,
+         lag(word, 2) OVER (PARTITION BY doc_id ORDER BY i) AS prev2
+  FROM toks
+),
+wc AS (SELECT word, count(*) AS cu FROM stream GROUP BY word),
+stats AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total, count(*) AS vocab FROM wc),
+uni AS (
+  SELECT word, cu,
+         CAST(floor(ln((cu + 1.0) / (n_total + vocab)) * 1e6 + 0.5) AS BIGINT) AS logq_u,
+         (n_total + vocab) AS denom_u
+  FROM wc CROSS JOIN stats
+),
+big AS (SELECT doc_id, prev2, prev, word FROM stream WHERE prev IS NOT NULL),
+c2 AS (SELECT prev, word, count(*) AS c2 FROM big GROUP BY prev, word),
+c1s AS (SELECT prev, count(*) AS c1s FROM big GROUP BY prev),
+bi AS MATERIALIZED (
+  SELECT c2.prev, c2.word,
+         CAST(floor(ln({_LM2_L} * c2 / c1s + {_LM2_1ML} * (cu + 1.0) / denom_u)
+                    * 1e6 + 0.5) AS BIGINT) AS logq_b,
+         ({_LM2_L} * c2 / c1s + {_LM2_1ML} * (cu + 1.0) / denom_u) AS p2
+  FROM c2 JOIN c1s USING (prev) JOIN uni USING (word)
+),
+tris AS (SELECT doc_id, prev2, prev, word FROM stream WHERE prev2 IS NOT NULL),
+c3 AS (SELECT prev2, prev, word, count(*) AS c3 FROM tris GROUP BY prev2, prev, word),
+c2s AS (SELECT prev2, prev, count(*) AS c2s FROM tris GROUP BY prev2, prev),
+tri AS MATERIALIZED (
+  SELECT c3.prev2, c3.prev, c3.word,
+         CAST(floor(ln({_LM3_L} * c3 / c2s + {_LM3_1ML} * p2)
+                    * 1e6 + 0.5) AS BIGINT) AS logq_t
+  FROM c3 JOIN c2s USING (prev2, prev)
+  JOIN bi ON bi.prev = c3.prev AND bi.word = c3.word
+),
+terms AS (
+  SELECT s.doc_id, u.logq_u AS lq FROM stream s JOIN uni u USING (word)
+  WHERE s.prev IS NULL
+  UNION ALL
+  SELECT b.doc_id, bi.logq_b FROM big b
+  JOIN bi ON bi.prev = b.prev AND bi.word = b.word
+  WHERE b.prev2 IS NULL
+  UNION ALL
+  SELECT t.doc_id, tri.logq_t FROM tris t
+  JOIN tri ON tri.prev2 = t.prev2 AND tri.prev = t.prev AND tri.word = t.word
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(-CAST(sum(lq) AS BIGINT) / (1e6 * count(*)), 6) AS cross_entropy
+FROM terms GROUP BY doc_id
+"""

@@ -446,3 +446,7 @@ MIX_TEMPERATURE_ALPHA = 0.5
 # Length-bucketed dynamic batching (length_batches): docs per training
 # batch. Small enough that sf0.01's 500 docs yield ~30 batches/strategy.
 LB_BATCH_DOCS = 16
+
+# Trigram Jelinek-Mercer interpolation weight (lm_score_trigram):
+# p3 = LM3_LAMBDA * ML-trigram + (1 - LM3_LAMBDA) * p2(bigram JM).
+LM3_LAMBDA = 0.6

@@ -715,6 +715,11 @@ register("q1_sql", oracles.Q1)(_sql_face(oracles.Q1, ("lineitem",)))
 register("q6_sql", oracles.Q6)(_sql_face(oracles.Q6, ("lineitem",)))
 
 
+@register("lm_score_trigram", oracles.LM_SCORE_TRIGRAM)
+def _lm_score_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lm_score_trigram(load_table(spark, "documents", sf_dir))
+
+
 @register("dedup_agreement", oracles.DEDUP_AGREEMENT)
 def _dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_agreement(load_table(spark, "documents", sf_dir))
@@ -1159,9 +1164,9 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      NEW in r8 (ann_ivfpq_trained, corpus_pipeline_novelty).
 #  (2) the 50 entries whose latest official row is r5 (r7 verdict
 #      "next round" #3, CORRECTNESS-union list), cheapest shapes first.
-#      Block (1) grew to 26 as r8 added operators (every new entry is
+#      Block (1) grew to 27 as r8 added operators (every new entry is
 #      never-recorded and outranks stale ones — the discipline), so
-#      (1)+(2) = 76 and the last ~26 of block (2) ride past the window
+#      (1)+(2) = 77 and the last ~27 of block (2) ride past the window
 #      boundary into r9's debt; the dedup/semdedup/multimodal rows sit
 #      there deliberately (every entry is still re-proven locally each
 #      run by test_driver_parity).
@@ -1199,6 +1204,7 @@ _GATE_ORDER = [
     "q6_sql",
     "daily_trend",
     "dedup_agreement",
+    "lm_score_trigram",
     # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
     "time_slice",
     "lang_id",
