@@ -790,3 +790,54 @@ def test_lm_score_trigram_rewards_longer_context(spark):
     gap_tri = tri[1001] - tri[1000]
     gap_bi = bi[1001] - bi[1000]
     assert gap_tri > gap_bi, (gap_tri, gap_bi)
+
+
+def test_token_zipf_fit_large_vocab_no_int64_overflow(spark):
+    """r9 overflow regression pin (ADVICE r8): with x,y = ln·1e6
+    micro-units, the closed-form cross terms n·sxx and sx² pass 2⁶³
+    once the vocabulary exceeds ~10⁴ types — int64 arithmetic silently
+    wraps in Spark (wrong slope) and raises in DuckDB (broken engine
+    parity). The fix widens the second moments to decimal(38,0) /
+    HUGEINT; this test plants a 12 000-type Zipf corpus (n·sxx ≈ 3·10²²
+    — firmly past the wrap point) and pins (a) exact Spark↔DuckDB
+    agreement and (b) the recovered slope against an independent
+    numpy least-squares fit of the same quantized points."""
+    import duckdb
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from vedb_gaze_spark.operators import text as T
+    from vedb_gaze_spark.plans import oracles
+
+    V, C = 12_000, 12_000
+    toks = []
+    for r in range(1, V + 1):
+        toks.extend([f"w{r}"] * max(1, C // r))
+    docs_py, chunk = [], 2_000
+    for i in range(0, len(toks), chunk):
+        docs_py.append((i // chunk, " ".join(toks[i : i + chunk])))
+    docs = spark.createDataFrame(docs_py, "doc_id long, text string")
+
+    got = T.token_zipf_fit(docs).collect()[0]
+    assert got.n_types == V
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs_py, columns=["doc_id", "text"]))
+    want = con.execute(oracles.TOKEN_ZIPF_FIT).df().iloc[0]
+    assert int(want.n_types) == V
+    assert got.zipf_slope == want.zipf_slope, (got.zipf_slope, want.zipf_slope)
+    assert got.zipf_intercept == want.zipf_intercept
+
+    # independent fit on the same micro-unit-quantized (ln rank, ln freq)
+    freqs = sorted((max(1, C // r) for r in range(1, V + 1)), reverse=True)
+    x = np.array(
+        [math.floor(math.log(i + 1) * 1e6 + 0.5) for i in range(V)]
+    ) / 1e6
+    y = np.array(
+        [math.floor(math.log(f) * 1e6 + 0.5) for f in freqs]
+    ) / 1e6
+    slope = np.polyfit(x, y, 1)[0]
+    assert abs(got.zipf_slope - slope) < 1e-4, (got.zipf_slope, slope)
+    assert -1.3 < got.zipf_slope < -0.7

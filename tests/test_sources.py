@@ -575,6 +575,7 @@ def test_stats_manifest_skips_files_and_matches_exact_filter(
 
     from vedb_gaze_spark.sources.tables import load_table
     from vedb_gaze_spark.sources.writers import (
+        manifest_dir,
         read_stats_pruned,
         write_stats_layout,
     )
@@ -602,7 +603,7 @@ def test_stats_manifest_skips_files_and_matches_exact_filter(
     assert touched < all_files, (len(touched), len(all_files))
 
     manifest = {
-        r.file: r for r in spark.read.parquet(f"{store}/manifest").collect()
+        r.file: r for r in spark.read.parquet(manifest_dir(spark, store)).collect()
     }
     assert set(manifest) == all_files
     per_file = (
@@ -638,6 +639,7 @@ def test_append_stats_layout_grows_without_rewriting(spark, sf_dir, tmp_path):
     from vedb_gaze_spark.sources.tables import load_table
     from vedb_gaze_spark.sources.writers import (
         append_stats_layout,
+        manifest_dir,
         read_stats_pruned,
         write_stats_layout,
     )
@@ -684,7 +686,7 @@ def test_append_stats_layout_grows_without_rewriting(spark, sf_dir, tmp_path):
 
     all_files = set(spark.read.parquet(f"{store}/data").inputFiles())
     manifest = {
-        r.file: r for r in spark.read.parquet(f"{store}/manifest").collect()
+        r.file: r for r in spark.read.parquet(manifest_dir(spark, store)).collect()
     }
     assert set(manifest) == all_files
     touched = set(
@@ -693,3 +695,68 @@ def test_append_stats_layout_grows_without_rewriting(spark, sf_dir, tmp_path):
         ).inputFiles()
     )
     assert touched < all_files
+
+
+def test_stats_manifest_versioned_promotion_never_leaves_gap(
+    spark, sf_dir, tmp_path
+):
+    """r9 atomicity pin (ADVICE r8): append_stats_layout must never
+    pass through a no-manifest window — the old delete-then-rename swap
+    could strand a concurrent read_stats_pruned (or a crash) with data
+    files but no manifest. The versioned scheme PROMOTES manifest_v{N+1}
+    (complete only once _SUCCESS lands) and keeps version N one
+    generation for in-flight readers. Pins: (a) each append advances the
+    resolved version; (b) the previous version survives exactly one
+    generation; (c) the resolver ignores a committed-marker-less decoy
+    directory; (d) reads through the resolved manifest stay exact."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.sources.tables import load_table
+    from vedb_gaze_spark.sources.writers import (
+        append_stats_layout,
+        manifest_dir,
+        read_stats_pruned,
+        write_stats_layout,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    store = str(tmp_path / "vstore")
+    third = li.where(F.col("l_orderkey") % 3 == 0)
+    b1 = li.where(F.col("l_orderkey") % 3 == 1)
+    b2 = li.where(F.col("l_orderkey") % 3 == 2)
+
+    write_stats_layout(third, store, "l_extendedprice", n_files=4)
+    assert manifest_dir(spark, store).endswith("manifest_v1")
+
+    append_stats_layout(b1, store, "l_extendedprice", n_files=2)
+    assert manifest_dir(spark, store).endswith("manifest_v2")
+    assert os.path.isdir(f"{store}/manifest_v1")  # one-generation keep
+
+    # decoy: an uncommitted higher version must NOT win the resolution
+    os.makedirs(f"{store}/manifest_v9")
+    assert manifest_dir(spark, store).endswith("manifest_v2")
+    os.rmdir(f"{store}/manifest_v9")
+
+    append_stats_layout(b2, store, "l_extendedprice", n_files=2)
+    assert manifest_dir(spark, store).endswith("manifest_v3")
+    assert os.path.isdir(f"{store}/manifest_v2")
+    assert not os.path.exists(f"{store}/manifest_v1")  # GC'd at depth 1
+
+    lo, hi = 10_000.0, 30_000.0
+    got = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in read_stats_pruned(
+            spark, store, "l_extendedprice", lo, hi
+        ).collect()
+    }
+    want = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in li.where(
+            (F.col("l_extendedprice") >= lo) & (F.col("l_extendedprice") <= hi)
+        ).collect()
+    }
+    assert got == want and len(want) > 0

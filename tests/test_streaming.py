@@ -2286,3 +2286,47 @@ def test_append_ivfsq8_index_grows_without_rewriting(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_append_ivfsq8_out_of_range_vectors_clamp_to_8bit(
+    spark, sf_dir, tmp_path
+):
+    """r9 clamp pin (ADVICE r8): append_ivfsq8_index encodes NEW
+    vectors under the index's STORED per-dim min/max, so an appended
+    value outside the build corpus's range must SATURATE at 0/255
+    (FAISS QT_8bit semantics) — without the clamp the "8-bit" codes
+    silently escape [0, 255]. Plants appends at ±1000× the data range
+    and pins every stored code into the byte range, with both rails
+    actually hit."""
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.streaming.serving import (
+        append_ivfsq8_index,
+        write_ivfsq8_index,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    write_ivfsq8_index(emb, str(tmp_path / "clamp_idx"))
+    idx = str(tmp_path / "clamp_idx")
+
+    wild = emb.where(
+        (F.col("vec_id") >= P.ANN_N_QUERIES) & (F.col("vec_id") % 7 == 0)
+    ).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(1000.0) - F.lit(300.0)
+        ).alias("embedding"),
+    )
+    append_ivfsq8_index(wild, idx)
+
+    grown = (
+        spark.read.parquet(f"{idx}/codes")
+        .where(F.col("neighbor_id") >= 10_000_000)
+        .select(
+            F.array_min("codes").alias("mn"), F.array_max("codes").alias("mx")
+        )
+        .agg(F.min("mn").alias("lo"), F.max("mx").alias("hi"))
+        .collect()[0]
+    )
+    assert grown.lo == 0 and grown.hi == 255, (grown.lo, grown.hi)

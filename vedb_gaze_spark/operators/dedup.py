@@ -1043,7 +1043,13 @@ def dedup_recall(
 
     Both kernels share the _doc_sets relation, so the corpus is
     shingle-hashed once per side and the comparison adds only
-    pair-sized joins."""
+    pair-sized joins. Each kernel's pair output is eagerly
+    localCheckpoint-ed (pair-sized — tiny) before the fan-out: `exact`
+    and `lsh` are each referenced twice below (the semi-join and the
+    count rollup), and the checkpoint makes one-evaluation-per-kernel
+    true by construction rather than by Catalyst exchange-reuse luck
+    (the dedup_agreement r8 lesson applied to its two-kernel
+    special case)."""
     if sample_mod is not None:
         documents = documents.where(
             portable_hash60(
@@ -1055,8 +1061,16 @@ def dedup_recall(
             % sample_mod
             == 0
         )
-    exact = dedup_ngram_jaccard(documents).select("doc_a", "doc_b")
-    lsh = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
+    exact = (
+        dedup_ngram_jaccard(documents)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    lsh = (
+        dedup_minhash_lsh(documents)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     common = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
     stats = (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -1085,11 +1099,15 @@ def dedup_agreement(documents: DataFrame) -> DataFrame:
     detector family actually agrees with its exact one (dedup_recall
     is the two-kernel special case; this is the N-method matrix).
 
-    One evaluation per kernel: every method's (doc_a, doc_b) pairs are
-    tagged and unioned, counts come from one tag rollup, and shared
-    counts from ONE self-join of the tagged pair table on the pair key
-    (pair tables are near-dup-sized — tiny next to the kernels that
-    produce them)."""
+    One evaluation per kernel BY CONSTRUCTION: every method's (doc_a,
+    doc_b) pairs are tagged, unioned, and eagerly localCheckpoint-ed
+    (the graph.py iterative-solve idiom) BEFORE the fan-out — `tagged`
+    is referenced three times below (the counts rollup + both sides of
+    the pair-key self-join), and without the checkpoint whether the
+    three expensive kernels run once or three times depends on Catalyst
+    exchange reuse happening to fire (the r8 bench caught the downside:
+    29.9 s vs a 12.0 s quiet floor). The checkpointed table is
+    near-dup-PAIR-sized — tiny next to the kernels that produce it."""
     from vedb_gaze_spark.operators import text as _text
 
     tagged = (
@@ -1105,6 +1123,7 @@ def dedup_agreement(documents: DataFrame) -> DataFrame:
                 "doc_a", "doc_b", F.lit("winnow_overlap").alias("method")
             )
         )
+        .localCheckpoint(eager=True)
     )
     counts = tagged.groupBy("method").agg(F.count(F.lit(1)).alias("n"))
     a = tagged.select(

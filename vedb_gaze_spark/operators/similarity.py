@@ -1458,6 +1458,13 @@ def _sq8_code_cols(stats: list[tuple[float, float]]) -> list[Column]:
                 (x - F.lit(mn)) / (F.lit(mx) - F.lit(mn)) * F.lit(255.0)
                 + F.lit(0.5)
             ).cast("int")
+            # Clamp to [0, 255] (FAISS QT_8bit semantics): encoding the
+            # index-build corpus never leaves range (stats come from the
+            # data), but append_ivfsq8_index reuses the STORED stats for
+            # new vectors, and an appended value outside the original
+            # per-dim range must saturate, not escape 8 bits. Mirrored
+            # in the ANN_SQ8 / ANN_IVF_SQ8 / SQ8_RECALL oracle CASEs.
+            code = F.greatest(F.lit(0), F.least(F.lit(255), code))
         else:  # degenerate constant dimension
             code = F.lit(0)
         cols.append(code)

@@ -960,21 +960,36 @@ def token_zipf_fit(documents: DataFrame) -> DataFrame:
         F.expr("cast(floor(ln(cast(rank as double)) * 1e6 + 0.5) as long)").alias("x"),
         F.expr("cast(floor(ln(cast(freq as double)) * 1e6 + 0.5) as long)").alias("y"),
     )
+    # Overflow discipline (r9): the second-moment sums and the
+    # closed-form cross terms (n·sxx, sx², n·sxy, sx·sy) leave int64
+    # range once the vocabulary passes ~10⁴–10⁵ types (x ≈ ln(V)·1e6,
+    # so sx² ≈ V²·ln²(V)·1e12), so they accumulate as decimal(38,0)
+    # here and HUGEINT in the DuckDB mirror — each per-term product
+    # still fits int64 (ln(10⁹)²·1e12 < 2⁶³), only the SUMS widen.
+    # Both engines cast the exact integer numerator/denominator to
+    # double before the one division, so the result doubles are
+    # bit-identical (nearest-rounding of the same exact integers).
     agg = pts.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    _num = (
+        "(cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy)"
+    )
+    _den = (
+        "(cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)"
     )
     return agg.select(
         F.col("n").alias("n_types"),
         F.expr(
-            "floor((n * sxy - sx * sy) / cast(n * sxx - sx * sx as double)"
+            f"floor(cast({_num} as double) / cast({_den} as double)"
             " * 1e6 + 0.5) / 1e6"
         ).alias("zipf_slope"),
         F.expr(
-            "floor((sy - (n * sxy - sx * sy) / cast(n * sxx - sx * sx as double)"
+            f"floor((sy - cast({_num} as double) / cast({_den} as double)"
             " * sx) / cast(n as double) + 0.5) / 1e6"
         ).alias("zipf_intercept"),
     )
@@ -1108,8 +1123,13 @@ def nb_lang_id(documents: DataFrame, alpha: int = 1) -> DataFrame:
     cand = toks.crossJoin(
         F.broadcast(langs.select(F.col("lang").alias("mlang")))
     )
+    # model is (lang × vocabulary)-sized — NOT broadcast (an unbounded
+    # broadcast at real vocabulary scale); the shuffle join on
+    # (mlang, word) is the scale path, and AQE still elects a broadcast
+    # on its own when the trained model happens to be small. Only the
+    # langs-sized floor_/prior tables carry the hint.
     scored = (
-        cand.join(F.broadcast(model), ["mlang", "word"], "left")
+        cand.join(model, ["mlang", "word"], "left")
         .join(F.broadcast(floor_), "mlang")
         .select(
             "doc_id",

@@ -149,9 +149,9 @@ ORDER BY l_returnflag
 """
 
 Q14 = f"""
-SELECT 100.0 * sum(CASE WHEN p_type = '{P.Q14_PROMO_TYPE}'
-                        THEN {_EP} * {_DISC1} ELSE 0 END)
-       / sum({_EP} * {_DISC1}) AS promo_revenue_pct
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = '{P.Q14_PROMO_TYPE}'
+                        THEN {_EP} * {_DISC1} ELSE 0 END) AS DOUBLE)
+       / CAST(sum({_EP} * {_DISC1}) AS DOUBLE) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '{P.Q14_DATE_FROM}'
   AND l_shipdate <  TIMESTAMP '{P.Q14_DATE_TO}'
@@ -3799,8 +3799,9 @@ WITH dims AS MATERIALIZED (
 ), codes AS MATERIALIZED (
   SELECT d.vec_id, d.pos,
          CASE WHEN s.mx > s.mn
-              THEN CAST(floor((d.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
-                        AS INTEGER)
+              THEN greatest(0, least(255,
+                   CAST(floor((d.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
+                        AS INTEGER)))
               ELSE 0 END AS code,
          s.mn, s.mx
   FROM dims d JOIN stats s USING (pos)
@@ -3892,16 +3893,24 @@ WITH wc AS (
          CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
   FROM wc
 ), a AS (
+  -- second moments widen to HUGEINT (Spark mirror: decimal(38,0)):
+  -- the closed-form cross terms exceed int64 past ~10^4 word types
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
   FROM pts
 )
 SELECT n AS n_types,
-       floor((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+       floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                  AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                    AS DOUBLE)
              * 1e6 + 0.5) / 1e6 AS zipf_slope,
-       floor((sy - (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+       floor((sy - CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                        AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                          AS DOUBLE)
               * sx) / CAST(n AS DOUBLE) + 0.5) / 1e6 AS zipf_intercept
 FROM a
 """
@@ -4019,8 +4028,9 @@ WITH dims AS MATERIALIZED (
 ), codes AS MATERIALIZED (
   SELECT d.vec_id, d.pos,
          CASE WHEN s.mx > s.mn
-              THEN CAST(floor((d.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
-                        AS INTEGER)
+              THEN greatest(0, least(255,
+                   CAST(floor((d.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
+                        AS INTEGER)))
               ELSE 0 END AS code,
          s.mn, s.mx
   FROM dims d JOIN stats s USING (pos)

@@ -713,6 +713,18 @@ def _sql_face(sql: str, tables: tuple):
 
 register("q1_sql", oracles.Q1)(_sql_face(oracles.Q1, ("lineitem",)))
 register("q6_sql", oracles.Q6)(_sql_face(oracles.Q6, ("lineitem",)))
+# r9: the join faces — evidence the spark.sql surface handles multi-table
+# joins, CASE-aggregation and ratio shapes with the same one-string
+# parity, not just the scan-agg flagships.
+register("q3_sql", oracles.Q3)(
+    _sql_face(oracles.Q3, ("customer", "orders", "lineitem"))
+)
+register("q12_sql", oracles.Q12)(
+    _sql_face(oracles.Q12, ("lineitem", "orders"))
+)
+register("q14_sql", oracles.Q14)(
+    _sql_face(oracles.Q14, ("lineitem", "part"))
+)
 
 
 @register("lm_score_trigram", oracles.LM_SCORE_TRIGRAM)
@@ -1157,171 +1169,131 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver correctness gate records exactly the first ~50 registry
 # entries per round. Iteration order is therefore explicit, not
 # declaration order, and ROTATES each round so every entry's official
-# record stays fresh. r8 window (~50), counted per block:
-#  (1) never-recorded first (the established discipline): ann_ivfpq
-#      (registered at r7 gate position 51 — the one entry the driver
-#      has never seen; r7 verdict "what's missing" #1) and the entries
-#      NEW in r8 (ann_ivfpq_trained, corpus_pipeline_novelty).
-#  (2) the 50 entries whose latest official row is r5 (r7 verdict
-#      "next round" #3, CORRECTNESS-union list), cheapest shapes first.
-#      Block (1) grew to 27 as r8 added operators (every new entry is
-#      never-recorded and outranks stale ones — the discipline), so
-#      (1)+(2) = 77 and the last ~27 of block (2) ride past the window
-#      boundary into r9's debt; the dedup/semdedup/multimodal rows sit
-#      there deliberately (every entry is still re-proven locally each
-#      run by test_driver_parity).
-# Best-effort overflow past the cutoff:
-#  (3) the 5 rows-only float fits whose records still sit at r3
-#      (row-count-only records, the right ones to risk at the
-#      boundary), then ann_pq (rows-only, r7-tuned kernels).
-# Tail: the r6-recorded rows (two rounds old — r9's debt), then the
-# r7-recorded rows (freshest).
+# record stays fresh. r9 window (~50), counted per block:
+#  (1) never-recorded first (the established discipline): the three
+#      join-shape SQL-text faces NEW in r9.
+#  (2) rows whose ORACLE TEXT or operator body changed in r9 — the
+#      zipf decimal(38,0)/HUGEINT widening, the SQ8 [0,255] clamp
+#      mirror, Q14's explicit double casts, the dedup_recall/
+#      dedup_agreement eager checkpoints, nb_lang_id's de-broadcast —
+#      so the official record reflects the shipped strings.
+#  (3) the 5 rows-only float fits whose records sat at r3, then
+#  (4) the 27 r5-stale entries (r8 verdict "next round" #2) — after
+#      this round no entry's official record is older than r6.
+# Tail: r6 rows (next round's debt), then r7, then r8 (freshest).
+# Every entry is still re-proven locally each run by
+# tests/test_driver_parity.py regardless of window position.
 _GATE_ORDER = [
-    # -- (1) never-recorded: r7 overflow casualty + new in r8 -----------
-    "ann_ivfpq",
-    "ann_ivfpq_trained",
-    "corpus_pipeline_novelty",
-    "winnow_overlap",
-    "embed_project",
-    "ann_sq8",
-    "length_batches",
-    "ann_ivf_kmeanspar",
-    "quality_classifier_trained",
-    "unigram_lm_stats",
-    "epoch_shuffle",
+    # -- (1) never-recorded: NEW in r9 (the established discipline) ------
+    "q3_sql",
+    "q12_sql",
+    "q14_sql",
+    # -- (2) r9-edited rows (oracle text or operator body changed this
+    #    round — the official record should reflect the shipped strings:
+    #    zipf decimal widening, SQ8 clamp mirror, Q14 double casts,
+    #    dedup_recall/agreement eager checkpoints, nb_lang_id join) ------
     "token_zipf_fit",
-    "heaps_law",
-    "sq8_recall",
-    "nb_lang_id",
+    "ann_sq8",
     "ann_ivf_sq8",
-    "funnel_windowed",
-    "event_markov",
-    "chunk_documents",
-    "data_split",
-    "session_paths",
-    "trade_hits",
-    "q1_sql",
-    "q6_sql",
-    "daily_trend",
+    "sq8_recall",
+    "q14_promo_revenue",
     "dedup_agreement",
-    "lm_score_trigram",
-    # -- (2) the 50 r5-stale entries (r7 verdict list) -------------------
-    "time_slice",
-    "lang_id",
-    "scrub_stopwords",
-    "saccade_rate",
-    "q6_revenue",
-    "dedup_exact",
-    "dedup_timestamps",
-    "cluster_grid",
-    "text_quality",
-    "quat_to_euler",
-    "q4_order_priority",
-    "q10_returned_item",
-    "q12_priority_class",
-    "vector_norm",
-    "char_entropy",
-    "token_count",
-    "lm_score",
-    "tfidf_keywords",
-    "dau_rollup",
-    "retention_cohorts",
-    "daily_type_pivot",
-    "doc_fingerprint",
-    "gaze_map_binocular",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "detect_blinks_eyelid",
-    "cluster_dbscan",
-    "event_transitions",
-    "contamination_report",
-    "source_overlap",
-    "ann_cosine_topk",
-    "ann_lsh",
-    "calibration_hmd",
-    "dedup_substring",
-    "dedup_substring_clean",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_prune",
-    "dedup_clusters",
-    "dsir_select",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "mix_plan",
-    "pack_sequences",
-    "corpus_pipeline",
-    "semdedup",
-    "semdedup_prune",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_phash_dedup",
-    # ---- window boundary (~position 50; 53 entries above) -------------
-    # -- (3) overflow: r3-stale rows-only fits, then ann_pq --------------
+    "dedup_recall",
+    "dedup_recall_sampled",
+    "nb_lang_id",
+    # -- (3) r3-stale rows-only fits (oldest official records) -----------
+    "resample_tps",
     "calibration_rbf",
     "calibration_tps",
-    "resample_tps",
     "error_surface_tps",
     "ann_ivf_trained",
-    "ann_pq",
-    # -- r6-recorded rows (two rounds old — r9's rotation debt) ----------
-    "semdedup_trained",
-    "corpus_pipeline_mixed",
-    "gopher_rules",
-    "c4_clean",
-    "quality_classifier",
-    "ccnet_ppl_buckets",
-    "incident_window_stats",
-    "bpe_stats",
-    "trade_pagerank",
-    "bloom_decontaminate",
-    "minhash_containment",
-    "curriculum_pack",
-    "filter_funnel",
-    "key_skew_report",
-    "group_sample",
-    "dedup_recall",
-    "pack_efficiency",
-    "lm_score_bigram",
+    # -- (4) the 27 r5-stale entries (r8 verdict rotation debt) ----------
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "cluster_dbscan",
+    "detect_blinks_eyelid",
+    "pack_sequences",
+    "source_overlap",
+    "contamination_report",
+    "mix_plan",
+    "dsir_select",
+    "dedup_substring",
+    "dedup_substring_clean",
+    "event_transitions",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_prune",
+    "corpus_pipeline",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh",
+    "multimodal_meta",
+    "multimodal_decode",
+    "calibration_hmd",
+    "semdedup",
+    "semdedup_prune",
+    "multimodal_phash_dedup",
+    # ---- window boundary (~position 50; 44 entries above) --------------
+    # -- (5) r6-recorded rows (three rounds old — next in line) ----------
+    "q16_supplier_count",
+    "q19_discounted_revenue",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q11_important_stock",
+    "q17_small_quantity_revenue",
+    "q8_market_share",
     "match_asof",
+    "eyelid_distance_c2f",
     "ngram_topk",
+    "curation_pipeline",
+    "corpus_pipeline_mixed",
+    "multimodal_resize",
+    "calibration_poly",
+    "calibration_poly3",
+    "calibration_3d",
     "gaze_error",
     "gaze_error_weighted",
-    "calibration_poly3",
-    "ann_ivf",
-    "eyelid_distance_c2f",
-    "multimodal_sample",
-    "multimodal_resize",
-    "multimodal_features",
     "gaze_pipeline",
     "marker_pipeline",
     "marker_filter_split",
     "marker_filter_cluster",
-    "curation_pipeline",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q22_sales_opportunity",
-    "calibration_poly",
-    "calibration_3d",
-    # -- r7-recorded rows (freshest official records) --------------------
-    "hash_embed",
-    "dedup_recall_sampled",
-    "ccnet_ppl_threshold",
-    "corpus_stats",
-    "cross_source_dedup",
-    "value_anomalies",
+    "ann_ivf",
+    "semdedup_trained",
+    "multimodal_sample",
+    "multimodal_features",
+    "trade_pagerank",
+    "bpe_stats",
+    "ann_pq",
+    "incident_window_stats",
+    "gopher_rules",
+    "c4_clean",
+    "quality_classifier",
+    "ccnet_ppl_buckets",
+    "lm_score_bigram",
+    "pack_efficiency",
+    "key_skew_report",
+    "group_sample",
+    "filter_funnel",
+    "bloom_decontaminate",
+    "minhash_containment",
+    "curriculum_pack",
+    # -- (6) r7-recorded rows ---------------------------------------------
     "q1_pricing_summary",
+    "q18_large_orders",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q20_potential_promotion",
+    "q21_suppliers_waiting",
     "match_nearest",
     "match_window_median",
     "match_asof_forward",
     "run_length",
+    "onoff_expand",
+    "odometry_speed",
     "resample_linear",
     "outliers_z",
     "brief_detections",
@@ -1333,34 +1305,77 @@ _GATE_ORDER = [
     "cluster_stats",
     "eye_velocity",
     "detect_saccades",
-    "detect_blinks",
     "detect_fixations",
-    "calibration_linear",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q18_large_orders",
-    "q20_potential_promotion",
-    "q21_suppliers_waiting",
-    "onoff_expand",
-    "odometry_speed",
-    "dedup_embedding_lsh",
+    "detect_blinks",
+    "pii_scrub",
+    "repetition_score",
+    "revenue_rollup",
     "line_dedup",
     "line_dedup_skewsafe",
     "decontaminate",
     "stratified_sample",
     "hll_distinct",
-    "cms_heavy_hitters",
-    "value_percentiles",
-    "revenue_rollup",
     "funnel_conversion",
+    "value_percentiles",
+    "cms_heavy_hitters",
     "bm25_search",
-    "pii_scrub",
-    "repetition_score",
     "curation_full",
+    "dedup_embedding_lsh",
     "ann_recall",
+    "calibration_linear",
+    "hash_embed",
+    "ccnet_ppl_threshold",
     "ngram_novelty",
     "pmi_bigrams",
     "mix_plan_temperature",
+    "value_anomalies",
+    "cross_source_dedup",
+    "corpus_stats",
+    # -- (7) r8-recorded rows (freshest official records) -----------------
+    "q6_revenue",
+    "q4_order_priority",
+    "q10_returned_item",
+    "q12_priority_class",
+    "time_slice",
+    "dedup_timestamps",
+    "cluster_grid",
+    "gaze_map_binocular",
+    "saccade_rate",
+    "quat_to_euler",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "char_entropy",
+    "lm_score",
+    "tfidf_keywords",
+    "daily_type_pivot",
+    "dau_rollup",
+    "retention_cohorts",
+    "scrub_stopwords",
+    "doc_fingerprint",
+    "winnow_overlap",
+    "dedup_exact",
+    "corpus_pipeline_novelty",
+    "epoch_shuffle",
+    "heaps_law",
+    "lm_score_trigram",
+    "daily_trend",
+    "trade_hits",
+    "data_split",
+    "session_paths",
+    "chunk_documents",
+    "funnel_windowed",
+    "event_markov",
+    "unigram_lm_stats",
+    "quality_classifier_trained",
+    "ann_ivf_kmeanspar",
+    "vector_norm",
+    "embed_project",
+    "ann_ivfpq",
+    "ann_ivfpq_trained",
+    "length_batches",
+    "q1_sql",
+    "q6_sql",
 ]
 
 

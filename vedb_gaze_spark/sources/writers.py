@@ -259,8 +259,49 @@ def write_stats_layout(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/manifest")
+        .parquet(f"{path}/manifest_v1")
     )
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path-class) pair for the store's filesystem."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
+
+
+def manifest_dir(spark, path: str) -> str:
+    """Resolve the CURRENT manifest of a stats store: the
+    highest-numbered `manifest_v{N}` directory whose `_SUCCESS` commit
+    marker exists (Spark's parquet committer writes it last, so a
+    version is either invisible or complete), falling back to the
+    legacy unversioned `manifest` dir. Versioned manifests are the
+    Delta/Iceberg log-version discipline applied to the sidecar: the
+    writer PROMOTES a new version by creating it, never by a
+    delete-then-rename window in which no manifest exists — a
+    concurrent read_stats_pruned always resolves a complete one."""
+    fs, P_ = _hadoop_fs(spark, path)
+    best, best_n = None, -1
+    root = P_(path)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("manifest_v") and name[10:].isdigit():
+                n = int(name[10:])
+                if n > best_n and fs.exists(P_(f"{path}/{name}/_SUCCESS")):
+                    best, best_n = f"{path}/{name}", n
+    if best is None:
+        legacy = f"{path}/manifest"
+        if not fs.exists(P_(legacy)):
+            raise FileNotFoundError(f"no manifest under {path}")
+        return legacy
+    return best
+
+
+def _manifest_version(manifest_path: str) -> int:
+    name = manifest_path.rstrip("/").split("/")[-1]
+    return int(name[10:]) if name.startswith("manifest_v") else 0
 
 
 def read_stats_pruned(spark, path: str, stat_col: str, lo, hi) -> DataFrame:
@@ -272,7 +313,7 @@ def read_stats_pruned(spark, path: str, stat_col: str, lo, hi) -> DataFrame:
     Z-order self-verifying-read discipline). Returns exactly the rows
     of the unpartitioned filter; only the I/O differs (files read ⊂
     all files, pytest-pinned)."""
-    manifest = spark.read.parquet(f"{path}/manifest")
+    manifest = spark.read.parquet(manifest_dir(spark, path))
     keep = [
         r["file"]
         for r in manifest.where(
@@ -308,7 +349,8 @@ def append_stats_layout(
     Periodic re-cluster = write_stats_layout over the read-back (the
     compact_table discipline)."""
     spark = df_new.sparkSession
-    old_manifest = spark.read.parquet(f"{path}/manifest").collect()
+    cur_manifest = manifest_dir(spark, path)
+    old_manifest = spark.read.parquet(cur_manifest).collect()
     old_files = {r["file"] for r in old_manifest}
     (
         df_new.repartitionByRange(n_files, F.col(stat_col))
@@ -336,15 +378,24 @@ def append_stats_layout(
     merged = spark.createDataFrame(
         old_manifest, fresh.schema
     ).unionByName(fresh)
+    # Versioned promotion (never a no-manifest window): write the merged
+    # manifest as version N+1 — _SUCCESS lands last, so readers resolve
+    # either N (still complete) or N+1, and a crash mid-write leaves N
+    # untouched. Versions OLDER than N are then garbage-collected; N
+    # itself is kept one generation so an in-flight reader that already
+    # resolved it can finish its file-list scan (the Delta log-retention
+    # idea at depth 1).
+    next_v = _manifest_version(cur_manifest) + 1
     merged.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/manifest.new"
+        f"{path}/manifest_v{next_v}"
     )
-    # atomic-ish swap: manifest dirs are tiny; the store stays readable
-    # under the old manifest until the rename
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p_old = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest")
-    p_new = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest.new")
-    fs = p_old.getFileSystem(conf)
-    fs.delete(p_old, True)
-    fs.rename(p_new, p_old)
+    fs, P_ = _hadoop_fs(spark, path)
+    for st in fs.listStatus(P_(path)):
+        name = st.getPath().getName()
+        stale = (
+            name.startswith("manifest_v")
+            and name[10:].isdigit()
+            and int(name[10:]) < next_v - 1
+        ) or name in ("manifest", "manifest.new")
+        if stale and f"{path}/{name}" != cur_manifest:
+            fs.delete(st.getPath(), True)
