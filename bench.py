@@ -136,6 +136,11 @@ HEADLINE = [
     "daily_trend",
     "dedup_agreement",
     "lm_score_trigram",
+    # r9 additions
+    "q3_sql",
+    "q12_sql",
+    "q14_sql",
+    "quality_classifier_sampled",
 ]
 
 
@@ -252,6 +257,26 @@ def main() -> None:
             out["delta_vs_local_baseline_v2"] = round(
                 out["total_common_v2"] - out["baseline_v2_total_common"], 3
             )
+            # r9: the companion TYPICAL-RUN band (median of official
+            # per-round records). The min-merge is a quiet FLOOR every
+            # live run reads ~1.1-1.2x over by construction; comparing
+            # against BOTH lets a verdict separate real regression
+            # (over the median band) from measurement floor (over the
+            # min but at/under the median).
+            medians = base2.get("queries_median", {})
+            common_m = [n for n in per_query if n in medians]
+            if common_m:
+                out["baseline_v2_median_total_common"] = round(
+                    sum(medians[n] for n in common_m), 3
+                )
+                out["total_common_v2_median"] = round(
+                    sum(per_query[n] for n in common_m), 3
+                )
+                out["ratio_vs_v2_median"] = round(
+                    out["total_common_v2_median"]
+                    / out["baseline_v2_median_total_common"],
+                    3,
+                )
     # Per-pass raw timings go to a side file, NOT the summary line: r4's
     # one-line JSON outgrew the driver's tail capture once pass_detail
     # crossed ~40 queries × 2 passes, leaving BENCH_r04.parsed null. The

@@ -252,3 +252,49 @@ def test_quality_classifier_trained_deterministic_and_learns(spark, sf_dir):
     assert len(out) == n_rules
     acc = sum(r.agrees for r in out) / len(out)
     assert acc >= 0.65, acc
+
+
+def test_quality_classifier_sampled_matches_full_batch_accuracy(spark, sf_dir):
+    """Sampled-GD distillation pins (r8 verdict #6 — the 100 TB
+    training-cost answer): (a) the salted-hash training sample is
+    deterministic, so two runs produce identical scored outputs; (b)
+    the sample holds ~1/mod of the corpus (binomial band); (c) scoring
+    still covers EVERY gopher-labeled doc (training sampled, scoring
+    full); (d) accuracy on the full corpus is within 0.05 of the
+    full-batch trainer's — the quarter-corpus gradient estimates land
+    the same distillation, at ~4 full-corpus passes of I/O instead
+    of 13."""
+    from vedb_gaze_spark.functions.core import portable_hash60
+    from vedb_gaze_spark.operators import filtering
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.count()
+    n_sample = docs.where(
+        portable_hash60(
+            F.concat(F.lit(P.QC_SAMPLE_SALT + ":"), F.col("doc_id").cast("string"))
+        )
+        % P.QC_SAMPLE_MOD
+        == 0
+    ).count()
+    import math
+
+    p = 1.0 / P.QC_SAMPLE_MOD
+    tol = 4 * math.sqrt(n * p * (1 - p))
+    assert abs(n_sample - n * p) <= tol, (n_sample, n * p, tol)
+
+    out1 = {r.doc_id: tuple(r) for r in filtering.quality_classifier_sampled(docs).collect()}
+    out2 = {r.doc_id: tuple(r) for r in filtering.quality_classifier_sampled(docs).collect()}
+    assert out1 == out2
+
+    n_rules = filtering.gopher_rules(docs).count()
+    assert len(out1) == n_rules
+
+    acc_sampled = sum(t[-1] for t in out1.values()) / len(out1)
+    full = filtering.quality_classifier_trained(docs).collect()
+    acc_full = sum(r.agrees for r in full) / len(full)
+    assert abs(acc_sampled - acc_full) <= 0.05, (acc_sampled, acc_full)
+    assert acc_sampled >= 0.60, acc_sampled

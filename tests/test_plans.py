@@ -332,6 +332,13 @@ def test_no_driver_collect_in_operators():
         # IVF+SQ8 index growth: loads the index's stored stats +
         # centroids rows (model state — the append_ivfpq_index class)
         "def append_ivfsq8_index",
+        # training-order store (r9): the offsets sidecar and touched-
+        # bucket lists are 256·epochs METADATA rows (the two-level
+        # rank's broadcast side) — counts/offsets arithmetic happens
+        # driver-side on purpose; order rows never collect
+        "def _write_epoch_offsets",
+        "def write_epoch_order",
+        "def append_epoch_order",
     )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []

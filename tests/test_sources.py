@@ -760,3 +760,154 @@ def test_stats_manifest_versioned_promotion_never_leaves_gap(
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_ring_verification_rejects_solid_distractor_blobs(spark):
+    """r9 (r8 verdict #4): the reference accepts a concentric marker
+    only as NESTED ellipses sharing a center (externals/
+    circle_detector.py:22 CircleTracker) — a bright non-marker blob
+    must not become a detection. Plants frames carrying BOTH a ring
+    marker (9x9 bright annulus, 3x3 dark core — two nested components,
+    one center) and a solid distractor blob: require_rings=True keeps
+    exactly the ring (exact annulus centroid = planted center by
+    symmetry) and rejects the solid blob; distractor-only frames yield
+    ZERO detections; the default blob contract still sees both."""
+    import datetime
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import (
+        detect_frame_markers,
+        encode_pnm,
+    )
+
+    H, W = 80, 120
+    base = datetime.datetime.utcfromtimestamp(1_700_000_000)
+    rows = []
+    for s in range(6):
+        a = np.zeros((H, W), dtype=np.uint8)
+        if s < 4:  # ring marker at (40+s, 30): 9x9 bright, 3x3 dark core
+            cy, cx = 40, 30 + s
+            a[cy - 4 : cy + 5, cx - 4 : cx + 5] = 255
+            a[cy - 1 : cy + 2, cx - 1 : cx + 2] = 0
+        # solid distractor blob on every frame (7x7 at x=100)
+        a[20:27, 97:104] = 255
+        rows.append((3, s, base, bytearray(encode_pnm(a))))
+    frames = spark.createDataFrame(
+        rows, "user_id long, frame_id long, ts timestamp, payload binary"
+    )
+
+    strict = detect_frame_markers(frames, require_rings=True).collect()
+    by_frame = {}
+    for r in strict:
+        by_frame.setdefault(r.frame_id, []).append(r)
+    assert set(by_frame) == {0, 1, 2, 3}  # distractor-only frames: zero
+    for s in range(4):
+        (d,) = by_frame[s]
+        assert (d.x, d.y) == (30.0 + s, 40.0), d  # exact ring center
+        assert d.size == 81 - 9  # annulus pixels only
+
+    loose = detect_frame_markers(frames).collect()
+    per_frame = {}
+    for r in loose:
+        per_frame[r.frame_id] = per_frame.get(r.frame_id, 0) + 1
+    assert per_frame == {0: 2, 1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
+
+
+def test_checkerboard_detection_recovers_planted_corner_grid(spark):
+    """r9 (r8 verdict #3): the reference's second marker type
+    (marker_detection.py:185 find_checkerboard_frame / :260
+    find_checkerboard — findChessboardCorners' inner-corner grid,
+    corners averaged to location, normalized to norm_pos). Plants a
+    (3, 6)-inner-corner board (4x7 cells, 10 px): the saddle detector
+    must recover all 18 junction coordinates EXACTLY (half-pixel
+    junctions, row-major), average them to the planted board center,
+    reject a cut-off board (incomplete grid — the all-or-nothing
+    findChessboardCorners contract), ignore a saddle-free blob frame,
+    and drop malformed payloads; the composed checkerboard
+    marker_pixel_pipeline recovers the planted position clusters."""
+    import datetime
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import (
+        detect_checkerboard_frames,
+        encode_pnm,
+    )
+    from vedb_gaze_spark.plans.pipeline import marker_pixel_pipeline
+
+    H, W = 100, 200
+    NX, NY, C = 3, 6, 10  # inner corners per row/col, cell px
+
+    def board_frame(y0, x0):
+        a = np.zeros((H, W), dtype=np.uint8)
+        for j in range(NY + 1):       # cell rows
+            for i in range(NX + 1):   # cell cols
+                if (i + j) % 2 == 0:
+                    a[
+                        y0 + j * C : y0 + (j + 1) * C,
+                        x0 + i * C : x0 + (i + 1) * C,
+                    ] = 255
+        return a
+
+    base_t = 1_700_000_000
+    rows = []
+    # 41 frames every 6 h (the concentric-test epoch shape): board
+    # center x = x0 + (NX+1)*C/2 = 130 + jitter
+    for s in range(41):
+        j = ((s // 2) % 5) - 2
+        a = board_frame(13, 110 + j)
+        rows.append(
+            (
+                9,
+                s,
+                datetime.datetime.utcfromtimestamp(base_t + s * 21_600),
+                bytearray(encode_pnm(a)),
+            )
+        )
+    # cut-off board: right column of cells clipped by the frame edge
+    a = board_frame(13, W - 2 * C - 3)
+    rows.append(
+        (9, 90, datetime.datetime.utcfromtimestamp(base_t), bytearray(encode_pnm(a)))
+    )
+    # blob frame (no saddles) and malformed payload: no detection
+    a = np.zeros((H, W), dtype=np.uint8)
+    a[40:50, 40:50] = 255
+    rows.append(
+        (9, 91, datetime.datetime.utcfromtimestamp(base_t), bytearray(encode_pnm(a)))
+    )
+    rows.append(
+        (9, 92, datetime.datetime.utcfromtimestamp(base_t), bytearray(b"P5 junk"))
+    )
+    frames = spark.createDataFrame(
+        rows, "user_id long, frame_id long, ts timestamp, payload binary"
+    )
+
+    det = {r.frame_id: r for r in detect_checkerboard_frames(frames).collect()}
+    assert set(det) == set(range(41))  # 90/91/92 all rejected
+    for s in range(41):
+        j = ((s // 2) % 5) - 2
+        d = det[s]
+        x0, y0 = 110 + j, 13
+        want_xs = [
+            x0 + C * (i + 1) - 0.5 for _ in range(NY) for i in range(NX)
+        ]
+        want_ys = [
+            y0 + C * (jj + 1) - 0.5 for jj in range(NY) for _ in range(NX)
+        ]
+        assert list(d.corner_xs) == want_xs, (s, d.corner_xs[:4], want_xs[:4])
+        assert list(d.corner_ys) == want_ys
+        assert d.size == NX * NY and d.marker_id == 1
+        assert d.x == np.floor(sum(want_xs) / len(want_xs) * 1e6 + 0.5) / 1e6
+        assert d.norm_x == np.floor(d.x / W * 1e6 + 0.5) / 1e6
+        assert d.norm_y == np.floor(d.y / H * 1e6 + 0.5) / 1e6
+
+    clusters = marker_pixel_pipeline(
+        frames, marker_type="checkerboard", threshold=128
+    ).collect()
+    # board center x = x0 + 2*C - 0.5 = 129.5 + jitter; every 6 h with
+    # one detection per EVERY frame (no odd-frame noise mode here), so
+    # even the trailing partial 3-day cell clears GRID_MIN_PTS: 4 cells
+    assert len(clusters) == 4, clusters
+    for c in clusters:
+        assert 127.0 <= c.med_value <= 132.0, c

@@ -1043,13 +1043,15 @@ def dedup_recall(
 
     Both kernels share the _doc_sets relation, so the corpus is
     shingle-hashed once per side and the comparison adds only
-    pair-sized joins. Each kernel's pair output is eagerly
-    localCheckpoint-ed (pair-sized — tiny) before the fan-out: `exact`
-    and `lsh` are each referenced twice below (the semi-join and the
-    count rollup), and the checkpoint makes one-evaluation-per-kernel
-    true by construction rather than by Catalyst exchange-reuse luck
-    (the dedup_agreement r8 lesson applied to its two-kernel
-    special case)."""
+    pair-sized joins. One evaluation per kernel BY CONSTRUCTION: both
+    kernels' pairs are tagged, unioned, and eagerly localCheckpoint-ed
+    in ONE job before the fan-out (the dedup_agreement shape). The
+    single-job union matters: checkpointing each kernel separately
+    splits them into two jobs and the shared shingle-hash scan runs
+    twice — measured 15-23 s vs ~9 s at sf0.1 — while inside one job
+    Catalyst's exchange reuse shares it; the checkpoint then removes
+    the downstream triple-reference risk (semi-join + two count
+    rollups) that exchange reuse alone left to optimizer luck."""
     if sample_mod is not None:
         documents = documents.where(
             portable_hash60(
@@ -1061,16 +1063,18 @@ def dedup_recall(
             % sample_mod
             == 0
         )
-    exact = (
+    tagged = (
         dedup_ngram_jaccard(documents)
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", F.lit("e").alias("m"))
+        .unionByName(
+            dedup_minhash_lsh(documents).select(
+                "doc_a", "doc_b", F.lit("l").alias("m")
+            )
+        )
         .localCheckpoint(eager=True)
     )
-    lsh = (
-        dedup_minhash_lsh(documents)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    exact = tagged.where(F.col("m") == "e").select("doc_a", "doc_b")
+    lsh = tagged.where(F.col("m") == "l").select("doc_a", "doc_b")
     common = exact.join(lsh, ["doc_a", "doc_b"], "left_semi")
     stats = (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))

@@ -520,6 +520,44 @@ def quality_classifier_trained(
     return quality_classifier_score(documents, w, mu, sd)
 
 
+def quality_classifier_sampled(
+    documents: DataFrame,
+    epochs: int = 12,
+    lr: float = 2.0,
+    sample_mod: int = P.QC_SAMPLE_MOD,
+) -> DataFrame:
+    """The 100 TB training-cost answer for the distilled classifier
+    (r8 verdict #6): full-batch GD is epochs × corpus passes; here the
+    TRAINING loop runs on a deterministic salted doc_id-hash sample
+    (keep iff hash(salt‖doc_id) % mod == 0 — the stratified_sample /
+    dedup_recall row-local gate: stateless, shuffle-free, identical on
+    any engine or partitioning), and the FULL corpus is scored in one
+    pass with the frozen weights. At mod=4 that is 12 quarter-corpus
+    training passes + 1 full scoring pass ≈ 4 full-corpus passes of
+    I/O vs full-batch's 13 — and the gap widens linearly with mod.
+
+    The sample is unbiased for the loss surface (per-doc gradients,
+    no cross-doc terms), and training inherits quality_classifier_
+    train's exact-integer determinism unchanged — the sampled run is
+    bit-reproducible too, just over fewer rows. Accuracy-vs-full-batch
+    is pytest-pinned on the bench corpus (tests/test_filtering.py).
+    Rows-only registry entry (trained float weights, like the Lloyd's
+    family)."""
+    from vedb_gaze_spark.functions.core import portable_hash60
+
+    sample = documents.where(
+        portable_hash60(
+            F.concat(
+                F.lit(P.QC_SAMPLE_SALT + ":"), F.col("doc_id").cast("string")
+            )
+        )
+        % sample_mod
+        == 0
+    )
+    w, mu, sd, _ = quality_classifier_train(sample, epochs, lr)
+    return quality_classifier_score(documents, w, mu, sd)
+
+
 def quality_classifier_score(
     documents: DataFrame,
     w: list[float],

@@ -681,6 +681,77 @@ def _label_components(mask):
     return lab.reshape(mask.shape)
 
 
+def _comp_geoms(lab):
+    """Per-component geometry in label order (pure numpy, integer/exact):
+    pixel count, coordinate sums (for exact centroids), and bounding
+    box — one bincount/ufunc.at pass over the labeled pixels. Shared by
+    the blob detector and the ring verifier so both sides measure the
+    same components the same way."""
+    import numpy as np
+
+    ids, inv = np.unique(lab[lab > 0], return_inverse=True)
+    n = len(ids)
+    if n == 0:
+        z = np.zeros(0)
+        return ids, z.astype(np.int64), z, z, z, z, z, z
+    flat = np.flatnonzero(lab.ravel())
+    ys, xs = np.unravel_index(flat, lab.shape)
+    cnt = np.bincount(inv)
+    sx = np.bincount(inv, weights=xs.astype(np.float64))
+    sy = np.bincount(inv, weights=ys.astype(np.float64))
+    big = np.int64(1) << 40
+    x0 = np.full(n, big)
+    y0 = np.full(n, big)
+    x1 = np.full(n, -1)
+    y1 = np.full(n, -1)
+    np.minimum.at(x0, inv, xs)
+    np.maximum.at(x1, inv, xs)
+    np.minimum.at(y0, inv, ys)
+    np.maximum.at(y1, inv, ys)
+    return ids, cnt, sx, sy, x0, y0, x1, y1
+
+
+def _ring_accept(mask, bright, ring_tol):
+    """Concentric-structure verification (the reference's CircleTracker
+    contract, externals/circle_detector.py:22 — a calibration marker is
+    a set of NESTED ellipses sharing a center, never a single blob):
+    bright component i is accepted iff at least one BELOW-threshold
+    component nests strictly inside its bounding box with a centroid
+    within ring_tol px (Chebyshev) of i's — i.e. ≥2 nested components
+    share a center: the ring and its dark core. A solid bright blob has
+    no interior dark component and is rejected; the frame-sized dark
+    background fails the strict-nesting test. Returns a boolean accept
+    vector in bright-label order."""
+    import numpy as np
+
+    _, bcnt, bsx, bsy, bx0, by0, bx1, by1 = bright
+    nb = len(bcnt)
+    accept = np.zeros(nb, dtype=bool)
+    if nb == 0:
+        return accept
+    dark = _comp_geoms(_label_components(~mask))
+    _, dcnt, dsx, dsy, dx0, dy0, dx1, dy1 = dark
+    if len(dcnt) == 0:
+        return accept
+    dcx = dsx / dcnt
+    dcy = dsy / dcnt
+    for i in range(nb):
+        inside = (
+            (dx0 > bx0[i]) & (dx1 < bx1[i]) & (dy0 > by0[i]) & (dy1 < by1[i])
+        )
+        if not inside.any():
+            continue
+        cx = bsx[i] / bcnt[i]
+        cy = bsy[i] / bcnt[i]
+        near = (
+            inside
+            & (np.abs(dcx - cx) <= ring_tol)
+            & (np.abs(dcy - cy) <= ring_tol)
+        )
+        accept[i] = bool(near.any())
+    return accept
+
+
 _DETECT_SCHEMA = (
     "user_id bigint, frame_id bigint, ts timestamp, marker_id int, "
     "x double, y double, size bigint, norm_x double, norm_y double"
@@ -692,6 +763,8 @@ def detect_frame_markers(
     payload_col: str = "payload",
     threshold: int = 200,
     min_size: int = 4,
+    require_rings: bool = False,
+    ring_tol: float = 2.0,
 ) -> DataFrame:
     """Frame-level marker DETECTION on real pixels — the Spark-first
     analog of the reference's per-frame circle-marker detector
@@ -714,7 +787,16 @@ def detect_frame_markers(
     minimum pixel index — deterministic across platforms and
     partitionings. Arrow-batched mapInPandas over frames: each frame
     is one independent work item, so the operator scales with frame
-    count exactly like decode_image_frames."""
+    count exactly like decode_image_frames.
+
+    ``require_rings`` (r9) switches on the reference's concentric-
+    structure acceptance (externals/circle_detector.py:22 CircleTracker
+    — a marker is a set of NESTED ellipses sharing a center): a bright
+    component only counts when a below-threshold component nests
+    strictly inside it with a centroid within ``ring_tol`` px, so a
+    bright non-marker blob on a real frame is rejected exactly where
+    the reference would reject it. Off by default — the plain-blob
+    contract stays for generic detection streams."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -732,18 +814,20 @@ def detect_frame_markers(
                     continue
                 y = _luma(a)
                 h, w = y.shape
-                lab = _label_components(y >= threshold)
-                ids, inv = np.unique(lab[lab > 0], return_inverse=True)
+                mask = y >= threshold
+                lab = _label_components(mask)
+                bright = _comp_geoms(lab)
+                ids, cnt, sx, sy = bright[:4]
                 if len(ids) == 0:
                     continue
-                flat = np.flatnonzero(lab.ravel())
-                ys, xs = np.unravel_index(flat, lab.shape)
-                cnt = np.bincount(inv)
-                sx = np.bincount(inv, weights=xs.astype(np.float64))
-                sy = np.bincount(inv, weights=ys.astype(np.float64))
+                ok = (
+                    _ring_accept(mask, bright, ring_tol)
+                    if require_rings
+                    else np.ones(len(ids), dtype=bool)
+                )
                 mid = 0
                 for i in range(len(ids)):
-                    if cnt[i] < min_size:
+                    if cnt[i] < min_size or not ok[i]:
                         continue
                     mid += 1
                     out["user_id"].append(uid)
@@ -798,6 +882,131 @@ def detections_to_marker_stream(
         F.lit("error").alias("event_type"),
         F.col(value_col).cast("double").alias("value"),
     )
+
+
+_CHECKERBOARD_SCHEMA = (
+    "user_id bigint, frame_id bigint, ts timestamp, marker_id int, "
+    "x double, y double, size bigint, norm_x double, norm_y double, "
+    "corner_xs array<double>, corner_ys array<double>"
+)
+
+
+def detect_checkerboard_frames(
+    frames: DataFrame,
+    payload_col: str = "payload",
+    board: tuple = (3, 6),
+    threshold: int = 128,
+) -> DataFrame:
+    """Checkerboard calibration-marker detection on real pixels — the
+    reference's SECOND marker type (marker_detection.py:185
+    find_checkerboard_frame / :260 find_checkerboard: per frame,
+    cv2.findChessboardCorners finds the board's inner-corner grid,
+    corners are averaged to the marker location and normalized to
+    norm_pos). The cv2 corner machinery is replaced by a deterministic
+    numpy saddle-point detector with the same acceptance contract —
+    the FULL inner-corner grid or nothing:
+
+      decode (PNM) → integer luma → binarize at threshold → 2×2
+      saddle response (a pixel junction where diagonal neighbors agree
+      and adjacent ones differ — exactly the four-cells-meet corner of
+      a checkerboard) → grid validation: the saddle set must form the
+      COMPLETE board[0]×board[1] cross product of its distinct column/
+      row coordinates, else the frame rejects (findChessboardCorners'
+      all-corners-or-failure behavior — a stray saddle from scene
+      texture rejects the frame rather than corrupting the mean).
+
+    ``board`` follows the reference's checkerboard_size convention:
+    (points per row, points per column) of INNER corners — (3, 6) is
+    the reference default, 18 corners. Output: one row per DETECTED
+    frame, marker_id=1, with the row-major corner arrays (the
+    reference's location_full_checkerboard, at half-pixel junction
+    coordinates), their mean as x/y (location) and norm_x/norm_y
+    (norm_pos — mean over frame dims), size = corner count; all
+    coordinates floor-rounded 6dp (exact integer sums divided once).
+    cv2.cornerSubPix sub-pixel refinement is the one named stub: the
+    junction coordinate IS the exact corner on planted boards, and the
+    refinement needs cv2, which this container does not ship.
+
+    Arrow-batched mapInPandas over frames — one independent work item
+    per frame, the detect_frame_markers scale shape."""
+    nx, ny = int(board[0]), int(board[1])
+    if nx < 2 or ny < 2:
+        raise ValueError(f"board must be at least 2x2 inner corners; got {board}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "user_id": [], "frame_id": [], "ts": [], "marker_id": [],
+                "x": [], "y": [], "size": [], "norm_x": [], "norm_y": [],
+                "corner_xs": [], "corner_ys": [],
+            }
+            for uid, fid, ts, b in zip(
+                pdf["user_id"], pdf["frame_id"], pdf["ts"], pdf[payload_col]
+            ):
+                a = decode_pnm(b) if b is not None else None
+                if a is None:
+                    continue
+                y = _luma(a)
+                h, w = y.shape
+                m = y >= threshold
+                # saddle: the 2x2 junction where diagonals agree and
+                # neighbors differ (four alternating cells meet)
+                p00 = m[:-1, :-1]
+                p01 = m[:-1, 1:]
+                p10 = m[1:, :-1]
+                p11 = m[1:, 1:]
+                sad = (p00 == p11) & (p01 == p10) & (p00 != p01)
+                sy_, sx_ = np.nonzero(sad)
+                if len(sx_) != nx * ny:
+                    continue
+                ux = np.unique(sx_)
+                uy = np.unique(sy_)
+                if len(ux) != nx or len(uy) != ny:
+                    continue
+                # complete-grid check: every (row, col) junction present
+                got = {(int(yy), int(xx)) for yy, xx in zip(sy_, sx_)}
+                if got != {(int(yy), int(xx)) for yy in uy for xx in ux}:
+                    continue
+                # row-major corner order (the findChessboardCorners
+                # orientation-normalized order on an upright board);
+                # junction (r, c) sits between pixels → +0.5 coordinate
+                cxs = [float(xx) + 0.5 for yy in uy for xx in ux]
+                cys = [float(yy) + 0.5 for yy in uy for xx in ux]
+                n = nx * ny
+                mx = np.floor(sum(cxs) / n * 1e6 + 0.5) / 1e6
+                my = np.floor(sum(cys) / n * 1e6 + 0.5) / 1e6
+                out["user_id"].append(uid)
+                out["frame_id"].append(fid)
+                out["ts"].append(ts)
+                out["marker_id"].append(1)
+                out["x"].append(mx)
+                out["y"].append(my)
+                out["size"].append(n)
+                out["norm_x"].append(np.floor(mx / w * 1e6 + 0.5) / 1e6)
+                out["norm_y"].append(np.floor(my / h * 1e6 + 0.5) / 1e6)
+                out["corner_xs"].append(cxs)
+                out["corner_ys"].append(cys)
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(out["user_id"], dtype="int64"),
+                    "frame_id": pd.Series(out["frame_id"], dtype="int64"),
+                    "ts": pd.Series(out["ts"], dtype="datetime64[us]"),
+                    "marker_id": pd.Series(out["marker_id"], dtype="int32"),
+                    "x": pd.Series(out["x"], dtype="float64"),
+                    "y": pd.Series(out["y"], dtype="float64"),
+                    "size": pd.Series(out["size"], dtype="int64"),
+                    "norm_x": pd.Series(out["norm_x"], dtype="float64"),
+                    "norm_y": pd.Series(out["norm_y"], dtype="float64"),
+                    "corner_xs": pd.Series(out["corner_xs"], dtype="object"),
+                    "corner_ys": pd.Series(out["corner_ys"], dtype="object"),
+                }
+            )
+
+    return frames.select(
+        "user_id", "frame_id", "ts", payload_col
+    ).mapInPandas(run, schema=_CHECKERBOARD_SCHEMA)
 
 
 def image_phash_dedup(

@@ -423,6 +423,12 @@ LM2_LAMBDA = 0.7
 # unbiased estimate of pair recall. MOD=2 keeps ~1/4 of true pairs.
 RECALL_SAMPLE_MOD = 2
 RECALL_SAMPLE_SALT = "rs"
+# sampled-GD classifier training (r9): salt for the deterministic
+# doc_id-hash training sample, and the keep-1-in-mod default — 12
+# epochs over 1/4 of the corpus ≈ 3 full-corpus passes of training
+# I/O instead of 12, plus the one full scoring pass
+QC_SAMPLE_SALT = "qcs"
+QC_SAMPLE_MOD = 4
 # PQ ADC chunking (r7): neighbor_id-range width of one codes chunk —
 # the numpy scoring task's work unit (the dedup_embedding_cosine
 # blocked-GEMM pattern). Each task holds CHUNK·m code ints + the

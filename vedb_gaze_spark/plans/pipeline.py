@@ -256,6 +256,9 @@ def marker_pixel_pipeline(
     threshold: int = 200,
     min_size: int = 4,
     value_col: str = "x",
+    marker_type: str = "concentric",
+    board: tuple = (3, 6),
+    require_rings: bool = False,
 ) -> DataFrame:
     """find_epochs ON REAL FRAMES as one callable plan — the reference's
     full camera-to-calibration-marker chain (marker_detection.py:29
@@ -273,19 +276,39 @@ def marker_pixel_pipeline(
     shared-scan declarative plan as marker_filter_cluster — Catalyst
     sees detection and clustering at once, no intermediate
     materialization. Planted-frame e2e pin: tests/test_sources.py
-    (exact centroids in, planted position clusters out)."""
+    (exact centroids in, planted position clusters out).
+
+    ``marker_type`` selects the reference's two marker families:
+    'concentric' (marker_detection.py:29 _find_circles_frame; pass
+    require_rings=True for the CircleTracker nested-ellipse acceptance)
+    or 'checkerboard' (marker_detection.py:185 find_checkerboard_frame
+    — the full inner-corner grid averaged to one location per frame,
+    ``board`` = inner corners per row/column). Both feed the SAME
+    downstream stream adapter and cluster gates — the marker type only
+    changes the per-frame detector, exactly the reference's split."""
     from vedb_gaze_spark.operators.multimodal import (
+        detect_checkerboard_frames,
         detect_frame_markers,
         detections_to_marker_stream,
     )
 
-    return marker_filter_cluster(
-        detections_to_marker_stream(
-            detect_frame_markers(
-                frames, threshold=threshold, min_size=min_size
-            ),
-            value_col=value_col,
+    if marker_type == "checkerboard":
+        det = detect_checkerboard_frames(
+            frames, board=board, threshold=threshold
+        ).drop("corner_xs", "corner_ys")
+    elif marker_type == "concentric":
+        det = detect_frame_markers(
+            frames,
+            threshold=threshold,
+            min_size=min_size,
+            require_rings=require_rings,
         )
+    else:
+        raise ValueError(
+            f"marker_type must be 'concentric' or 'checkerboard'; got {marker_type!r}"
+        )
+    return marker_filter_cluster(
+        detections_to_marker_stream(det, value_col=value_col)
     )
 
 

@@ -806,6 +806,13 @@ def _quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("quality_classifier_sampled")  # trained float weights → rows-only
+def _quality_classifier_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filtering.quality_classifier_sampled(
+        load_table(spark, "documents", sf_dir)
+    )
+
+
 @register("ann_ivf_kmeanspar")  # trained floats → rows-only (as ann_ivf_trained)
 def _ann_ivf_kmeanspar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_trained(
@@ -1188,6 +1195,7 @@ _GATE_ORDER = [
     "q3_sql",
     "q12_sql",
     "q14_sql",
+    "quality_classifier_sampled",
     # -- (2) r9-edited rows (oracle text or operator body changed this
     #    round — the official record should reflect the shipped strings:
     #    zipf decimal widening, SQ8 clamp mirror, Q14 double casts,

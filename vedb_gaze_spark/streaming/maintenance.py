@@ -288,3 +288,171 @@ def streaming_cluster_maintenance(
         w = w.trigger(availableNow=True)
     q = w.start()
     return q, cm
+
+
+# --- stored training order (epoch_shuffle's maintenance twin, r9) --------
+#
+# epoch_shuffle's output is the one assembly-family table that had no
+# streaming/maintenance story (r8 verdict #7): the exact global rank of
+# every doc under the per-epoch hash permutation. The rank is a GLOBAL
+# property — a new document shifts the position of every doc hashed
+# after it — so a row-local streaming scorer cannot exist for NEW docs.
+# What CAN be maintained incrementally is exactly what the two-level
+# rank decomposition exposes: shuffle_pos = bucket offset (256·epochs
+# metadata rows) + rank within bucket. Appending a batch only re-ranks
+# the buckets the batch's hashes land in (bucket-sized work, pruned
+# partition reads/writes) and rewrites the metadata-sized offsets —
+# never a corpus-wide shuffle. The 8-bit bucket width is the
+# granularity knob: a batch touching all 256 buckets re-ranks the whole
+# corpus (correct, just not cheap); more hash bits shrink the touched
+# fraction for small nightly batches.
+
+
+def _epoch_order_rows(documents: DataFrame, epochs: int) -> DataFrame:
+    """(doc_id, epoch, h, bucket) under epoch_shuffle's exact keying —
+    the ONE hash/bucket definition the batch operator and this store
+    share (operators/corpus.py:epoch_shuffle)."""
+    from vedb_gaze_spark.functions.core import portable_hash60
+
+    e = documents.select("doc_id").crossJoin(
+        F.broadcast(
+            documents.sparkSession.range(epochs).select(
+                F.col("id").cast("int").alias("epoch")
+            )
+        )
+    )
+    h = portable_hash60(
+        F.concat(
+            F.lit("shuf:"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    return e.select("doc_id", "epoch", h.alias("h")).withColumn(
+        "bucket", F.shiftright("h", 52).cast("int")
+    )
+
+
+def _write_epoch_offsets(counts_rows, path: str, spark: SparkSession) -> None:
+    """Offsets sidecar from per-(epoch, bucket) counts: cumulative
+    doc count of LOWER buckets within the epoch. counts_rows is a
+    metadata-sized list of Row(epoch, bucket, c)."""
+    per = {}
+    for r in counts_rows:
+        per.setdefault(r["epoch"], {})[r["bucket"]] = r["c"]
+    rows = []
+    for ep, buckets in per.items():
+        acc = 0
+        for b in sorted(buckets):
+            rows.append((ep, b, buckets[b], acc))
+            acc += buckets[b]
+    spark.createDataFrame(
+        rows, "epoch int, bucket int, c bigint, offset bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/offsets")
+
+
+def write_epoch_order(
+    documents: DataFrame, path: str, epochs: int = 2
+) -> None:
+    """Materialize the training-order table as an append-maintainable
+    store: `{path}/order/epoch=E/bucket=B/` holds (doc_id, h, rn — the
+    WITHIN-bucket rank) and `{path}/offsets` the 256·epochs cumulative
+    bucket offsets. read_epoch_order reconstructs epoch_shuffle's exact
+    shuffle_pos = offset + rn; append_epoch_order grows the store
+    bucket-locally."""
+    d = _epoch_order_rows(documents, epochs)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("epoch", "bucket").orderBy("h", "doc_id")
+    (
+        d.withColumn("rn", F.row_number().over(win).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("epoch", "bucket")
+        .parquet(f"{path}/order")
+    )
+    spark = documents.sparkSession
+    counts = (
+        spark.read.parquet(f"{path}/order")
+        .groupBy("epoch", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    _write_epoch_offsets(counts, path, spark)
+
+
+def append_epoch_order(new_docs: DataFrame, path: str) -> None:
+    """Grow the stored training order without re-ranking untouched
+    buckets: the batch's hashes name the affected (epoch, bucket)
+    partitions; ONLY those partitions are read back (parquet partition
+    pruning), unioned with the batch's anti-joined-fresh rows
+    (idempotent replay), re-ranked within bucket, and dynamically
+    overwritten — files of untouched buckets stay byte-identical
+    (pytest-pinned). Offsets rebuild from the stored counts plus the
+    batch's per-bucket increments: metadata arithmetic, no data scan."""
+    spark = new_docs.sparkSession
+    offsets = spark.read.parquet(f"{path}/offsets")
+    epochs = offsets.agg(F.max("epoch")).collect()[0][0] + 1
+    d = _epoch_order_rows(new_docs, epochs)
+    existing = spark.read.parquet(f"{path}/order").select(
+        "doc_id", "epoch", "h", "bucket"
+    )
+    fresh = d.join(
+        existing.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)  # batch-sized; evaluated once below
+    touched = [
+        (r["epoch"], r["bucket"])
+        for r in fresh.select("epoch", "bucket").distinct().collect()
+    ]
+    if not touched:
+        return
+    tdf = spark.createDataFrame(touched, "epoch int, bucket int")
+    affected_old = existing.join(F.broadcast(tdf), ["epoch", "bucket"])
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("epoch", "bucket").orderBy("h", "doc_id")
+    (
+        affected_old.unionByName(fresh.select("doc_id", "epoch", "h", "bucket"))
+        .withColumn("rn", F.row_number().over(win).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "bucket")
+        .parquet(f"{path}/order")
+    )
+    # offsets: stored counts + the batch's per-bucket increments
+    # (both metadata-sized — no data re-scan)
+    inc = {
+        (r["epoch"], r["bucket"]): r["c"]
+        for r in fresh.groupBy("epoch", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    merged = []
+    seen = set()
+    for r in offsets.collect():
+        k = (r["epoch"], r["bucket"])
+        seen.add(k)
+        merged.append(
+            {"epoch": k[0], "bucket": k[1], "c": r["c"] + inc.get(k, 0)}
+        )
+    for k, c in inc.items():
+        if k not in seen:
+            merged.append({"epoch": k[0], "bucket": k[1], "c": c})
+    from pyspark.sql import Row
+
+    _write_epoch_offsets([Row(**m) for m in merged], path, spark)
+
+
+def read_epoch_order(spark: SparkSession, path: str) -> DataFrame:
+    """The stored table as epoch_shuffle's exact output: (epoch,
+    doc_id, shuffle_pos). The offsets side is metadata — broadcast
+    join, no shuffle of the order rows."""
+    order = spark.read.parquet(f"{path}/order")
+    offsets = spark.read.parquet(f"{path}/offsets").select(
+        "epoch", "bucket", "offset"
+    )
+    return order.join(F.broadcast(offsets), ["epoch", "bucket"]).select(
+        "epoch",
+        "doc_id",
+        (F.col("offset") + F.col("rn")).cast("long").alias("shuffle_pos"),
+    )
