@@ -141,6 +141,12 @@ HEADLINE = [
     "q12_sql",
     "q14_sql",
     "quality_classifier_sampled",
+    "q4_sql",
+    "q17_sql",
+    "q21_sql",
+    "q15_sql",
+    "q18_sql",
+    "q22_sql",
 ]
 
 

@@ -233,7 +233,7 @@ WITH pa AS (
   SELECT l_partkey AS t_partkey, 0.5 * avg(l_quantity) AS thr
   FROM lineitem GROUP BY l_partkey
 )
-SELECT sum({_EP}) / 700.0 AS avg_yearly
+SELECT CAST(sum({_EP}) AS DOUBLE) / 700.0 AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
 JOIN pa ON l_partkey = t_partkey

@@ -725,6 +725,34 @@ register("q12_sql", oracles.Q12)(
 register("q14_sql", oracles.Q14)(
     _sql_face(oracles.Q14, ("lineitem", "part"))
 )
+# r9 probe sweep: ALL remaining TPC-H oracle strings were driven through
+# _sql_face at sf0.01 — q2/q4/q5/q7/q8/q9/q10/q11/q13/q15/q16/q18/q19/
+# q20/q21/q22 matched DuckDB verbatim; q17 needed the same explicit
+# double cast as Q14 (Spark parses `bigint / 700.0` as decimal
+# division). Six shapes are REGISTERED to put the distinct SQL features
+# on the official record — EXISTS→semi (q4), correlated-agg threshold
+# (q17), EXISTS+NOT EXISTS multi-correlation (q21), CTE view + scalar
+# max (q15), group-HAVING semi-join (q18), anti-join + scalar-subquery
+# (q22); the rest pass identically and stay probe-documented (SURVEY
+# §2.H) rather than bloating the gate window.
+register("q4_sql", oracles.Q4)(
+    _sql_face(oracles.Q4, ("orders", "lineitem"))
+)
+register("q17_sql", oracles.Q17)(
+    _sql_face(oracles.Q17, ("lineitem", "part"))
+)
+register("q21_sql", oracles.Q21)(
+    _sql_face(oracles.Q21, ("lineitem", "orders", "supplier", "nation"))
+)
+register("q15_sql", oracles.Q15)(
+    _sql_face(oracles.Q15, ("lineitem", "supplier"))
+)
+register("q18_sql", oracles.Q18)(
+    _sql_face(oracles.Q18, ("customer", "orders", "lineitem"))
+)
+register("q22_sql", oracles.Q22)(
+    _sql_face(oracles.Q22, ("customer", "orders"))
+)
 
 
 @register("lm_score_trigram", oracles.LM_SCORE_TRIGRAM)
@@ -1196,6 +1224,9 @@ _GATE_ORDER = [
     "q12_sql",
     "q14_sql",
     "quality_classifier_sampled",
+    "q4_sql",
+    "q17_sql",
+    "q21_sql",
     # -- (2) r9-edited rows (oracle text or operator body changed this
     #    round — the official record should reflect the shipped strings:
     #    zipf decimal widening, SQ8 clamp mirror, Q14 double casts,
@@ -1244,6 +1275,12 @@ _GATE_ORDER = [
     "semdedup_prune",
     "multimodal_phash_dedup",
     # ---- window boundary (~position 50; 44 entries above) --------------
+    # -- best-effort overflow: the remaining registered SQL faces (their
+    #    shapes are probe-verified and parity-replayed locally every run;
+    #    official rows ride the window boundary) -------------------------
+    "q15_sql",
+    "q18_sql",
+    "q22_sql",
     # -- (5) r6-recorded rows (three rounds old — next in line) ----------
     "q16_supplier_count",
     "q19_discounted_revenue",
