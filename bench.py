@@ -28,6 +28,12 @@ HEADLINE = [
     # state gives the honest number (isolated warm: 7.0-7.4 s; r4's
     # 13.4 s official row was late-session pile-up, see PERF_NOTES)
     "dedup_clusters",
+    # dedup_agreement EARLY for the same reason as dedup_clusters: the
+    # widest plan in the registry (three near-dup kernels in one union
+    # job) is the most codegen-cache-eviction-sensitive row — measured
+    # 52 s at queue position 101 vs 11-20 s isolated (r9); position
+    # change flagged by queue_rev as always
+    "dedup_agreement",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_revenue",
@@ -134,7 +140,6 @@ HEADLINE = [
     "q1_sql",
     "q6_sql",
     "daily_trend",
-    "dedup_agreement",
     "lm_score_trigram",
     # r9 additions
     "q3_sql",
@@ -173,6 +178,7 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         for wname in (
             "dedup_clusters",
+            "dedup_agreement",
             "semdedup",
             "dedup_minhash_lsh",
             # the r6 iterative/multi-job shapes: PR's 10 unrolled

@@ -911,3 +911,65 @@ def test_checkerboard_detection_recovers_planted_corner_grid(spark):
     assert len(clusters) == 4, clusters
     for c in clusters:
         assert 127.0 <= c.med_value <= 132.0, c
+
+
+def test_ring_marker_types_classified_and_one_detection_per_marker(spark):
+    """Typed concentric detection (the full CircleTracker contract,
+    externals/circle_detector.py:339 — marker class from the ring's
+    mean gray against 128). Plants: (a) a BRIGHT ring w/ dark core on
+    dark background → one 'ref' detection at the exact center; (b) a
+    DARK ring w/ bright core on a bright panel → one 'stop'; (c) a
+    THREE-layer marker (bright ring / dark ring / bright dot) → exactly
+    ONE detection (outermost ring wins, inner rings suppressed); (d)
+    solid blobs of either polarity and a bright dot centered on the
+    dark background → zero detections (the background is never a
+    ring — border exclusion)."""
+    import datetime
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import (
+        detect_ring_markers,
+        encode_pnm,
+    )
+
+    H, W = 90, 240
+    base = datetime.datetime.utcfromtimestamp(1_700_000_000)
+
+    a = np.zeros((H, W), dtype=np.uint8)
+    # (a) bright ring, dark core at (20, 30)
+    a[16:25, 26:35] = 255
+    a[19:22, 29:32] = 0
+    # (b) bright panel TOUCHING the frame border (real-world wall/paper
+    #     — border exclusion must keep the panel itself from reading as
+    #     a giant bright ring) with a dark ring + bright core at
+    #     (20, 100) and a SOLID dark blob distractor inside the panel
+    a[0:41, 80:121] = 230
+    a[16:25, 96:105] = 0
+    a[19:22, 99:102] = 230
+    a[30:37, 84:91] = 0       # solid dark blob: no bright core → rejected
+    # (c) three-layer marker at (60, 150): bright 13x13, dark 7x7, bright 3x3
+    a[54:67, 144:157] = 255
+    a[57:64, 147:154] = 0
+    a[59:62, 149:152] = 255
+    # (d) distractors on the dark background: solid bright blob and a
+    #     lone bright dot (the dark BACKGROUND must never rate as a
+    #     ring around it — border exclusion)
+    a[70:77, 20:27] = 255
+    a[60:63, 200:203] = 255
+
+    frames = spark.createDataFrame(
+        [(5, 0, base, bytearray(encode_pnm(a)))],
+        "user_id long, frame_id long, ts timestamp, payload binary",
+    )
+    det = detect_ring_markers(frames).collect()
+    got = {(r.x, r.y): (r.marker_type, r.size) for r in det}
+    assert len(det) == 3, det
+    assert got[(30.0, 20.0)][0] == "ref"
+    assert got[(100.0, 20.0)][0] == "stop"
+    assert got[(150.0, 60.0)][0] == "ref"
+    # three-layer marker: ONE row, the outer 13x13 ring (169-49 px)
+    assert got[(150.0, 60.0)][1] == 169 - 49
+    # norm conventions match detect_frame_markers
+    for r in det:
+        assert r.norm_x == np.floor(r.x / W * 1e6 + 0.5) / 1e6

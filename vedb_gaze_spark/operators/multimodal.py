@@ -884,6 +884,157 @@ def detections_to_marker_stream(
     )
 
 
+_RING_SCHEMA = (
+    "user_id bigint, frame_id bigint, ts timestamp, marker_id int, "
+    "x double, y double, size bigint, norm_x double, norm_y double, "
+    "marker_type string"
+)
+
+
+def detect_ring_markers(
+    frames: DataFrame,
+    payload_col: str = "payload",
+    threshold: int = 200,
+    min_size: int = 4,
+    ring_tol: float = 2.0,
+) -> DataFrame:
+    """Typed concentric-marker detection — the full CircleTracker
+    contract including the Ref/Stop CLASSIFICATION (reference
+    externals/circle_detector.py:339: 'Check if it is a Ref / stop
+    marker by the mean gray scale of the ring' — ring mean ≥ 128 →
+    Ref, else Stop). Both ring polarities are detected:
+
+      · a BRIGHT ring (≥ threshold component) with a below-threshold
+        core nested at its center, and
+      · a DARK ring (< threshold component) with a bright core nested
+        at its center (the white-on-black stop-marker family),
+
+    each accepted only as ≥2 nested components sharing a centroid
+    within ring_tol (the detect_frame_markers require_rings rule,
+    applied in both directions). Ring components touching the frame
+    border are never candidates — this is what keeps a dark FRAME
+    BACKGROUND (which trivially 'contains' every bright blob) from
+    masquerading as a ring, and mirrors the reference's full-ellipse
+    requirement. marker_type comes from the ring component's exact
+    integer mean luma against the reference's 128 split; detection
+    rows are ordered per frame by the ring's minimum pixel index
+    (deterministic on any platform), and x/y/size/norm follow the
+    detect_frame_markers conventions (ring-component centroid — exact
+    center by symmetry on planted markers)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "user_id": [], "frame_id": [], "ts": [], "marker_id": [],
+                "x": [], "y": [], "size": [], "norm_x": [], "norm_y": [],
+                "marker_type": [],
+            }
+            for uid, fid, ts, b in zip(
+                pdf["user_id"], pdf["frame_id"], pdf["ts"], pdf[payload_col]
+            ):
+                a = decode_pnm(b) if b is not None else None
+                if a is None:
+                    continue
+                y = _luma(a)
+                h, w = y.shape
+                mask = y >= threshold
+                lum = y.astype(np.int64)
+                cands = []
+                for ring_mask, core_mask in ((mask, ~mask), (~mask, mask)):
+                    rlab = _label_components(ring_mask)
+                    rids, rcnt, rsx, rsy, rx0, ry0, rx1, ry1 = _comp_geoms(rlab)
+                    if len(rids) == 0:
+                        continue
+                    cids, ccnt, csx, csy, cx0, cy0, cx1, cy1 = _comp_geoms(
+                        _label_components(core_mask)
+                    )
+                    if len(cids) == 0:
+                        continue
+                    ccx = csx / ccnt
+                    ccy = csy / ccnt
+                    # per-ring-component luma sums for the 128 split
+                    rflat = np.flatnonzero(rlab.ravel())
+                    rinv = np.searchsorted(rids, rlab.ravel()[rflat])
+                    lsum = np.bincount(
+                        rinv, weights=lum.ravel()[rflat].astype(np.float64)
+                    )
+                    for i in range(len(rids)):
+                        if rcnt[i] < min_size:
+                            continue
+                        # full ring only: border-touching components are
+                        # background, not markers
+                        if (
+                            rx0[i] == 0 or ry0[i] == 0
+                            or rx1[i] == w - 1 or ry1[i] == h - 1
+                        ):
+                            continue
+                        rcx = rsx[i] / rcnt[i]
+                        rcy = rsy[i] / rcnt[i]
+                        nested = (
+                            (cx0 > rx0[i]) & (cx1 < rx1[i])
+                            & (cy0 > ry0[i]) & (cy1 < ry1[i])
+                            & (np.abs(ccx - rcx) <= ring_tol)
+                            & (np.abs(ccy - rcy) <= ring_tol)
+                        )
+                        if not nested.any():
+                            continue
+                        mtype = (
+                            "ref" if lsum[i] / rcnt[i] >= 128.0 else "stop"
+                        )
+                        cands.append(
+                            (int(rids[i]), rcx, rcy, int(rcnt[i]), mtype)
+                        )
+                # one detection per MARKER, not per ring: a multi-ring
+                # marker (bright ring / dark ring / bright dot) yields
+                # one candidate per nested ring, all sharing a center.
+                # Min-pixel-index order puts the OUTERMOST ring first
+                # (the reference keys the marker by its largest
+                # ellipse); later candidates at the same center are the
+                # inner rings — suppressed.
+                mid = 0
+                kept: list = []
+                for _, rcx, rcy, sz, mtype in sorted(cands):
+                    if any(
+                        abs(rcx - kx) <= ring_tol and abs(rcy - ky) <= ring_tol
+                        for kx, ky in kept
+                    ):
+                        continue
+                    kept.append((rcx, rcy))
+                    mid += 1
+                    cx = np.floor(rcx * 1e6 + 0.5) / 1e6
+                    cy = np.floor(rcy * 1e6 + 0.5) / 1e6
+                    out["user_id"].append(uid)
+                    out["frame_id"].append(fid)
+                    out["ts"].append(ts)
+                    out["marker_id"].append(mid)
+                    out["x"].append(cx)
+                    out["y"].append(cy)
+                    out["size"].append(sz)
+                    out["norm_x"].append(np.floor(cx / w * 1e6 + 0.5) / 1e6)
+                    out["norm_y"].append(np.floor(cy / h * 1e6 + 0.5) / 1e6)
+                    out["marker_type"].append(mtype)
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(out["user_id"], dtype="int64"),
+                    "frame_id": pd.Series(out["frame_id"], dtype="int64"),
+                    "ts": pd.Series(out["ts"], dtype="datetime64[us]"),
+                    "marker_id": pd.Series(out["marker_id"], dtype="int32"),
+                    "x": pd.Series(out["x"], dtype="float64"),
+                    "y": pd.Series(out["y"], dtype="float64"),
+                    "size": pd.Series(out["size"], dtype="int64"),
+                    "norm_x": pd.Series(out["norm_x"], dtype="float64"),
+                    "norm_y": pd.Series(out["norm_y"], dtype="float64"),
+                    "marker_type": pd.Series(out["marker_type"], dtype="object"),
+                }
+            )
+
+    return frames.select(
+        "user_id", "frame_id", "ts", payload_col
+    ).mapInPandas(run, schema=_RING_SCHEMA)
+
+
 _CHECKERBOARD_SCHEMA = (
     "user_id bigint, frame_id bigint, ts timestamp, marker_id int, "
     "x double, y double, size bigint, norm_x double, norm_y double, "

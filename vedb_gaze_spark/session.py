@@ -30,8 +30,12 @@ def get_spark(app_name: str = "vedb-gaze-spark", shuffle_partitions: int | None 
         # running the full registry (60+ queries x several codegen stages
         # each) thrashes it, so later queries re-compile every stage and
         # compute-dense plans run on cold, un-JITed classes (measured:
-        # the same query 3.4 s early in a 24-query session, 31 s late)
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # the same query 3.4 s early in a 24-query session, 31 s late).
+        # r9: 2000 → 5000 — the headline queue reached 113 queries and
+        # the widest plan (dedup_agreement, three near-dup kernels in
+        # one union job) measured 52 s at queue position 101 vs 11-20 s
+        # isolated: the r6 eviction signature again, one size up.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # local mode runs executors inside the driver JVM: size the heap
         # for all $SPARK_GRAFT_CPUS task threads, not a lone driver
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
