@@ -2403,3 +2403,18 @@ def test_epoch_order_store_grows_bucket_locally_and_matches_batch(
 
     n_off = spark.read.parquet(f"{store}/offsets").count()
     assert n_off <= 256 * 2
+
+    # (e) the append path's affected-partition read PRUNES: a literal
+    # (epoch, bucket) predicate over the store touches a strict subset
+    # of the partition dirs' files (the PartitionFilters contract the
+    # append docstring claims — a broadcast join would scan them all)
+    order = spark.read.parquet(f"{store}/order")
+    one = next(iter(touched))
+    pruned = order.where(
+        (F.col("epoch") == one[0]) & (F.col("bucket") == one[1])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters: [", 1)
+    assert len(seg) == 2, plan[:400]
+    head = seg[1][:200]
+    assert "epoch" in head and "bucket" in head, head

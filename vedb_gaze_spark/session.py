@@ -39,6 +39,20 @@ def get_spark(app_name: str = "vedb-gaze-spark", shuffle_partitions: int | None 
         # local mode runs executors inside the driver JVM: size the heap
         # for all $SPARK_GRAFT_CPUS task threads, not a lone driver
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # JIT CodeCache headroom: measured 112 MB of compiled nmethods
+        # after only 40 small-SF registry queries (r9 probe), so the
+        # full 113-query sf0.1 session plausibly crosses the 240 MB
+        # default — at which point UseCodeCacheFlushing DISCARDS hot
+        # compiled methods and compute-dense late-queue plans re-run
+        # interpreted (the layer below PERF_NOTES' generated-class
+        # cache thrash). 512 MB removes that failure mode; it is NOT
+        # the whole in-session variance story for the widest plans
+        # (dedup_agreement re-JITs its union job per session — see
+        # PERF_NOTES r9).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_MASTER_OVERRIDE_DISABLED"):

@@ -397,17 +397,30 @@ def append_epoch_order(new_docs: DataFrame, path: str) -> None:
     existing = spark.read.parquet(f"{path}/order").select(
         "doc_id", "epoch", "h", "bucket"
     )
-    fresh = d.join(
-        existing.select("doc_id").distinct(), "doc_id", "left_anti"
-    ).localCheckpoint(eager=True)  # batch-sized; evaluated once below
+    # the batch's touched partitions BEFORE any store read: a doc's
+    # buckets depend only on its own hash, so both the idempotency
+    # anti-join and the re-rank read can restrict to them
     touched = [
         (r["epoch"], r["bucket"])
-        for r in fresh.select("epoch", "bucket").distinct().collect()
+        for r in d.select("epoch", "bucket").distinct().collect()
     ]
     if not touched:
         return
-    tdf = spark.createDataFrame(touched, "epoch int, bucket int")
-    affected_old = existing.join(F.broadcast(tdf), ["epoch", "bucket"])
+    # literal partition predicate (OR of epoch=e AND bucket=b, ≤
+    # 256·epochs terms): lands as a parquet PartitionFilter, so the
+    # store read touches ONLY the affected partition dirs — a broadcast
+    # join against a touched-list table would scan every partition and
+    # filter after the fact (plan-pinned in tests)
+    pred = None
+    for ep, bk in touched:
+        term = (F.col("epoch") == ep) & (F.col("bucket") == bk)
+        pred = term if pred is None else (pred | term)
+    affected_old = existing.where(pred)
+    fresh = d.join(
+        affected_old.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)  # batch-sized; evaluated once below
+    if fresh.rdd.isEmpty():
+        return
     from pyspark.sql import Window
 
     win = Window.partitionBy("epoch", "bucket").orderBy("h", "doc_id")
