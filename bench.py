@@ -152,6 +152,7 @@ HEADLINE = [
     "q15_sql",
     "q18_sql",
     "q22_sql",
+    "knn_label_accuracy",
 ]
 
 

@@ -1549,3 +1549,48 @@ def test_ann_ivf_sq8_probes_cells_and_scores_bit_equal(spark, sf_dir):
     assert common, "no overlap between IVF-restricted and flat top-k"
     for r in common:
         assert r.score_sq8 == flat[(r.query_id, r.neighbor_id)], r
+
+
+def test_knn_label_accuracy_recovers_planted_clusters(spark):
+    """kNN label report on PLANTED structure (the operator's reason to
+    exist — the bench corpus has no label signal, so its hash gate only
+    proves the report plan): three well-separated label clusters along
+    coordinate axes with deterministic jitter. Pins: (a) every probe's
+    majority vote matches its own cluster (accuracy 1.0, unanimous
+    votes); (b) a probe planted mid-way between two clusters still gets
+    the deterministic tie-break (votes desc, label asc)."""
+    from vedb_gaze_spark.operators.similarity import knn_label_accuracy
+
+    def vec(axis, jitter, d=8):
+        v = [0.05 * jitter] * d
+        v[axis] = 10.0 + jitter
+        return v
+
+    rows = []
+    # probes (ids 0..5): two per cluster
+    for i in range(6):
+        rows.append((i, vec(i % 3, (i % 5) - 2), i % 3))
+    # corpus (ids 100+): 30 per cluster
+    for j in range(90):
+        rows.append((100 + j, vec(j % 3, ((j // 3) % 7) - 3), j % 3))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r.query_id: r for r in knn_label_accuracy(emb, k=5, n_queries=6).collect()}
+    assert len(out) == 6
+    for i in range(6):
+        r = out[i]
+        assert r.correct and r.pred_label == i % 3 and r.n_votes == 5, r
+
+    # tie probe: equidistant between cluster 0 and cluster 1 with an
+    # even k — equal votes must resolve to the SMALLER label
+    tie = [0.0] * 8
+    tie[0] = tie[1] = 10.0
+    rows2 = [(0, tie, 1)] + [
+        (100 + j, vec(j % 2, ((j // 2) % 7) - 3), j % 2) for j in range(40)
+    ]
+    emb2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<double>, label int"
+    )
+    (r2,) = knn_label_accuracy(emb2, k=2, n_queries=1).collect()
+    assert r2.pred_label == 0 and r2.n_votes == 1 and not r2.correct, r2

@@ -365,6 +365,64 @@ def ann_lsh(
     )
 
 
+def knn_label_accuracy(
+    embeddings: DataFrame,
+    k: int = P.KNN_K,
+    n_queries: int = P.KNN_N_QUERIES,
+) -> DataFrame:
+    """Exact-kNN label-classification report over the embedding table's
+    `label` column — the embedding-QUALITY measurement (Cover & Hart
+    1967 nearest-neighbor rule as a pipeline metric): before trusting
+    embeddings for semdedup / retrieval / mixing, check that vectors
+    near each other share labels. Each probe vector's k exact-cosine
+    corpus neighbors vote; majority label (ties: larger vote count,
+    then smaller label — deterministic on any engine) vs the probe's
+    own label, one row per probe: (query_id, true_label, pred_label,
+    n_votes, correct).
+
+    Plan shape = ann_cosine_topk's (broadcast probe set, one corpus
+    scan, partition-local top-k prune) + two label joins over k·q-row
+    tables — the measurement adds nothing corpus-sized. At 100 TB the
+    probe set stays a broadcastable sample by construction; accuracy
+    is a per-probe mean, so a uniform probe sample estimates the
+    corpus-wide rate unbiasedly (the dedup_recall_sampled argument).
+
+    Honesty note (measured): the bench corpus draws embeddings
+    independently of `label`, so accuracy sits at the 1/|labels|
+    chance rate there (0.10 at sf0.01) — the nb_lang_id situation
+    again. Correctness of the REPORT is hash-gated on that corpus;
+    that it measures real structure is pinned on planted label
+    clusters (accuracy 1.0, tests/test_plans.py)."""
+    topk = ann_cosine_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id"
+    )
+    labels = embeddings.select("vec_id", F.col("label").cast("int").alias("lbl"))
+    votes = (
+        topk.join(labels, topk.neighbor_id == labels.vec_id)
+        .groupBy("query_id", "lbl")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), "lbl")
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("query_id", F.col("lbl").alias("pred_label"), "n_votes")
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("lbl").alias("true_label")
+    ).where(F.col("query_id") < n_queries)
+    return (
+        truth.join(pred, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
 def ann_recall(embeddings: DataFrame, k: int = P.ANN_K) -> DataFrame:
     """Recall@k report: per-query fraction of the exact top-k the LSH
     index recovers — measurement-as-operator, so index quality is a

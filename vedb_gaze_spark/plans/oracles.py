@@ -1719,6 +1719,44 @@ WITH scored AS (
 SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {P.ANN_K}
 """
 
+# exact-kNN label classification (operators/similarity.py:
+# knn_label_accuracy): majority label of the k exact-cosine neighbors
+# vs the probe's own label; ties break (votes desc, label asc).
+KNN_LABEL_ACCURACY = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_COS}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < {P.KNN_N_QUERIES} AND b.vec_id >= {P.KNN_N_QUERIES}
+), topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS rank
+    FROM scored
+  ) t WHERE rank <= {P.KNN_K}
+), votes AS (
+  SELECT t.query_id, CAST(e.label AS INTEGER) AS lbl,
+         count(*) AS n_votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY t.query_id, CAST(e.label AS INTEGER)
+), pred AS (
+  SELECT query_id, lbl AS pred_label, n_votes FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY n_votes DESC, lbl
+           ) AS r
+    FROM votes
+  ) t WHERE r = 1
+)
+SELECT q.vec_id AS query_id,
+       CAST(q.label AS INTEGER) AS true_label,
+       p.pred_label,
+       p.n_votes,
+       p.pred_label = CAST(q.label AS INTEGER) AS correct
+FROM embeddings q JOIN pred p ON p.query_id = q.vec_id
+WHERE q.vec_id < {P.KNN_N_QUERIES}
+"""
+
 _PLANE_DOTS = " + ".join(
     f"CASE WHEN round(list_inner_product(embedding::DOUBLE[], {_lit(plane)}::DOUBLE[]), 6) > 0 THEN {1 << p} ELSE 0 END"
     for p, plane in enumerate(P.LSH_PLANES)

@@ -91,6 +91,11 @@ FEATURE_BINS = 16               # multimodal feature stub: byte-nibble bins
 COSINE_DUP_THRESHOLD = 0.35     # testdata embeddings: top ~0.1% of pairs
 ANN_K = 5
 ANN_N_QUERIES = 10
+# kNN label-classification report (r9): a larger probe set than the
+# ANN family's 10 — accuracy over 10 queries is a coin flip, over 100
+# it's a signal; k odd-ish to keep majority votes decisive more often
+KNN_K = 15
+KNN_N_QUERIES = 100
 
 # MinHash permutations (a*h + b) mod MINHASH_PRIME — fixed literals shared
 # by the Spark plan and the SQL oracle (seeded stdlib RNG, no numpy dep).

@@ -858,6 +858,13 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(load_table(spark, "embeddings", sf_dir))
 
 
+@register("knn_label_accuracy", oracles.KNN_LABEL_ACCURACY)
+def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_label_accuracy(
+        load_table(spark, "embeddings", sf_dir)
+    )
+
+
 @register("vector_norm", oracles.VECTOR_NORM)
 def _vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.vector_norm(load_table(spark, "embeddings", sf_dir))
@@ -1227,6 +1234,7 @@ _GATE_ORDER = [
     "q4_sql",
     "q17_sql",
     "q21_sql",
+    "knn_label_accuracy",
     # -- (2) r9-edited rows (oracle text or operator body changed this
     #    round — the official record should reflect the shipped strings:
     #    zipf decimal widening, SQ8 clamp mirror, Q14 double casts,
