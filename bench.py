@@ -153,6 +153,7 @@ HEADLINE = [
     "q18_sql",
     "q22_sql",
     "knn_label_accuracy",
+    "label_separation",
 ]
 
 

@@ -1594,3 +1594,34 @@ def test_knn_label_accuracy_recovers_planted_clusters(spark):
     )
     (r2,) = knn_label_accuracy(emb2, k=2, n_queries=1).collect()
     assert r2.pred_label == 0 and r2.n_votes == 1 and not r2.correct, r2
+
+
+def test_label_separation_flags_collapsed_labels(spark):
+    """Separation report on planted structure: labels 0 and 1 are tight
+    clusters on orthogonal axes (high cohesion, low confusability,
+    margin ≈ 1); label 2 is planted ON label 0's axis (collapsed) — its
+    nearest-other-centroid cosine must be ≈ 1 against label 0 and its
+    margin ≈ 0, the exact failure the report exists to flag."""
+    from vedb_gaze_spark.operators.similarity import label_separation
+
+    def vec(axis, jitter, d=6):
+        v = [0.01 * jitter] * d
+        v[axis] = 5.0 + 0.1 * jitter
+        return v
+
+    rows = []
+    for j in range(30):
+        rows.append((j, vec(0, j % 5), 0))
+        rows.append((100 + j, vec(3, j % 5), 1))
+        rows.append((200 + j, vec(0, (j % 5) + 1), 2))  # collapsed onto 0
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r.label: r for r in label_separation(emb).collect()}
+    assert set(out) == {0, 1, 2} and all(r.n_vecs == 30 for r in out.values())
+    for r in out.values():
+        assert r.intra_mean_cos > 0.999, r  # tight clusters cohere
+    assert out[1].nn_cos < 0.05 and out[1].margin > 0.95, out[1]
+    assert out[2].nn_label == 0 and out[2].nn_cos > 0.999, out[2]
+    assert abs(out[2].margin) < 0.01, out[2]
+    assert out[0].nn_label == 2, out[0]

@@ -423,6 +423,92 @@ def knn_label_accuracy(
     )
 
 
+def label_separation(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding-space separation report — the second half of
+    the embedding-quality gate (knn_label_accuracy asks "do neighbors
+    share labels?"; this asks "are the label regions even distinct?"):
+    per label, its member count, mean cosine of members to their OWN
+    label centroid (cohesion), the nearest OTHER label's centroid and
+    its centroid-to-centroid cosine (confusability), and the margin
+    between the two — the one-table diagnostic that flags a label
+    whose region collapsed into a neighbor's before any training run
+    pays for the confusion.
+
+    Exactness discipline: per-dim coordinates quantize to micro-units
+    FIRST, so each (label, dim) centroid coordinate is an exact long
+    sum divided once ((s/1e6)/n — deterministic on any partitioning or
+    engine); per-member cosines (the established left-to-right
+    aggregate order, rounded 6dp) quantize to micro-units before the
+    cohesion mean. Scale: one corpus-sized posexplode rollup keyed by
+    (label, dim); everything after is labels- or (labels²)-sized, and
+    the member-to-centroid pass joins a BROADCAST centroid table —
+    nothing corpus-quadratic anywhere."""
+    v = embeddings.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    dims = v.select("label", F.posexplode("v").alias("pos", "x"))
+    sums = (
+        dims.select(
+            "label",
+            "pos",
+            F.expr("cast(floor(x * 1e6 + 0.5) as long)").alias("q"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    carr = (
+        sums.select(
+            "label", "pos", F.expr("(cast(s as double) / 1e6) / n").alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, c))), t -> t.c)"
+            ).alias("cv")
+        )
+    )
+    cosr = F.round(cosine_similarity(F.col("v"), F.col("cv")), 6)
+    intra = (
+        v.join(F.broadcast(carr), "label")
+        .select(
+            "label",
+            F.floor(cosr * F.lit(1e6) + F.lit(0.5)).cast("long").alias("cq"),
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("cq").alias("sq"))
+        .select(
+            "label",
+            "n_vecs",
+            F.expr(
+                "floor(cast(sq as double) / n_vecs + 0.5) / 1e6"
+            ).alias("intra_mean_cos"),
+        )
+    )
+    a = carr.select(F.col("label").alias("label"), F.col("cv").alias("acv"))
+    b = carr.select(F.col("label").alias("nn_label"), F.col("cv").alias("bcv"))
+    ccos = F.round(cosine_similarity(F.col("acv"), F.col("bcv")), 6)
+    w = Window.partitionBy("label").orderBy(F.desc("nn_cos"), "nn_label")
+    nearest = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("label") != F.col("nn_label"))
+        .withColumn("nn_cos", ccos)
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("label", "nn_label", "nn_cos")
+    )
+    return intra.join(nearest, "label").select(
+        "label",
+        "n_vecs",
+        "intra_mean_cos",
+        "nn_label",
+        "nn_cos",
+        F.expr(
+            "floor((intra_mean_cos - nn_cos) * 1e6 + 0.5) / 1e6"
+        ).alias("margin"),
+    )
+
+
 def ann_recall(embeddings: DataFrame, k: int = P.ANN_K) -> DataFrame:
     """Recall@k report: per-query fraction of the exact top-k the LSH
     index recovers — measurement-as-operator, so index quality is a

@@ -1757,6 +1757,49 @@ FROM embeddings q JOIN pred p ON p.query_id = q.vec_id
 WHERE q.vec_id < {P.KNN_N_QUERIES}
 """
 
+# per-label separation report (operators/similarity.py:
+# label_separation): exact micro-unit centroids, cohesion mean from
+# micro-quantized member cosines, nearest-other-centroid confusability.
+LABEL_SEPARATION = """
+WITH dims AS (
+  SELECT CAST(label AS INTEGER) AS label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(floor(unnest(embedding)::DOUBLE * 1e6 + 0.5) AS BIGINT) AS q
+  FROM embeddings
+), sums AS (
+  SELECT label, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+  FROM dims GROUP BY label, pos
+), carr AS (
+  SELECT label, list((CAST(s AS DOUBLE) / 1e6) / n ORDER BY pos) AS cv
+  FROM sums GROUP BY label
+), intra AS (
+  SELECT e.label, count(*) AS n_vecs,
+         CAST(sum(CAST(floor(round(list_cosine_similarity(
+               e.embedding::DOUBLE[], c.cv), 6) * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS sq
+  FROM (SELECT CAST(label AS INTEGER) AS label, embedding FROM embeddings) e
+  JOIN carr c ON c.label = e.label
+  GROUP BY e.label
+), nearest AS (
+  SELECT label, nn_label, nn_cos FROM (
+    SELECT a.label, b.label AS nn_label,
+           round(list_cosine_similarity(a.cv, b.cv), 6) AS nn_cos,
+           row_number() OVER (
+             PARTITION BY a.label
+             ORDER BY round(list_cosine_similarity(a.cv, b.cv), 6) DESC,
+                      b.label
+           ) AS r
+    FROM carr a JOIN carr b ON a.label <> b.label
+  ) t WHERE r = 1
+)
+SELECT i.label, i.n_vecs,
+       floor(CAST(i.sq AS DOUBLE) / i.n_vecs + 0.5) / 1e6 AS intra_mean_cos,
+       n.nn_label, n.nn_cos,
+       floor((floor(CAST(i.sq AS DOUBLE) / i.n_vecs + 0.5) / 1e6 - n.nn_cos)
+             * 1e6 + 0.5) / 1e6 AS margin
+FROM intra i JOIN nearest n ON n.label = i.label
+"""
+
 _PLANE_DOTS = " + ".join(
     f"CASE WHEN round(list_inner_product(embedding::DOUBLE[], {_lit(plane)}::DOUBLE[]), 6) > 0 THEN {1 << p} ELSE 0 END"
     for p, plane in enumerate(P.LSH_PLANES)

@@ -865,6 +865,13 @@ def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("label_separation", oracles.LABEL_SEPARATION)
+def _label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_separation(
+        load_table(spark, "embeddings", sf_dir)
+    )
+
+
 @register("vector_norm", oracles.VECTOR_NORM)
 def _vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.vector_norm(load_table(spark, "embeddings", sf_dir))
