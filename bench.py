@@ -154,6 +154,7 @@ HEADLINE = [
     "q22_sql",
     "knn_label_accuracy",
     "label_separation",
+    "props_rollup",
 ]
 
 

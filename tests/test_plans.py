@@ -1625,3 +1625,45 @@ def test_label_separation_flags_collapsed_labels(spark):
     assert out[2].nn_label == 0 and out[2].nn_cos > 0.999, out[2]
     assert abs(out[2].margin) < 0.01, out[2]
     assert out[0].nn_label == 2, out[0]
+
+
+def test_props_rollup_counts_malformed_json_honestly(spark, duck):
+    """Schema-on-read contract: malformed JSON, missing keys, and
+    non-integer values extract to NULL — counted in n_events, excluded
+    from n_extracted/stats, never an error — and both engines' native
+    JSON paths agree byte-for-byte on the planted mix."""
+    import datetime
+
+    from vedb_gaze_spark.operators.analytics import props_rollup
+    from vedb_gaze_spark.plans import oracles
+
+    base = datetime.datetime.utcfromtimestamp(1_700_000_000)
+    rows = [
+        (1, base, 1, "a", 0.0, '{"k": 7}'),
+        (2, base, 1, "a", 0.0, '{"k": 11}'),
+        (3, base, 1, "a", 0.0, '{"j": 5}'),        # key missing
+        (4, base, 1, "a", 0.0, '{"k": broken'),     # malformed
+        (5, base, 1, "b", 0.0, None),               # null props
+        (6, base, 1, "b", 0.0, '{"k": -3}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.event_type: r for r in props_rollup(ev).collect()}
+    a, b = got["a"], got["b"]
+    assert (a.n_events, a.n_extracted, a.k_sum, a.k_distinct) == (4, 2, 18, 2)
+    assert (a.k_min, a.k_max, a.k_mean) == (7, 11, 9.0)
+    assert (b.n_events, b.n_extracted, b.k_sum) == (2, 1, -3)
+
+    con = duck.cursor()
+    con.execute(
+        "CREATE OR REPLACE TABLE _ev(event_id BIGINT, ts TIMESTAMP,"
+        " user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO _ev VALUES (?, ?, ?, ?, ?, ?)", rows)
+    sql = oracles.PROPS_ROLLUP.replace("FROM events", "FROM _ev")
+    want = {r[0]: r for r in con.execute(sql).fetchall()}
+    for t, r in got.items():
+        assert tuple(r) == want[t], t

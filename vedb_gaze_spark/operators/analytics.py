@@ -452,3 +452,45 @@ def daily_trend(events: DataFrame) -> DataFrame:
             " * sx) / cast(n as double) * 1e6 + 0.5) / 1e6"
         ).alias("intercept_cents"),
     )
+
+
+def props_rollup(events: DataFrame) -> DataFrame:
+    """Schema-on-read over the semi-structured `props` JSON column —
+    the modern-engine capability the events table was shipping unused:
+    extract `$.k` with the engine's native JSON path (no UDF — Spark's
+    get_json_object / DuckDB's json_extract_string, both one codegen'd
+    pass over the string column), then roll up per event_type: event
+    count, extraction hit count (malformed/missing → NULL, counted
+    honestly, never an error), exact integer sum/min/max of k, distinct
+    k values, and the 6dp mean over extracted rows.
+
+    Scale: the JSON parse is row-local projection work — it rides the
+    existing scan, adds zero shuffles beyond the one event_type rollup,
+    and predicate pushdown on the OTHER columns is untouched (the
+    extraction never leaves the engine). The mean divides two exact
+    longs, the repo's one-float-op discipline."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_extracted"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count_distinct("k").alias("k_distinct"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_extracted",
+            "k_sum",
+            "k_min",
+            "k_max",
+            "k_distinct",
+            F.expr(
+                "floor(cast(k_sum as double) / n_extracted * 1e6 + 0.5) / 1e6"
+            ).alias("k_mean"),
+        )
+    )

@@ -4455,3 +4455,29 @@ SELECT doc_id, count(*) AS n_tokens,
        round(-CAST(sum(lq) AS BIGINT) / (1e6 * count(*)), 6) AS cross_entropy
 FROM terms GROUP BY doc_id
 """
+
+
+# schema-on-read JSON rollup (operators/analytics.py:props_rollup):
+# native JSON path extraction on both engines, exact integer stats.
+PROPS_ROLLUP = """
+WITH x AS (
+  -- Spark's get_json_object NULLs malformed JSON / missing keys /
+  -- non-integer values; DuckDB RAISES on malformed input and on bad
+  -- casts, so the mirror needs json_valid + TRY_CAST to meet the
+  -- same never-an-error contract (pinned on planted dirty rows)
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+              END AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_extracted,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       min(k) AS k_min,
+       max(k) AS k_max,
+       count(DISTINCT k) AS k_distinct,
+       floor(CAST(sum(k) AS DOUBLE) / count(k) * 1e6 + 0.5) / 1e6 AS k_mean
+FROM x GROUP BY event_type
+"""

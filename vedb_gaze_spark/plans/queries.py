@@ -872,6 +872,11 @@ def _label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("props_rollup", oracles.PROPS_ROLLUP)
+def _props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.props_rollup(load_table(spark, "events", sf_dir))
+
+
 @register("vector_norm", oracles.VECTOR_NORM)
 def _vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.vector_norm(load_table(spark, "embeddings", sf_dir))
