@@ -1247,6 +1247,8 @@ _GATE_ORDER = [
     "q17_sql",
     "q21_sql",
     "knn_label_accuracy",
+    "label_separation",
+    "props_rollup",
     # -- (2) r9-edited rows (oracle text or operator body changed this
     #    round — the official record should reflect the shipped strings:
     #    zipf decimal widening, SQ8 clamp mirror, Q14 double casts,
