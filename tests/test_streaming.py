@@ -2418,3 +2418,76 @@ def test_epoch_order_store_grows_bucket_locally_and_matches_batch(
     assert len(seg) == 2, plan[:400]
     head = seg[1][:200]
     assert "epoch" in head and "bucket" in head, head
+
+
+def test_streaming_typed_and_checkerboard_detectors_compose_unchanged(
+    spark, tmp_path
+):
+    """The r9 detectors are the same stateless Arrow-batched map class
+    as detect_frame_markers, so the BATCH operators compose over a
+    frame stream with no twin: detect_ring_markers (typed Ref/Stop,
+    both polarities) and detect_checkerboard_frames (saddle grid)
+    each reproduce their batch rows exactly across micro-batches."""
+    import datetime
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import (
+        detect_checkerboard_frames,
+        detect_ring_markers,
+        encode_pnm,
+    )
+
+    rows = []
+    for s in range(6):
+        a = np.zeros((70, 120), dtype=np.uint8)
+        # bright ring w/ dark core (ref), drifting
+        cy, cx = 20, 30 + s
+        a[cy - 4 : cy + 5, cx - 4 : cx + 5] = 255
+        a[cy - 1 : cy + 2, cx - 1 : cx + 2] = 0
+        # 2x3-inner-corner checkerboard (3x4 cells, 8 px) at (40, 60+s)
+        for j in range(4):
+            for i in range(3):
+                if (i + j) % 2 == 0:
+                    a[40 + j * 8 : 48 + j * 8, 60 + s + i * 8 : 68 + s + i * 8] = 255
+        rows.append(
+            (
+                2,
+                s,
+                datetime.datetime.utcfromtimestamp(1_700_000_000 + s),
+                bytearray(encode_pnm(a)),
+            )
+        )
+    schema = "user_id long, frame_id long, ts timestamp, payload binary"
+    batch = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "frames2")
+    batch.where("frame_id % 2 = 0").coalesce(1).write.parquet(src + "/a")
+    batch.where("frame_id % 2 = 1").coalesce(1).write.parquet(src + "/b")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    for name, op in (
+        ("mem_ringdet", detect_ring_markers),
+        ("mem_cbdet", lambda f: detect_checkerboard_frames(f, board=(2, 3))),
+    ):
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        try:
+            got = {
+                tuple(map(repr, r))
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+            want = {tuple(map(repr, r)) for r in op(batch).collect()}
+            assert got == want and len(want) == 6, (name, len(want))
+        finally:
+            q.stop()
