@@ -729,12 +729,12 @@ register("q14_sql", oracles.Q14)(
 # _sql_face at sf0.01 — q2/q4/q5/q7/q8/q9/q10/q11/q13/q15/q16/q18/q19/
 # q20/q21/q22 matched DuckDB verbatim; q17 needed the same explicit
 # double cast as Q14 (Spark parses `bigint / 700.0` as decimal
-# division). Six shapes are REGISTERED to put the distinct SQL features
-# on the official record — EXISTS→semi (q4), correlated-agg threshold
-# (q17), EXISTS+NOT EXISTS multi-correlation (q21), CTE view + scalar
-# max (q15), group-HAVING semi-join (q18), anti-join + scalar-subquery
-# (q22); the rest pass identically and stay probe-documented (SURVEY
-# §2.H) rather than bloating the gate window.
+# division). r9 registered six of them for the distinct SQL features —
+# EXISTS→semi (q4), correlated-agg threshold (q17), EXISTS+NOT EXISTS
+# multi-correlation (q21), CTE view + scalar max (q15), group-HAVING
+# semi-join (q18), anti-join + scalar-subquery (q22). r10 (per the r9
+# verdict) registers the remaining ELEVEN so the whole 22-string ANSI
+# surface sits under the official gate instead of a probe comment.
 register("q4_sql", oracles.Q4)(
     _sql_face(oracles.Q4, ("orders", "lineitem"))
 )
@@ -752,6 +752,49 @@ register("q18_sql", oracles.Q18)(
 )
 register("q22_sql", oracles.Q22)(
     _sql_face(oracles.Q22, ("customer", "orders"))
+)
+register("q2_sql", oracles.Q2)(
+    _sql_face(oracles.Q2, ("supplier", "part", "lineitem"))
+)
+register("q5_sql", oracles.Q5)(
+    _sql_face(
+        oracles.Q5,
+        ("region", "nation", "customer", "supplier", "orders", "lineitem"),
+    )
+)
+register("q7_sql", oracles.Q7)(
+    _sql_face(
+        oracles.Q7, ("nation", "customer", "supplier", "orders", "lineitem")
+    )
+)
+register("q8_sql", oracles.Q8)(
+    _sql_face(
+        oracles.Q8,
+        (
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+        ),
+    )
+)
+register("q9_sql", oracles.Q9)(
+    _sql_face(oracles.Q9, ("nation", "supplier", "part", "orders", "lineitem"))
+)
+register("q10_sql", oracles.Q10)(
+    _sql_face(oracles.Q10, ("nation", "customer", "orders", "lineitem"))
+)
+register("q11_sql", oracles.Q11)(_sql_face(oracles.Q11, ("lineitem",)))
+register("q13_sql", oracles.Q13)(_sql_face(oracles.Q13, ("customer", "orders")))
+register("q16_sql", oracles.Q16)(
+    _sql_face(oracles.Q16, ("supplier", "part", "lineitem"))
+)
+register("q19_sql", oracles.Q19)(_sql_face(oracles.Q19, ("part", "lineitem")))
+register("q20_sql", oracles.Q20)(
+    _sql_face(oracles.Q20, ("nation", "supplier", "part", "lineitem"))
 )
 
 
@@ -1223,87 +1266,37 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver correctness gate records exactly the first ~50 registry
 # entries per round. Iteration order is therefore explicit, not
 # declaration order, and ROTATES each round so every entry's official
-# record stays fresh. r9 window (~50), counted per block:
-#  (1) never-recorded first (the established discipline): the three
-#      join-shape SQL-text faces NEW in r9.
-#  (2) rows whose ORACLE TEXT or operator body changed in r9 — the
-#      zipf decimal(38,0)/HUGEINT widening, the SQ8 [0,255] clamp
-#      mirror, Q14's explicit double casts, the dedup_recall/
-#      dedup_agreement eager checkpoints, nb_lang_id's de-broadcast —
-#      so the official record reflects the shipped strings.
-#  (3) the 5 rows-only float fits whose records sat at r3, then
-#  (4) the 27 r5-stale entries (r8 verdict "next round" #2) — after
-#      this round no entry's official record is older than r6.
-# Tail: r6 rows (next round's debt), then r7, then r8 (freshest).
+# record stays fresh. r10 window (50), counted per block:
+#  (1) never-recorded first (the established discipline): the full
+#      SQL-text surface — 3 faces registered r9 after the window closed
+#      (q15/q18/q22_sql) + the 11 probe-passed strings registered r10
+#      (r9 verdict "next round" #1) — 14 rows closing the 22-string
+#      ANSI surface under the official gate.
+#  (2) the 36 oldest official records (r5/r6), oldest-first — r9
+#      verdict "next round" #4 rotation debt.
+# Tail: remaining r6 rows (next round's debt), then r7, r8, r9.
 # Every entry is still re-proven locally each run by
 # tests/test_driver_parity.py regardless of window position.
 _GATE_ORDER = [
-    # -- (1) never-recorded: NEW in r9 (the established discipline) ------
-    "q3_sql",
-    "q12_sql",
-    "q14_sql",
-    "quality_classifier_sampled",
-    "q4_sql",
-    "q17_sql",
-    "q21_sql",
-    "knn_label_accuracy",
-    "label_separation",
-    "props_rollup",
-    # -- (2) r9-edited rows (oracle text or operator body changed this
-    #    round — the official record should reflect the shipped strings:
-    #    zipf decimal widening, SQ8 clamp mirror, Q14 double casts,
-    #    dedup_recall/agreement eager checkpoints, nb_lang_id join) ------
-    "token_zipf_fit",
-    "ann_sq8",
-    "ann_ivf_sq8",
-    "sq8_recall",
-    "q14_promo_revenue",
-    "dedup_agreement",
-    "dedup_recall",
-    "dedup_recall_sampled",
-    "nb_lang_id",
-    # -- (3) r3-stale rows-only fits (oldest official records) -----------
-    "resample_tps",
-    "calibration_rbf",
-    "calibration_tps",
-    "error_surface_tps",
-    "ann_ivf_trained",
-    # -- (4) the 27 r5-stale entries (r8 verdict rotation debt) ----------
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "cluster_dbscan",
-    "detect_blinks_eyelid",
-    "pack_sequences",
-    "source_overlap",
-    "contamination_report",
-    "mix_plan",
-    "dsir_select",
-    "dedup_substring",
-    "dedup_substring_clean",
-    "event_transitions",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_prune",
-    "corpus_pipeline",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_lsh",
-    "multimodal_meta",
-    "multimodal_decode",
-    "calibration_hmd",
-    "semdedup",
-    "semdedup_prune",
-    "multimodal_phash_dedup",
-    # ---- window boundary (~position 50; 44 entries above) --------------
-    # -- best-effort overflow: the remaining registered SQL faces (their
-    #    shapes are probe-verified and parity-replayed locally every run;
-    #    official rows ride the window boundary) -------------------------
+    # -- (1) never-recorded: the 14 SQL-text faces (3 registered r9
+    #    after the gate window + 11 probe-passed strings registered
+    #    r10 per the r9 verdict) — closes the 22-string ANSI surface -
     "q15_sql",
     "q18_sql",
     "q22_sql",
-    # -- (5) r6-recorded rows (three rounds old — next in line) ----------
+    "q2_sql",
+    "q5_sql",
+    "q7_sql",
+    "q8_sql",
+    "q9_sql",
+    "q10_sql",
+    "q11_sql",
+    "q13_sql",
+    "q16_sql",
+    "q19_sql",
+    "q20_sql",
+    # -- (2) the 36 oldest official records (r5/r6), oldest-first ----
+    "multimodal_phash_dedup",
     "q16_supplier_count",
     "q19_discounted_revenue",
     "q22_sales_opportunity",
@@ -1339,6 +1332,9 @@ _GATE_ORDER = [
     "gopher_rules",
     "c4_clean",
     "quality_classifier",
+    # ---- window boundary (50 entries above) ------------------------
+    # -- tail: remaining rows by record age (r6 debt, then r7, r8, r9)
+    # -- r6-recorded rows ----
     "ccnet_ppl_buckets",
     "lm_score_bigram",
     "pack_efficiency",
@@ -1348,7 +1344,7 @@ _GATE_ORDER = [
     "bloom_decontaminate",
     "minhash_containment",
     "curriculum_pack",
-    # -- (6) r7-recorded rows ---------------------------------------------
+    # -- r7-recorded rows ----
     "q1_pricing_summary",
     "q18_large_orders",
     "q7_volume_shipping",
@@ -1398,7 +1394,7 @@ _GATE_ORDER = [
     "value_anomalies",
     "cross_source_dedup",
     "corpus_stats",
-    # -- (7) r8-recorded rows (freshest official records) -----------------
+    # -- r8-recorded rows ----
     "q6_revenue",
     "q4_order_priority",
     "q10_returned_item",
@@ -1443,6 +1439,57 @@ _GATE_ORDER = [
     "length_batches",
     "q1_sql",
     "q6_sql",
+    # -- r9-recorded rows ----
+    "q3_sql",
+    "q12_sql",
+    "q14_sql",
+    "quality_classifier_sampled",
+    "q4_sql",
+    "q17_sql",
+    "q21_sql",
+    "knn_label_accuracy",
+    "label_separation",
+    "props_rollup",
+    "token_zipf_fit",
+    "ann_sq8",
+    "ann_ivf_sq8",
+    "sq8_recall",
+    "q14_promo_revenue",
+    "dedup_agreement",
+    "dedup_recall",
+    "dedup_recall_sampled",
+    "nb_lang_id",
+    "resample_tps",
+    "calibration_rbf",
+    "calibration_tps",
+    "error_surface_tps",
+    "ann_ivf_trained",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "cluster_dbscan",
+    "detect_blinks_eyelid",
+    "pack_sequences",
+    "source_overlap",
+    "contamination_report",
+    "mix_plan",
+    "dsir_select",
+    "dedup_substring",
+    "dedup_substring_clean",
+    "event_transitions",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_prune",
+    "corpus_pipeline",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh",
+    "multimodal_meta",
+    "multimodal_decode",
+    "calibration_hmd",
+    "semdedup",
+    "semdedup_prune",
 ]
 
 
