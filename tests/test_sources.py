@@ -343,6 +343,25 @@ def test_pnm_roundtrip_and_resize_math():
     )
 
 
+def test_decode_frames_deterministic_face_is_unconditional(spark, sf_dir):
+    """r10 pin (r9 verdict #6): the registered multimodal_decode face is
+    import-environment INVARIANT — no import probe can flip its rows
+    (the old HAS_IMAGE_LIBS guard made installing cv2 crash a
+    hash-green query). Real codec decode is an explicit opt-in that
+    raises when REQUESTED, never from an environment sniff."""
+    import pytest
+
+    from vedb_gaze_spark.operators.multimodal import decode_frames
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).limit(20)
+    rows = decode_frames(docs).collect()
+    assert len(rows) == 20 and all(r.n_bytes > 0 for r in rows)
+
+    with pytest.raises(NotImplementedError, match="cv2"):
+        decode_frames(docs, real_decode=True)
+
+
 def test_image_decode_resize_phash_end_to_end(spark):
     """The REAL pixel path on planted PNM frames: decode reports true
     shapes, the thumbnail re-decodes losslessly, and the banded pHash
@@ -760,6 +779,104 @@ def test_stats_manifest_versioned_promotion_never_leaves_gap(
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stats_recluster_over_appended_store_promotes_manifest(
+    spark, sf_dir, tmp_path
+):
+    """r10 pin (ADVICE r9): the documented periodic re-cluster flow —
+    write_stats_layout over the read-back of an APPENDED store — must
+    not leave the appended manifest_vN shadowing the fresh manifest.
+    The re-cluster overwrites data/, so every old manifest's file list
+    is dead; write_stats_layout now promotes to v{N+1} and GCs all
+    older versions (no one-generation keep: the files an in-flight
+    reader would list are gone regardless). Pins: (a) resolution lands
+    on the fresh version; (b) stale versions are GC'd; (c) pruned reads
+    through the re-clustered store stay exact."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.sources.tables import load_table
+    from vedb_gaze_spark.sources.writers import (
+        append_stats_layout,
+        manifest_dir,
+        read_stats_pruned,
+        write_stats_layout,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    store = str(tmp_path / "rstore")
+    write_stats_layout(
+        li.where(F.col("l_orderkey") % 2 == 0), store, "l_extendedprice", 4
+    )
+    append_stats_layout(
+        li.where(F.col("l_orderkey") % 2 == 1), store, "l_extendedprice", 2
+    )
+    assert manifest_dir(spark, store).endswith("manifest_v2")
+
+    # periodic re-cluster: full rewrite of the read-back
+    readback = spark.read.parquet(f"{store}/data").localCheckpoint()
+    write_stats_layout(readback, store, "l_extendedprice", n_files=4)
+    assert manifest_dir(spark, store).endswith("manifest_v3")
+    assert not os.path.exists(f"{store}/manifest_v1")
+    assert not os.path.exists(f"{store}/manifest_v2")
+
+    lo, hi = 20_000.0, 40_000.0
+    got = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in read_stats_pruned(
+            spark, store, "l_extendedprice", lo, hi
+        ).collect()
+    }
+    want = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in li.where(
+            (F.col("l_extendedprice") >= lo) & (F.col("l_extendedprice") <= hi)
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_manifest_resolution_survives_missing_success_markers(
+    spark, sf_dir, tmp_path
+):
+    """r10 pin (ADVICE r9): committers with
+    mapreduce.fileoutputcommitter.marksuccessfuljobs=false never write
+    _SUCCESS; resolution must then fall back to the highest version
+    that actually contains parquet part files instead of ignoring every
+    complete manifest. A marked version still beats any unmarked one."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.sources.tables import load_table
+    from vedb_gaze_spark.sources.writers import (
+        manifest_dir,
+        read_stats_pruned,
+        write_stats_layout,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    store = str(tmp_path / "nostore")
+    write_stats_layout(li, store, "l_extendedprice", n_files=4)
+    os.remove(f"{store}/manifest_v1/_SUCCESS")
+    assert manifest_dir(spark, store).endswith("manifest_v1")
+
+    lo, hi = 20_000.0, 40_000.0
+    got = read_stats_pruned(spark, store, "l_extendedprice", lo, hi).count()
+    want = li.where(
+        (F.col("l_extendedprice") >= lo) & (F.col("l_extendedprice") <= hi)
+    ).count()
+    assert got == want and want > 0
+
+    # an empty (part-file-less) higher version never wins the fallback
+    os.makedirs(f"{store}/manifest_v7")
+    assert manifest_dir(spark, store).endswith("manifest_v1")
 
 
 def test_ring_verification_rejects_solid_distractor_blobs(spark):

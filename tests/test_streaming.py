@@ -2401,7 +2401,9 @@ def test_epoch_order_store_grows_bucket_locally_and_matches_batch(
     }
     assert snap == want and len(want) > 0
 
-    n_off = spark.read.parquet(f"{store}/offsets").count()
+    from vedb_gaze_spark.streaming.maintenance import _read_epoch_offsets
+
+    n_off = _read_epoch_offsets(spark, store).count()
     assert n_off <= 256 * 2
 
     # (e) the append path's affected-partition read PRUNES: a literal
@@ -2418,6 +2420,51 @@ def test_epoch_order_store_grows_bucket_locally_and_matches_batch(
     assert len(seg) == 2, plan[:400]
     head = seg[1][:200]
     assert "epoch" in head and "bucket" in head, head
+
+    # (f) r10 crash-heal pin (ADVICE r9): a crash BETWEEN the order
+    # partition overwrite and the offsets write leaves the sidecar
+    # missing the crashed batch's per-bucket increments. Simulated by
+    # doctoring the sidecar: one bucket b2 touches gets its count
+    # decremented (exactly the lost-increment state). Replaying the
+    # same batch finds no fresh docs but must STILL rebuild the sidecar
+    # from the store's ACTUAL touched-partition counts — read_epoch_order
+    # heals back to the exact batch-semantics table.
+    from pyspark.sql import Row
+
+    from vedb_gaze_spark.streaming.maintenance import _write_epoch_offsets
+
+    touched2 = {
+        (r.epoch, r.bucket)
+        for r in _epoch_order_rows(b2, 2)
+        .select("epoch", "bucket")
+        .distinct()
+        .collect()
+    }
+    cur_counts = [
+        (r.epoch, r.bucket, r.c) for r in _read_epoch_offsets(spark, store).collect()
+    ]
+    # the victim needs a HIGHER-bucket neighbor in its epoch so the
+    # lost increment observably shifts someone's cumulative offset
+    victim = next(
+        (ep, bk)
+        for ep, bk, c in cur_counts
+        if (ep, bk) in touched2
+        and c > 0
+        and any(e2 == ep and b2_ > bk for e2, b2_, _ in cur_counts)
+    )
+    _write_epoch_offsets(
+        [
+            Row(epoch=ep, bucket=bk, c=c - 1 if (ep, bk) == victim else c)
+            for ep, bk, c in cur_counts
+        ],
+        store,
+        spark,
+    )
+    corrupted = {tuple(r) for r in read_epoch_order(spark, store).collect()}
+    assert corrupted != want  # the stale sidecar is observably wrong
+    append_epoch_order(b2, store)  # replay: no fresh docs, heals sidecar
+    healed = {tuple(r) for r in read_epoch_order(spark, store).collect()}
+    assert healed == want
 
 
 def test_streaming_typed_and_checkerboard_detectors_compose_unchanged(

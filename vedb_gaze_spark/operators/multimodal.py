@@ -25,15 +25,6 @@ from pyspark.sql import functions as F
 from vedb_gaze_spark.functions.core import portable_hash60
 from vedb_gaze_spark.plans import params as P
 
-HAS_IMAGE_LIBS = False
-try:  # pragma: no cover - not present in this container
-    import cv2  # noqa: F401
-
-    HAS_IMAGE_LIBS = True
-except ImportError:
-    pass
-
-
 def multimodal_meta(documents: DataFrame) -> DataFrame:
     """Typed metadata over an opaque binary payload (text bytes stand in
     for image bytes): size, content hash, and decoded-shape fields derived
@@ -56,24 +47,35 @@ def multimodal_meta(documents: DataFrame) -> DataFrame:
 _DECODE_SCHEMA = "doc_id bigint, n_bytes int, mean_byte double, n_frames int"
 
 
-def decode_frames(documents: DataFrame, batch_size: int = 64) -> DataFrame:
+def decode_frames(
+    documents: DataFrame,
+    batch_size: int = 64,
+    real_decode: bool = False,
+) -> DataFrame:
     """Arrow-batched decode over binary payloads via mapInPandas.
 
-    With image libs present this is where cv2.imdecode / frame sampling
-    would run (reference: marker_detection.py:29 _find_circles_frame reads
-    frames one by one in a Python loop; here frames stream through
-    executors in columnar batches). Without them, a clearly-marked
-    deterministic fake computes byte statistics so tests exercise the
-    exact batching/schema path.
+    The default face is the DETERMINISTIC byte-statistics decode — the
+    oracle-able contract the registered `multimodal_decode` query pins,
+    and it is import-environment invariant: installing cv2 does not
+    change its rows (pytest-pinned). Real codec decode (cv2.imdecode /
+    frame extraction — reference: marker_detection.py:29
+    _find_circles_frame reads frames one by one in a Python loop; here
+    frames would stream through executors in columnar Arrow batches) is
+    an explicit opt-in via real_decode=True and is the one named
+    unvendorable stub of this module: it raises NotImplementedError
+    when REQUESTED, never from an import probe.
     """
+    if real_decode:
+        raise NotImplementedError(
+            "real codec decode requires cv2/imageio (not vendored); "
+            "the deterministic byte-statistics face is the default"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             payload = pdf["payload"]
-            if HAS_IMAGE_LIBS:  # pragma: no cover
-                raise NotImplementedError("real decode requires cv2; see docstring")
             n_bytes = np.empty(len(payload), dtype=np.int64)
             mean_byte = np.zeros(len(payload))
             for i, b in enumerate(payload):
@@ -960,6 +962,12 @@ def detect_ring_markers(
                     lsum = np.bincount(
                         rinv, weights=lum.ravel()[rflat].astype(np.float64)
                     )
+                    # explicit raster-order key: each component's minimum
+                    # flat pixel index, computed from geometry so the
+                    # cross-labeling sort below never depends on how
+                    # _label_components happens to number labels
+                    rfirst = np.full(len(rids), rlab.size, dtype=np.int64)
+                    np.minimum.at(rfirst, rinv, rflat)
                     for i in range(len(rids)):
                         if rcnt[i] < min_size:
                             continue
@@ -984,15 +992,17 @@ def detect_ring_markers(
                             "ref" if lsum[i] / rcnt[i] >= 128.0 else "stop"
                         )
                         cands.append(
-                            (int(rids[i]), rcx, rcy, int(rcnt[i]), mtype)
+                            (int(rfirst[i]), rcx, rcy, int(rcnt[i]), mtype)
                         )
                 # one detection per MARKER, not per ring: a multi-ring
                 # marker (bright ring / dark ring / bright dot) yields
                 # one candidate per nested ring, all sharing a center.
-                # Min-pixel-index order puts the OUTERMOST ring first
-                # (the reference keys the marker by its largest
-                # ellipse); later candidates at the same center are the
-                # inner rings — suppressed.
+                # Sorting on the explicit min-pixel-index key (raster
+                # order, comparable ACROSS the bright and dark
+                # labelings because it is pure pixel geometry) puts the
+                # OUTERMOST ring first (the reference keys the marker
+                # by its largest ellipse); later candidates at the same
+                # center are the inner rings — suppressed.
                 mid = 0
                 kept: list = []
                 for _, rcx, rcy, sz, mtype in sorted(cands):
@@ -1175,3 +1185,4 @@ def image_phash_dedup(
     return phash_dedup_pairs(
         phash_image(documents, payload_col, bits), bits, bands, max_hamming
     )
+

@@ -245,10 +245,21 @@ def write_stats_layout(
     clustering step): each of the n_files write tasks holds one tight
     value range. The manifest ({path}/manifest: file, mn, mx, rows) is
     computed in one pass over the written files via input_file_name()
-    — per-file rollup, never a collect of data rows."""
+    — per-file rollup, never a collect of data rows.
+
+    Re-cluster over an APPENDED store (the documented compact_table
+    flow) must not leave a stale higher manifest_vN behind: the data/
+    overwrite invalidates every old manifest's file list, so the fresh
+    manifest is written as v{N+1} of whatever version currently
+    resolves (v1 on a virgin store) and older versions are GC'd —
+    the same promotion discipline as append_stats_layout."""
+    spark = df.sparkSession
+    try:
+        next_v = _manifest_version(manifest_dir(spark, path)) + 1
+    except FileNotFoundError:
+        next_v = 1
     d = df.repartitionByRange(n_files, F.col(stat_col))
     d.write.mode("overwrite").parquet(f"{path}/data")
-    spark = df.sparkSession
     (
         spark.read.parquet(f"{path}/data")
         .groupBy(F.input_file_name().alias("file"))
@@ -259,8 +270,9 @@ def write_stats_layout(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{path}/manifest_v1")
+        .parquet(f"{path}/manifest_v{next_v}")
     )
+    gc_versioned_dirs(spark, path, "manifest", keep_from=next_v)
 
 
 def _hadoop_fs(spark, path: str):
@@ -271,37 +283,79 @@ def _hadoop_fs(spark, path: str):
     return p.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
 
 
-def manifest_dir(spark, path: str) -> str:
-    """Resolve the CURRENT manifest of a stats store: the
-    highest-numbered `manifest_v{N}` directory whose `_SUCCESS` commit
-    marker exists (Spark's parquet committer writes it last, so a
-    version is either invisible or complete), falling back to the
-    legacy unversioned `manifest` dir. Versioned manifests are the
-    Delta/Iceberg log-version discipline applied to the sidecar: the
-    writer PROMOTES a new version by creating it, never by a
-    delete-then-rename window in which no manifest exists — a
-    concurrent read_stats_pruned always resolves a complete one."""
+def versioned_dir(spark, path: str, prefix: str = "manifest") -> str:
+    """Resolve the CURRENT `{prefix}_v{N}` sidecar of a store: the
+    highest-numbered version whose `_SUCCESS` commit marker exists
+    (Spark's parquet committer writes it last, so a version is either
+    invisible or complete), falling back to the legacy unversioned
+    `{prefix}` dir. This is the Delta/Iceberg log-version discipline
+    applied to the sidecar: the writer PROMOTES a new version by
+    creating it, never by a delete-then-rename window in which no
+    sidecar exists — a concurrent reader always resolves a complete
+    one. Shared by the stats-layout manifest and the epoch-order
+    offsets sidecar."""
     fs, P_ = _hadoop_fs(spark, path)
+    vpfx = f"{prefix}_v"
     best, best_n = None, -1
+    unmarked, unmarked_n = None, -1
     root = P_(path)
     if fs.exists(root):
         for st in fs.listStatus(root):
             name = st.getPath().getName()
-            if name.startswith("manifest_v") and name[10:].isdigit():
-                n = int(name[10:])
+            if name.startswith(vpfx) and name[len(vpfx):].isdigit():
+                n = int(name[len(vpfx):])
                 if n > best_n and fs.exists(P_(f"{path}/{name}/_SUCCESS")):
                     best, best_n = f"{path}/{name}", n
+                if n > unmarked_n and any(
+                    f.getPath().getName().endswith(".parquet")
+                    for f in fs.listStatus(st.getPath())
+                ):
+                    unmarked, unmarked_n = f"{path}/{name}", n
+    if best is None and unmarked is not None:
+        # Committers with marksuccessfuljobs=false never write _SUCCESS;
+        # a complete version is then recognized by its part files. Only
+        # reached when NO marked version exists, so the stronger
+        # marker-based completeness test still wins whenever available.
+        best = unmarked
     if best is None:
-        legacy = f"{path}/manifest"
+        legacy = f"{path}/{prefix}"
         if not fs.exists(P_(legacy)):
-            raise FileNotFoundError(f"no manifest under {path}")
+            raise FileNotFoundError(f"no {prefix} under {path}")
         return legacy
     return best
 
 
-def _manifest_version(manifest_path: str) -> int:
-    name = manifest_path.rstrip("/").split("/")[-1]
-    return int(name[10:]) if name.startswith("manifest_v") else 0
+def manifest_dir(spark, path: str) -> str:
+    return versioned_dir(spark, path, "manifest")
+
+
+def _manifest_version(sidecar_path: str, prefix: str = "manifest") -> int:
+    name = sidecar_path.rstrip("/").split("/")[-1]
+    vpfx = f"{prefix}_v"
+    return int(name[len(vpfx):]) if name.startswith(vpfx) else 0
+
+
+def gc_versioned_dirs(
+    spark, path: str, prefix: str, keep_from: int, protect: str = ""
+) -> None:
+    """Delete `{prefix}_v{N}` sidecar versions older than keep_from
+    (and the legacy unversioned dir). keep_from = N keeps v{N},
+    v{N+1}, ... — callers pass next_v-1 to retain one prior generation
+    for in-flight readers, or next_v when the data those readers would
+    list is gone anyway (full re-cluster overwrote data/). `protect`
+    exempts one path (the legacy dir when it is the retained prior
+    generation)."""
+    fs, P_ = _hadoop_fs(spark, path)
+    vpfx = f"{prefix}_v"
+    for st in fs.listStatus(P_(path)):
+        name = st.getPath().getName()
+        stale = (
+            name.startswith(vpfx)
+            and name[len(vpfx):].isdigit()
+            and int(name[len(vpfx):]) < keep_from
+        ) or name in (prefix, f"{prefix}.new")
+        if stale and f"{path}/{name}" != protect:
+            fs.delete(st.getPath(), True)
 
 
 def read_stats_pruned(spark, path: str, stat_col: str, lo, hi) -> DataFrame:
@@ -389,13 +443,6 @@ def append_stats_layout(
     merged.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/manifest_v{next_v}"
     )
-    fs, P_ = _hadoop_fs(spark, path)
-    for st in fs.listStatus(P_(path)):
-        name = st.getPath().getName()
-        stale = (
-            name.startswith("manifest_v")
-            and name[10:].isdigit()
-            and int(name[10:]) < next_v - 1
-        ) or name in ("manifest", "manifest.new")
-        if stale and f"{path}/{name}" != cur_manifest:
-            fs.delete(st.getPath(), True)
+    gc_versioned_dirs(
+        spark, path, "manifest", keep_from=next_v - 1, protect=cur_manifest
+    )

@@ -337,7 +337,18 @@ def _epoch_order_rows(documents: DataFrame, epochs: int) -> DataFrame:
 def _write_epoch_offsets(counts_rows, path: str, spark: SparkSession) -> None:
     """Offsets sidecar from per-(epoch, bucket) counts: cumulative
     doc count of LOWER buckets within the epoch. counts_rows is a
-    metadata-sized list of Row(epoch, bucket, c)."""
+    metadata-sized list of Row(epoch, bucket, c). Crash-atomic via the
+    same versioned promotion as the stats-layout manifest
+    (sources/writers.py:versioned_dir): the new sidecar lands as
+    offsets_v{N+1} with _SUCCESS last, so a reader resolves either the
+    complete old or the complete new version — never a half-written
+    overwrite."""
+    from vedb_gaze_spark.sources.writers import (
+        _manifest_version,
+        gc_versioned_dirs,
+        versioned_dir,
+    )
+
     per = {}
     for r in counts_rows:
         per.setdefault(r["epoch"], {})[r["bucket"]] = r["c"]
@@ -347,9 +358,23 @@ def _write_epoch_offsets(counts_rows, path: str, spark: SparkSession) -> None:
         for b in sorted(buckets):
             rows.append((ep, b, buckets[b], acc))
             acc += buckets[b]
+    try:
+        cur = versioned_dir(spark, path, "offsets")
+        next_v = _manifest_version(cur, "offsets") + 1
+    except FileNotFoundError:
+        cur, next_v = "", 1
     spark.createDataFrame(
         rows, "epoch int, bucket int, c bigint, offset bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/offsets")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/offsets_v{next_v}")
+    gc_versioned_dirs(
+        spark, path, "offsets", keep_from=next_v - 1, protect=cur
+    )
+
+
+def _read_epoch_offsets(spark: SparkSession, path: str) -> DataFrame:
+    from vedb_gaze_spark.sources.writers import versioned_dir
+
+    return spark.read.parquet(versioned_dir(spark, path, "offsets"))
 
 
 def write_epoch_order(
@@ -388,10 +413,14 @@ def append_epoch_order(new_docs: DataFrame, path: str) -> None:
     pruning), unioned with the batch's anti-joined-fresh rows
     (idempotent replay), re-ranked within bucket, and dynamically
     overwritten — files of untouched buckets stay byte-identical
-    (pytest-pinned). Offsets rebuild from the stored counts plus the
-    batch's per-bucket increments: metadata arithmetic, no data scan."""
+    (pytest-pinned). Offsets rebuild UNCONDITIONALLY from the store's
+    ACTUAL touched-partition counts (a partition-pruned scan of only
+    the batch's buckets) merged with the stored counts of untouched
+    buckets — so replaying a batch after a crash between the order
+    overwrite and the offsets write HEALS the sidecar: the no-fresh-doc
+    replay path still rebuilds instead of early-returning past it."""
     spark = new_docs.sparkSession
-    offsets = spark.read.parquet(f"{path}/offsets")
+    offsets = _read_epoch_offsets(spark, path)
     epochs = offsets.agg(F.max("epoch")).collect()[0][0] + 1
     d = _epoch_order_rows(new_docs, epochs)
     existing = spark.read.parquet(f"{path}/order").select(
@@ -419,41 +448,45 @@ def append_epoch_order(new_docs: DataFrame, path: str) -> None:
     fresh = d.join(
         affected_old.select("doc_id").distinct(), "doc_id", "left_anti"
     ).localCheckpoint(eager=True)  # batch-sized; evaluated once below
-    if fresh.rdd.isEmpty():
-        return
-    from pyspark.sql import Window
+    if not fresh.rdd.isEmpty():
+        from pyspark.sql import Window
 
-    win = Window.partitionBy("epoch", "bucket").orderBy("h", "doc_id")
-    (
-        affected_old.unionByName(fresh.select("doc_id", "epoch", "h", "bucket"))
-        .withColumn("rn", F.row_number().over(win).cast("long"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch", "bucket")
-        .parquet(f"{path}/order")
-    )
-    # offsets: stored counts + the batch's per-bucket increments
-    # (both metadata-sized — no data re-scan)
-    inc = {
+        win = Window.partitionBy("epoch", "bucket").orderBy("h", "doc_id")
+        (
+            affected_old.unionByName(
+                fresh.select("doc_id", "epoch", "h", "bucket")
+            )
+            .withColumn("rn", F.row_number().over(win).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "bucket")
+            .parquet(f"{path}/order")
+        )
+    # offsets: the TOUCHED buckets' counts re-derived from the store
+    # itself (same literal partition predicate — only the batch's
+    # partition dirs are scanned), untouched buckets from the stored
+    # sidecar. Unconditional: runs even when the anti-join found no
+    # fresh docs, which is exactly the crashed-replay case where the
+    # order rows were already overwritten but the sidecar was not.
+    actual = {
         (r["epoch"], r["bucket"]): r["c"]
-        for r in fresh.groupBy("epoch", "bucket")
+        for r in spark.read.parquet(f"{path}/order")
+        .where(pred)
+        .groupBy("epoch", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
-    merged = []
-    seen = set()
-    for r in offsets.collect():
-        k = (r["epoch"], r["bucket"])
-        seen.add(k)
-        merged.append(
-            {"epoch": k[0], "bucket": k[1], "c": r["c"] + inc.get(k, 0)}
-        )
-    for k, c in inc.items():
-        if k not in seen:
-            merged.append({"epoch": k[0], "bucket": k[1], "c": c})
+    merged = {
+        (r["epoch"], r["bucket"]): r["c"] for r in offsets.collect()
+    }
+    merged.update(actual)
     from pyspark.sql import Row
 
-    _write_epoch_offsets([Row(**m) for m in merged], path, spark)
+    _write_epoch_offsets(
+        [Row(epoch=k[0], bucket=k[1], c=c) for k, c in merged.items()],
+        path,
+        spark,
+    )
 
 
 def read_epoch_order(spark: SparkSession, path: str) -> DataFrame:
@@ -461,7 +494,7 @@ def read_epoch_order(spark: SparkSession, path: str) -> DataFrame:
     doc_id, shuffle_pos). The offsets side is metadata — broadcast
     join, no shuffle of the order rows."""
     order = spark.read.parquet(f"{path}/order")
-    offsets = spark.read.parquet(f"{path}/offsets").select(
+    offsets = _read_epoch_offsets(spark, path).select(
         "epoch", "bucket", "offset"
     )
     return order.join(F.broadcast(offsets), ["epoch", "bucket"]).select(
