@@ -1090,3 +1090,147 @@ def test_ring_marker_types_classified_and_one_detection_per_marker(spark):
     # norm conventions match detect_frame_markers
     for r in det:
         assert r.norm_x == np.floor(r.x / W * 1e6 + 0.5) / 1e6
+
+
+def test_pupil_detection_recovers_planted_ellipses(spark):
+    """Real-pixel PUPIL detection (r9 verdict #2 — the dark-component
+    ellipse-moments mirror of detect_frame_markers, reference
+    pupil_detection_pl.py:11 plabs_detect_pupil): planted filled
+    ellipses round-trip exactly (centroid, 4·√λ moment axes, tilt,
+    roundness confidence ≈ 1); border-touching eyelid shadow is never
+    picked; a pupil-less frame still emits its per-frame datum with
+    confidence 0 and the true luminance (Detector2D's contract)."""
+    import datetime
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import (
+        detect_pupil_frames,
+        encode_pnm,
+    )
+
+    H, W = 120, 160
+    base = 1_700_000_000
+    yy, xx = np.mgrid[0:H, 0:W]
+    rows = []
+    for s in range(3):
+        a = np.full((H, W), 180, dtype=np.uint8)
+        cx, cy = 60.0 + 2 * s, 50.0
+        el = ((xx - cx) / 14.0) ** 2 + ((yy - cy) / 8.0) ** 2 <= 1.0
+        a[el] = 20
+        a[0:3, :] = 10  # border-touching eyelid band: rejected
+        rows.append(
+            (1, s, datetime.datetime.utcfromtimestamp(base + s),
+             bytearray(encode_pnm(a)))
+        )
+    # tilted ellipse: 45-degree axis recovered from the moment tensor
+    a = np.full((H, W), 180, dtype=np.uint8)
+    u = (xx - 80.0 + yy - 60.0) / np.sqrt(2)
+    v = (xx - 80.0 - (yy - 60.0)) / np.sqrt(2)
+    a[(u / 16.0) ** 2 + (v / 7.0) ** 2 <= 1.0] = 20
+    rows.append(
+        (1, 10, datetime.datetime.utcfromtimestamp(base + 10),
+         bytearray(encode_pnm(a)))
+    )
+    # pupil-less frame: flat bright field
+    a = np.full((H, W), 200, dtype=np.uint8)
+    rows.append(
+        (1, 11, datetime.datetime.utcfromtimestamp(base + 11),
+         bytearray(encode_pnm(a)))
+    )
+    frames = spark.createDataFrame(
+        rows, "user_id long, frame_id long, ts timestamp, payload binary"
+    )
+    got = {r.frame_id: r for r in detect_pupil_frames(frames).collect()}
+    assert set(got) == {0, 1, 2, 10, 11}
+    for s in range(3):
+        d = got[s]
+        assert (d.x, d.y) == (60.0 + 2 * s, 50.0), d
+        # full moment axes of a filled (14, 8)-semi-axis ellipse: the
+        # discrete mask quantizes a hair under the continuous 28/16
+        assert abs(d.axis_major - 28.0) < 0.5 and abs(d.axis_minor - 16.0) < 0.5, d
+        assert d.confidence > 0.95 and d.diameter == d.axis_major
+        assert d.norm_x == np.floor(d.x / W * 1e6 + 0.5) / 1e6
+    t = got[10]
+    assert abs(abs(t.angle_deg) - 45.0) < 3.0, t
+    assert t.confidence > 0.95
+    empty = got[11]
+    assert empty.confidence == 0.0 and empty.x == 0.0
+    assert empty.luminance == 200.0
+
+
+def test_pupil_pixel_pipeline_recovers_planted_linear_map(spark):
+    """The camera-to-error chain end-to-end on real pixels (r9 verdict
+    #2): eye frames with a moving planted pupil + world frames whose
+    single marker sits at an exact LINEAR map of the pupil's norm_pos
+    (mx = 0.1 + 0.8·px, my = 0.05 + 0.5·py). The composed plan must
+    detect both streams, pair them by nearest time (both forward and
+    backward offsets inside the tolerance), gate confidence, fit the
+    per-user OLS, and report ≈0 error. A two-marker world frame (gated
+    by the one-detection rule) and a degenerate low-roundness eye blob
+    (confidence gate) drop their samples instead of corrupting the fit."""
+    import datetime
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import encode_pnm
+    from vedb_gaze_spark.plans.pipeline import pupil_pixel_pipeline
+
+    EH, EW = 100, 200
+    WH, WW = 300, 400
+    base = 1_700_000_000
+    yy_e, xx_e = np.mgrid[0:EH, 0:EW]
+
+    def ts(sec_offset):
+        return datetime.datetime.utcfromtimestamp(base).replace(
+            microsecond=0
+        ) + datetime.timedelta(seconds=sec_offset)
+
+    eye, world = [], []
+    for s in range(20):
+        cx, cy = 40 + 5 * s, 30 + 2 * s
+        a = np.full((EH, EW), 180, dtype=np.uint8)
+        el = ((xx_e - cx) / 10.0) ** 2 + ((yy_e - cy) / 6.0) ** 2 <= 1.0
+        a[el] = 20
+        eye.append((5, s, ts(s), bytearray(encode_pnm(a))))
+        # marker at the exact linear image of the pupil's norm position
+        mx_px, my_px = 104 + 8 * s, 60 + 3 * s
+        b = np.zeros((WH, WW), dtype=np.uint8)
+        b[my_px - 3 : my_px + 4, mx_px - 3 : mx_px + 4] = 255
+        off = 0.25 if s % 2 == 0 else -0.25  # forward AND backward matches
+        world.append((5, s, ts(s + off), bytearray(encode_pnm(b))))
+
+    # sample 50: pupil fine, but the only nearby world frame shows TWO
+    # markers -> single-detection gate drops it -> no pair within tol
+    a = np.full((EH, EW), 180, dtype=np.uint8)
+    el = ((xx_e - 100) / 10.0) ** 2 + ((yy_e - 50) / 6.0) ** 2 <= 1.0
+    a[el] = 20
+    eye.append((5, 50, ts(50), bytearray(encode_pnm(a))))
+    b = np.zeros((WH, WW), dtype=np.uint8)
+    b[50:57, 100:107] = 255
+    b[200:207, 300:307] = 255
+    world.append((5, 50, ts(50.1), bytearray(encode_pnm(b))))
+
+    # sample 60: degenerate 1-px diagonal "pupil" -> zero-area moment
+    # ellipse -> confidence 0 -> gated before pairing
+    a = np.full((EH, EW), 180, dtype=np.uint8)
+    for k in range(30):
+        a[20 + k, 50 + k] = 20
+    eye.append((5, 60, ts(60), bytearray(encode_pnm(a))))
+    b = np.zeros((WH, WW), dtype=np.uint8)
+    b[150:157, 150:157] = 255
+    world.append((5, 60, ts(60.1), bytearray(encode_pnm(b))))
+
+    eye_df = spark.createDataFrame(
+        eye, "user_id long, frame_id long, ts timestamp, payload binary"
+    )
+    world_df = spark.createDataFrame(
+        world, "user_id long, frame_id long, ts timestamp, payload binary"
+    )
+    out = pupil_pixel_pipeline(eye_df, world_df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_pairs == 20, r
+    assert abs(r.slope_x - 0.8) < 1e-3 and abs(r.intercept_x - 0.1) < 1e-3, r
+    assert abs(r.slope_y - 0.5) < 1e-3 and abs(r.intercept_y - 0.05) < 1e-3, r
+    assert r.rmse_deg < 0.05 and r.median_err_deg < 0.05, r

@@ -312,6 +312,132 @@ def marker_pixel_pipeline(
     )
 
 
+def pupil_pixel_pipeline(
+    pupil_frames: DataFrame,
+    marker_frames: DataFrame,
+    pupil_threshold: int = 60,
+    marker_threshold: int = 200,
+    min_confidence: float = 0.6,
+    match_tol_s: float = 0.5,
+) -> DataFrame:
+    """The reference's FULL camera-to-error chain on real pixels — the
+    pupil-side twin of marker_pixel_pipeline, closing the pipelines.py
+    DAG end-to-end from raw frames (pupil_detection_pl.py:11
+    plabs_detect_pupil over eye video → utils.py:6 match_time_points
+    pupil↔marker alignment → calibration.py:468 Calibration.fit/map →
+    error_computation.py:18 compute_error):
+
+    1. eye frames    → detect_pupil_frames   (dark-component ellipse
+       moments: norm_pos + roundness confidence per frame)
+    2. world frames  → detect_frame_markers  (bright-blob centroids;
+       frames with exactly one detection keep it — a calibration-epoch
+       world frame shows one marker)
+    3. nearest-time pupil↔marker pairing per user within match_tol_s
+       (match_time_points' window semantics as one union + two
+       ordered windows over the shared user_id partitioning — no
+       join explosion, backward/forward candidates picked by |Δt|)
+    4. confidence gate (parse_plab_data's min_calibration_confidence)
+    5. per-user OLS calibration fit + mapped-gaze error in degrees
+
+    One QC row per user: fit coefficients, pair count, rmse/median
+    error in degrees. Every stage after the two Arrow-batched
+    detectors is declarative — Catalyst sees detection, alignment,
+    fit, and error as one plan, sharing the user_id partitioning.
+    Scale: detectors are per-frame embarrassingly parallel; the
+    alignment windows and the fit aggregate shuffle once on user_id;
+    the fit join-back is per-user-tiny (broadcast under AQE)."""
+    from vedb_gaze_spark.operators.multimodal import (
+        detect_frame_markers,
+        detect_pupil_frames,
+    )
+
+    p = detect_pupil_frames(
+        pupil_frames, threshold=pupil_threshold
+    ).where(F.col("confidence") > min_confidence)
+    m_all = detect_frame_markers(marker_frames, threshold=marker_threshold)
+    one = m_all.groupBy("user_id", "frame_id").agg(
+        F.count(F.lit(1)).alias("n_det")
+    ).where(F.col("n_det") == 1)
+    m = m_all.join(one.select("user_id", "frame_id"), ["user_id", "frame_id"])
+
+    from vedb_gaze_spark.functions.core import tsec
+
+    pu = p.select(
+        "user_id",
+        tsec("ts").alias("t"),
+        F.lit(1).alias("is_pupil"),
+        F.col("norm_x").alias("px"),
+        F.col("norm_y").alias("py"),
+        F.lit(None).cast("double").alias("mx"),
+        F.lit(None).cast("double").alias("my"),
+        F.lit(None).cast("double").alias("mt"),
+    )
+    mk = m.select(
+        "user_id",
+        tsec("ts").alias("t"),
+        F.lit(0).alias("is_pupil"),
+        F.lit(None).cast("double").alias("px"),
+        F.lit(None).cast("double").alias("py"),
+        F.col("norm_x").alias("mx"),
+        F.col("norm_y").alias("my"),
+        tsec("ts").alias("mt"),
+    )
+    u = pu.unionByName(mk)
+    # backward: marker rows sort BEFORE a same-second pupil row, so the
+    # running last_value includes a simultaneous marker; forward is the
+    # mirror (pupil first, following range holds the simultaneous marker)
+    back = Window.partitionBy("user_id").orderBy("t", "is_pupil").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("user_id").orderBy(
+        "t", F.col("is_pupil").desc()
+    ).rowsBetween(0, Window.unboundedFollowing)
+    paired = (
+        u.withColumn("bmx", F.last("mx", ignorenulls=True).over(back))
+        .withColumn("bmy", F.last("my", ignorenulls=True).over(back))
+        .withColumn("bmt", F.last("mt", ignorenulls=True).over(back))
+        .withColumn("fmx", F.first("mx", ignorenulls=True).over(fwd))
+        .withColumn("fmy", F.first("my", ignorenulls=True).over(fwd))
+        .withColumn("fmt", F.first("mt", ignorenulls=True).over(fwd))
+        .where(F.col("is_pupil") == 1)
+    )
+    db = F.col("t") - F.col("bmt")
+    df_ = F.col("fmt") - F.col("t")
+    use_back = F.col("bmt").isNotNull() & (
+        F.col("fmt").isNull() | (db <= df_)
+    )
+    g = paired.select(
+        "user_id",
+        "t",
+        "px",
+        "py",
+        F.when(use_back, F.col("bmx")).otherwise(F.col("fmx")).alias("mx"),
+        F.when(use_back, F.col("bmy")).otherwise(F.col("fmy")).alias("my"),
+        F.when(use_back, db).otherwise(df_).alias("dt"),
+    ).where(F.col("mx").isNotNull() & (F.col("dt") <= match_tol_s))
+
+    fit = g.groupBy("user_id").agg(
+        F.regr_slope("mx", "px").alias("bx"),
+        F.regr_intercept("mx", "px").alias("ax"),
+        F.regr_slope("my", "py").alias("by"),
+        F.regr_intercept("my", "py").alias("ay"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    mapped = g.join(fit, "user_id")
+    ex = (F.col("ax") + F.col("bx") * F.col("px") - F.col("mx")) * P.DEG_HORIZ
+    ey = (F.col("ay") + F.col("by") * F.col("py") - F.col("my")) * P.DEG_VERT
+    err = F.sqrt(ex * ex + ey * ey)
+    return mapped.groupBy("user_id").agg(
+        F.first("n_pairs").alias("n_pairs"),
+        F.round(F.first("bx"), 6).alias("slope_x"),
+        F.round(F.first("ax"), 6).alias("intercept_x"),
+        F.round(F.first("by"), 6).alias("slope_y"),
+        F.round(F.first("ay"), 6).alias("intercept_y"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse_deg"),
+        F.round(F.median(err), 6).alias("median_err_deg"),
+    )
+
+
 def curation_pipeline(documents: DataFrame) -> DataFrame:
     """Training-corpus curation as ONE declarative plan — the LLM-data
     analog of gaze_pipeline's composed DAG (reference pipelines.py wires
