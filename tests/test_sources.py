@@ -1234,3 +1234,85 @@ def test_pupil_pixel_pipeline_recovers_planted_linear_map(spark):
     assert abs(r.slope_x - 0.8) < 1e-3 and abs(r.intercept_x - 0.1) < 1e-3, r
     assert abs(r.slope_y - 0.5) < 1e-3 and abs(r.intercept_y - 0.05) < 1e-3, r
     assert r.rmse_deg < 0.05 and r.median_err_deg < 0.05, r
+
+
+def test_marker_3d_pose_recovers_planted_camera_pose(spark):
+    """marker_3d_pose (r9 verdict #5 — reference
+    externals/circle_detector.py:729: sampled-ellipse solvePnP against
+    the physical circle, here the closed-form homography + Zhang planar
+    decomposition). Pins: (a) a fronto-parallel marker's pose is
+    recovered EXACTLY from its analytic ellipse (t to 1e-6, R = I,
+    reprojection ~0); (b) a SLANTED marker rendered onto real pixels
+    round-trips through detect_ellipse_markers -> marker_3d_pose with
+    distance to ~1% and the tilt angle to a few degrees (the
+    parameter-sampling correspondence is the reference's own
+    weak-perspective approximation)."""
+    import datetime
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import (
+        detect_ellipse_markers,
+        encode_pnm,
+        marker_3d_pose,
+    )
+
+    FX = FY = 600.0
+    CX, CY = 320.0, 240.0
+    D = 7.6
+    ts0 = datetime.datetime.utcfromtimestamp(1_700_000_000)
+
+    # (a) fronto-parallel analytic ellipse: t = (20, -10, 500)
+    X, Y, Z = 20.0, -10.0, 500.0
+    u, v = CX + FX * X / Z, CY + FY * Y / Z
+    dia = FX * D / Z
+    ell = spark.createDataFrame(
+        [(1, 0, ts0, 1, u, v, dia, dia, 0.0, 1.0, u / 640, v / 480)],
+        "user_id long, frame_id long, ts timestamp, marker_id int, "
+        "x double, y double, axis_minor double, axis_major double, "
+        "angle_deg double, confidence double, norm_x double, norm_y double",
+    )
+    r = marker_3d_pose(ell, FX, FY, CX, CY, D).collect()[0]
+    assert abs(r.tx - X) < 1e-4 and abs(r.ty - Y) < 1e-4, r
+    assert abs(r.tz - Z) < 1e-3, r
+    for ang in (r.rx_deg, r.ry_deg, r.rz_deg):
+        assert abs(ang) < 1e-3, r
+    assert r.reproj_rms < 1e-6, r
+
+    # (b) slanted marker rendered to pixels: tilt 25 deg about the
+    # x-axis, LONG focal length (the weak-perspective model's accuracy
+    # improves with f at a fixed image-ellipse size; at short f the
+    # perspective eccentricity excess itself is ~2.5 deg)
+    FX = FY = 1800.0
+    th = np.radians(25.0)
+    R = np.array(
+        [[1, 0, 0], [0, np.cos(th), -np.sin(th)], [0, np.sin(th), np.cos(th)]]
+    )
+    t = np.array([5.0, 8.0, 450.0])
+    H, W = 480, 640
+    K = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1.0]])
+    Kinv = np.linalg.inv(K)
+    vv, uu = np.mgrid[0:H, 0:W]
+    d = (Kinv @ np.stack(
+        [uu.ravel(), vv.ravel(), np.ones(uu.size)]
+    )).T  # ray directions
+    Rt_t = R.T @ t
+    Rt_d = d @ R  # rows: R.T @ d_i
+    s = Rt_t[2] / Rt_d[:, 2]
+    p = (s[:, None] * Rt_d) - Rt_t  # marker-frame intersection
+    inside = (
+        (s > 0) & (p[:, 0] ** 2 + p[:, 1] ** 2 <= (D / 2.0) ** 2)
+    ).reshape(H, W)
+    frame = np.zeros((H, W), dtype=np.uint8)
+    frame[inside] = 255
+    frames = spark.createDataFrame(
+        [(1, 7, ts0, bytearray(encode_pnm(frame)))],
+        "user_id long, frame_id long, ts timestamp, payload binary",
+    )
+    det = detect_ellipse_markers(frames, min_size=5)
+    assert det.count() == 1
+    pose = marker_3d_pose(det, FX, FY, CX, CY, D).collect()[0]
+    assert abs(pose.tz - 450.0) / 450.0 < 0.02, pose
+    assert abs(pose.tx - 5.0) < 0.5 and abs(pose.ty - 8.0) < 0.5, pose
+    assert abs(abs(pose.rx_deg) - 25.0) < 3.0, pose
+    assert pose.reproj_rms < 1.0, pose

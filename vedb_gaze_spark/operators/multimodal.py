@@ -1188,6 +1188,59 @@ def image_phash_dedup(
 
 
 
+def _moment_ellipses(y, mask, min_size, max_size):
+    """Second-central-moment ellipse fit of every qualifying connected
+    component of ``mask`` (size band + border rejection), in raster
+    order of each component's first pixel. Returns a list of tuples
+    (first_pixel_index, cx, cy, n, axis_minor, axis_major, angle_deg,
+    confidence) — the shared measurement kernel of the pupil detector
+    and the ellipse-marker detector, so the dark and bright sides
+    measure components identically. Axes are the full 4·√λ moment axes
+    (exact for a filled ellipse); confidence is the pixel-count /
+    fitted-ellipse-area roundness ratio clipped to [0, 1]."""
+    import numpy as np
+
+    h, w = y.shape
+    lab = _label_components(mask)
+    ids, cnt, sx, sy, x0, y0, x1, y1 = _comp_geoms(lab)
+    out = []
+    if len(ids) == 0:
+        return out
+    flat = np.flatnonzero(lab.ravel())
+    inv = np.searchsorted(ids, lab.ravel()[flat])
+    xs = (flat % w).astype(np.float64)
+    ys_ = (flat // w).astype(np.float64)
+    sxx = np.bincount(inv, weights=xs * xs)
+    syy = np.bincount(inv, weights=ys_ * ys_)
+    sxy = np.bincount(inv, weights=xs * ys_)
+    first = np.full(len(ids), lab.size, dtype=np.int64)
+    np.minimum.at(first, inv, flat)
+    for i in range(len(ids)):
+        n = int(cnt[i])
+        if n < min_size or n > max_size:
+            continue
+        if x0[i] == 0 or y0[i] == 0 or x1[i] == w - 1 or y1[i] == h - 1:
+            continue
+        cx = sx[i] / n
+        cy = sy[i] / n
+        mu20 = sxx[i] / n - cx * cx
+        mu02 = syy[i] / n - cy * cy
+        mu11 = sxy[i] / n - cx * cy
+        tr2 = (mu20 + mu02) / 2.0
+        det = np.sqrt(((mu20 - mu02) / 2.0) ** 2 + mu11 * mu11)
+        lam_max = max(tr2 + det, 0.0)
+        lam_min = max(tr2 - det, 0.0)
+        ax_major = 4.0 * np.sqrt(lam_max)
+        ax_minor = 4.0 * np.sqrt(lam_min)
+        ell_area = np.pi * ax_major * ax_minor / 4.0
+        conf = min(n / ell_area, 1.0) if ell_area > 0 else 0.0
+        ang = np.degrees(0.5 * np.arctan2(2.0 * mu11, mu20 - mu02))
+        out.append(
+            (int(first[i]), cx, cy, n, ax_minor, ax_major, ang, conf)
+        )
+    return out
+
+
 _PUPIL_SCHEMA = (
     "user_id bigint, frame_id bigint, ts timestamp, "
     "x double, y double, norm_x double, norm_y double, "
@@ -1259,49 +1312,12 @@ def detect_pupil_frames(
                 h, w = y.shape
                 lum = r6(y.astype(np.int64).sum() / y.size)
                 best = None  # (conf, cnt, -first, row-values)
-                mask = y <= threshold
-                lab = _label_components(mask)
-                ids, cnt, sx, sy, x0, y0, x1, y1 = _comp_geoms(lab)
-                if len(ids):
-                    flat = np.flatnonzero(lab.ravel())
-                    inv = np.searchsorted(ids, lab.ravel()[flat])
-                    xs = (flat % w).astype(np.float64)
-                    ys_ = (flat // w).astype(np.float64)
-                    sxx = np.bincount(inv, weights=xs * xs)
-                    syy = np.bincount(inv, weights=ys_ * ys_)
-                    sxy = np.bincount(inv, weights=xs * ys_)
-                    first = np.full(len(ids), lab.size, dtype=np.int64)
-                    np.minimum.at(first, inv, flat)
-                    for i in range(len(ids)):
-                        n = int(cnt[i])
-                        if n < min_size or n > max_size:
-                            continue
-                        if (
-                            x0[i] == 0 or y0[i] == 0
-                            or x1[i] == w - 1 or y1[i] == h - 1
-                        ):
-                            continue
-                        cx = sx[i] / n
-                        cy = sy[i] / n
-                        mu20 = sxx[i] / n - cx * cx
-                        mu02 = syy[i] / n - cy * cy
-                        mu11 = sxy[i] / n - cx * cy
-                        tr2 = (mu20 + mu02) / 2.0
-                        det = np.sqrt(
-                            ((mu20 - mu02) / 2.0) ** 2 + mu11 * mu11
-                        )
-                        lam_max = max(tr2 + det, 0.0)
-                        lam_min = max(tr2 - det, 0.0)
-                        ax_major = 4.0 * np.sqrt(lam_max)
-                        ax_minor = 4.0 * np.sqrt(lam_min)
-                        ell_area = np.pi * ax_major * ax_minor / 4.0
-                        conf = min(n / ell_area, 1.0) if ell_area > 0 else 0.0
-                        ang = np.degrees(
-                            0.5 * np.arctan2(2.0 * mu11, mu20 - mu02)
-                        )
-                        key = (conf, n, -int(first[i]))
-                        if best is None or key > best[0]:
-                            best = (key, (cx, cy, ax_minor, ax_major, ang, conf))
+                for (
+                    fidx, cx, cy, n, ax_minor, ax_major, ang, conf
+                ) in _moment_ellipses(y, y <= threshold, min_size, max_size):
+                    key = (conf, n, -fidx)
+                    if best is None or key > best[0]:
+                        best = (key, (cx, cy, ax_minor, ax_major, ang, conf))
                 out["user_id"].append(uid)
                 out["frame_id"].append(fid)
                 out["ts"].append(ts)
@@ -1342,3 +1358,248 @@ def detect_pupil_frames(
     return frames.select(
         "user_id", "frame_id", "ts", payload_col
     ).mapInPandas(run, schema=_PUPIL_SCHEMA)
+
+
+_ELLIPSE_SCHEMA = (
+    "user_id bigint, frame_id bigint, ts timestamp, marker_id int, "
+    "x double, y double, norm_x double, norm_y double, "
+    "axis_minor double, axis_major double, angle_deg double, "
+    "confidence double"
+)
+
+
+def detect_ellipse_markers(
+    frames: DataFrame,
+    payload_col: str = "payload",
+    threshold: int = 200,
+    min_size: int = 10,
+    max_size: int = 40_000,
+    min_confidence: float = 0.5,
+) -> DataFrame:
+    """Bright-side ellipse detection: every qualifying above-threshold
+    component with its moment-ellipse geometry — the marker twin of
+    detect_pupil_frames (shared _moment_ellipses kernel), and the
+    producer of the ellipse rows marker_3d_pose consumes (reference
+    CircleTracker keeps the fitted ellipse of each detected ring,
+    externals/circle_detector.py:339; detect_frame_markers deliberately
+    emits only centroid/size — this face adds the axes/orientation a
+    pose solve needs). One row per component ≥ min_confidence
+    roundness, marker_id in raster order of first pixel — the same
+    deterministic id rule as detect_frame_markers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "user_id", "frame_id", "ts", "marker_id", "x", "y",
+                "norm_x", "norm_y", "axis_minor", "axis_major",
+                "angle_deg", "confidence",
+            )}
+
+            def r6(v):
+                return float(np.floor(abs(v) * 1e6 + 0.5) / 1e6) * (
+                    1.0 if v >= 0 else -1.0
+                )
+
+            for uid, fid, ts, b in zip(
+                pdf["user_id"], pdf["frame_id"], pdf["ts"], pdf[payload_col]
+            ):
+                a = decode_pnm(b) if b is not None else None
+                if a is None:
+                    continue
+                y = _luma(a)
+                h, w = y.shape
+                mid = 0
+                for (
+                    _fidx, cx, cy, _n, ax_minor, ax_major, ang, conf
+                ) in sorted(
+                    _moment_ellipses(y, y >= threshold, min_size, max_size)
+                ):
+                    if conf < min_confidence:
+                        continue
+                    mid += 1
+                    out["user_id"].append(uid)
+                    out["frame_id"].append(fid)
+                    out["ts"].append(ts)
+                    out["marker_id"].append(mid)
+                    out["x"].append(r6(cx))
+                    out["y"].append(r6(cy))
+                    out["norm_x"].append(r6(cx / w))
+                    out["norm_y"].append(r6(cy / h))
+                    out["axis_minor"].append(r6(ax_minor))
+                    out["axis_major"].append(r6(ax_major))
+                    out["angle_deg"].append(r6(ang))
+                    out["confidence"].append(r6(conf))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(out["user_id"], dtype="int64"),
+                    "frame_id": pd.Series(out["frame_id"], dtype="int64"),
+                    "ts": pd.Series(out["ts"], dtype="datetime64[us]"),
+                    "marker_id": pd.Series(out["marker_id"], dtype="int32"),
+                    **{
+                        k: pd.Series(out[k], dtype="float64")
+                        for k in (
+                            "x", "y", "norm_x", "norm_y", "axis_minor",
+                            "axis_major", "angle_deg", "confidence",
+                        )
+                    },
+                }
+            )
+
+    return frames.select(
+        "user_id", "frame_id", "ts", payload_col
+    ).mapInPandas(run, schema=_ELLIPSE_SCHEMA)
+
+
+def _ellipse_points(cx, cy, ax_a, ax_b, angle_deg, num_pts=10):
+    """num_pts parameter-sampled points of an ellipse given center,
+    FULL axes and orientation — the reference's getEllipsePts contract
+    (externals/circle_detector.py:706: a/2·cosθ, b/2·sinθ rotated then
+    translated), pure numpy."""
+    import numpy as np
+
+    th = np.linspace(0.0, 2.0 * np.pi, num=num_pts, endpoint=False)
+    c, s = np.cos(np.radians(angle_deg)), np.sin(np.radians(angle_deg))
+    px = ax_a / 2.0 * np.cos(th)
+    py = ax_b / 2.0 * np.sin(th)
+    return np.column_stack(
+        (cx + c * px - s * py, cy + s * px + c * py)
+    )
+
+
+_POSE_SCHEMA = (
+    "user_id bigint, frame_id bigint, ts timestamp, marker_id int, "
+    "tx double, ty double, tz double, "
+    "rx_deg double, ry_deg double, rz_deg double, reproj_rms double"
+)
+
+
+def marker_3d_pose(
+    ellipses: DataFrame,
+    fx: float,
+    fy: float,
+    cx0: float,
+    cy0: float,
+    marker_diameter: float = 7.6,
+) -> DataFrame:
+    """3-D marker pose from a detected ellipse + pinhole intrinsics —
+    the reference's marker_3d_pose (externals/circle_detector.py:729:
+    sample the detected ellipse and the physical circle at the same
+    parameters, then solvePnP). The parameter-sampled correspondence
+    is consistent with an AFFINE map — it carries no perspective
+    signal — so the rigid pose the reference's solvePnP extracts from
+    it is exactly the closed-form WEAK-PERSPECTIVE circle pose, which
+    is what this computes directly (pure numpy, no cv2):
+
+      depth      tz = f·D / axis_major (the full-length diameter is
+                 the one along the tilt axis, unforeshortened)
+      center     (tx, ty) = tz · K⁻¹-normalized ellipse center ray
+      tilt       σ = arccos(axis_minor / axis_major), about the
+                 image-plane axis along the ellipse MAJOR axis
+                 (the unforeshortened diameter IS the tilt axis);
+                 R = Rodrigues((cos α, sin α, 0), σ)
+
+    The σ↔−σ two-fold ambiguity is inherent to a single conic view
+    (the reference's solvePnP silently picks one branch too); this
+    picks σ ≥ 0. Intrinsics contract: (fx, fy) focal lengths and
+    (cx0, cy0) principal point in PIXELS, zero skew, distortion-free
+    coordinates (undistort upstream — the reference's cam_model
+    carries the same assumption), f = √(fx·fy) for the depth scale.
+    Output per detection: translation in marker_diameter's units,
+    intrinsic XYZ Euler angles in degrees, and the full-perspective
+    reprojection RMS of 10 sampled correspondences (~0 for
+    fronto-parallel views, small for slanted ones — the honest
+    residual of the weak-perspective model).
+
+    One tiny closed-form solve per detection row — Arrow-batched
+    mapInPandas, embarrassingly parallel, no shuffle."""
+    import numpy as np
+
+    K = np.array([[fx, 0, cx0], [0, fy, cy0], [0, 0, 1.0]])
+    Kinv = np.linalg.inv(K)
+    f = float(np.sqrt(fx * fy))
+    plane = _ellipse_points(0.0, 0.0, marker_diameter, marker_diameter, 0.0)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "user_id", "frame_id", "ts", "marker_id",
+                "tx", "ty", "tz", "rx_deg", "ry_deg", "rz_deg",
+                "reproj_rms",
+            )}
+
+            def r6(v):
+                return float(np.floor(abs(v) * 1e6 + 0.5) / 1e6) * (
+                    1.0 if v >= 0 else -1.0
+                )
+
+            for row in pdf.itertuples(index=False):
+                if row.axis_major <= 0:
+                    continue
+                tz = f * marker_diameter / row.axis_major
+                ray = Kinv @ np.array([row.x, row.y, 1.0])
+                t = tz * ray
+                ratio = min(row.axis_minor / row.axis_major, 1.0)
+                sigma = np.arccos(ratio)
+                al = np.radians(row.angle_deg)
+                ax = np.array([np.cos(al), np.sin(al), 0.0])
+                Kx = np.array(
+                    [
+                        [0.0, -ax[2], ax[1]],
+                        [ax[2], 0.0, -ax[0]],
+                        [-ax[1], ax[0], 0.0],
+                    ]
+                )
+                R = (
+                    np.eye(3)
+                    + np.sin(sigma) * Kx
+                    + (1.0 - np.cos(sigma)) * (Kx @ Kx)
+                )
+                ry = np.arcsin(np.clip(-R[2, 0], -1.0, 1.0))
+                rx = np.arctan2(R[2, 1], R[2, 2])
+                rz = np.arctan2(R[1, 0], R[0, 0])
+                # full-perspective reprojection of the plane circle vs
+                # the same param-sampled image ellipse — the honest
+                # residual of the weak-perspective model
+                img = _ellipse_points(
+                    row.x, row.y, row.axis_major, row.axis_minor,
+                    row.angle_deg,
+                )
+                p3 = np.column_stack((plane, np.zeros(len(plane))))
+                cam = (R @ p3.T).T + t
+                uv = (K @ cam.T).T
+                uv = uv[:, :2] / uv[:, 2:3]
+                d2 = ((uv - img) ** 2).sum(axis=1)
+                rms = float(np.sqrt(d2.mean()))
+                out["user_id"].append(row.user_id)
+                out["frame_id"].append(row.frame_id)
+                out["ts"].append(row.ts)
+                out["marker_id"].append(row.marker_id)
+                out["tx"].append(r6(t[0]))
+                out["ty"].append(r6(t[1]))
+                out["tz"].append(r6(t[2]))
+                out["rx_deg"].append(r6(np.degrees(rx)))
+                out["ry_deg"].append(r6(np.degrees(ry)))
+                out["rz_deg"].append(r6(np.degrees(rz)))
+                out["reproj_rms"].append(r6(rms))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(out["user_id"], dtype="int64"),
+                    "frame_id": pd.Series(out["frame_id"], dtype="int64"),
+                    "ts": pd.Series(out["ts"], dtype="datetime64[us]"),
+                    "marker_id": pd.Series(out["marker_id"], dtype="int32"),
+                    **{
+                        k: pd.Series(out[k], dtype="float64")
+                        for k in (
+                            "tx", "ty", "tz", "rx_deg", "ry_deg",
+                            "rz_deg", "reproj_rms",
+                        )
+                    },
+                }
+            )
+
+    return ellipses.select(
+        "user_id", "frame_id", "ts", "marker_id",
+        "x", "y", "axis_minor", "axis_major", "angle_deg",
+    ).mapInPandas(run, schema=_POSE_SCHEMA)
