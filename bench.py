@@ -198,6 +198,19 @@ def main() -> None:
                 QUERIES[wname](spark, warm_dir).collect()
         spark._jvm.System.gc()
 
+    # FULL-SF untimed warm pass for the registry's widest plan: the
+    # sf0.001 warmup compiles dedup_agreement's generated classes but
+    # never drives them hot — HotSpot C2 wants thousands of invocations,
+    # so the first full-SF pass still pays 2-3x in interpreter/C1 time
+    # (r9: isolated passes 27.8 -> 10.6 -> 9.6 s; the 9.56 s floor IS
+    # the steady state). One untimed full pass makes both timed passes
+    # measure the plan, the same like-for-like discipline as the q1
+    # session warmup above (r9 verdict #3).
+    for wname in ("dedup_agreement",):
+        if wname in QUERIES:
+            QUERIES[wname](spark, SF_DIR).collect()
+    spark._jvm.System.gc()
+
     # best-of-2 full executions per query: a single pass is hostage to
     # one stray GC pause / host stall (observed: the same query 2.4 s and
     # 54 s across runs on an otherwise idle box); the min of two passes

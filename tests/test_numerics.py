@@ -326,3 +326,42 @@ def test_embed_project_matches_numpy_and_preserves_geometry(spark, sf_dir):
         ratios.min(),
         ratios.max(),
     )
+
+
+def test_iter_checkpoint_mode_follows_session_checkpoint_dir(spark, tmp_path):
+    """r10 pin (r9 verdict #7): iterative spines truncate lineage via
+    iter_checkpoint — localCheckpoint by default (this session has no
+    checkpoint dir: executor loss cannot happen on local[*], and the
+    storage round-trip would only slow the loop), RELIABLE
+    df.checkpoint once the deployment sets a checkpoint dir. Observable
+    pin: the reliable branch writes blocks under the configured dir;
+    the default branch writes nothing anywhere (exactly the old
+    localCheckpoint behavior)."""
+    import os
+
+    from vedb_gaze_spark.functions.core import iter_checkpoint
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    assert spark.sparkContext.getCheckpointDir() is None
+    loc = iter_checkpoint(df)
+    assert loc.count() == 100
+    ckpt_dir = tmp_path / "ckpt"
+    assert not ckpt_dir.exists()  # local mode touched no storage
+
+    spark.sparkContext.setCheckpointDir(str(ckpt_dir))
+    try:
+        rel = iter_checkpoint(df)
+        assert rel.count() == 100
+        written = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(ckpt_dir)
+            for f in fs
+        ]
+        assert written  # reliable-store blocks exist
+    finally:
+        # restore the session default for every other test
+        jsc = spark.sparkContext._jsc.sc()
+        getattr(jsc, "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.apply(None)
+        )
+    assert spark.sparkContext.getCheckpointDir() is None

@@ -306,6 +306,10 @@ def test_no_driver_collect_in_operators():
         # SQ8 serving quantizer load: the index's ONE stored stats row
         # (per-dim min/max — model state), once per job, never rows
         "def _load_stats",
+        # label-separation serving centroid load (r10): the stored
+        # labels-sized centroid model (the _load_cents collect class),
+        # once per job, never data rows
+        "def _load",
         # k-means|| init: seed vector, phi scalar, ~l candidate vectors
         # per round, and candidate weights — ALL model state (the
         # Lloyd's-trainer collect class, Bahmani et al. Algorithm 2)

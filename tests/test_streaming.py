@@ -2538,3 +2538,94 @@ def test_streaming_typed_and_checkerboard_detectors_compose_unchanged(
             assert got == want and len(want) == 6, (name, len(want))
         finally:
             q.stop()
+
+
+def test_streaming_label_separation_serving_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Frozen-centroid label-separation serving (r10, r9 verdict #8):
+    the stored per-label centroid model scores embedding micro-batches
+    row-locally; streamed per-member rows equal the one-shot batch
+    scorer EXACTLY; the per-label quantized mean of the streamed
+    own_cos rows reproduces batch label_separation's intra_mean_cos and
+    the frozen centroid-vs-centroid nn half; and replaying a batch id
+    rewrites identical rows (exactly-once by idempotent overwrite)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.similarity import (
+        label_centroids,
+        label_separation,
+        score_label_margins,
+    )
+    from vedb_gaze_spark.streaming.serving import (
+        LabelSeparationServing,
+        write_label_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = str(tmp_path / "lbl_index")
+    write_label_centroids(emb, idx)
+
+    src = str(tmp_path / "lbl_batches")
+    for i in range(3):
+        emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            os.path.join(src, f"c{i}")
+        )
+    t0 = 1_700_000_000
+    for i in range(3):
+        for root, _, files in os.walk(os.path.join(src, f"c{i}")):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    job = LabelSeparationServing(idx, str(tmp_path / "lbl_out"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(job.process)
+        .option("checkpointLocation", str(tmp_path / "lbl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    cents = [
+        (int(r["label"]), [float(x) for x in r["cv"]])
+        for r in label_centroids(emb).collect()
+    ]
+    got = {tuple(r) for r in job.results(spark).collect()}
+    want = {tuple(r) for r in score_label_margins(emb, cents).collect()}
+    assert got == want and len(want) > 0
+
+    # the REPORT half: per-label quantized mean of streamed own_cos ==
+    # batch label_separation's intra_mean_cos; nn half matches the
+    # frozen centroids
+    mine = {
+        r.label: r.m
+        for r in job.results(spark)
+        .select(
+            "label",
+            F.floor(F.col("own_cos") * 1e6 + 0.5).cast("long").alias("cq"),
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "floor(cast(sum(cq) as double) / count(1) + 0.5) / 1e6"
+            ).alias("m")
+        )
+        .collect()
+    }
+    ref = {r.label: r for r in label_separation(emb).collect()}
+    assert set(mine) == set(ref)
+    for lbl in ref:
+        assert mine[lbl] == ref[lbl].intra_mean_cos, lbl
+
+    # crash-replay idempotency
+    job.process(emb.where(F.col("vec_id") % 3 == 0), 0)
+    again = {tuple(r) for r in job.results(spark).collect()}
+    assert again == want

@@ -57,3 +57,20 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
     return dot / (na * nb)
+
+
+def iter_checkpoint(df, eager: bool = True):
+    """Lineage truncation for ITERATIVE spines (PageRank/HITS rounds,
+    BPE merges, Lloyd's assignments, CC label propagation, multi-use
+    pair tables): RELIABLE df.checkpoint when the session has a
+    checkpoint dir configured (sparkContext.setCheckpointDir — blocks
+    live in fault-tolerant storage, so an executor loss mid-iteration
+    replays from the checkpoint instead of the unbounded lineage), and
+    localCheckpoint otherwise — the right default for local mode, where
+    executor loss cannot happen and storage round-trips would only
+    slow the loop. Cluster deployments opt in with ONE session-level
+    call; no operator parameter threading needed (SURVEY §4)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager)
+    return df.localCheckpoint(eager)

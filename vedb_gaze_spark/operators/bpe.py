@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vedb_gaze_spark.functions.core import iter_checkpoint
+
 _TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 END = "</w>"
 
@@ -69,7 +71,7 @@ def bpe_train(
         "cnt",
         F.expr(f"concat(split(word, ''), array('{END}'))").alias("syms"),
     )
-    w = w.localCheckpoint(eager=True)
+    w = iter_checkpoint(w, eager=True)
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         best = (
@@ -97,7 +99,7 @@ def bpe_train(
         merges.append((a, b))
         w = w.select("word", "cnt", F.expr(_merge_expr(a, b)).alias("syms"))
         if (i + 1) % 6 == 0:
-            w = w.localCheckpoint(eager=True)
+            w = iter_checkpoint(w, eager=True)
     return merges
 
 

@@ -24,7 +24,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vedb_gaze_spark.functions.core import portable_hash60
+from vedb_gaze_spark.functions.core import iter_checkpoint, portable_hash60
 from vedb_gaze_spark.operators.text import shingles
 from vedb_gaze_spark.plans import params as P
 
@@ -678,15 +678,9 @@ def _cc_labels(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .select("e.src", "e.dst")
         .persist()
     )
-    # Reliable checkpoints when the cluster has a checkpoint dir (executor
-    # loss mid-iteration replays from storage, not from the whole LSH
-    # lineage); local checkpoints otherwise — right for local mode, where
-    # there is no executor to lose.
-    sc = pairs.sparkSession.sparkContext
-    use_reliable = sc.getCheckpointDir() is not None
-
-    def ckpt(df, eager=True):
-        return df.checkpoint(eager) if use_reliable else df.localCheckpoint(eager)
+    # iter_checkpoint: reliable when the session has a checkpoint dir,
+    # local otherwise (functions/core.py — shared by every iterative spine)
+    ckpt = iter_checkpoint
 
     # Seeded init: label = min(self ∪ neighbors) in ONE aggregation over
     # the edge list — algebraically identical to the identity init plus
@@ -1044,7 +1038,7 @@ def dedup_recall(
     Both kernels share the _doc_sets relation, so the corpus is
     shingle-hashed once per side and the comparison adds only
     pair-sized joins. One evaluation per kernel BY CONSTRUCTION: both
-    kernels' pairs are tagged, unioned, and eagerly localCheckpoint-ed
+    kernels' pairs are tagged, unioned, and eagerly checkpointed
     in ONE job before the fan-out (the dedup_agreement shape). The
     single-job union matters: checkpointing each kernel separately
     splits them into two jobs and the shared shingle-hash scan runs
@@ -1063,15 +1057,15 @@ def dedup_recall(
             % sample_mod
             == 0
         )
-    tagged = (
+    tagged = iter_checkpoint(
         dedup_ngram_jaccard(documents)
         .select("doc_a", "doc_b", F.lit("e").alias("m"))
         .unionByName(
             dedup_minhash_lsh(documents).select(
                 "doc_a", "doc_b", F.lit("l").alias("m")
             )
-        )
-        .localCheckpoint(eager=True)
+        ),
+        eager=True,
     )
     exact = tagged.where(F.col("m") == "e").select("doc_a", "doc_b")
     lsh = tagged.where(F.col("m") == "l").select("doc_a", "doc_b")
@@ -1127,8 +1121,8 @@ def dedup_agreement(documents: DataFrame) -> DataFrame:
                 "doc_a", "doc_b", F.lit("winnow_overlap").alias("method")
             )
         )
-        .localCheckpoint(eager=True)
-    )
+        )
+    tagged = iter_checkpoint(tagged, eager=True)
     counts = tagged.groupBy("method").agg(F.count(F.lit(1)).alias("n"))
     a = tagged.select(
         "doc_a", "doc_b", F.col("method").alias("method_a")

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vedb_gaze_spark.functions.core import iter_checkpoint
+
 PR_ITERS = 10
 PR_DAMP_PCT = 85            # damping 0.85 as exact percent arithmetic
 PR_R0 = 1_000_000           # initial rank, micro-units
@@ -80,7 +82,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             )
         )
         if (i + 1) % 3 == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = iter_checkpoint(ranks, eager=False)
     return ranks
 
 
@@ -140,22 +142,22 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
         # the max is broadcast-joined back, so without materialization
         # every half-iteration's scalar job re-evaluates the whole
         # chain from the scan (measured 42 s → 7.5 s at sf0.1)
-        a_raw = (
+        a_raw = iter_checkpoint(
             ed.join(hubs, ed["h"] == hubs["n"])
             .groupBy("a")
-            .agg(F.sum("hub").alias("raw"))
-            .localCheckpoint(eager=True)
+            .agg(F.sum("hub").alias("raw")),
+            eager=True,
         )
         a_mx = a_raw.agg(F.max("raw").alias("mx"))
         auth = a_raw.crossJoin(F.broadcast(a_mx)).select(
             F.col("a").alias("n"),
             F.expr(f"(raw * {HITS_SCALE}) div mx").cast("long").alias("auth"),
         )
-        h_raw = (
+        h_raw = iter_checkpoint(
             ed.join(auth, ed["a"] == auth["n"])
             .groupBy("h")
-            .agg(F.sum("auth").alias("raw"))
-            .localCheckpoint(eager=True)
+            .agg(F.sum("auth").alias("raw")),
+            eager=True,
         )
         h_mx = h_raw.agg(F.max("raw").alias("mx"))
         hubs = h_raw.crossJoin(F.broadcast(h_mx)).select(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vedb_gaze_spark.functions.core import cosine_similarity
+from vedb_gaze_spark.functions.core import cosine_similarity, iter_checkpoint
 from vedb_gaze_spark.plans import params as P
 
 
@@ -423,6 +423,110 @@ def knn_label_accuracy(
     )
 
 
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label exact centroid table (label, cv array<double>, n_vecs)
+    — the shared model of label_separation and the frozen-centroid
+    streaming scorer (streaming/serving.py LabelSeparationServing).
+    Exactness discipline: per-dim coordinates quantize to micro-units
+    FIRST, so each (label, dim) coordinate is an exact long sum divided
+    once ((s/1e6)/n) — deterministic on any partitioning or engine.
+    One corpus-sized posexplode rollup keyed by (label, dim); the
+    result is labels-sized model state."""
+    v = embeddings.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    dims = v.select("label", F.posexplode("v").alias("pos", "x"))
+    sums = (
+        dims.select(
+            "label",
+            "pos",
+            F.expr("cast(floor(x * 1e6 + 0.5) as long)").alias("q"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        sums.select(
+            "label",
+            "pos",
+            "n",
+            F.expr("(cast(s as double) / 1e6) / n").alias("c"),
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, c))), t -> t.c)"
+            ).alias("cv"),
+            F.first("n").alias("n_vecs"),
+        )
+    )
+
+
+def score_label_margins(
+    embeddings: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Per-VECTOR frozen-centroid separation score — the row-local
+    serving kernel of the label_separation report (r9 verdict #8): for
+    each vector, cosine to its OWN label's frozen centroid, the best
+    OTHER label and its cosine, and the margin. ``cents`` is the
+    labels-sized frozen model (from label_centroids / the stored
+    index), compiled into literal expressions — per-row arithmetic
+    only: NO join, NO shuffle, exactly the nb_lang_id frozen-model
+    discipline, so a streaming micro-batch scores at scan speed.
+    Ties on the other-label cosine break to the SMALLER label, the
+    label_separation convention."""
+    from vedb_gaze_spark.functions.core import cosine_similarity
+
+    v = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("label").cast("int").alias("label"),
+    )
+    per = [
+        (
+            int(lbl),
+            F.round(
+                cosine_similarity(
+                    F.col("v"), F.array(*[F.lit(float(c)) for c in cv])
+                ),
+                6,
+            ),
+        )
+        for lbl, cv in sorted(cents)
+    ]
+    own = None
+    for lbl, cos in per:
+        own = (
+            F.when(F.col("label") == lbl, cos)
+            if own is None
+            else own.when(F.col("label") == lbl, cos)
+        )
+    # best other: max over (cos, -label) structs, label excluded row-wise
+    others = F.array(
+        *[
+            F.when(
+                F.col("label") != lbl,
+                F.struct(
+                    cos.alias("cos"), F.lit(-lbl).cast("int").alias("neg")
+                ),
+            )
+            for lbl, cos in per
+        ]
+    )
+    best = F.array_max(F.filter(others, lambda t: t.isNotNull()))
+    return v.select(
+        "vec_id",
+        "label",
+        own.alias("own_cos"),
+        (-best["neg"]).alias("nn_label"),
+        best["cos"].alias("nn_cos"),
+    ).withColumn(
+        "margin",
+        F.expr("floor((own_cos - nn_cos) * 1e6 + 0.5) / 1e6"),
+    )
+
+
 def label_separation(embeddings: DataFrame) -> DataFrame:
     """Per-label embedding-space separation report — the second half of
     the embedding-quality gate (knn_label_accuracy asks "do neighbors
@@ -447,27 +551,7 @@ def label_separation(embeddings: DataFrame) -> DataFrame:
         F.col("label").cast("int").alias("label"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    dims = v.select("label", F.posexplode("v").alias("pos", "x"))
-    sums = (
-        dims.select(
-            "label",
-            "pos",
-            F.expr("cast(floor(x * 1e6 + 0.5) as long)").alias("q"),
-        )
-        .groupBy("label", "pos")
-        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
-    )
-    carr = (
-        sums.select(
-            "label", "pos", F.expr("(cast(s as double) / 1e6) / n").alias("c")
-        )
-        .groupBy("label")
-        .agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(pos, c))), t -> t.c)"
-            ).alias("cv")
-        )
-    )
+    carr = label_centroids(embeddings).select("label", "cv")
     cosr = F.round(cosine_similarity(F.col("v"), F.col("cv")), 6)
     intra = (
         v.join(F.broadcast(carr), "label")
@@ -862,7 +946,7 @@ def semdedup(
     # partitions instead of re-evaluating 16×64 lambda dots per row per
     # consumer (measured sf0.1 fresh: 8.0 s → ~4 s). Same persistence
     # discipline as the CC loop this operator already runs.
-    assigned = assigned.localCheckpoint(eager=False)
+    assigned = iter_checkpoint(assigned, eager=False)
     blocks = (
         assigned.withColumn("blk", F.floor(F.col("vec_id") / block))
         .groupBy("cell", "blk")

@@ -32,6 +32,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vedb_gaze_spark.functions.core import iter_checkpoint
+
 _TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 
 MAX_PIECE_LEN = 6
@@ -130,7 +132,7 @@ def unigram_train(
     until target_vocab — Kudo's iterative shrink with Viterbi counts
     standing in for the forward-backward expectations (hard EM keeps
     every aggregate an exact long)."""
-    w = _word_types(documents).localCheckpoint(eager=True)
+    w = iter_checkpoint(_word_types(documents), eager=True)
     subs = (
         f"flatten(transform(sequence(1, length(word)), i -> "
         f"transform(sequence(1, least({MAX_PIECE_LEN}, length(word) - i + 1)),"

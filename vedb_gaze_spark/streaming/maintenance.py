@@ -230,9 +230,11 @@ class ClusterMaintenance:
         # the patch tables feed one plan per affected bucket plus the
         # bucket-discovery scans; materialize them once (batch-sized)
         # instead of re-running the contracted solve per consumer
-        remap = remap.localCheckpoint()
-        sizes = sizes.localCheckpoint()
-        new_out = new_out.localCheckpoint()
+        from vedb_gaze_spark.functions.core import iter_checkpoint
+
+        remap = iter_checkpoint(remap)
+        sizes = iter_checkpoint(sizes)
+        new_out = iter_checkpoint(new_out)
         bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
         touched = {
             r[0]
@@ -445,9 +447,14 @@ def append_epoch_order(new_docs: DataFrame, path: str) -> None:
         term = (F.col("epoch") == ep) & (F.col("bucket") == bk)
         pred = term if pred is None else (pred | term)
     affected_old = existing.where(pred)
-    fresh = d.join(
-        affected_old.select("doc_id").distinct(), "doc_id", "left_anti"
-    ).localCheckpoint(eager=True)  # batch-sized; evaluated once below
+    from vedb_gaze_spark.functions.core import iter_checkpoint
+
+    fresh = iter_checkpoint(
+        d.join(
+            affected_old.select("doc_id").distinct(), "doc_id", "left_anti"
+        ),
+        eager=True,
+    )  # batch-sized; evaluated once below
     if not fresh.rdd.isEmpty():
         from pyspark.sql import Window
 

@@ -568,3 +568,65 @@ def append_ivfsq8_index(embeddings_new: DataFrame, path: str) -> None:
         .alias("cell"),
     )
     out.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+
+
+def write_label_centroids(embeddings: DataFrame, path: str) -> None:
+    """Build and store the frozen per-label centroid model of the
+    label_separation report (operators/similarity.py:label_centroids):
+    `{path}/centroids` holds (label, cv, n_vecs) — labels-sized model
+    state, the whole index. SELF-DESCRIBING like every stored index in
+    this module: a scorer needs only the path."""
+    from vedb_gaze_spark.operators.similarity import label_centroids
+
+    label_centroids(embeddings).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+class LabelSeparationServing:
+    """foreachBatch handler: score each embedding micro-batch against
+    the FROZEN stored label centroids (r9 verdict #8 — the streaming
+    twin of the label_separation report's member half): per vector,
+    cosine to its own label's centroid, the best other label, and the
+    margin. The centroids load once (labels-sized model state, never
+    data rows) and compile into literal row-local expressions
+    (score_label_margins) — a batch scores at scan speed with no join
+    and no shuffle, the nb_lang_id frozen-model discipline.
+
+    The REPORT half (per-label intra_mean_cos) is the quantized mean
+    of these per-member rows — parity-pinned in tests/test_streaming.py
+    against batch label_separation. The centroid-vs-centroid half
+    (nn over centroids) is labels²-sized metadata: recompute it from
+    the stored centroids whenever wanted; it needs no stream.
+
+    Exactly-once: batch-id-keyed overwrite directories (the
+    maintenance.py idempotency contract)."""
+
+    def __init__(self, index_path: str, out_dir: str) -> None:
+        self.index_path = index_path
+        self.out_dir = out_dir
+        self._cents: list[tuple[int, list[float]]] | None = None
+
+    def _load(self, spark: SparkSession) -> list[tuple[int, list[float]]]:
+        if self._cents is None:
+            self._cents = [
+                (int(r["label"]), [float(x) for x in r["cv"]])
+                for r in spark.read.parquet(
+                    f"{self.index_path}/centroids"
+                ).collect()
+            ]
+        return self._cents
+
+    def process(self, batch: DataFrame, batch_id: int) -> None:
+        from vedb_gaze_spark.operators.similarity import score_label_margins
+
+        cents = self._load(batch.sparkSession)
+        score_label_margins(batch, cents).write.mode("overwrite").parquet(
+            f"{self.out_dir}/batch={batch_id}"
+        )
+
+    def results(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(
+            "vec_id bigint, label int, own_cos double, "
+            "nn_label int, nn_cos double, margin double"
+        ).option("recursiveFileLookup", "true").parquet(self.out_dir)
