@@ -1316,3 +1316,68 @@ def test_marker_3d_pose_recovers_planted_camera_pose(spark):
     assert abs(pose.tx - 5.0) < 0.5 and abs(pose.ty - 8.0) < 0.5, pose
     assert abs(abs(pose.rx_deg) - 25.0) < 3.0, pose
     assert pose.reproj_rms < 1.0, pose
+
+
+def test_checkerboard_subpixel_refinement_recovers_fractional_corners(spark):
+    """cv2.cornerSubPix's contract in pure numpy (r10 — the last named
+    stub): a checkerboard rendered with FRACTIONAL corner spacing (8.5
+    px, supersampled 4x then box-downsampled, so edges are anti-aliased
+    gray ramps) quantizes its junctions to half-pixel coordinates
+    (error up to ~0.5 px); refine_subpixel=True recovers the true
+    fractional corners to < 0.1 px via the gradient-orthogonality
+    solve. Hard-edge boards stay BIT-identical with refinement off
+    (the registered-face stability contract)."""
+    import datetime
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import (
+        detect_checkerboard_frames,
+        encode_pnm,
+    )
+
+    S = 4  # supersampling
+    H, W = 80, 120
+    x0, y0, step = 30.25, 20.75, 8.5
+    nx, ny = 3, 6  # inner corners per row/column -> 4 x 7 cells
+    big = np.zeros((H * S, W * S), dtype=np.float64)
+    for j in range(ny + 1):
+        for i in range(nx + 1):
+            if (i + j) % 2 == 0:
+                r0 = int(round((y0 + (j - 1) * step) * S))
+                c0 = int(round((x0 + (i - 1) * step) * S))
+                r1 = int(round((y0 + j * step) * S))
+                c1 = int(round((x0 + i * step) * S))
+                big[max(r0, 0) : r1, max(c0, 0) : c1] = 255.0
+    small = big.reshape(H, S, W, S).mean(axis=(1, 3))
+    frame = np.clip(np.floor(small + 0.5), 0, 255).astype(np.uint8)
+    ts0 = datetime.datetime.utcfromtimestamp(1_700_000_000)
+    frames = spark.createDataFrame(
+        [(3, 0, ts0, bytearray(encode_pnm(frame)))],
+        "user_id long, frame_id long, ts timestamp, payload binary",
+    )
+
+    # the render places edges at x0 + i*step in pixel-SPAN coordinates
+    # (pixel i covers [i, i+1)); every detector in this repo reports
+    # pixel-CENTER coordinates (pixel i is the point i), so the true
+    # corner is 0.5 px lower in each axis
+    true_xs = [x0 - 0.5 + i * step for j in range(ny) for i in range(nx)]
+    true_ys = [y0 - 0.5 + j * step for j in range(ny) for i in range(nx)]
+
+    coarse = detect_checkerboard_frames(frames, board=(nx, ny)).collect()
+    assert len(coarse) == 1
+    cerr = max(
+        max(abs(cx - tx) for cx, tx in zip(coarse[0].corner_xs, true_xs)),
+        max(abs(cy - ty) for cy, ty in zip(coarse[0].corner_ys, true_ys)),
+    )
+    assert cerr > 0.15  # the junction quantization this test refines away
+
+    fine = detect_checkerboard_frames(
+        frames, board=(nx, ny), refine_subpixel=True
+    ).collect()
+    assert len(fine) == 1
+    ferr = max(
+        max(abs(cx - tx) for cx, tx in zip(fine[0].corner_xs, true_xs)),
+        max(abs(cy - ty) for cy, ty in zip(fine[0].corner_ys, true_ys)),
+    )
+    assert ferr < 0.1, (ferr, cerr)

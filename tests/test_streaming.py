@@ -2470,21 +2470,26 @@ def test_epoch_order_store_grows_bucket_locally_and_matches_batch(
 def test_streaming_typed_and_checkerboard_detectors_compose_unchanged(
     spark, tmp_path
 ):
-    """The r9 detectors are the same stateless Arrow-batched map class
-    as detect_frame_markers, so the BATCH operators compose over a
-    frame stream with no twin: detect_ring_markers (typed Ref/Stop,
-    both polarities) and detect_checkerboard_frames (saddle grid)
-    each reproduce their batch rows exactly across micro-batches."""
+    """The r9/r10 detectors are the same stateless Arrow-batched map
+    class as detect_frame_markers, so the BATCH operators compose over
+    a frame stream with no twin: detect_ring_markers (typed Ref/Stop,
+    both polarities), detect_checkerboard_frames (saddle grid),
+    detect_pupil_frames (dark ellipse moments) and
+    detect_ellipse_markers (bright moment ellipses) each reproduce
+    their batch rows exactly across micro-batches."""
     import datetime
 
     import numpy as np
 
     from vedb_gaze_spark.operators.multimodal import (
         detect_checkerboard_frames,
+        detect_ellipse_markers,
+        detect_pupil_frames,
         detect_ring_markers,
         encode_pnm,
     )
 
+    yy, xx = np.mgrid[0:70, 0:120]
     rows = []
     for s in range(6):
         a = np.zeros((70, 120), dtype=np.uint8)
@@ -2492,6 +2497,10 @@ def test_streaming_typed_and_checkerboard_detectors_compose_unchanged(
         cy, cx = 20, 30 + s
         a[cy - 4 : cy + 5, cx - 4 : cx + 5] = 255
         a[cy - 1 : cy + 2, cx - 1 : cx + 2] = 0
+        # dark pupil ellipse on a mid-gray pad (clear of the ring/board)
+        a[5:32, 85:118] = 150
+        el = ((xx - 100.0 - s) / 7.0) ** 2 + ((yy - 18.0) / 5.0) ** 2 <= 1.0
+        a[el] = 20
         # 2x3-inner-corner checkerboard (3x4 cells, 8 px) at (40, 60+s)
         for j in range(4):
             for i in range(3):
@@ -2519,6 +2528,11 @@ def test_streaming_typed_and_checkerboard_detectors_compose_unchanged(
     for name, op in (
         ("mem_ringdet", detect_ring_markers),
         ("mem_cbdet", lambda f: detect_checkerboard_frames(f, board=(2, 3))),
+        ("mem_pupdet", lambda f: detect_pupil_frames(f, threshold=60)),
+        (
+            "mem_elldet",
+            lambda f: detect_ellipse_markers(f, min_size=5, min_confidence=0.0),
+        ),
     ):
         q = (
             op(stream)
@@ -2535,7 +2549,7 @@ def test_streaming_typed_and_checkerboard_detectors_compose_unchanged(
                 for r in spark.sql(f"SELECT * FROM {name}").collect()
             }
             want = {tuple(map(repr, r)) for r in op(batch).collect()}
-            assert got == want and len(want) == 6, (name, len(want))
+            assert got == want and len(want) >= 6, (name, len(want))
         finally:
             q.stop()
 

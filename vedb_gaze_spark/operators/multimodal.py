@@ -1052,11 +1052,61 @@ _CHECKERBOARD_SCHEMA = (
 )
 
 
+def _corner_subpix(y, px, py, win=3, iters=4):
+    """Sub-pixel corner refinement — the cv2.cornerSubPix contract in
+    pure numpy (Förstner gradient-orthogonality): the true corner q
+    satisfies ∇I(p)·(q − p) = 0 for every window pixel p (on an edge
+    the gradient is normal to it; at the saddle all edge normals
+    intersect), so q solves G q = b with G = Σ∇I∇Iᵀ,
+    b = Σ∇I∇Iᵀ p. Central-difference gradients, uniform window,
+    re-centered per iteration; returns the input coordinate unchanged
+    near borders or when G is (near-)singular — never worse than the
+    integer junction estimate."""
+    import numpy as np
+
+    h, w = y.shape
+    yf = y.astype(np.float64)
+    qx, qy = float(px), float(py)
+    for _ in range(iters):
+        x0, y0 = int(round(qx)), int(round(qy))
+        if (
+            x0 - win - 1 < 0 or y0 - win - 1 < 0
+            or x0 + win + 1 >= w or y0 + win + 1 >= h
+        ):
+            return float(px), float(py)
+        patch = yf[y0 - win - 1 : y0 + win + 2, x0 - win - 1 : x0 + win + 2]
+        gx = (patch[1:-1, 2:] - patch[1:-1, :-2]) / 2.0
+        gy = (patch[2:, 1:-1] - patch[:-2, 1:-1]) / 2.0
+        ys_, xs_ = np.mgrid[
+            y0 - win : y0 + win + 1, x0 - win : x0 + win + 1
+        ]
+        gxx = (gx * gx).sum()
+        gxy = (gx * gy).sum()
+        gyy = (gy * gy).sum()
+        det = gxx * gyy - gxy * gxy
+        if det <= 1e-9 * max(gxx + gyy, 1.0) ** 2:
+            return float(px), float(py)
+        bx = (gx * gx * xs_ + gx * gy * ys_).sum()
+        by = (gx * gy * xs_ + gy * gy * ys_).sum()
+        nqx = (gyy * bx - gxy * by) / det
+        nqy = (gxx * by - gxy * bx) / det
+        if abs(nqx - qx) < 1e-4 and abs(nqy - qy) < 1e-4:
+            qx, qy = nqx, nqy
+            break
+        qx, qy = nqx, nqy
+    # a refinement that wandered off the junction is a failure, not an
+    # answer (cornerSubPix's implicit window bound)
+    if abs(qx - px) > win or abs(qy - py) > win:
+        return float(px), float(py)
+    return qx, qy
+
+
 def detect_checkerboard_frames(
     frames: DataFrame,
     payload_col: str = "payload",
     board: tuple = (3, 6),
     threshold: int = 128,
+    refine_subpixel: bool = False,
 ) -> DataFrame:
     """Checkerboard calibration-marker detection on real pixels — the
     reference's SECOND marker type (marker_detection.py:185
@@ -1084,9 +1134,13 @@ def detect_checkerboard_frames(
     coordinates), their mean as x/y (location) and norm_x/norm_y
     (norm_pos — mean over frame dims), size = corner count; all
     coordinates floor-rounded 6dp (exact integer sums divided once).
-    cv2.cornerSubPix sub-pixel refinement is the one named stub: the
-    junction coordinate IS the exact corner on planted boards, and the
-    refinement needs cv2, which this container does not ship.
+    ``refine_subpixel`` (r10) turns on the cv2.cornerSubPix contract in
+    pure numpy (_corner_subpix: the Förstner gradient-orthogonality
+    solve over the ORIGINAL luma, iterated) — on anti-aliased real
+    video it recovers the fractional corner the half-pixel junction
+    quantizes away (pinned < 0.1 px on a supersampled board). Off by
+    default: on planted hard-edge boards the junction coordinate IS
+    the exact corner, and the registered faces stay bit-stable.
 
     Arrow-batched mapInPandas over frames — one independent work item
     per frame, the detect_frame_markers scale shape."""
@@ -1135,6 +1189,14 @@ def detect_checkerboard_frames(
                 # junction (r, c) sits between pixels → +0.5 coordinate
                 cxs = [float(xx) + 0.5 for yy in uy for xx in ux]
                 cys = [float(yy) + 0.5 for yy in uy for xx in ux]
+                if refine_subpixel:
+                    ref = [
+                        _corner_subpix(y, cx_, cy_)
+                        for cx_, cy_ in zip(cxs, cys)
+                    ]
+                    r6c = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)
+                    cxs = [r6c(cx_) for cx_, _ in ref]
+                    cys = [r6c(cy_) for _, cy_ in ref]
                 n = nx * ny
                 mx = np.floor(sum(cxs) / n * 1e6 + 0.5) / 1e6
                 my = np.floor(sum(cys) / n * 1e6 + 0.5) / 1e6
