@@ -2643,3 +2643,73 @@ def test_streaming_label_separation_serving_matches_batch(
     job.process(emb.where(F.col("vec_id") % 3 == 0), 0)
     again = {tuple(r) for r in job.results(spark).collect()}
     assert again == want
+
+
+def test_cluster_maintenance_side_index_discovery_and_fallback(
+    spark, tmp_path
+):
+    """The r10 cluster→bucket side index, pinned: (a) every bucket
+    rewrite lands its cindex twin at the same version; (b) a batch
+    whose pair endpoints all hash to ONE bucket still discovers and
+    patches the OTHER bucket holding a member of the remapped cluster
+    — via the index, with the rep join reading only endpoint buckets;
+    (c) a pre-index store (cindex tree removed) falls back to the full
+    scan, stays exact, and re-grows index twins for buckets it
+    touches."""
+    import os
+    import shutil
+
+    from vedb_gaze_spark.operators.dedup import dedup_clusters
+    from vedb_gaze_spark.streaming.maintenance import ClusterMaintenance
+
+    def uniq(i):
+        return " ".join(f"only{i}tok{j}" for j in range(15))
+
+    text_a = " ".join(f"dupatok{j}" for j in range(15))
+    text_c = " ".join(f"dupctok{j}" for j in range(15))
+    # cluster {1, 2} spans buckets 1 AND 2 (n_buckets=8)
+    docs0 = [(1, text_a), (2, text_a)] + [(i, uniq(i)) for i in (3, 4, 5)]
+    # batch 1: doc 17 (bucket 1) joins the cluster — endpoints only in
+    # bucket 1, but bucket 2's member needs the size patch 2 → 3
+    docs1 = [(17, text_a)]
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "state")
+    cm = ClusterMaintenance(state)
+    cm.process(spark.createDataFrame(docs0, schema), 0)
+    base = os.path.join(state, "clusters")
+    # (a) index twin beside every written bucket version
+    for k in (1, 2):
+        assert os.path.isdir(os.path.join(base, f"bucket={k}", "v=0"))
+        assert os.path.isdir(
+            os.path.join(base, "cindex", f"bucket={k}", "v=0")
+        ), k
+
+    cm.process(spark.createDataFrame(docs1, schema), 1)
+    # (b) bucket 2 was discovered through the index and re-versioned
+    assert os.path.isdir(os.path.join(base, "bucket=2", "v=1"))
+    assert os.path.isdir(os.path.join(base, "cindex", "bucket=2", "v=1"))
+    got = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in cm.clusters(spark).collect()
+    }
+    assert got == {(1, 1, 3), (2, 1, 3), (17, 1, 3)}
+
+    # (c) legacy store: no index anywhere → full-scan fallback, exact
+    shutil.rmtree(os.path.join(base, "cindex"))
+    docs2 = [(25, text_c), (33, text_c)]  # new cluster {25, 33}
+    cm.process(spark.createDataFrame(docs2, schema), 2)
+    want = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup_clusters(
+            spark.createDataFrame(
+                docs0 + docs1 + docs2, schema
+            )
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in cm.clusters(spark).collect()
+    }
+    assert got == want
+    # touched buckets re-grew their index twins at v=2
+    assert os.path.isdir(os.path.join(base, "cindex", "bucket=1", "v=2"))

@@ -23,6 +23,12 @@ State layout (any Hadoop-visible filesystem):
                                          assignment, as last rewritten by
                                          batch {id}; ONLY buckets the batch
                                          touches get a new version
+    {state_dir}/clusters/cindex/bucket={k}/v={id}/  the bucket's DISTINCT
+                                         cluster ids (the cluster→bucket
+                                         side index), written beside every
+                                         bucket rewrite — cluster-granular,
+                                         so discovery reads never scan
+                                         doc-granular assignment rows
     {state_dir}/clusters/_commits/batch={id}/  commit marker, written LAST
 
 Exactly-once without a transaction log: every write is an idempotent
@@ -44,12 +50,16 @@ contracted O(batch) graph; and the assignment WRITE is partition-pruned
 — the batch-sized patch tables (_clusters_incremental_parts) are
 applied per affected hash(doc_id) bucket, reading and rewriting ONLY
 buckets that hold a relabeled/size-patched/new row (untouched buckets'
-files are byte-identical across the batch, test-pinned). The remaining
-O(corpus) term is a READ: discovering which buckets hold members of an
-affected cluster scans the stored assignment (as does the pair-endpoint
-rep join), because members of one cluster may sit in any bucket. A
-(cluster_id → bucket-bitmap) side index would prune that too; it is the
-same economics as the band-key store and a natural next increment.
+files are byte-identical across the batch, test-pinned). r10 removes the
+last O(corpus-doc-rows) reads: the pair-endpoint rep join reads ONLY
+the buckets a pair endpoint hashes into (an endpoint's stored row —
+and with it the cluster_id and the cluster-constant cluster_size — can
+only live in its own pmod bucket), and affected-bucket discovery reads
+the cluster→bucket side index (`cindex`: each bucket's distinct
+cluster ids, maintained beside every bucket rewrite) instead of the
+doc-granular assignment — cluster-granular rows, the band-key-store
+economics. Pre-index stores (a data bucket whose newest committed
+version has no cindex twin) fall back to the full-scan discovery.
 
 Precondition (documented, asserted nowhere hot): doc_ids are unique
 across the stream — the append-only ingest shape. Re-ingest
@@ -162,6 +172,48 @@ class ClusterMaintenance:
             ids = [b for b in ids if b < before]
         return max(ids) if ids else None
 
+    def _buckets_subset(
+        self, spark: SparkSession, committed: int | None, buckets
+    ) -> DataFrame:
+        """The stored assignment restricted to the given hash buckets —
+        the partition-pruned read behind the pair-endpoint rep join (an
+        endpoint's stored row can only live in pmod(doc_id, n_buckets)
+        of itself, so restricting the contracted solve's stored side to
+        endpoint buckets is exact)."""
+        paths = [
+            p
+            for p in self._bucket_paths(spark, committed)
+            if int(p.rsplit("bucket=", 1)[1].split("/")[0]) in buckets
+        ]
+        if not paths:
+            return spark.createDataFrame([], _CLUSTER_SCHEMA)
+        return spark.read.schema(_CLUSTER_SCHEMA).parquet(*paths)
+
+    def _cluster_index(
+        self, spark: SparkSession, committed: int | None
+    ) -> DataFrame | None:
+        """Consistent snapshot of the cluster→bucket side index:
+        per data bucket, its newest cindex version at or below the
+        commit. Returns None when any committed data bucket lacks its
+        cindex twin at the same version (a store written before the
+        index existed) — callers then fall back to the full scan."""
+        if committed is None:
+            return spark.createDataFrame([], "bucket int, cluster_id long")
+        base = f"{self.state_dir}/clusters"
+        paths = []
+        for p in self._bucket_paths(spark, committed):
+            k = int(p.rsplit("bucket=", 1)[1].split("/")[0])
+            v = int(p.rsplit("v=", 1)[1].rstrip("/"))
+            ipath = f"{base}/cindex/bucket={k}/v={v}"
+            if v not in _list_ids(spark, f"{base}/cindex/bucket={k}", "v"):
+                return None
+            paths.append(ipath)
+        if not paths:
+            return spark.createDataFrame([], "bucket int, cluster_id long")
+        return spark.read.schema("bucket int, cluster_id long").parquet(
+            *paths
+        )
+
     def clusters(self, spark: SparkSession, before: int | None = None) -> DataFrame:
         """The stored assignment as of the latest COMMITTED batch (or
         the latest committed batch strictly below `before`, for replay
@@ -225,8 +277,28 @@ class ClusterMaintenance:
         # 3) fold into the stored assignment: contracted-graph solve →
         # batch-sized patch tables → rewrite ONLY affected buckets
         committed = self._last_committed(spark, before=bid)
-        stored = self.clusters(spark, before=bid)
-        remap, sizes, new_out = _clusters_incremental_parts(stored, new_pairs)
+        bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
+        # pair-endpoint rep join against ONLY the endpoint buckets: the
+        # stored row of any endpoint (with its cluster_id and the
+        # cluster-constant cluster_size) lives in its own pmod bucket,
+        # so the contracted solve never reads the rest of the corpus
+        ep_buckets = {
+            r[0]
+            for r in new_pairs.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("d")
+            )
+            .select(
+                F.pmod(F.col("d"), F.lit(self.n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        stored_ep = self._buckets_subset(spark, committed, ep_buckets)
+        remap, sizes, new_out = _clusters_incremental_parts(
+            stored_ep, new_pairs
+        )
         # the patch tables feed one plan per affected bucket plus the
         # bucket-discovery scans; materialize them once (batch-sized)
         # instead of re-running the contracted solve per consumer
@@ -235,17 +307,32 @@ class ClusterMaintenance:
         remap = iter_checkpoint(remap)
         sizes = iter_checkpoint(sizes)
         new_out = iter_checkpoint(new_out)
-        bucket = F.pmod(F.col("doc_id"), F.lit(self.n_buckets)).cast("int")
+        # affected-bucket discovery: remapped clusters' members may sit
+        # in ANY bucket — found via the cluster→bucket side index
+        # (cluster-granular rows), never by scanning assignment rows;
+        # full scan only for pre-index stores
+        cindex = self._cluster_index(spark, committed)
+        if cindex is not None:
+            moved = {
+                r[0]
+                for r in cindex.join(F.broadcast(remap), "cluster_id")
+                .select("bucket")
+                .distinct()
+                .collect()
+            }
+        else:  # pragma: no cover - legacy stores only
+            moved = {
+                r[0]
+                for r in self.clusters(spark, before=bid)
+                .join(F.broadcast(remap), "cluster_id")
+                .select(bucket.alias("b"))
+                .distinct()
+                .collect()
+            }
         touched = {
             r[0]
             for r in new_out.select(bucket.alias("b")).distinct().collect()
-        } | {
-            r[0]
-            for r in stored.join(F.broadcast(remap), "cluster_id")
-            .select(bucket.alias("b"))
-            .distinct()
-            .collect()
-        }
+        } | moved
         for k in sorted(touched):
             prior_vs = [
                 v
@@ -261,6 +348,19 @@ class ClusterMaintenance:
             patched = apply_cluster_patch(bucket_stored, remap, sizes)
             out = patched.unionByName(new_out.where(bucket == k))
             out.write.mode("overwrite").parquet(f"{cl_base}/bucket={k}/v={bid}")
+            # the bucket's side-index twin: its distinct cluster ids,
+            # computed from the just-written bucket-sized files
+            (
+                spark.read.schema(_CLUSTER_SCHEMA)
+                .parquet(f"{cl_base}/bucket={k}/v={bid}")
+                .select(
+                    F.lit(k).cast("int").alias("bucket"),
+                    F.col("cluster_id"),
+                )
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{cl_base}/cindex/bucket={k}/v={bid}")
+            )
         # 4) commit marker LAST: readers (and replays) only ever see
         # fully-written batches
         jvm = spark._jvm
