@@ -1671,3 +1671,69 @@ def test_props_rollup_counts_malformed_json_honestly(spark, duck):
     want = {r[0]: r for r in con.execute(sql).fetchall()}
     for t, r in got.items():
         assert tuple(r) == want[t], t
+
+
+def test_profile_registry_resolves_reference_config_names(spark, sf_dir):
+    """The reference's config-driven step API (r10): every
+    `<step>-<tag>` yaml profile a reference user names
+    (pipelines.py:96/:159/:229/:361 loaders over vedb_gaze/config/)
+    resolves to a runnable Spark operator. Pins: (a) every registered
+    profile executes on the driver tables / planted frames and returns
+    rows with a stable schema; (b) the board-size semantics (4x7
+    SQUARES -> 3x6 inner corners); (c) unknown names raise with the
+    step's known tags, never a silent default."""
+    import datetime
+
+    import numpy as np
+    import pytest
+
+    from vedb_gaze_spark.operators.multimodal import encode_pnm
+    from vedb_gaze_spark.plans.profiles import (
+        PROFILES,
+        list_profiles,
+        resolve,
+    )
+    from vedb_gaze_spark.sources.tables import load_table
+
+    events = load_table(spark, "events", sf_dir)
+
+    # planted frames: one concentric ring + one 3x6-inner-corner board
+    a = np.zeros((70, 120), dtype=np.uint8)
+    a[16:25, 26:35] = 255
+    a[19:22, 29:32] = 0
+    for j in range(7):
+        for i in range(4):
+            if (i + j) % 2 == 0:
+                a[8 + j * 8 : 16 + j * 8, 60 + i * 8 : 68 + i * 8] = 255
+    yy, xx = np.mgrid[0:70, 0:120]
+    e = np.full((70, 120), 180, dtype=np.uint8)
+    e[((xx - 30) / 9.0) ** 2 + ((yy - 35) / 6.0) ** 2 <= 1.0] = 20
+    ts0 = datetime.datetime.utcfromtimestamp(1_700_000_000)
+    world = spark.createDataFrame(
+        [(1, 0, ts0, bytearray(encode_pnm(a)))],
+        "user_id long, frame_id long, ts timestamp, payload binary",
+    )
+    eye = spark.createDataFrame(
+        [(1, 0, ts0, bytearray(encode_pnm(e)))],
+        "user_id long, frame_id long, ts timestamp, payload binary",
+    )
+
+    inputs = {"pupil": eye, "marker": world}
+    for name in list_profiles():
+        pr = PROFILES[name]
+        df = pr(inputs.get(pr.step, events))
+        assert df.columns, name
+        rows = df.limit(5).collect()
+        if pr.step in ("pupil", "marker") and "7x9" not in name:
+            assert rows, name  # the planted frame is detected
+
+    # (b) board semantics
+    assert resolve("marker-checkerboard_halfres_4x7squares").kwargs[
+        "board"
+    ] == (3, 6)
+    det = resolve("marker-checkerboard_halfres_4x7squares")(world).collect()
+    assert len(det) == 1 and det[0].size == 18
+
+    # (c) unknown names raise, naming the step's tags
+    with pytest.raises(KeyError, match="marker-circles_halfres"):
+        resolve("marker-no_such_profile")

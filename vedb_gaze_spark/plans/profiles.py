@@ -1,0 +1,250 @@
+"""Named step profiles — the reference's config-driven API surface.
+
+The reference parameterizes every pipeline step by a `<step>-<tag>`
+YAML profile (vedb_gaze/config/*.yaml) resolved by the pipelines.py
+step loaders (pipelines.py:96 `pupil-{param_tag}.yaml`, :159
+`marker-{param_tag}.yaml`, :229/:293 `marker_parsing-{param_tag}.yaml`,
+:361 `calibration-{param_tag}.yaml`, :425 gaze / error variants). A
+reference user names steps by these tags; this registry resolves the
+same names to the Spark-first operators with the equivalent parameter
+choices, so a profile-driven driver ports by changing only the
+resolver import.
+
+Each profile is (callable, frozen kwargs, notes). Parameters with no
+distributed counterpart are named in `notes` rather than silently
+dropped — resolve() never guesses. The profile VALUES mirror what the
+reference yaml encodes (e.g. checkerboard_4x7squares → a 4×7-square
+board has 3×6 inner corners, our `board=(3, 6)`), re-expressed as our
+operator kwargs; no yaml files are vendored or parsed at runtime.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+
+@dataclass(frozen=True)
+class Profile:
+    step: str
+    fn: Callable
+    kwargs: dict = field(default_factory=dict)
+    notes: str = ""
+
+    def __call__(self, *dfs):
+        return self.fn(*dfs, **self.kwargs)
+
+
+def _build() -> dict[str, Profile]:
+    from vedb_gaze_spark.operators.binocular import gaze_map_binocular
+    from vedb_gaze_spark.operators.calibration import (
+        calibration_linear,
+        calibration_poly,
+        calibration_rbf,
+        calibration_tps,
+    )
+    from vedb_gaze_spark.operators.error import (
+        error_surface_tps,
+        gaze_error,
+        gaze_error_weighted,
+    )
+    from vedb_gaze_spark.operators.multimodal import (
+        detect_checkerboard_frames,
+        detect_frame_markers,
+        detect_pupil_frames,
+        detect_ring_markers,
+    )
+    from vedb_gaze_spark.plans.pipeline import (
+        marker_filter_cluster,
+        marker_filter_split,
+    )
+
+    p: dict[str, Profile] = {}
+
+    # -- pupil-*.yaml (pipelines.py:96) ---------------------------------
+    p["pupil-plab_default"] = Profile(
+        "pupil",
+        detect_pupil_frames,
+        {},
+        "plabs_detect_pupil over eye frames (pupil_detection_pl.py:11); "
+        "start_frame/end_frame are a slice of the input frames "
+        "DataFrame (a WHERE on frame_id), not operator knobs. The "
+        "pylids/pytorch tags name trained-model detectors — the one "
+        "unvendorable stub (see detect_pupil_frames docstring).",
+    )
+    p["pupil-plab_default_testshort"] = Profile(
+        "pupil",
+        detect_pupil_frames,
+        {},
+        "same detector; the reference tag only narrows the frame range "
+        "(slice frames upstream).",
+    )
+
+    # -- marker-*.yaml (pipelines.py:159) -------------------------------
+    p["marker-circles_halfres"] = Profile(
+        "marker",
+        detect_ring_markers,
+        {},
+        "concentric-circle marker detection (find_concentric_circles); "
+        "halfres = the reference downsamples frames before detection — "
+        "resize upstream (resize is a frame transform, not a detector "
+        "knob here).",
+    )
+    p["marker-circles_halfres_testshort"] = Profile(
+        "marker", detect_ring_markers, {}, "frame-range variant of the above."
+    )
+    p["marker-checkerboard_halfres_4x7squares"] = Profile(
+        "marker",
+        detect_checkerboard_frames,
+        {"board": (3, 6)},
+        "a 4x7-SQUARE board has 3x6 inner corners — the reference's "
+        "checkerboard_size convention (marker_detection.py:185).",
+    )
+    p["marker-checkerboard_halfres_7x9squares"] = Profile(
+        "marker",
+        detect_checkerboard_frames,
+        {"board": (6, 8)},
+        "7x9 squares -> 6x8 inner corners.",
+    )
+
+    # -- marker_parsing-*.yaml (pipelines.py:229/:293) -------------------
+    for tag in ("basic_split", "split_circles", "split_checkerboards"):
+        p[f"marker_parsing-{tag}"] = Profile(
+            "marker_parsing",
+            marker_filter_split,
+            {},
+            "find_epochs clean->split (filter_and_split, "
+            "marker_parsing.py:625); the circles/checkerboards tags "
+            "differ only in which detector produced the stream.",
+        )
+    for tag in (
+        "cluster_default",
+        "cluster_circles",
+        "cluster_checkerboards",
+        "cluster_val_acc_ver01",
+        "cluster_val_acc_ver02",
+        "cluster_val_acc_ver03",
+    ):
+        p[f"marker_parsing-{tag}"] = Profile(
+            "marker_parsing",
+            marker_filter_cluster,
+            {},
+            "find_epochs clean->cluster (filter_and_cluster, "
+            "marker_parsing.py:661) with the grid/DBSCAN gates; the "
+            "val_acc_ver* tags tune cluster_kw thresholds the plan "
+            "keeps in plans/params.py.",
+        )
+
+    # -- calibration-*.yaml (pipelines.py:361) ---------------------------
+    p["calibration-monocular_pl_default"] = Profile(
+        "calibration",
+        calibration_poly,
+        {},
+        "pupil-labs 2d polynomial fit, model_n=7 two-pass outlier cut "
+        "(calibrate_2d_polynomial, calibration.py:102).",
+    )
+    for tag in (
+        "monocular_pl_cluster_median",
+        "monocular_pl_cluster_median_conf75",
+    ):
+        p[f"calibration-{tag}"] = Profile(
+            "calibration",
+            calibration_poly,
+            {},
+            "same polynomial fit; cluster_reduce_fn=median and the "
+            "confidence floor are parse-stage choices "
+            "(plans/params.py MIN_CONFIDENCE / the cluster-median "
+            "reduction calibration_tps applies).",
+        )
+    for tag in (
+        "monocular_tps_default",
+        "monocular_tps_cluster_median",
+        "monocular_tps_cv_cluster_median",
+        "monocular_tps_cv_cluster_median_conf75",
+        "monocular_tps_cv_cluster_median_conf40_cut3std",
+        "monocular_tps_cv_cluster_median_conf75_cut3std",
+    ):
+        p[f"calibration-{tag}"] = Profile(
+            "calibration",
+            calibration_tps,
+            {},
+            "thin-plate-spline gaze fit on cluster-median points "
+            "(_fit_tps_gaze_cv, calibration.py:350); the non-cv tags "
+            "fix lambd=1 where ours cross-validates a grid containing "
+            "1.0 — the CV winner dominates the fixed choice by "
+            "construction.",
+        )
+    p["calibration-binocular_pl_default"] = Profile(
+        "calibration",
+        gaze_map_binocular,
+        {},
+        "calibrate_2d_binocular + Binocular_Gaze_Mapper pairing "
+        "(calibration.py:207).",
+    )
+
+    # -- gaze / error (pipelines.py:425+) --------------------------------
+    p["gaze-default_mapper"] = Profile(
+        "gaze",
+        calibration_linear,
+        {},
+        "gaze_mapper (gaze_mapping.py:2): apply the fitted per-user "
+        "map — folded into the calibration operators' map stage; the "
+        "linear face is the registered/oracled form.",
+    )
+    p["error-smooth_tps_default"] = Profile(
+        "error",
+        error_surface_tps,
+        {},
+        "compute_error's tps error surface (error_computation.py:18).",
+    )
+    p["error-smooth_tps_lambda0p1"] = Profile(
+        "error", error_surface_tps, {"lambd": 0.1}, "lambda=0.1 surface."
+    )
+    for tag in (
+        "smooth_tps_cv_clust_med_outlier4std",
+        "smooth_tps_cv_clust_med_outlier4std_conf40_fov101",
+        "smooth_tps_cv_clust_med_outlier4std_conf40_fov125",
+        "smooth_tps_cv_clust_med_outlier4std_conf40_fov12mri",
+        "smooth_tps_cv_clust_med_outlier4std_conf75_fov101",
+        "smooth_tps_cv_clust_med_outlier4std_conf75_fov125",
+        "smooth_tps_cv_clust_med_outlier4std_conf75_fov12mri",
+    ):
+        p[f"error-{tag}"] = Profile(
+            "error",
+            error_surface_tps,
+            {},
+            "tps error surface; fov* tags rescale degrees-per-screen "
+            "(plans/params.py DEG_HORIZ/DEG_VERT), conf*/outlier* are "
+            "parse-stage gates.",
+        )
+    p["error-weighted_summary"] = Profile(
+        "error",
+        gaze_error_weighted,
+        {},
+        "compute_error's histogram2d-weighted summary half.",
+    )
+    p["error-pointwise"] = Profile(
+        "error", gaze_error, {}, "compute_error's pointwise half."
+    )
+    return p
+
+
+PROFILES: dict[str, Profile] = _build()
+
+
+def list_profiles(step: str | None = None) -> list[str]:
+    """Registered profile names, optionally restricted to one step."""
+    return sorted(
+        n for n, pr in PROFILES.items() if step is None or pr.step == step
+    )
+
+
+def resolve(name: str) -> Profile:
+    """The operator behind a reference `<step>-<tag>` profile name.
+    Unknown names raise with the step's known tags — never a silent
+    default."""
+    if name in PROFILES:
+        return PROFILES[name]
+    step = name.split("-", 1)[0]
+    known = list_profiles(step) or list_profiles()
+    raise KeyError(f"unknown profile {name!r}; known: {', '.join(known)}")
