@@ -232,6 +232,22 @@ def main() -> None:
             # (observed 2-3x inflation) instead of their own plan.
             spark._jvm.System.gc()
 
+    # Adaptive third pass: a row whose two passes disagree by >2x hit
+    # an episodic host stall (r10 instrumentation: same query 9.8 s and
+    # 28.3 s back-to-back with flat heap/storage and 0 steal before and
+    # after — VM-level interference, not plan state). One extra pass
+    # only for those rows keeps the artifact comparable across noisy
+    # and quiet driver hosts without tripling the whole run.
+    for name in names:
+        d = pass_detail[name]
+        if len(d) == 2 and min(d) > 1.0 and max(d) > 2.0 * min(d):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, SF_DIR).collect()
+            dt = round(time.perf_counter() - t0, 3)
+            pass_detail[name].append(dt)
+            per_query[name] = min(per_query[name], dt)
+            spark._jvm.System.gc()
+
     total = round(sum(per_query.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",

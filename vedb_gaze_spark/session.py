@@ -60,4 +60,13 @@ def get_spark(app_name: str = "vedb-gaze-spark", shuffle_partitions: int | None 
         # cluster spark-submit's --master wins because getOrCreate reuses
         # the existing session.
         builder = builder.master(f"local[{cpus}]")
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Cluster deployments set SPARK_GRAFT_CHECKPOINT_DIR to a
+    # fault-tolerant path and every iterative spine switches from
+    # localCheckpoint to reliable df.checkpoint through
+    # functions/core.py:iter_checkpoint — the one session-level opt-in
+    # (SURVEY §4). Local mode leaves it unset: nothing to survive.
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark
