@@ -354,11 +354,15 @@ def pupil_pixel_pipeline(
     p = detect_pupil_frames(
         pupil_frames, threshold=pupil_threshold
     ).where(F.col("confidence") > min_confidence)
-    m_all = detect_frame_markers(marker_frames, threshold=marker_threshold)
-    one = m_all.groupBy("user_id", "frame_id").agg(
-        F.count(F.lit(1)).alias("n_det")
-    ).where(F.col("n_det") == 1)
-    m = m_all.join(one.select("user_id", "frame_id"), ["user_id", "frame_id"])
+    # single-detection gate as ONE windowed count over the detection
+    # stream — a groupBy + join-back would scan the Arrow detector
+    # twice (plan-audited; the detectors are the expensive stage here)
+    wf = Window.partitionBy("user_id", "frame_id")
+    m = (
+        detect_frame_markers(marker_frames, threshold=marker_threshold)
+        .withColumn("n_det", F.count(F.lit(1)).over(wf))
+        .where(F.col("n_det") == 1)
+    )
 
     from vedb_gaze_spark.functions.core import tsec
 
@@ -415,6 +419,13 @@ def pupil_pixel_pipeline(
         F.when(use_back, F.col("bmy")).otherwise(F.col("fmy")).alias("my"),
         F.when(use_back, db).otherwise(df_).alias("dt"),
     ).where(F.col("mx").isNotNull() & (F.col("dt") <= match_tol_s))
+    # g feeds BOTH the fit aggregate and the mapped-error pass; without
+    # materialization the whole Arrow detection + pairing chain
+    # re-executes per consumer (plan-audited: the detectors ran twice).
+    # Pair-table-sized — the dedup_agreement checkpoint idiom.
+    from vedb_gaze_spark.functions.core import iter_checkpoint
+
+    g = iter_checkpoint(g, eager=False)
 
     fit = g.groupBy("user_id").agg(
         F.regr_slope("mx", "px").alias("bx"),
