@@ -43,11 +43,7 @@ def _build() -> dict[str, Profile]:
         calibration_rbf,
         calibration_tps,
     )
-    from vedb_gaze_spark.operators.error import (
-        error_surface_tps,
-        gaze_error,
-        gaze_error_weighted,
-    )
+    from vedb_gaze_spark.operators.error import error_surface_tps
     from vedb_gaze_spark.operators.multimodal import (
         detect_checkerboard_frames,
         detect_frame_markers,
@@ -217,15 +213,6 @@ def _build() -> dict[str, Profile]:
             "(plans/params.py DEG_HORIZ/DEG_VERT), conf*/outlier* are "
             "parse-stage gates.",
         )
-    p["error-weighted_summary"] = Profile(
-        "error",
-        gaze_error_weighted,
-        {},
-        "compute_error's histogram2d-weighted summary half.",
-    )
-    p["error-pointwise"] = Profile(
-        "error", gaze_error, {}, "compute_error's pointwise half."
-    )
     return p
 
 
