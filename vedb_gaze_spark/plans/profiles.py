@@ -40,13 +40,11 @@ def _build() -> dict[str, Profile]:
     from vedb_gaze_spark.operators.calibration import (
         calibration_linear,
         calibration_poly,
-        calibration_rbf,
         calibration_tps,
     )
     from vedb_gaze_spark.operators.error import error_surface_tps
     from vedb_gaze_spark.operators.multimodal import (
         detect_checkerboard_frames,
-        detect_frame_markers,
         detect_pupil_frames,
         detect_ring_markers,
     )
