@@ -280,3 +280,104 @@ def detect_blinks_eyelid(
             "duration_s",
         )
     )
+
+
+def detect_blinks_phased(
+    events: DataFrame,
+    neg_vel: float = P.EYELID_NEG_VEL,
+    pos_vel: float = P.EYELID_POS_VEL,
+) -> DataFrame:
+    """The FULL three-phase blink state machine — labeling.py:310
+    _detect_blinks_eyevel (the kernel inside detect_blinks :373):
+    a blink is a CLOSING run (velocity ≤ neg_vel), an optional
+    FULL-CLOSURE run (neg_vel < velocity < pos_vel), then an OPENING
+    run (velocity ≥ pos_vel), each phase duration-gated (the
+    reference's min/max_eye_closing_time, max_full_closure_time,
+    min_eye_opening_time, and the total min/max_full_blink_time —
+    plans/params.py carries the reference's millisecond ratios
+    rescaled to the event cadence). detect_blinks_eyelid is the
+    two-event simplification (closing edge paired to opening edge);
+    this is the run-level contract, declaratively:
+
+      velocity → per-sample phase → gaps-and-islands run ids
+      (sum-of-changes window) → one row per run (span, endpoints) →
+      each closing run joined to its next one-or-two runs via lead()
+      over the per-user run sequence → phase-pattern + duration gates.
+
+    Every stage shares the ONE user_id partitioning; the run table is
+    runs-sized (≪ samples), so the lead() windows are cheap. Fully
+    SQL-oracled."""
+    d = eyelid_distance(events)
+    wu = Window.partitionBy("user_id")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    frac = F.col("dist") / F.max("dist").over(wu)
+    d = d.withColumn("frac", frac).withColumn(
+        "vel",
+        (F.col("frac") - F.lag("frac").over(w))
+        / (F.col("t") - F.lag("t").over(w)),
+    ).where(F.col("vel").isNotNull())
+    phase = (
+        F.when(F.col("vel") <= neg_vel, F.lit("c"))
+        .when(F.col("vel") >= pos_vel, F.lit("o"))
+        .otherwise(F.lit("m"))
+    )
+    d = d.withColumn("phase", phase).withColumn(
+        "chg",
+        F.when(
+            F.lag("phase").over(w).isNull()
+            | (F.col("phase") != F.lag("phase").over(w)),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = d.groupBy("user_id", "run").agg(
+        F.first("phase").alias("phase"),
+        F.min("t").alias("t0"),
+        F.max("t").alias("t1"),
+        F.min_by("event_id", F.struct("t", "event_id")).alias("start_id"),
+        F.max_by("event_id", F.struct("t", "event_id")).alias("end_id"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run")
+    r = (
+        runs.withColumn("p1", F.lead("phase").over(wr))
+        .withColumn("p1_t0", F.lead("t0").over(wr))
+        .withColumn("p1_t1", F.lead("t1").over(wr))
+        .withColumn("p1_end", F.lead("end_id").over(wr))
+        .withColumn("p2", F.lead("phase", 2).over(wr))
+        .withColumn("p2_t0", F.lead("t0", 2).over(wr))
+        .withColumn("p2_t1", F.lead("t1", 2).over(wr))
+        .withColumn("p2_end", F.lead("end_id", 2).over(wr))
+        .where(F.col("phase") == "c")
+    )
+    # pattern c,o (zero-length closure) or c,m,o
+    direct = F.col("p1") == "o"
+    via_mid = (F.col("p1") == "m") & (F.col("p2") == "o")
+    open_t0 = F.when(direct, F.col("p1_t0")).otherwise(F.col("p2_t0"))
+    open_t1 = F.when(direct, F.col("p1_t1")).otherwise(F.col("p2_t1"))
+    open_end = F.when(direct, F.col("p1_end")).otherwise(F.col("p2_end"))
+    closure_s = F.when(direct, F.lit(0.0)).otherwise(
+        F.col("p1_t1") - F.col("p1_t0")
+    )
+    out = (
+        r.where(direct | via_mid)
+        .select(
+            "user_id",
+            F.col("start_id").alias("start_event_id"),
+            open_end.alias("end_event_id"),
+            (F.col("t1") - F.col("t0")).alias("close_s"),
+            closure_s.alias("closure_s"),
+            (open_t1 - open_t0).alias("open_s"),
+            (open_t1 - F.col("t0")).alias("duration_s"),
+        )
+        .where(
+            (F.col("close_s") >= P.BLINK_CLOSE_MIN_S)
+            & (F.col("close_s") <= P.BLINK_CLOSE_MAX_S)
+            & (F.col("closure_s") <= P.BLINK_CLOSURE_MAX_S)
+            & (F.col("open_s") >= P.BLINK_OPEN_MIN_S)
+            & (F.col("duration_s") >= P.BLINK_MIN_S)
+            & (F.col("duration_s") <= P.BLINK_MAX_S)
+        )
+    )
+    return out

@@ -1130,6 +1130,79 @@ WHERE is_open AND on_t IS NOT NULL
 """
 
 
+DETECT_BLINKS_PHASED = f"""
+WITH {_EYELID_KP_CTES},
+pooled AS (
+  SELECT user_id, xu AS x, yu AS y FROM kp UNION ALL SELECT user_id, xl, yl FROM kp
+),
+ang AS (
+  SELECT user_id, cos(0.5 * atan2(2.0 * covar_pop(x, y), var_pop(x) - var_pop(y))) AS ct,
+         sin(0.5 * atan2(2.0 * covar_pop(x, y), var_pop(x) - var_pop(y))) AS st
+  FROM pooled GROUP BY user_id
+),
+dist AS (
+  SELECT kp.user_id AS user_id, event_id, max(t) AS t,
+         round(max(ct * (yu - yl) - st * (xu - xl)), 6) AS dist
+  FROM kp JOIN ang ON kp.user_id = ang.user_id
+  GROUP BY kp.user_id, event_id
+),
+frc AS (
+  SELECT *, dist / max(dist) OVER (PARTITION BY user_id) AS frac FROM dist
+),
+v AS (
+  SELECT *, (frac - lag(frac) OVER w) / (t - lag(t) OVER w) AS vel
+  FROM frc WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+ph AS (
+  SELECT *, CASE WHEN vel <= {P.EYELID_NEG_VEL} THEN 'c'
+                 WHEN vel >= {P.EYELID_POS_VEL} THEN 'o'
+                 ELSE 'm' END AS phase
+  FROM v WHERE vel IS NOT NULL
+),
+rn AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR phase <> prev THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM (SELECT *, lag(phase) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM ph)
+),
+marked AS (
+  SELECT user_id, run, phase, t,
+    first_value(event_id) OVER wo AS start_id,
+    last_value(event_id) OVER wo AS end_id
+  FROM rn
+  WINDOW wo AS (PARTITION BY user_id, run ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+runs AS (
+  SELECT user_id, run, min(phase) AS phase, min(t) AS t0, max(t) AS t1,
+         min(start_id) AS start_id, min(end_id) AS end_id
+  FROM marked GROUP BY user_id, run
+),
+tri AS (
+  SELECT *,
+    lead(phase) OVER wr AS p1, lead(t0) OVER wr AS p1_t0,
+    lead(t1) OVER wr AS p1_t1, lead(end_id) OVER wr AS p1_end,
+    lead(phase, 2) OVER wr AS p2, lead(t0, 2) OVER wr AS p2_t0,
+    lead(t1, 2) OVER wr AS p2_t1, lead(end_id, 2) OVER wr AS p2_end
+  FROM runs WINDOW wr AS (PARTITION BY user_id ORDER BY run)
+),
+bl AS (
+  SELECT user_id, start_id AS start_event_id,
+    CASE WHEN p1 = 'o' THEN p1_end ELSE p2_end END AS end_event_id,
+    t1 - t0 AS close_s,
+    CASE WHEN p1 = 'o' THEN 0.0 ELSE p1_t1 - p1_t0 END AS closure_s,
+    CASE WHEN p1 = 'o' THEN p1_t1 - p1_t0 ELSE p2_t1 - p2_t0 END AS open_s,
+    (CASE WHEN p1 = 'o' THEN p1_t1 ELSE p2_t1 END) - t0 AS duration_s
+  FROM tri
+  WHERE phase = 'c' AND (p1 = 'o' OR (p1 = 'm' AND p2 = 'o'))
+)
+SELECT * FROM bl
+WHERE close_s >= {P.BLINK_CLOSE_MIN_S} AND close_s <= {P.BLINK_CLOSE_MAX_S}
+  AND closure_s <= {P.BLINK_CLOSURE_MAX_S} AND open_s >= {P.BLINK_OPEN_MIN_S}
+  AND duration_s >= {P.BLINK_MIN_S} AND duration_s <= {P.BLINK_MAX_S}
+"""
+
+
 def _cramer(tag: str) -> str:
     """Quadratic least-squares coefficients (Cramer on degree-4 moments)
     as SQL select-list entries a{tag}, b{tag}, c{tag} — expression trees

@@ -60,6 +60,14 @@ EYELID_NEG_VEL = -4e-6          # eyelid closing velocity (labeling.py:381
 EYELID_POS_VEL = 4e-6           # negative/positive_velocity_threshold,
                                 # rescaled to event-data cadence; ~p25/p75
                                 # of the derived fraction velocity)
+# _detect_blinks_eyevel's per-phase gates (labeling.py:310), the
+# reference's millisecond defaults (10/250/17/30/16/500 ms) rescaled by
+# one factor (BLINK scale 2.7e6 = BLINK_MIN_S / min_full_blink) to the
+# event-data cadence — the ratios are the reference's, the unit is ours
+BLINK_CLOSE_MIN_S = 27_000.0    # min_eye_closing_time
+BLINK_CLOSE_MAX_S = 675_000.0   # max_eye_closing_time
+BLINK_CLOSURE_MAX_S = 45_900.0  # max_full_closure_time
+BLINK_OPEN_MIN_S = 81_000.0     # min_eye_opening_time
 FIXATION_MIN_S = 43200.0        # fixation duration bounds (complement of
 FIXATION_MAX_S = 1209600.0      # saccade runs; labeling.py:529 intent)
 FIXATION_MAX_EXTENT_DEG = 40.0  # position-stability gate (deg)

@@ -387,6 +387,11 @@ def _detect_blinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeling.detect_blinks(load_table(spark, "events", sf_dir))
 
 
+@register("detect_blinks_phased", oracles.DETECT_BLINKS_PHASED)
+def _detect_blinks_phased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return eyelid.detect_blinks_phased(load_table(spark, "events", sf_dir))
+
+
 @register("detect_blinks_eyelid", oracles.DETECT_BLINKS_EYELID)
 def _detect_blinks_eyelid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eyelid.detect_blinks_eyelid(load_table(spark, "events", sf_dir))
@@ -1278,6 +1283,8 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every entry is still re-proven locally each run by
 # tests/test_driver_parity.py regardless of window position.
 _GATE_ORDER = [
+    # -- (0) never-recorded: NEW in r10 ---------------------------------
+    "detect_blinks_phased",
     # -- (1) never-recorded: the 14 SQL-text faces (3 registered r9
     #    after the gate window + 11 probe-passed strings registered
     #    r10 per the r9 verdict) — closes the 22-string ANSI surface -
