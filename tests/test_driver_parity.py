@@ -80,6 +80,25 @@ def test_gate_order_is_explicit_and_r2_gap_first():
     assert names[:14] == _GATE_ORDER[:14]
 
 
+def test_gate_window_boundary_is_exactly_50():
+    """The driver gate records the first ~50 registry entries, so the
+    'window boundary' marker in _GATE_ORDER must sit after EXACTLY 50
+    entries — r10's comment said 50 but counted 51, silently dropping
+    the 51st row (quality_classifier) from its refresh (ADVICE r10)."""
+    import inspect
+    import re
+
+    from vedb_gaze_spark.plans import queries as Q
+
+    src = inspect.getsource(Q)
+    m = re.search(r"_GATE_ORDER = \[(.*?)window boundary", src, re.S)
+    assert m, "window boundary marker missing from _GATE_ORDER"
+    n = sum(
+        1 for l in m.group(1).splitlines() if l.strip().startswith('"')
+    )
+    assert n == 50, f"{n} entries precede the window boundary marker"
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_query_runs(name, spark, sf_dir):
     """Non-SQL-expressible ops get the driver's weaker check: runs, has a

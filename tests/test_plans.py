@@ -531,6 +531,41 @@ def test_sampled_recall_pairs_are_full_pairs_restricted_to_sample(
         assert sampled == restricted, kernel.__name__
 
 
+def test_dedup_agreement_sampled_face(spark, sf_dir):
+    """The r11 gated face dedup_agreement(sample_mod=m) must be EXACTLY
+    the unsampled matrix computed over the hash-gated sub-corpus (same
+    salt/mod as dedup_recall_sampled, so the two sampled measurements
+    share one sub-corpus), and the exact operator API must still emit
+    the full |methods choose 2| grid with sane set-Jaccard bounds."""
+    from pyspark.sql import functions as F
+
+    from vedb_gaze_spark.functions.core import portable_hash60
+    from vedb_gaze_spark.operators import dedup
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = docs.where(
+        portable_hash60(
+            F.concat(
+                F.lit(P.RECALL_SAMPLE_SALT + ":"), F.col("doc_id").cast("string")
+            )
+        )
+        % P.RECALL_SAMPLE_MOD
+        == 0
+    )
+    sampled = {tuple(r) for r in
+               dedup.dedup_agreement(docs, sample_mod=P.RECALL_SAMPLE_MOD).collect()}
+    manual = {tuple(r) for r in dedup.dedup_agreement(kept).collect()}
+    assert sampled == manual
+    full = dedup.dedup_agreement(docs).collect()
+    assert len(full) == 3  # 3 kernels -> 3 ordered method pairs
+    for r in full:
+        assert r.method_a < r.method_b
+        assert 0 <= r.n_both <= min(r.n_a, r.n_b)
+        assert 0.0 <= r.pair_jaccard <= 1.0
+
+
 def test_minhash_pairs_subset_of_exact_ngram(spark, sf_dir):
     """Banded-LSH candidates can only MISS pairs, never invent them:
     dedup_minhash_lsh output must be a subset of the exact PPJoin

@@ -843,14 +843,18 @@ def test_stats_recluster_over_appended_store_promotes_manifest(
 def test_manifest_resolution_survives_missing_success_markers(
     spark, sf_dir, tmp_path
 ):
-    """r10 pin (ADVICE r9): committers with
+    """r10 pin (ADVICE r9), TIGHTENED r11 (ADVICE r10): committers with
     mapreduce.fileoutputcommitter.marksuccessfuljobs=false never write
     _SUCCESS; resolution must then fall back to the highest version
-    that actually contains parquet part files instead of ignoring every
-    complete manifest. A marked version still beats any unmarked one."""
+    that actually contains parquet part files. But under the DEFAULT
+    committer (marksuccessfuljobs=true), part files without _SUCCESS
+    mean a crashed mid-write — the fallback must NOT fire and the read
+    must fail loudly, preserving 'a version is either invisible or
+    complete'. A marked version still beats any unmarked one."""
     import os
 
     import pyspark.sql.functions as F
+    import pytest
 
     from vedb_gaze_spark.sources.tables import load_table
     from vedb_gaze_spark.sources.writers import (
@@ -865,18 +869,32 @@ def test_manifest_resolution_survives_missing_success_markers(
     store = str(tmp_path / "nostore")
     write_stats_layout(li, store, "l_extendedprice", n_files=4)
     os.remove(f"{store}/manifest_v1/_SUCCESS")
-    assert manifest_dir(spark, store).endswith("manifest_v1")
 
-    lo, hi = 20_000.0, 40_000.0
-    got = read_stats_pruned(spark, store, "l_extendedprice", lo, hi).count()
-    want = li.where(
-        (F.col("l_extendedprice") >= lo) & (F.col("l_extendedprice") <= hi)
-    ).count()
-    assert got == want and want > 0
+    # default committer: unmarked versions are crash debris, fail loudly
+    with pytest.raises(FileNotFoundError):
+        manifest_dir(spark, store)
 
-    # an empty (part-file-less) higher version never wins the fallback
-    os.makedirs(f"{store}/manifest_v7")
-    assert manifest_dir(spark, store).endswith("manifest_v1")
+    hconf = spark._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    hconf.set(key, "false")
+    try:
+        assert manifest_dir(spark, store).endswith("manifest_v1")
+
+        lo, hi = 20_000.0, 40_000.0
+        got = read_stats_pruned(
+            spark, store, "l_extendedprice", lo, hi
+        ).count()
+        want = li.where(
+            (F.col("l_extendedprice") >= lo)
+            & (F.col("l_extendedprice") <= hi)
+        ).count()
+        assert got == want and want > 0
+
+        # an empty (part-file-less) higher version never wins the fallback
+        os.makedirs(f"{store}/manifest_v7")
+        assert manifest_dir(spark, store).endswith("manifest_v1")
+    finally:
+        hconf.unset(key)
 
 
 def test_ring_verification_rejects_solid_distractor_blobs(spark):
@@ -1138,11 +1156,26 @@ def test_pupil_detection_recovers_planted_ellipses(spark):
         (1, 11, datetime.datetime.utcfromtimestamp(base + 11),
          bytearray(encode_pnm(a)))
     )
+    # null and undecodable payloads (r11, ADVICE r10): the ONE-row-per-
+    # frame contract must survive corrupt capture data — each emits the
+    # confidence-0 datum (luminance 0) instead of vanishing from the
+    # confidence stream the blink gates consume
+    rows.append(
+        (1, 12, datetime.datetime.utcfromtimestamp(base + 12), None)
+    )
+    rows.append(
+        (1, 13, datetime.datetime.utcfromtimestamp(base + 13),
+         bytearray(b"not a pnm payload"))
+    )
     frames = spark.createDataFrame(
         rows, "user_id long, frame_id long, ts timestamp, payload binary"
     )
     got = {r.frame_id: r for r in detect_pupil_frames(frames).collect()}
-    assert set(got) == {0, 1, 2, 10, 11}
+    assert set(got) == {0, 1, 2, 10, 11, 12, 13}
+    for fid in (12, 13):
+        bad = got[fid]
+        assert bad.confidence == 0.0 and bad.x == 0.0
+        assert bad.luminance == 0.0
     for s in range(3):
         d = got[s]
         assert (d.x, d.y) == (60.0 + 2 * s, 50.0), d

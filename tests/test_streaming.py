@@ -2645,6 +2645,39 @@ def test_streaming_label_separation_serving_matches_batch(
     assert again == want
 
 
+def test_score_label_margins_degenerate_semantics(spark):
+    """r11 (ADVICE r10): the serving scorer's degenerate cases are
+    DEFINED, not silent nulls — a <2-label frozen model raises at
+    compile time (no 'other' label to margin against), and a row whose
+    label is absent from the model keeps own_cos/margin NULL (the
+    unseen-label signal) while nn_label/nn_cos still carry the best
+    stored label."""
+    import math
+
+    import pytest
+
+    from vedb_gaze_spark.operators.similarity import score_label_margins
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1), (3, [1.0, 1.0], 7)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    with pytest.raises(ValueError, match=">=2 labels"):
+        score_label_margins(emb, [(0, [1.0, 0.0])])
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows = {r.vec_id: r for r in score_label_margins(emb, cents).collect()}
+    assert rows[1].own_cos == 1.0 and rows[1].nn_label == 1
+    assert rows[1].margin == 1.0
+    # unseen label 7: no own centroid -> own_cos/margin NULL; nn half
+    # is the best over ALL stored labels (tie on cos=0.707107 breaks
+    # to the smaller label)
+    r7 = rows[3]
+    assert r7.own_cos is None and r7.margin is None
+    assert r7.nn_label == 0
+    assert math.isclose(r7.nn_cos, 0.707107, abs_tol=1e-6)
+
+
 def test_cluster_maintenance_side_index_discovery_and_fallback(
     spark, tmp_path
 ):

@@ -1008,6 +1008,24 @@ def dedup_minhash_incremental(
     return _verify_jaccard(cand, index_doc_sets.unionByName(new_ds))
 
 
+def _recall_sample(documents: DataFrame, sample_mod: int) -> DataFrame:
+    """Deterministic salted doc_id-hash corpus gate shared by the
+    sampled measurement faces (dedup_recall, dedup_agreement): keep a
+    document iff hash60(salt:doc_id) % mod == 0. Row-local — no shuffle
+    — and salt/mod are fixed params so the oracle SQL applies the
+    bit-identical predicate."""
+    return documents.where(
+        portable_hash60(
+            F.concat(
+                F.lit(P.RECALL_SAMPLE_SALT + ":"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        % sample_mod
+        == 0
+    )
+
+
 def dedup_recall(
     documents: DataFrame, sample_mod: int | None = None
 ) -> DataFrame:
@@ -1047,16 +1065,7 @@ def dedup_recall(
     the downstream triple-reference risk (semi-join + two count
     rollups) that exchange reuse alone left to optimizer luck."""
     if sample_mod is not None:
-        documents = documents.where(
-            portable_hash60(
-                F.concat(
-                    F.lit(P.RECALL_SAMPLE_SALT + ":"),
-                    F.col("doc_id").cast("string"),
-                )
-            )
-            % sample_mod
-            == 0
-        )
+        documents = _recall_sample(documents, sample_mod)
     tagged = iter_checkpoint(
         dedup_ngram_jaccard(documents)
         .select("doc_a", "doc_b", F.lit("e").alias("m"))
@@ -1088,7 +1097,9 @@ def dedup_recall(
     )
 
 
-def dedup_agreement(documents: DataFrame) -> DataFrame:
+def dedup_agreement(
+    documents: DataFrame, sample_mod: int | None = None
+) -> DataFrame:
     """Method-AGREEMENT report over the three text near-dup kernels
     (MinHash-LSH, exact n-gram Jaccard / PPJoin, winnowing-fingerprint
     overlap): per ordered method pair, each method's pair count, the
@@ -1096,6 +1107,21 @@ def dedup_agreement(documents: DataFrame) -> DataFrame:
     measurement that tells a curation pipeline whether its cheap
     detector family actually agrees with its exact one (dedup_recall
     is the two-kernel special case; this is the N-method matrix).
+
+    ``sample_mod`` (r11, the gated face): the dedup_recall sampled
+    gate threaded through the three-kernel matrix — a deterministic
+    salted doc_id-hash sample bounds the exact PPJoin member, whose
+    superlinear cost on repetitive corpora made the exact matrix the
+    registry's one perf-weak row (driver artifact 34 s vs a 9.6 s
+    floor, r10 verdict #1). For LSH and PPJoin the sampled pair set
+    IS the full pair set restricted to sampled docs (per-document
+    signatures / lossless filters — pinned by
+    test_sampled_recall_pairs_are_full_pairs_restricted_to_sample);
+    winnowing's corpus-df fingerprint gate (WINNOW_MAX_DF) does shift
+    under sampling, so the sampled matrix is the agreement OF the
+    sub-corpus — a consistent estimator of kernel agreement, not a
+    restriction of the full matrix. The unsampled form stays the
+    bounded-corpus operator API.
 
     One evaluation per kernel BY CONSTRUCTION: every method's (doc_a,
     doc_b) pairs are tagged, unioned, and eagerly localCheckpoint-ed
@@ -1108,6 +1134,8 @@ def dedup_agreement(documents: DataFrame) -> DataFrame:
     near-dup-PAIR-sized — tiny next to the kernels that produce it."""
     from vedb_gaze_spark.operators import text as _text
 
+    if sample_mod is not None:
+        documents = _recall_sample(documents, sample_mod)
     tagged = (
         dedup_minhash_lsh(documents)
         .select("doc_a", "doc_b", F.lit("minhash_lsh").alias("method"))

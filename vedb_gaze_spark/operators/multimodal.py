@@ -1369,17 +1369,30 @@ def detect_pupil_frames(
             ):
                 a = decode_pnm(b) if b is not None else None
                 if a is None:
-                    continue
-                y = _luma(a)
-                h, w = y.shape
-                lum = r6(y.astype(np.int64).sum() / y.size)
-                best = None  # (conf, cnt, -first, row-values)
-                for (
-                    fidx, cx, cy, n, ax_minor, ax_major, ang, conf
-                ) in _moment_ellipses(y, y <= threshold, min_size, max_size):
-                    key = (conf, n, -fidx)
-                    if best is None or key > best[0]:
-                        best = (key, (cx, cy, ax_minor, ax_major, ang, conf))
+                    # null/undecodable payload: the per-frame contract
+                    # holds — emit the confidence-0 datum (luminance 0,
+                    # all-zero ellipse) so downstream blink/confidence
+                    # gates see the frame as a low-confidence sample
+                    # instead of a silently missing timestamp (ADVICE
+                    # r10; the reference's Detector2D likewise emits a
+                    # datum for every frame it is handed).
+                    lum, best = 0.0, None
+                else:
+                    y = _luma(a)
+                    h, w = y.shape
+                    lum = r6(y.astype(np.int64).sum() / y.size)
+                    best = None  # (conf, cnt, -first, row-values)
+                    for (
+                        fidx, cx, cy, n, ax_minor, ax_major, ang, conf
+                    ) in _moment_ellipses(
+                        y, y <= threshold, min_size, max_size
+                    ):
+                        key = (conf, n, -fidx)
+                        if best is None or key > best[0]:
+                            best = (
+                                key,
+                                (cx, cy, ax_minor, ax_major, ang, conf),
+                            )
                 out["user_id"].append(uid)
                 out["frame_id"].append(fid)
                 out["ts"].append(ts)

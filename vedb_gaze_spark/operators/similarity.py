@@ -475,8 +475,26 @@ def score_label_margins(
     only: NO join, NO shuffle, exactly the nb_lang_id frozen-model
     discipline, so a streaming micro-batch scores at scan speed.
     Ties on the other-label cosine break to the SMALLER label, the
-    label_separation convention."""
+    label_separation convention.
+
+    Defined degenerate semantics (ADVICE r10): a model with fewer than
+    two labels cannot express a margin — raise at compile time rather
+    than emit all-null nn_* rows from a silently useless scorer. Rows
+    whose label is ABSENT from the stored model keep a defined meaning:
+    own_cos and margin are NULL (there is no own centroid to measure
+    against — the explicit signal that the frozen model predates this
+    label) while nn_label/nn_cos still carry the best stored label,
+    since an unseen label excludes none of them. Downstream gates
+    filter on margin IS NULL to route unseen-label rows to re-training
+    instead of averaging nulls away."""
     from vedb_gaze_spark.functions.core import cosine_similarity
+
+    if len(cents) < 2:
+        raise ValueError(
+            "score_label_margins needs a frozen model with >=2 labels "
+            f"(got {len(cents)}): a single-label model has no 'other' "
+            "label to margin against"
+        )
 
     v = embeddings.select(
         "vec_id",

@@ -4466,6 +4466,48 @@ LEFT JOIN shared bo ON bo.method_a = m.method AND bo.method_b = n.method
 WHERE m.method < n.method
 """
 
+# Sampled agreement gate (operators/dedup.py:dedup_agreement with
+# sample_mod — the gated face since r11): the identical three pair
+# kernels over the SAME deterministic salted sub-corpus as
+# DEDUP_RECALL_SAMPLED, so the two sampled measurements are directly
+# comparable. Same rewrite discipline as DEDUP_RECALL_SAMPLED: each
+# kernel reads documents only through its shingle CTE's
+# "FROM documents," — assert the exact string the replace consumes so
+# a formatting drift fails loudly instead of silently gating an
+# unsampled oracle against the sampled Spark plan.
+assert WINNOW_OVERLAP.count("FROM documents,") == 1
+assert WINNOW_OVERLAP.count("FROM documents") == 1
+DEDUP_AGREEMENT_SAMPLED = f"""
+WITH dsmp AS (SELECT * FROM documents WHERE {_DRS_PRED}),
+tagged AS MATERIALIZED (
+  SELECT doc_a, doc_b, 'minhash_lsh' AS method
+  FROM ({DEDUP_MINHASH_LSH.replace("FROM documents,", "FROM dsmp,")}) t1
+  UNION ALL
+  SELECT doc_a, doc_b, 'ngram_jaccard'
+  FROM ({DEDUP_NGRAM_JACCARD.replace("FROM documents,", "FROM dsmp,")}) t2
+  UNION ALL
+  SELECT doc_a, doc_b, 'winnow_overlap'
+  FROM ({WINNOW_OVERLAP.replace("FROM documents,", "FROM dsmp,")}) t3
+), counts AS (
+  SELECT method, CAST(count(*) AS BIGINT) AS n FROM tagged GROUP BY method
+), shared AS (
+  SELECT a.method AS method_a, b.method AS method_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM tagged a JOIN tagged b
+    ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b AND a.method < b.method
+  GROUP BY a.method, b.method
+)
+SELECT m.method AS method_a, n.method AS method_b,
+       m.n AS n_a, n.n AS n_b,
+       CAST(coalesce(bo.n_both, 0) AS BIGINT) AS n_both,
+       floor(coalesce(bo.n_both, 0)
+             / CAST(m.n + n.n - coalesce(bo.n_both, 0) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS pair_jaccard
+FROM counts m CROSS JOIN counts n
+LEFT JOIN shared bo ON bo.method_a = m.method AND bo.method_b = n.method
+WHERE m.method < n.method
+"""
+
 
 # Interpolated trigram-LM cross-entropy (operators/text.py:
 # lm_score_trigram): one more Jelinek-Mercer level on LM_SCORE_BIGRAM;

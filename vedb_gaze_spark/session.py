@@ -54,6 +54,15 @@ def get_spark(app_name: str = "vedb-gaze-spark", shuffle_partitions: int | None 
             "-XX:ReservedCodeCacheSize=512m",
         )
         .config("spark.ui.enabled", "false")
+        # With SPARK_GRAFT_CHECKPOINT_DIR set, every iterative spine
+        # switches to reliable df.checkpoint (BPE every 6 merges, HITS
+        # twice per iteration, CC per round — iter_checkpoint), and
+        # Spark never deletes reliable checkpoint data unless the
+        # ContextCleaner is told to — unbounded checkpoint-dir growth
+        # across jobs on cluster deployments (ADVICE r10). Static conf,
+        # so it must be on the builder, not a live session; harmless in
+        # local mode where localCheckpoint is used instead.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if not os.environ.get("SPARK_MASTER_OVERRIDE_DISABLED"):
         # In tests / local runs there is no cluster manager; on a real

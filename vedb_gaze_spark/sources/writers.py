@@ -313,10 +313,18 @@ def versioned_dir(spark, path: str, prefix: str = "manifest") -> str:
                     unmarked, unmarked_n = f"{path}/{name}", n
     if best is None and unmarked is not None:
         # Committers with marksuccessfuljobs=false never write _SUCCESS;
-        # a complete version is then recognized by its part files. Only
-        # reached when NO marked version exists, so the stronger
-        # marker-based completeness test still wins whenever available.
-        best = unmarked
+        # a complete version is then recognized by its part files. Gate
+        # the fallback on that config ACTUALLY being off (ADVICE r10):
+        # under the default committer, part files without _SUCCESS mean
+        # a job crashed mid-write of its first version, and silently
+        # resolving that partial file list would break the module's 'a
+        # version is either invisible or complete' invariant — there the
+        # loud FileNotFoundError below is correct.
+        marks = spark._jsc.hadoopConfiguration().get(
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs", "true"
+        )
+        if str(marks).lower() == "false":
+            best = unmarked
     if best is None:
         legacy = f"{path}/{prefix}"
         if not fs.exists(P_(legacy)):
