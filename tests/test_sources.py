@@ -1414,3 +1414,167 @@ def test_checkerboard_subpixel_refinement_recovers_fractional_corners(spark):
         max(abs(cy - ty) for cy, ty in zip(fine[0].corner_ys, true_ys)),
     )
     assert ferr < 0.1, (ferr, cerr)
+
+
+def test_y4m_header_roundtrip_and_malformed_inputs():
+    """sources/y4m.py unit pins: encode_y4m -> parse/iter round-trips
+    the Y plane losslessly for every supported colorspace geometry; a
+    truncated tail frame is dropped (never padded); non-Y4M bytes and
+    unsupported colorspaces raise instead of yielding zero frames."""
+    import numpy as np
+    import pytest
+
+    from vedb_gaze_spark.sources.y4m import (
+        encode_y4m,
+        iter_y4m_luma,
+        parse_y4m_header,
+    )
+
+    rng = [np.arange(48, dtype=np.uint8).reshape(6, 8) + k for k in range(3)]
+    for cs in ("C420jpeg", "C420", "C422", "C444", "Cmono"):
+        buf = encode_y4m(rng, fps=(25, 2), colorspace=cs)
+        hd = parse_y4m_header(buf)
+        assert (hd["width"], hd["height"]) == (8, 6)
+        assert (hd["fps_num"], hd["fps_den"]) == (25, 2)
+        got = list(iter_y4m_luma(buf))
+        assert [i for i, _ in got] == [0, 1, 2]
+        for (_, y), a in zip(got, rng):
+            assert y == a.tobytes(), cs
+        # truncated tail: drop the last frame's final byte
+        assert len(list(iter_y4m_luma(buf[:-1]))) == 2, cs
+
+    with pytest.raises(ValueError, match="magic"):
+        parse_y4m_header(b"RIFF....not a y4m\n")
+    with pytest.raises(ValueError, match="colorspace"):
+        parse_y4m_header(b"YUV4MPEG2 W8 H6 F30:1 C411\n")
+    with pytest.raises(ValueError, match="W/H/F"):
+        parse_y4m_header(b"YUV4MPEG2 W8 H6\n")
+
+
+def test_y4m_marker_video_matches_frame_row_path(spark, tmp_path):
+    """Verdict r10 #3, the done-condition: a synthesized Y4M video
+    round-trips through marker_pixel_pipeline to the SAME planted
+    position clusters as the frame-row path. The video is the planted
+    41-frame marker/noise sequence of the detect_frame_markers e2e pin,
+    shot at F1:21600 (one frame per 6 h — Y4M fps is an arbitrary
+    rational, so epoch structure is the header's job, not a synthetic
+    ts column's), read back via read_y4m_frames with an explicit
+    user_ids mapping and start_ts anchor."""
+    import datetime
+    import os
+
+    import numpy as np
+
+    from vedb_gaze_spark.plans.pipeline import marker_pixel_pipeline
+    from vedb_gaze_spark.sources.y4m import encode_y4m, read_y4m_frames
+
+    H, W = 100, 200
+    base_t = 1_700_000_000
+    frames_np = []
+    for s in range(41):
+        j = ((s // 2) % 5) - 2
+        a = np.zeros((H, W), dtype=np.uint8)
+        if s % 2 == 0:
+            a[47:54, 157 + j : 164 + j] = 255
+        else:
+            a[20:25, 6 + j : 11 + j] = 255
+        frames_np.append(a)
+
+    vdir = str(tmp_path / "vids")
+    os.makedirs(vdir)
+    with open(os.path.join(vdir, "cam7.y4m"), "wb") as fh:
+        fh.write(encode_y4m(frames_np, fps=(1, 21_600)))
+
+    got = read_y4m_frames(
+        spark,
+        vdir,
+        user_ids={"cam7.y4m": 7},
+        start_ts=datetime.datetime.utcfromtimestamp(base_t),
+    )
+    rows = got.orderBy("frame_id").collect()
+    assert len(rows) == 41
+    assert {r.user_id for r in rows} == {7}
+    assert rows[1].ts == datetime.datetime.utcfromtimestamp(
+        base_t + 21_600
+    )
+
+    # frame-row reference path: identical pixels, identical timestamps
+    from vedb_gaze_spark.operators.multimodal import encode_pnm
+
+    ref_rows = [
+        (
+            7,
+            s,
+            datetime.datetime.utcfromtimestamp(base_t + s * 21_600),
+            bytearray(encode_pnm(frames_np[s])),
+        )
+        for s in range(41)
+    ]
+    ref = spark.createDataFrame(
+        ref_rows, "user_id long, frame_id long, ts timestamp, payload binary"
+    )
+    via_y4m = sorted(map(tuple, marker_pixel_pipeline(got).collect()))
+    via_rows = sorted(map(tuple, marker_pixel_pipeline(ref).collect()))
+    assert via_y4m == via_rows and len(via_y4m) == 3
+    for c in marker_pixel_pipeline(got).collect():
+        assert 158.0 <= c.med_value <= 162.0 and c.n_in_cell == 6, c
+
+
+def test_y4m_pupil_and_world_videos_recover_planted_linear_map(
+    spark, tmp_path
+):
+    """Verdict r10 #3, pupil side: eye + world Y4M videos (1 fps; the
+    world camera started 0.25 s after the eye camera, inside the match
+    tolerance) drive pupil_pixel_pipeline end-to-end from FILES —
+    planted linear map (mx = 0.1 + 0.8*px, my = 0.05 + 0.5*py)
+    recovered to ~1e-3 with ~zero angular error, exactly like the
+    frame-row test."""
+    import datetime
+    import os
+
+    import numpy as np
+
+    from vedb_gaze_spark.plans.pipeline import pupil_pixel_pipeline
+    from vedb_gaze_spark.sources.y4m import encode_y4m, read_y4m_frames
+
+    EH, EW = 100, 200
+    WH, WW = 300, 400
+    base = 1_700_000_000
+    yy_e, xx_e = np.mgrid[0:EH, 0:EW]
+    eye_np, world_np = [], []
+    for s in range(20):
+        cx, cy = 40 + 5 * s, 30 + 2 * s
+        a = np.full((EH, EW), 180, dtype=np.uint8)
+        el = ((xx_e - cx) / 10.0) ** 2 + ((yy_e - cy) / 6.0) ** 2 <= 1.0
+        a[el] = 20
+        eye_np.append(a)
+        mx_px, my_px = 104 + 8 * s, 60 + 3 * s
+        b = np.zeros((WH, WW), dtype=np.uint8)
+        b[my_px - 3 : my_px + 4, mx_px - 3 : mx_px + 4] = 255
+        world_np.append(b)
+
+    edir, wdir = str(tmp_path / "eye"), str(tmp_path / "world")
+    os.makedirs(edir)
+    os.makedirs(wdir)
+    with open(os.path.join(edir, "eye0.y4m"), "wb") as fh:
+        fh.write(encode_y4m(eye_np, fps=(1, 1)))
+    with open(os.path.join(wdir, "world0.y4m"), "wb") as fh:
+        fh.write(encode_y4m(world_np, fps=(1, 1)))
+
+    t0 = datetime.datetime.utcfromtimestamp(base)
+    eye_df = read_y4m_frames(
+        spark, edir, user_ids={"eye0.y4m": 5}, start_ts=t0
+    )
+    world_df = read_y4m_frames(
+        spark,
+        wdir,
+        user_ids={"world0.y4m": 5},
+        start_ts=t0 + datetime.timedelta(milliseconds=250),
+    )
+    out = pupil_pixel_pipeline(eye_df, world_df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_pairs == 20, r
+    assert abs(r.slope_x - 0.8) < 1e-3 and abs(r.intercept_x - 0.1) < 1e-3, r
+    assert abs(r.slope_y - 0.5) < 1e-3 and abs(r.intercept_y - 0.05) < 1e-3, r
+    assert r.rmse_deg < 0.05 and r.median_err_deg < 0.05, r

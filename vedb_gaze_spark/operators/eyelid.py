@@ -381,3 +381,21 @@ def detect_blinks_phased(
         )
     )
     return out
+
+
+def eyelid_model(events: DataFrame) -> DataFrame:
+    """The per-user FROZEN normalization model the streaming blink
+    twin needs (r11, r10 verdict #5): principal-axis rotation (ct, st)
+    and max eye opening (max_dist). Both are whole-history statistics
+    in the batch operators (the PCA pools every keypoint; frac divides
+    by the user's max dist), so a stream cannot derive them from a
+    micro-batch — exactly the label_centroids situation, solved the
+    same way: compute once over history, freeze, compile into the
+    scorer. Users-sized model state."""
+    kp = _keypoints(events)
+    ang = _pca_angle(kp)
+    dist = eyelid_distance(events)
+    mx = dist.groupBy("user_id").agg(F.max("dist").alias("max_dist"))
+    return ang.join(mx, "user_id").select(
+        "user_id", "ct", "st", "max_dist"
+    )

@@ -1277,3 +1277,200 @@ def streaming_value_anomalies(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_PHASED_OUT_SCHEMA = (
+    "user_id bigint, start_event_id bigint, end_event_id bigint, "
+    "close_s double, closure_s double, open_s double, duration_s double"
+)
+# prev sample (velocity across batch boundaries) + the open phase run
+# + the TWO most recently completed runs (the c[,m] history an o-run
+# completion pattern-matches against) — O(1) per user, ~3 runs deep.
+_PHASED_STATE_SCHEMA = (
+    "has_prev int, prev_t double, prev_frac double, "
+    "open int, ph int, t0 double, t1 double, id0 bigint, id1 bigint, "
+    "r1v int, r1p int, r1t0 double, r1t1 double, r1id0 bigint, r1id1 bigint, "
+    "r2v int, r2p int, r2t0 double, r2t1 double, r2id0 bigint, r2id1 bigint"
+)
+_PH_C, _PH_M, _PH_O = 0, 1, 2
+
+
+def _eyelid_dist_py(event_ids, ct: float, st: float):
+    """Python twin of operators/eyelid.py:eyelid_distance for one user:
+    the deterministic keypoints are integer arithmetic and the gap is
+    plain IEEE double math, so numpy reproduces the JVM bit-for-bit;
+    the one non-trivial piece is Spark's round(x, 6), which goes
+    through BigDecimal.valueOf(double) (shortest decimal repr) then
+    HALF_UP — Decimal(repr(x)).quantize(1e-6, ROUND_HALF_UP) is the
+    exact Python equivalent."""
+    import decimal
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.eyelid import N_KPTS
+
+    k = np.asarray(event_ids, dtype=np.int64)[:, None]
+    j = np.arange(N_KPTS, dtype=np.int64)[None, :]
+    xu = j * 10.0 + ((k * 7129 + j * 31) % 100) / 50.0
+    xl = j * 10.0 + ((k * 6037 + j * 37) % 100) / 50.0
+    yu = 20.0 + ((k * 8191 + j * 101) % 300) / 10.0
+    yl = -20.0 - ((k * 4099 + j * 103) % 300) / 10.0
+    gap = ct * (yu - yl) - st * (xu - xl)
+    mx = gap.max(axis=1)
+    q = decimal.Decimal("0.000001")
+    return np.array(
+        [
+            float(
+                decimal.Decimal(repr(v)).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            for v in mx
+        ]
+    )
+
+
+def _make_phased_fn(model: dict, neg_vel: float, pos_vel: float):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        m = model.get(user_id)
+        if m is None:
+            # frozen model predates this user: no normalization exists,
+            # so no phase can be classified — route to re-fit, exactly
+            # the score_label_margins unseen-label discipline
+            return
+        ct, st, max_dist = m
+        if state.exists:
+            (has_prev, prev_t, prev_frac,
+             open_, ph, t0, t1, id0, id1,
+             r1v, r1p, r1t0, r1t1, r1id0, r1id1,
+             r2v, r2p, r2t0, r2t1, r2id0, r2id1) = state.get
+        else:
+            has_prev = open_ = r1v = r2v = 0
+            ph = r1p = r2p = 0
+            prev_t = prev_frac = t0 = t1 = 0.0
+            r1t0 = r1t1 = r2t0 = r2t1 = 0.0
+            id0 = id1 = r1id0 = r1id1 = r2id0 = r2id1 = 0
+
+        out: list[tuple] = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["t", "event_id"])
+        dist = _eyelid_dist_py(rows["event_id"].to_numpy(), ct, st)
+
+        def complete_run():
+            """Close the open run; if it is an OPENING run, pattern-match
+            the batch plan's c,o / c,m,o lead() join and gate-emit."""
+            nonlocal r1v, r1p, r1t0, r1t1, r1id0, r1id1
+            nonlocal r2v, r2p, r2t0, r2t1, r2id0, r2id1
+            if ph == _PH_O and r1v:
+                direct = r1p == _PH_C
+                via_mid = r1p == _PH_M and r2v and r2p == _PH_C
+                if direct or via_mid:
+                    if direct:
+                        c_t0, c_t1, c_id0 = r1t0, r1t1, r1id0
+                        closure_s = 0.0
+                    else:
+                        c_t0, c_t1, c_id0 = r2t0, r2t1, r2id0
+                        closure_s = r1t1 - r1t0
+                    close_s = c_t1 - c_t0
+                    open_s = t1 - t0
+                    duration_s = t1 - c_t0
+                    if (
+                        P.BLINK_CLOSE_MIN_S <= close_s <= P.BLINK_CLOSE_MAX_S
+                        and closure_s <= P.BLINK_CLOSURE_MAX_S
+                        and open_s >= P.BLINK_OPEN_MIN_S
+                        and P.BLINK_MIN_S <= duration_s <= P.BLINK_MAX_S
+                    ):
+                        out.append(
+                            (user_id, c_id0, id1, close_s,
+                             closure_s, open_s, duration_s)
+                        )
+            r2v, r2p, r2t0, r2t1, r2id0, r2id1 = (
+                r1v, r1p, r1t0, r1t1, r1id0, r1id1
+            )
+            r1v, r1p, r1t0, r1t1, r1id0, r1id1 = 1, ph, t0, t1, id0, id1
+
+        for t, eid, d in zip(rows["t"], rows["event_id"], dist):
+            frac = d / max_dist
+            if not has_prev:
+                has_prev, prev_t, prev_frac = 1, t, frac
+                continue
+            vel = (frac - prev_frac) / (t - prev_t)
+            prev_t, prev_frac = t, frac
+            p = _PH_C if vel <= neg_vel else (
+                _PH_O if vel >= pos_vel else _PH_M
+            )
+            if open_ and p == ph:
+                t1, id1 = t, eid
+            else:
+                if open_:
+                    complete_run()
+                open_, ph = 1, p
+                t0 = t1 = t
+                id0 = id1 = eid
+
+        state.update((
+            int(has_prev), float(prev_t), float(prev_frac),
+            int(open_), int(ph), float(t0), float(t1), int(id0), int(id1),
+            int(r1v), int(r1p), float(r1t0), float(r1t1),
+            int(r1id0), int(r1id1),
+            int(r2v), int(r2p), float(r2t0), float(r2t1),
+            int(r2id0), int(r2id1),
+        ))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "start_event_id", "end_event_id",
+                    "close_s", "closure_s", "open_s", "duration_s",
+                ],
+            )
+
+    return fn
+
+
+def streaming_blinks_phased(
+    events: DataFrame,
+    model: dict[int, tuple[float, float, float]],
+    neg_vel: float = P.EYELID_NEG_VEL,
+    pos_vel: float = P.EYELID_POS_VEL,
+) -> DataFrame:
+    """Stateful streaming twin of operators/eyelid.py:
+    detect_blinks_phased (r11, r10 verdict #5 — the one blink face
+    without a §2.I twin): the three-phase closing/closure/opening
+    state machine carried per user in GroupState — the open phase run
+    plus the two most recently completed runs, which is exactly the
+    history the batch plan's lead()/lead(,2) pattern join inspects
+    when an opening run completes.
+
+    ``model`` is the FROZEN per-user normalization
+    {user_id: (ct, st, max_dist)} from operators/eyelid.py:
+    eyelid_model — the PCA rotation and max eye opening are
+    whole-history statistics, so the stream consumes them as compiled
+    model state (the label_centroids / nb_lang_id frozen-model
+    discipline); users missing from the model emit nothing (route to
+    re-fit). A blink is emitted when its OPENING run completes (the
+    next non-opening sample arrives) — a run still open at
+    end-of-stream stays in state, the module-wide contract.
+
+    PRECONDITION (the streaming_event_transitions contract): per-user
+    event-time order across micro-batches; within a batch the handler
+    sorts by (t, event_id)."""
+    from vedb_gaze_spark.functions.core import tsec
+
+    g = events.select(
+        "user_id",
+        "event_id",
+        tsec("ts").alias("t"),
+    )
+    return g.groupBy("user_id").applyInPandasWithState(
+        _make_phased_fn(dict(model), neg_vel, pos_vel),
+        outputStructType=_PHASED_OUT_SCHEMA,
+        stateStructType=_PHASED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
