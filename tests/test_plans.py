@@ -1772,3 +1772,86 @@ def test_profile_registry_resolves_reference_config_names(spark, sf_dir):
     # (c) unknown names raise, naming the step's tags
     with pytest.raises(KeyError, match="marker-circles_halfres"):
         resolve("marker-no_such_profile")
+
+
+def test_run_profile_chain_reference_default_chain(spark):
+    """r11 (r10 verdict #7): the reference's default make_pipeline chain
+    (pipelines.py:361) — pupil-plab_default → marker-circles_halfres →
+    marker_parsing-cluster_default → calibration-monocular_pl_default →
+    error-smooth_tps_default — runs end-to-end on planted frames via
+    run_profile_chain. Eye frames carry a moving planted pupil; world
+    frames carry a RING marker at the exact linear image of the pupil's
+    norm position (mx = 0.1 + 0.8·px, my = 0.05 + 0.5·py, integer-pixel
+    exact by construction), one frame per day for 26 days so the error
+    surface has enough time-grid cells. The chain must pair all 26
+    samples, fit the polynomial calibration to ~zero residual, and emit
+    a ~zero TPS error surface."""
+    import datetime
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import encode_pnm
+    from vedb_gaze_spark.plans.profiles import run_profile_chain
+
+    EH, EW = 100, 200
+    WH, WW = 300, 400
+    base = 1_700_000_000
+    yy_e, xx_e = np.mgrid[0:EH, 0:EW]
+
+    def ts(s, off=0.0):
+        return datetime.datetime.utcfromtimestamp(base) + \
+            datetime.timedelta(seconds=s * 86_400 + off)
+
+    eye, world = [], []
+    for s in range(26):
+        cx, cy = 40 + 5 * s, 30 + 2 * (s % 20)
+        a = np.full((EH, EW), 180, dtype=np.uint8)
+        el = ((xx_e - cx) / 10.0) ** 2 + ((yy_e - cy) / 6.0) ** 2 <= 1.0
+        a[el] = 20
+        eye.append((5, s, ts(s), bytearray(encode_pnm(a))))
+        # ring marker (bright annulus, dark core) at the linear image
+        mx_px = int(40 + 1.6 * cx)   # = (0.1 + 0.8*cx/EW) * WW, exact
+        my_px = int(15 + 1.5 * cy)   # = (0.05 + 0.5*cy/EH) * WH, exact
+        b = np.zeros((WH, WW), dtype=np.uint8)
+        b[my_px - 4 : my_px + 5, mx_px - 4 : mx_px + 5] = 255
+        b[my_px - 1 : my_px + 2, mx_px - 1 : mx_px + 2] = 0
+        world.append((5, s, ts(s, 0.25), bytearray(encode_pnm(b))))
+
+    eye_df = spark.createDataFrame(
+        eye, "user_id long, frame_id long, ts timestamp, payload binary"
+    )
+    world_df = spark.createDataFrame(
+        world, "user_id long, frame_id long, ts timestamp, payload binary"
+    )
+    chain = [
+        "pupil-plab_default",
+        "marker-circles_halfres",
+        "marker_parsing-cluster_default",
+        "calibration-monocular_pl_default",
+        "error-smooth_tps_default",
+    ]
+    arts = run_profile_chain(chain, eye_df, world_df)
+    assert set(chain) <= set(arts)
+
+    # every world frame's ring detected once; all 26 samples pair
+    assert arts["marker-circles_halfres"].count() == 26
+    pairs = arts["_pairs"].collect()
+    assert len(pairs) == 26
+
+    # marker_parsing artifact runs with the cluster-report schema (the
+    # moving calibration marker is exactly what the bimodal/grid gates
+    # exist to judge — cluster survival is pinned elsewhere on static
+    # markers)
+    mp = arts["marker_parsing-cluster_default"]
+    assert {"user_id", "med_value"} <= set(mp.columns)
+    mp.collect()
+
+    cal = arts["calibration-monocular_pl_default"].collect()
+    assert len(cal) == 1 and cal[0].n_points == 26
+    assert cal[0].rmse_pass1 < 1e-3 and cal[0].rmse_pass2 < 1e-3, cal
+
+    surf = arts["error-smooth_tps_default"].collect()
+    assert len(surf) == 48  # 8 x 6 grid, one user
+    assert all(r.err_est < 0.05 for r in surf), sorted(
+        r.err_est for r in surf
+    )[-3:]

@@ -39,7 +39,17 @@ def calibration_linear(events: DataFrame) -> DataFrame:
     """Per-user OLS pupil→gaze mapping + in-sample RMSE. Confidence
     filtering per parse_plab_data (calibration.py:58,
     min_calibration_confidence)."""
-    g = with_gaze(events).where(F.col("conf") > P.MIN_CONFIDENCE)
+    return calibration_linear_points(
+        with_gaze(events).where(F.col("conf") > P.MIN_CONFIDENCE)
+    )
+
+
+def calibration_linear_points(g: DataFrame) -> DataFrame:
+    """POINT-TABLE face of calibration_linear (r11): ``g`` carries
+    (user_id, px, py, gx, gy) — the canonical calibration input,
+    whether derived from the events signal view (the oracled face
+    above) or paired out of real pixel detections
+    (plans/profiles.py:run_profile_chain). Caller gates confidence."""
     fit = g.groupBy("user_id").agg(
         F.regr_slope("gx", "px").alias("bx"),
         F.regr_intercept("gx", "px").alias("ax"),
@@ -81,6 +91,18 @@ def calibration_poly(
     """calibrate_2d_polynomial (calibration.py:102): fit on all points,
     cut outliers at median + k*std of the error distance, refit on
     inliers. Per-user groups via applyInPandas."""
+    return calibration_poly_points(
+        with_gaze(events).where(F.col("conf") > P.MIN_CONFIDENCE),
+        max_stds=max_stds,
+    )
+
+
+def calibration_poly_points(
+    g: DataFrame, max_stds: float = 2.0
+) -> DataFrame:
+    """POINT-TABLE face of calibration_poly (r11, the
+    calibration_linear_points convention): (user_id, px, py, gx, gy)
+    in, per-user two-pass polynomial QC out."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         px, py = pdf["px"].to_numpy(), pdf["py"].to_numpy()
@@ -109,7 +131,6 @@ def calibration_poly(
             }
         )
 
-    g = with_gaze(events).where(F.col("conf") > P.MIN_CONFIDENCE)
     return apply_per_key(g, "user_id", run, _POLY_SCHEMA)
 
 
@@ -201,7 +222,15 @@ def _cluster_medians(events: DataFrame) -> DataFrame:
     cluster_reduce_fn=np.median step (calibration.py:472 via
     marker_cluster_stat). Clusters are the time-grid cells; medians are
     exact order statistics, one aggregation."""
-    g = with_gaze(events).where(F.col("conf") > P.MIN_CONFIDENCE)
+    return _cluster_medians_points(
+        with_gaze(events).where(F.col("conf") > P.MIN_CONFIDENCE)
+    )
+
+
+def _cluster_medians_points(g: DataFrame) -> DataFrame:
+    """Point-table half of _cluster_medians: (user_id, t, px, py, gx,
+    gy) in, per-(user, time-grid-cell) medians out. Caller gates
+    confidence."""
     g = g.withColumn("cluster", F.floor(F.col("t") / P.GRID_T_EPS_S))
     return g.groupBy("user_id", "cluster").agg(
         F.median("px").alias("px"),
@@ -265,6 +294,15 @@ def calibration_rbf(events: DataFrame) -> DataFrame:
 def calibration_tps(events: DataFrame) -> DataFrame:
     """_fit_tps_gaze_cv (calibration.py:350): TPS gx,gy ← (px,py) with
     leave-one-out lambda selection on cluster-median points."""
+    return calibration_tps_points(
+        with_gaze(events).where(F.col("conf") > P.MIN_CONFIDENCE)
+    )
+
+
+def calibration_tps_points(g: DataFrame) -> DataFrame:
+    """POINT-TABLE face of calibration_tps (r11): (user_id, t, px, py,
+    gx, gy) in; the cluster-median reduction happens here so raw pixel
+    pairings get the same bounded per-group size as the events face."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         xy = pdf[["px", "py"]].to_numpy()
@@ -298,4 +336,6 @@ def calibration_tps(events: DataFrame) -> DataFrame:
             }
         )
 
-    return apply_per_key(_cluster_medians(events), "user_id", run, _TPS_SCHEMA)
+    return apply_per_key(
+        _cluster_medians_points(g), "user_id", run, _TPS_SCHEMA
+    )

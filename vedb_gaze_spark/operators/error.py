@@ -102,6 +102,19 @@ def error_surface_tps(events: DataFrame, lambd: float = 0.01) -> DataFrame:
     """TPS error surface evaluated on a coarse grid
     (error_computation.py:173, method='tps'), per user on cluster-median
     points. Output is user × 48 grid values — tiny at any scale."""
+    return error_surface_tps_points(_pointwise_error(events), lambd=lambd)
+
+
+def error_surface_tps_points(
+    e: DataFrame, lambd: float = 0.01
+) -> DataFrame:
+    """POINT-TABLE face of error_surface_tps (r11, the
+    calibration_*_points convention): ``e`` carries (user_id, t, mx,
+    my, err) — pointwise gaze error in degrees at marker positions,
+    whether from the events signal view (the face above) or mapped out
+    of real pixel detections (plans/profiles.py:run_profile_chain).
+    The cluster-median reduction happens here so every caller gets the
+    same bounded per-group size."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 5:
@@ -125,7 +138,6 @@ def error_surface_tps(events: DataFrame, lambd: float = 0.01) -> DataFrame:
             }
         )
 
-    e = _pointwise_error(events)
     e = e.withColumn("cluster", F.floor(F.col("t") / P.GRID_T_EPS_S))
     reduced = e.groupBy("user_id", "cluster").agg(
         F.median("mx").alias("mx"),

@@ -354,16 +354,64 @@ def pupil_pixel_pipeline(
     p = detect_pupil_frames(
         pupil_frames, threshold=pupil_threshold
     ).where(F.col("confidence") > min_confidence)
-    # single-detection gate as ONE windowed count over the detection
-    # stream — a groupBy + join-back would scan the Arrow detector
-    # twice (plan-audited; the detectors are the expensive stage here)
-    wf = Window.partitionBy("user_id", "frame_id")
-    m = (
+    m = single_detection_gate(
         detect_frame_markers(marker_frames, threshold=marker_threshold)
-        .withColumn("n_det", F.count(F.lit(1)).over(wf))
-        .where(F.col("n_det") == 1)
+    )
+    g = pair_pupil_markers(p, m, match_tol_s)
+    # g feeds BOTH the fit aggregate and the mapped-error pass; without
+    # materialization the whole Arrow detection + pairing chain
+    # re-executes per consumer (plan-audited: the detectors ran twice).
+    # Pair-table-sized — the dedup_agreement checkpoint idiom.
+    from vedb_gaze_spark.functions.core import iter_checkpoint
+
+    g = iter_checkpoint(g, eager=False)
+
+    fit = g.groupBy("user_id").agg(
+        F.regr_slope("mx", "px").alias("bx"),
+        F.regr_intercept("mx", "px").alias("ax"),
+        F.regr_slope("my", "py").alias("by"),
+        F.regr_intercept("my", "py").alias("ay"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    mapped = g.join(fit, "user_id")
+    ex = (F.col("ax") + F.col("bx") * F.col("px") - F.col("mx")) * P.DEG_HORIZ
+    ey = (F.col("ay") + F.col("by") * F.col("py") - F.col("my")) * P.DEG_VERT
+    err = F.sqrt(ex * ex + ey * ey)
+    return mapped.groupBy("user_id").agg(
+        F.first("n_pairs").alias("n_pairs"),
+        F.round(F.first("bx"), 6).alias("slope_x"),
+        F.round(F.first("ax"), 6).alias("intercept_x"),
+        F.round(F.first("by"), 6).alias("slope_y"),
+        F.round(F.first("ay"), 6).alias("intercept_y"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse_deg"),
+        F.round(F.median(err), 6).alias("median_err_deg"),
     )
 
+
+def single_detection_gate(detections: DataFrame) -> DataFrame:
+    """Keep only frames with exactly ONE detection (a calibration-epoch
+    world frame shows one marker). One windowed count over the
+    detection stream — a groupBy + join-back would scan the Arrow
+    detector twice (plan-audited; the detectors are the expensive
+    stage in any pixel chain)."""
+    wf = Window.partitionBy("user_id", "frame_id")
+    return detections.withColumn(
+        "n_det", F.count(F.lit(1)).over(wf)
+    ).where(F.col("n_det") == 1)
+
+
+def pair_pupil_markers(
+    p: DataFrame, m: DataFrame, match_tol_s: float = 0.5
+) -> DataFrame:
+    """Nearest-time pupil↔marker pairing per user within match_tol_s —
+    utils.py:6 match_time_points' window semantics as one union + two
+    ordered windows over the shared user_id partitioning (no join
+    explosion; backward/forward candidates picked by |Δt|). ``p`` is a
+    confidence-gated pupil detection stream (norm_x/norm_y per frame),
+    ``m`` a single-detection-gated marker stream. Returns one row per
+    surviving pupil sample: (user_id, t, px, py, mx, my, dt). Factored
+    out of pupil_pixel_pipeline (r11) so the profile-driven chain
+    (plans/profiles.py:run_profile_chain) shares the identical plan."""
     from vedb_gaze_spark.functions.core import tsec
 
     pu = p.select(
@@ -419,34 +467,7 @@ def pupil_pixel_pipeline(
         F.when(use_back, F.col("bmy")).otherwise(F.col("fmy")).alias("my"),
         F.when(use_back, db).otherwise(df_).alias("dt"),
     ).where(F.col("mx").isNotNull() & (F.col("dt") <= match_tol_s))
-    # g feeds BOTH the fit aggregate and the mapped-error pass; without
-    # materialization the whole Arrow detection + pairing chain
-    # re-executes per consumer (plan-audited: the detectors ran twice).
-    # Pair-table-sized — the dedup_agreement checkpoint idiom.
-    from vedb_gaze_spark.functions.core import iter_checkpoint
-
-    g = iter_checkpoint(g, eager=False)
-
-    fit = g.groupBy("user_id").agg(
-        F.regr_slope("mx", "px").alias("bx"),
-        F.regr_intercept("mx", "px").alias("ax"),
-        F.regr_slope("my", "py").alias("by"),
-        F.regr_intercept("my", "py").alias("ay"),
-        F.count(F.lit(1)).alias("n_pairs"),
-    )
-    mapped = g.join(fit, "user_id")
-    ex = (F.col("ax") + F.col("bx") * F.col("px") - F.col("mx")) * P.DEG_HORIZ
-    ey = (F.col("ay") + F.col("by") * F.col("py") - F.col("my")) * P.DEG_VERT
-    err = F.sqrt(ex * ex + ey * ey)
-    return mapped.groupBy("user_id").agg(
-        F.first("n_pairs").alias("n_pairs"),
-        F.round(F.first("bx"), 6).alias("slope_x"),
-        F.round(F.first("ax"), 6).alias("intercept_x"),
-        F.round(F.first("by"), 6).alias("slope_y"),
-        F.round(F.first("ay"), 6).alias("intercept_y"),
-        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse_deg"),
-        F.round(F.median(err), 6).alias("median_err_deg"),
-    )
+    return g
 
 
 def curation_pipeline(documents: DataFrame) -> DataFrame:

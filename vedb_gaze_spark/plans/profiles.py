@@ -233,3 +233,164 @@ def resolve(name: str) -> Profile:
     step = name.split("-", 1)[0]
     known = list_profiles(step) or list_profiles()
     raise KeyError(f"unknown profile {name!r}; known: {', '.join(known)}")
+
+
+def _points_face(fn: Callable) -> Callable | None:
+    """The POINT-TABLE twin of a profile's events-face operator — the
+    (user_id, t, px, py, gx, gy) input every calibration consumes when
+    its points come from paired pixel detections instead of the events
+    signal view."""
+    from vedb_gaze_spark.operators.calibration import (
+        calibration_linear,
+        calibration_linear_points,
+        calibration_poly,
+        calibration_poly_points,
+        calibration_tps,
+        calibration_tps_points,
+    )
+
+    return {
+        calibration_linear: calibration_linear_points,
+        calibration_poly: calibration_poly_points,
+        calibration_tps: calibration_tps_points,
+    }.get(fn)
+
+
+def run_profile_chain(
+    steps,
+    eye_frames,
+    world_frames,
+    match_tol_s: float = 0.5,
+    min_confidence: float = 0.6,
+):
+    """Execute a reference ``make_pipeline`` chain (pipelines.py:361)
+    of `<step>-<tag>` profile names over raw frame tables — the
+    one-call composition a reference user writes as
+    make_pipeline(['pupil-plab_default', 'marker-circles_halfres',
+    'marker_parsing-cluster_default', 'calibration-...', 'error-...']).
+
+    Glue between steps is the SAME plan pupil_pixel_pipeline compiles
+    for its fixed operators (pair_pupil_markers / single_detection_gate
+    are shared code): pupil and marker detections pair by nearest time
+    within ``match_tol_s``; the paired table feeds the calibration
+    profile's point face; the error profile's surface is fitted to the
+    mapped-gaze error of the folded linear gaze mapper (the
+    'gaze-default_mapper' step, implicit exactly as the reference folds
+    Calibration.map into its error step). Returns {profile_name:
+    DataFrame} with every step's artifact; the paired point table rides
+    along under '_pairs'.
+
+    Steps may appear in any subset, but calibration/gaze/error steps
+    need a pupil and a marker step earlier in the list — a missing
+    producer raises instead of silently fitting nothing. Profiles whose
+    operator has no point face (binocular pairing needs two eye
+    streams) raise NotImplementedError naming the profile."""
+    from pyspark.sql import functions as F
+
+    from vedb_gaze_spark.functions.core import iter_checkpoint
+    from vedb_gaze_spark.operators.calibration import (
+        calibration_linear_points,
+    )
+    from vedb_gaze_spark.operators.error import error_surface_tps_points
+    from vedb_gaze_spark.operators.multimodal import (
+        detections_to_marker_stream,
+    )
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.plans.pipeline import (
+        pair_pupil_markers,
+        single_detection_gate,
+    )
+
+    out: dict = {}
+    pup = det = pairs = None
+
+    def paired():
+        nonlocal pairs
+        if pairs is None:
+            if pup is None or det is None:
+                raise ValueError(
+                    "calibration/gaze/error steps need a pupil and a "
+                    "marker step earlier in the chain"
+                )
+            p = pup.where(F.col("confidence") > min_confidence)
+            # pair-table-sized; consumed by fit + map-error + surface —
+            # the pupil_pixel_pipeline checkpoint idiom
+            pairs = iter_checkpoint(
+                pair_pupil_markers(
+                    p, single_detection_gate(det), match_tol_s
+                ),
+                eager=False,
+            )
+            out["_pairs"] = pairs
+        return pairs
+
+    def mapped_error():
+        g = paired()
+        fit = calibration_linear_points(
+            g.select(
+                "user_id", "t", "px", "py",
+                F.col("mx").alias("gx"), F.col("my").alias("gy"),
+            )
+        ).select("user_id", "slope_x", "intercept_x", "slope_y",
+                 "intercept_y")
+        m = g.join(F.broadcast(fit), "user_id")
+        ex = (
+            F.col("intercept_x") + F.col("slope_x") * F.col("px")
+            - F.col("mx")
+        ) * P.DEG_HORIZ
+        ey = (
+            F.col("intercept_y") + F.col("slope_y") * F.col("py")
+            - F.col("my")
+        ) * P.DEG_VERT
+        return m.select(
+            "user_id", "t", "mx", "my",
+            F.sqrt(ex * ex + ey * ey).alias("err"),
+        )
+
+    for name in steps:
+        pr = resolve(name)
+        if pr.step == "pupil":
+            pup = pr(eye_frames)
+            out[name] = pup
+        elif pr.step == "marker":
+            det = pr(world_frames)
+            for c in ("corner_xs", "corner_ys"):
+                if c in det.columns:
+                    det = det.drop(c)
+            out[name] = det
+        elif pr.step == "marker_parsing":
+            if det is None:
+                raise ValueError(
+                    f"{name!r} needs a marker step earlier in the chain"
+                )
+            out[name] = pr(detections_to_marker_stream(det))
+        elif pr.step == "calibration":
+            face = _points_face(pr.fn)
+            if face is None:
+                raise NotImplementedError(
+                    f"{name!r} has no point-table face (binocular "
+                    "pairing needs two eye streams — use "
+                    "gaze_map_binocular on the events view)"
+                )
+            g = paired()
+            out[name] = face(
+                g.select(
+                    "user_id", "t", "px", "py",
+                    F.col("mx").alias("gx"), F.col("my").alias("gy"),
+                ),
+                **pr.kwargs,
+            )
+        elif pr.step == "gaze":
+            out[name] = calibration_linear_points(
+                paired().select(
+                    "user_id", "t", "px", "py",
+                    F.col("mx").alias("gx"), F.col("my").alias("gy"),
+                )
+            )
+        elif pr.step == "error":
+            out[name] = error_surface_tps_points(
+                mapped_error(), **pr.kwargs
+            )
+        else:  # pragma: no cover — every registered step is handled
+            raise KeyError(f"unhandled step kind {pr.step!r} for {name!r}")
+    return out
