@@ -336,13 +336,56 @@ def main() -> None:
         json.dump(
             {
                 "pass_detail": pass_detail,
+                "queries": per_query,
+                "summary": out,
                 "sf": out["sf"],
                 "queue_position": {n: i for i, n in enumerate(names)},
             },
             fh,
         )
+    # Driver-schema local artifact (r10 verdict #8): the driver records
+    # {n, rc, cpus, sf, tail, parsed} but its tail capture keeps only the
+    # LAST 2000 stdout chars, so once the full queries map crossed ~2.8k
+    # chars (116 entries) `parsed` went null in BENCH_r10. Commit the
+    # complete summary in the same schema so every round has a parseable
+    # full record regardless of the driver's capture window.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    with open(local_path, "w") as fh:
+        json.dump(
+            {
+                "n": os.environ.get("SPARK_GRAFT_ROUND"),
+                "rc": 0,
+                "cpus": int(
+                    os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 0)
+                ),
+                "sf": out["sf"],
+                "parsed": out,
+            },
+            fh,
+            indent=1,
+        )
     spark.stop()
-    print(json.dumps(out))
+    # The single stdout line must survive the driver's 2000-char tail
+    # capture to parse (BENCH_r04/r10: parsed null once the line outgrew
+    # it). When the full map no longer fits, keep the SLOWEST rows — the
+    # ones a perf verdict reads — up to a fixed budget and point at the
+    # committed full records for the rest.
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        out["queries_n"] = len(per_query)
+        out["queries_full"] = "bench_detail.json"
+        kept: dict[str, float] = {}
+        out["queries"] = kept
+        for qname in sorted(per_query, key=per_query.get, reverse=True):
+            kept[qname] = per_query[qname]
+            if len(json.dumps(out, separators=(",", ":"))) > 1800:
+                del kept[qname]
+                break
+        out["queries_omitted"] = out["queries_n"] - len(kept)
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
