@@ -1578,3 +1578,185 @@ def test_y4m_pupil_and_world_videos_recover_planted_linear_map(
     assert abs(r.slope_x - 0.8) < 1e-3 and abs(r.intercept_x - 0.1) < 1e-3, r
     assert abs(r.slope_y - 0.5) < 1e-3 and abs(r.intercept_y - 0.05) < 1e-3, r
     assert r.rmse_deg < 0.05 and r.median_err_deg < 0.05, r
+
+
+# ---------------------------------------------------------------------
+# pldata capture-format source (sources/pldata.py)
+# ---------------------------------------------------------------------
+
+
+def test_msgpack_codec_spec_vectors_and_roundtrip():
+    """The pure-Python codec must match the PUBLIC MessagePack spec
+    byte-for-byte — pinned with the spec's own front-page example and
+    hand-assembled boundary encodings, then a structural round-trip."""
+    from vedb_gaze_spark.sources.pldata import (
+        msgpack_packb,
+        msgpack_unpackb,
+    )
+
+    # msgpack.org front-page example: {"compact":true,"schema":0}
+    assert (
+        msgpack_packb({"compact": True, "schema": 0}).hex()
+        == "82a7636f6d70616374c3a6736368656d6100"
+    )
+    # int width boundaries (spec families: fixint/uint8..64/int8..64)
+    vectors = {
+        0: "00", 127: "7f", 128: "cc80", 255: "ccff", 256: "cd0100",
+        65535: "cdffff", 65536: "ce00010000", 2**32: "cf0000000100000000",
+        -1: "ff", -32: "e0", -33: "d0df", -128: "d080", -129: "d1ff7f",
+        -32769: "d2ffff7fff", -(2**31) - 1: "d3ffffffff7fffffff",
+    }
+    for val, hexs in vectors.items():
+        assert msgpack_packb(val).hex() == hexs, (val, hexs)
+        assert msgpack_unpackb(bytes.fromhex(hexs)) == val
+    # float64, str framings, bin framing, nil/bool
+    assert msgpack_packb(1.5).hex() == "cb3ff8000000000000"
+    assert msgpack_packb("a" * 31)[0] == 0xBF  # fixstr max
+    assert msgpack_packb("a" * 32)[:2] == b"\xd9\x20"  # str8
+    assert msgpack_packb(b"\x01\x02")[:2] == b"\xc4\x02"  # bin8
+    assert msgpack_packb(None) == b"\xc0"
+    assert msgpack_unpackb(b"\xca\x3f\xc0\x00\x00") == 1.5  # float32
+    # structural round-trip with nesting, the capture-datum shape
+    datum = {
+        "topic": "pupil.0",
+        "timestamp": 1234.5625,
+        "confidence": 0.98,
+        "norm_pos": [0.25, 0.75],
+        "ellipse": {"center": [96.0, 60.0], "axes": [14.0, 10.0],
+                    "angle": 30.0},
+        "id": 0,
+        "flags": [True, False, None],
+        "raw": b"\x00\xff",
+    }
+    assert msgpack_unpackb(msgpack_packb(datum)) == datum
+    # ext types are rejected loudly, not mis-decoded
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported msgpack type"):
+        msgpack_unpackb(b"\xd4\x01\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        msgpack_unpackb(b"\xcd\x01")
+
+
+def test_parse_npy_matches_numpy_save(tmp_path):
+    """The executor-side NPY parser must agree with np.load on
+    everything np.save writes for scalar dtypes, incl. 2-D and
+    Fortran-order layouts; object arrays are refused."""
+    import numpy as np
+    import pytest
+
+    from vedb_gaze_spark.sources.pldata import parse_npy
+
+    cases = [
+        np.arange(7, dtype="float64") * 0.5,
+        np.arange(6, dtype="int32").reshape(2, 3),
+        np.asfortranarray(np.arange(12, dtype="float32").reshape(3, 4)),
+        np.array([], dtype="float64"),
+    ]
+    for i, arr in enumerate(cases):
+        p = tmp_path / f"a{i}.npy"
+        np.save(p, arr)
+        got = parse_npy(p.read_bytes())
+        assert got.dtype == arr.dtype and got.shape == arr.shape
+        assert np.array_equal(got, arr)
+    with pytest.raises(ValueError, match="bad magic"):
+        parse_npy(b"not-npy")
+
+
+def test_pldata_roundtrip_and_csv_export_parity(spark, tmp_path):
+    """write_pldata (PLData_Writer twin, file_methods.py:157) →
+    read_pldata (load_pldata_file twin, :133): values, sidecar clock,
+    per-recording idx, empty-on-missing contract — and the binary
+    capture must read BACK the same gaze columns the CSV-export reader
+    produces for the same samples (one capture, two serializations)."""
+    from vedb_gaze_spark.sources.pldata import (
+        GAZE_FIELDS,
+        read_pldata,
+        write_pldata,
+    )
+
+    def gaze_datum(ts, conf, nx, ny):
+        return {
+            "topic": "gaze.3d.0",
+            "timestamp": ts,
+            "confidence": conf,
+            "norm_pos": [nx, ny],
+        }
+
+    samples = {
+        "rec_a": [
+            gaze_datum(10.0, 0.99, 0.25, 0.75),
+            gaze_datum(10.1, 0.42, 0.30, 0.70),
+            gaze_datum(10.2, 0.88, 0.35, 0.65),
+        ],
+        "rec_b": [gaze_datum(20.0, 0.50, 0.10, 0.90)],
+    }
+    root = tmp_path / "sessions"
+    for rec, datums in samples.items():
+        write_pldata(str(root / rec), "gaze", datums)
+
+    df = read_pldata(spark, str(root / "*"), "gaze", fields=GAZE_FIELDS)
+    rows = {(r.recording, r.idx): r for r in df.collect()}
+    assert len(rows) == 4
+    r = rows[("rec_a", 1)]
+    assert r.topic == "gaze.3d.0"
+    assert r.capture_ts == 10.1 and r.timestamp == 10.1
+    assert r.confidence == 0.42
+    assert (r.norm_pos_x, r.norm_pos_y) == (0.30, 0.70)
+    assert rows[("rec_b", 0)].capture_ts == 20.0
+
+    # pupil-field extraction: missing fields are nulls, nested paths work
+    pupil = {
+        "topic": "pupil.0",
+        "timestamp": 5.0,
+        "confidence": 0.9,
+        "norm_pos": [0.5, 0.5],
+        "ellipse": {"center": [96.0, 60.0], "axes": [14.0, 10.0],
+                    "angle": 30.0},
+        "id": 1,
+    }
+    write_pldata(str(root / "rec_c"), "pupil", [pupil])
+    pr = read_pldata(spark, str(root / "rec_c"), "pupil").collect()[0]
+    assert pr.ellipse_center_x == 96.0 and pr.ellipse_angle == 30.0
+    assert pr.eye_id == 1
+    assert pr.diameter is None and pr.luminance is None  # absent -> null
+
+    # the reference's IOError -> empty contract: missing topic/dir
+    assert read_pldata(spark, str(root / "*"), "odometry").count() == 0
+    assert read_pldata(spark, str(tmp_path / "nope"), "gaze").count() == 0
+
+    # missing sidecar degrades to null capture_ts, datums still read
+    # (fresh root: Spark's session FileStatusCache pins prior listings)
+    import os as _os
+
+    root2 = tmp_path / "sessions2"
+    write_pldata(str(root2 / "rec_a"), "gaze", samples["rec_a"])
+    write_pldata(str(root2 / "rec_b"), "gaze", samples["rec_b"])
+    _os.remove(str(root2 / "rec_b" / "gaze_timestamps.npy"))
+    df2 = read_pldata(spark, str(root2 / "*"), "gaze", fields=GAZE_FIELDS)
+    got = {(r.recording, r.idx): r.capture_ts for r in df2.collect()}
+    assert got[("rec_b", 0)] is None and got[("rec_a", 0)] == 10.0
+
+    # CSV-export parity: same samples through the plab CSV reader give
+    # the same gaze columns (binary capture == export serialization)
+    from vedb_gaze_spark.sources.plab_csv import gaze_csv_path, read_gaze_csv
+
+    sess = tmp_path / "sess"
+    csv_path = gaze_csv_path(str(sess), 0)
+    _os.makedirs(_os.path.dirname(csv_path), exist_ok=True)
+    with open(csv_path, "w") as fh:
+        fh.write("gaze_timestamp,confidence,norm_pos_x,norm_pos_y\n")
+        for d in samples["rec_a"]:
+            fh.write(
+                f"{d['timestamp']},{d['confidence']},"
+                f"{d['norm_pos'][0]},{d['norm_pos'][1]}\n"
+            )
+    via_csv = sorted(
+        (r.gaze_timestamp, r.confidence, r.norm_pos_x, r.norm_pos_y)
+        for r in read_gaze_csv(spark, str(sess), 0).collect()
+    )
+    via_pldata = sorted(
+        (r.timestamp, r.confidence, r.norm_pos_x, r.norm_pos_y)
+        for r in df.where("recording = 'rec_a'").collect()
+    )
+    assert via_csv == via_pldata
