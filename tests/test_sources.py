@@ -1760,3 +1760,140 @@ def test_pldata_roundtrip_and_csv_export_parity(spark, tmp_path):
         for r in df.where("recording = 'rec_a'").collect()
     )
     assert via_csv == via_pldata
+
+
+def test_pupil_edge_refinement_sharpens_ragged_blob(spark):
+    """detect_pupil_frames(refine='edge') — the Detector2D-style
+    refinement from public algorithms (Canny + direct LSQ ellipse fit
+    + outline support, operators/pupil_edge.py). A clean planted
+    ellipse survives refinement near-exactly; a RAGGED blob (interior
+    speckle bites the moments estimate) refines CLOSER to the true
+    boundary than the moments detector; a low-contrast blob (no Canny
+    edges) falls back to the moments row bit-for-bit."""
+    import datetime
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import (
+        detect_pupil_frames,
+        encode_pnm,
+    )
+
+    H, W = 120, 160
+    base = 1_700_000_000
+    yy, xx = np.mgrid[0:H, 0:W]
+
+    def frame(fid, arr):
+        return (
+            1, fid, datetime.datetime.utcfromtimestamp(base + fid),
+            bytearray(encode_pnm(arr)),
+        )
+
+    rows = []
+    # f0: clean tilted ellipse (truth: c=(80,60), full axes 44/26, 20 deg)
+    a = np.full((H, W), 190, dtype=np.uint8)
+    th = np.radians(20.0)
+    u = (xx - 80.0) * np.cos(th) + (yy - 60.0) * np.sin(th)
+    v = -(xx - 80.0) * np.sin(th) + (yy - 60.0) * np.cos(th)
+    clean = (u / 22.0) ** 2 + (v / 13.0) ** 2 <= 1.0
+    a[clean] = 25
+    rows.append(frame(0, a))
+    # f1: same ellipse with the CORE hollowed out (specular highlight /
+    # IR glint eats the pupil interior) — the annulus mass inflates the
+    # moment axes while the outer boundary stays intact
+    b = a.copy()
+    hole = (u / 22.0) ** 2 + (v / 13.0) ** 2 <= 0.6 ** 2
+    b[hole] = 190
+    rows.append(frame(1, b))
+    # f2: low-contrast blob — below any Canny threshold, fallback path
+    c = np.full((H, W), 70, dtype=np.uint8)
+    c[(xx - 60) ** 2 + (yy - 60) ** 2 <= 12 ** 2] = 55
+    rows.append(frame(2, c))
+
+    df = spark.createDataFrame(
+        rows, "user_id bigint, frame_id bigint, ts timestamp, payload binary"
+    )
+    plain = {
+        r.frame_id: r for r in detect_pupil_frames(df).collect()
+    }
+    refined = {
+        r.frame_id: r
+        for r in detect_pupil_frames(df, refine="edge").collect()
+    }
+
+    # clean ellipse: both paths near truth; refined stays tight
+    t0 = refined[0]
+    assert abs(t0.x - 80.0) < 1.0 and abs(t0.y - 60.0) < 1.0
+    assert abs(t0.axis_major - 44.0) < 2.5
+    assert abs(t0.axis_minor - 26.0) < 2.5
+    assert abs(t0.angle_deg - 20.0) < 4.0
+    assert t0.confidence > 0.85  # outline support, not roundness
+
+    # ragged blob: moments axes collapse under the holes (area-based);
+    # the edge fit recovers the true boundary
+    m1, r1 = plain[1], refined[1]
+    true_maj, true_min = 44.0, 26.0
+    m_err = abs(m1.axis_major - true_maj) + abs(m1.axis_minor - true_min)
+    r_err = abs(r1.axis_major - true_maj) + abs(r1.axis_minor - true_min)
+    assert m_err > 4.0, f"speckle should bias the moments path ({m_err})"
+    assert r_err < 2.5, f"edge fit should recover the boundary ({r_err})"
+    assert r_err < m_err
+    assert abs(r1.x - 80.0) < 1.0 and abs(r1.y - 60.0) < 1.0
+
+    # low contrast: no edges -> the refined row IS the moments row
+    m2, r2 = plain[2], refined[2]
+    for k in ("x", "y", "axis_minor", "axis_major", "angle_deg",
+              "confidence", "luminance"):
+        assert getattr(m2, k) == getattr(r2, k), k
+
+
+def test_pupil_edge_kernels_are_exact_on_analytic_inputs():
+    """The pure-numpy kernels behind refine='edge': direct LSQ fit is
+    exact on analytic ellipse points (incl. the angle convention
+    matching the moments detector), Canny localizes a disk boundary to
+    ~1 px, NMS thins edges, and degenerate fits return None."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators.pupil_edge import (
+        canny_edges,
+        conic_to_ellipse,
+        fit_ellipse_direct,
+        outline_support,
+    )
+
+    t = np.linspace(0, 2 * np.pi, 48, endpoint=False)
+    for sa, sb, ang_t in [(20.0, 12.0, 25.0), (15.0, 15.0, 0.0),
+                          (30.0, 9.0, -70.0)]:
+        th = np.radians(ang_t)
+        x = 50 + sa * np.cos(t) * np.cos(th) - sb * np.sin(t) * np.sin(th)
+        y = 40 + sa * np.cos(t) * np.sin(th) + sb * np.sin(t) * np.cos(th)
+        got = conic_to_ellipse(fit_ellipse_direct(x, y))
+        assert got is not None
+        gx, gy, gmaj, gmin, gang = got
+        assert abs(gx - 50) < 1e-6 and abs(gy - 40) < 1e-6
+        assert abs(gmaj - 2 * sa) < 1e-6 and abs(gmin - 2 * sb) < 1e-6
+        if sa != sb:  # angle undefined for circles
+            d = abs(gang - ang_t) % 180.0
+            assert min(d, 180.0 - d) < 1e-6, (gang, ang_t)
+
+    # degenerate inputs refuse, never return garbage
+    assert fit_ellipse_direct(np.arange(5.0), np.arange(5.0)) is None
+    line = np.arange(10.0)
+    assert (
+        fit_ellipse_direct(line, 2 * line) is None
+        or conic_to_ellipse(fit_ellipse_direct(line, 2 * line)) is None
+    )
+
+    # Canny on a disk: thin ring at the radius, nothing in the flats
+    img = np.full((80, 80), 200.0)
+    yy, xx = np.mgrid[0:80, 0:80]
+    img[(xx - 40) ** 2 + (yy - 40) ** 2 <= 15 ** 2] = 30.0
+    e = canny_edges(img)
+    py_, px_ = np.nonzero(e)
+    r = np.sqrt((px_ - 40.0) ** 2 + (py_ - 40.0) ** 2)
+    assert e.sum() > 40  # a ring's worth of pixels
+    assert r.min() > 13.0 and r.max() < 17.0  # localized to ~1 px
+    assert not canny_edges(np.full((40, 40), 99.0)).any()
+    sup = outline_support(e, 40.0, 40.0, 30.0, 30.0, 0.0)
+    assert sup > 0.95  # the ring supports its own circle
+    assert outline_support(e, 40.0, 40.0, 60.0, 60.0, 0.0) < 0.2

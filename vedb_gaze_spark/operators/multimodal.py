@@ -1317,6 +1317,7 @@ def detect_pupil_frames(
     threshold: int = 60,
     min_size: int = 10,
     max_size: int = 40_000,
+    refine: str = "none",
 ) -> DataFrame:
     """Real-pixel PUPIL detection — the dark-component ellipse-moments
     mirror of detect_frame_markers, closing the reference's last
@@ -1343,13 +1344,22 @@ def detect_pupil_frames(
     deterministic across partitionings). luminance is the frame's mean
     luma (the reference attaches fr.mean() to every datum).
 
-    The model-based refinement the reference delegates to the trained
-    Pupil Labs Detector2D internals (Canny edge support, ellipse
-    fitting against edge segments) is the named unvendorable stub —
-    the moments detector is the deterministic, oracle-able contract.
+    ``refine="edge"`` (r11) runs the Detector2D-style refinement the
+    reference delegates to the Pupil Labs C++ internals, re-expressed
+    from the PUBLIC algorithms (operators/pupil_edge.py: Canny 1986
+    edges → annulus-gated direct least-squares ellipse fit, Fitzgibbon
+    1996 / Halir & Flusser 1998 → outline edge-support confidence).
+    Refinement replaces the winning candidate's ellipse and reports the
+    edge-support ratio as confidence; when the fit is impossible
+    (no edges, degeneracy, support < 0.3) the moments row stands, so
+    refine can only sharpen a detection, never drop one. The default
+    stays "none": the moments detector is the deterministic, SQL-
+    oracle-able contract.
     Arrow-batched mapInPandas; each frame is one independent work item,
     so this scales with frame count exactly like the marker detectors.
     """
+    if refine not in ("none", "edge"):
+        raise ValueError(f"refine must be 'none' or 'edge', got {refine!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1405,6 +1415,16 @@ def detect_pupil_frames(
                         out[k].append(0.0)
                 else:
                     cx, cy, ax_minor, ax_major, ang, conf = best[1]
+                    if refine == "edge":
+                        from vedb_gaze_spark.operators.pupil_edge import (
+                            refine_pupil_ellipse,
+                        )
+
+                        ref = refine_pupil_ellipse(
+                            y, (cx, cy, ax_minor, ax_major, ang)
+                        )
+                        if ref is not None:
+                            cx, cy, ax_minor, ax_major, ang, conf = ref
                     out["x"].append(r6(cx))
                     out["y"].append(r6(cy))
                     out["norm_x"].append(r6(cx / w))
