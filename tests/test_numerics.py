@@ -365,3 +365,40 @@ def test_iter_checkpoint_mode_follows_session_checkpoint_dir(spark, tmp_path):
             spark.sparkContext._jvm.scala.Option.apply(None)
         )
     assert spark.sparkContext.getCheckpointDir() is None
+
+
+def test_calibration_3d_bundle_recovers_pose_with_translation(spark, sf_dir):
+    """The full 6-DoF bundle (reference calibrate_monocular shape,
+    calibrate_3d.py:103 — world camera free in rotation AND
+    translation, gaze targets fixed): Kabsch init + chord-residual LM
+    must recover the planted rotation AND translation from the
+    depth-varying targets, beat the translation-less initializer's
+    residual, and pass the success gate."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators.calib3d import (
+        _R_TRUE,
+        _T_TRUE,
+        calibration_3d_bundle,
+    )
+    from vedb_gaze_spark.sources.tables import load_table
+
+    rows = calibration_3d_bundle(load_table(spark, "events", sf_dir)).collect()
+    assert len(rows) > 0
+    pitch_t = float(np.arcsin(np.clip(-_R_TRUE[2, 0], -1, 1)))
+    roll_t = float(np.arctan2(_R_TRUE[2, 1], _R_TRUE[2, 2]))
+    yaw_t = float(np.arctan2(_R_TRUE[1, 0], _R_TRUE[0, 0]))
+    for r in rows:
+        assert r.success, r
+        assert r.residual_deg < 0.5, r
+        # the Kabsch init has no translation — the planted T (~10 units
+        # at ~500 depth ~ 1 deg of signal) must make the bundle strictly
+        # better than the init on any non-trivial group
+        if r.n_points >= 20:
+            assert r.residual_deg < r.residual_kabsch_deg, r
+            assert abs(r.tx - _T_TRUE[0]) < 1.0, r
+            assert abs(r.ty - _T_TRUE[1]) < 1.0, r
+            assert abs(r.tz - _T_TRUE[2]) < 1.0, r
+            assert abs(r.roll - roll_t) < 0.01
+            assert abs(r.pitch - pitch_t) < 0.01
+            assert abs(r.yaw - yaw_t) < 0.01

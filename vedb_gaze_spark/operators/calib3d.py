@@ -311,3 +311,162 @@ def calibration_hmd(events: DataFrame) -> DataFrame:
         )
 
     return apply_per_key(base, "user_id", run, _HMD_SCHEMA)
+
+
+# --- full 6-DoF bundle refinement (calibrate_3d.py:103 monocular) -------
+
+# planted world-camera translation for the bundle's synthetic geometry
+_T_TRUE = np.array([5.0, -3.0, 8.0])
+
+_C3DB_SCHEMA = (
+    "user_id bigint, n_points int, residual_deg double, "
+    "residual_kabsch_deg double, roll double, pitch double, yaw double, "
+    "tx double, ty double, tz double, success boolean"
+)
+
+
+def _angles_pose(
+    Rm: np.ndarray, T: np.ndarray, X: np.ndarray, O: np.ndarray
+) -> np.ndarray:
+    """Angular residuals (radians) of a SphericalCamera observation
+    model (calibrate_3d.py's bundle): predicted direction of target X
+    from pose (R, T) is normalize(R·X + T), compared against the
+    observed unit direction O."""
+    pred = X @ Rm.T + T
+    nrm = np.linalg.norm(pred, axis=1, keepdims=True)
+    pred = pred / np.maximum(nrm, 1e-15)
+    return np.arccos(np.clip((pred * O).sum(1), -1.0, 1.0))
+
+
+def _lm_refine_pose(
+    R0: np.ndarray,
+    T0: np.ndarray,
+    X: np.ndarray,
+    O: np.ndarray,
+    iters: int = 40,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Levenberg–Marquardt over the FULL 6-DoF pose — the reference's
+    monocular bundle (calibrate_3d.py:103: world camera free in
+    rotation AND translation, gaze targets fixed). The optimized
+    residual is the CHORD vector normalize(R·X+T) − O (3n smooth
+    residuals — the vector form a scipy least_squares bundle consumes;
+    the non-negative arccos angle is |·|-shaped at the optimum and
+    stalls a numeric-Jacobian LM exactly on clean data). Angle and
+    chord agree to second order near zero, and the angular residual is
+    what gets REPORTED. Left axis-angle perturbation exp([ω]×)·R for
+    rotation, additive for translation; central-difference Jacobian
+    (12 extra (n,3) matmuls per step) on a bounded per-user group; 6×6
+    normal equations. Falls back to the best-so-far pose when no
+    damped step improves."""
+
+    def chord(Rm: np.ndarray, T: np.ndarray) -> np.ndarray:
+        pred = X @ Rm.T + T
+        nrm = np.linalg.norm(pred, axis=1, keepdims=True)
+        return (pred / np.maximum(nrm, 1e-15) - O).ravel()
+
+    lam = 1e-3
+    R_best, T_best = R0, T0.astype(np.float64).copy()
+    cost = float((chord(R_best, T_best) ** 2).sum())
+    eps_w = 1e-6
+    eps_t = max(1e-6, 1e-5 * float(np.abs(X).mean()))
+    delta = np.zeros(6)
+    for _ in range(iters):
+        f0 = chord(R_best, T_best)
+        Jm = np.empty((len(f0), 6))
+        for j in range(3):
+            d = np.zeros(3)
+            d[j] = eps_w
+            fp = chord(_rot_vec(d) @ R_best, T_best)
+            fm = chord(_rot_vec(-d) @ R_best, T_best)
+            Jm[:, j] = (fp - fm) / (2 * eps_w)
+        for j in range(3):
+            d = np.zeros(3)
+            d[j] = eps_t
+            fp = chord(R_best, T_best + d)
+            fm = chord(R_best, T_best - d)
+            Jm[:, 3 + j] = (fp - fm) / (2 * eps_t)
+        g = Jm.T @ f0
+        H = Jm.T @ Jm
+        stepped = False
+        for _try in range(10):
+            try:
+                delta = np.linalg.solve(H + lam * np.eye(6), -g)
+            except np.linalg.LinAlgError:
+                lam *= 10
+                continue
+            R_new = _rot_vec(delta[:3]) @ R_best
+            T_new = T_best + delta[3:]
+            c_new = float((chord(R_new, T_new) ** 2).sum())
+            if c_new < cost:
+                R_best, T_best, cost = R_new, T_new, c_new
+                lam = max(lam * 0.3, 1e-12)
+                stepped = True
+                break
+            lam *= 10
+        if not stepped or float(np.linalg.norm(delta)) < 1e-12:
+            break
+    return R_best, T_best
+
+
+def calibration_3d_bundle(events: DataFrame) -> DataFrame:
+    """Per-user FULL bundle calibration — the reference's
+    calibrate_monocular shape (calibrate_3d.py:103): the world camera
+    is free in rotation AND translation while the 3-D gaze targets
+    stay fixed (``fix_gaze_targets=True``); the loss is the angular
+    reprojection residual of the spherical-camera model. This extends
+    `calibration_3d` (rotation-only, targets at infinity) with the
+    translation the reference's scipy bundle also solves for —
+    closed-form Kabsch on the direction bundles initializes, one
+    6-parameter LM polish refines (pure numpy; scipy absent here).
+
+    Test-table semantics: targets are the deterministic event_id
+    directions pushed to a VARYING integer depth (300..699 — depth
+    variation is what makes translation observable), observations are
+    the targets seen from the planted pose (_R_TRUE, _T_TRUE) plus
+    jitter. The operator must recover rotation AND translation.
+    Rows-only oracle (SVD + LM are not SQL); planted-pose recovery is
+    pytest-pinned."""
+    k = F.col("event_id")
+    depth = (F.lit(300.0) + (k * 31 % 400).cast("double")).alias("depth")
+    base = _ref_dirs(events).withColumn("depth", depth)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        D = pdf[["rx", "ry", "rz"]].to_numpy()
+        J = pdf[["jx", "jy", "jz"]].to_numpy()
+        X = D * pdf["depth"].to_numpy()[:, None]  # fixed gaze targets
+        # observed directions from the planted pose, jittered
+        O = X @ _R_TRUE.T + _T_TRUE
+        O = O / np.linalg.norm(O, axis=1, keepdims=True) + J
+        O = O / np.linalg.norm(O, axis=1, keepdims=True)
+        # Kabsch init on the direction bundles (translation ignored —
+        # the reference's get_initial_eye_camera_rotation role)
+        Dn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        H = Dn.T @ O
+        U, _, Vt = np.linalg.svd(H)
+        d_ = np.sign(np.linalg.det(Vt.T @ U.T))
+        R_kab = Vt.T @ np.diag([1.0, 1.0, d_]) @ U.T
+        res_kab = float(
+            np.rad2deg(_angles_pose(R_kab, np.zeros(3), X, O)).mean()
+        )
+        R_est, T_est = _lm_refine_pose(R_kab, np.zeros(3), X, O)
+        residual = float(np.rad2deg(_angles_pose(R_est, T_est, X, O)).mean())
+        pitch = float(np.arcsin(np.clip(-R_est[2, 0], -1.0, 1.0)))
+        roll = float(np.arctan2(R_est[2, 1], R_est[2, 2]))
+        yaw = float(np.arctan2(R_est[1, 0], R_est[0, 0]))
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_points": [len(pdf)],
+                "residual_deg": [round(residual, 6)],
+                "residual_kabsch_deg": [round(res_kab, 6)],
+                "roll": [round(roll, 6)],
+                "pitch": [round(pitch, 6)],
+                "yaw": [round(yaw, 6)],
+                "tx": [round(float(T_est[0]), 6)],
+                "ty": [round(float(T_est[1]), 6)],
+                "tz": [round(float(T_est[2]), 6)],
+                "success": [residual < _RESIDUAL_THRESHOLD_DEG],
+            }
+        )
+
+    return apply_per_key(base, "user_id", run, _C3DB_SCHEMA)

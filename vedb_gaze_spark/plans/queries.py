@@ -999,6 +999,11 @@ def _calibration_hmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calib3d.calibration_hmd(load_table(spark, "events", sf_dir))
 
 
+@register("calibration_3d_bundle")  # full 6-DoF LM bundle → rows-only
+def _calibration_3d_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return calib3d.calibration_3d_bundle(load_table(spark, "events", sf_dir))
+
+
 @register("calibration_rbf")  # RBF kernel-family CV (LAPACK) → rows-only
 def _calibration_rbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration.calibration_rbf(load_table(spark, "events", sf_dir))
