@@ -2824,3 +2824,75 @@ def test_stateful_blinks_phased_across_batches(spark, sf_dir, tmp_path):
         assert len(want) > 0
     finally:
         q.stop()
+
+
+def test_streaming_pldata_ingest_matches_batch(spark, tmp_path):
+    """stream_pldata (binaryFile streaming source + the SAME decode
+    kernel as the batch reader): recording files discovered across two
+    micro-batches produce exactly the batch read_pldata body rows
+    (minus the sidecar capture_ts, a batch-side join)."""
+    import os
+
+    from vedb_gaze_spark.sources.pldata import (
+        GAZE_FIELDS,
+        read_pldata,
+        stream_pldata,
+        write_pldata,
+    )
+
+    root = tmp_path / "captures"
+
+    def gaze_datum(ts, conf, nx, ny):
+        return {
+            "topic": "gaze.3d.0",
+            "timestamp": ts,
+            "confidence": conf,
+            "norm_pos": [nx, ny],
+        }
+
+    write_pldata(
+        str(root / "rec_a"),
+        "gaze",
+        [gaze_datum(10.0 + i * 0.1, 0.9 - i * 0.2, 0.2 + i * 0.1, 0.8)
+         for i in range(4)],
+    )
+    write_pldata(
+        str(root / "rec_b"),
+        "gaze",
+        [gaze_datum(20.0, 0.5, 0.1, 0.9), gaze_datum(20.1, 0.7, 0.15, 0.85)],
+    )
+    # force discovery order: rec_a's file older than rec_b's
+    t0 = 1_700_000_000
+    for i, rec in enumerate(["rec_a", "rec_b"]):
+        p = str(root / rec / "gaze.pldata")
+        os.utime(p, (t0 + i, t0 + i))
+
+    stream = stream_pldata(
+        spark, str(root / "*"), "gaze", fields=GAZE_FIELDS,
+        options={"maxFilesPerTrigger": "1"},  # genuine cross-batch run
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("mem_pldata")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM mem_pldata").collect()
+        }
+        want = {
+            tuple(r)
+            for r in read_pldata(
+                spark, str(root / "*"), "gaze", fields=GAZE_FIELDS
+            )
+            .drop("capture_ts")
+            .collect()
+        }
+        assert got == want
+        assert len(want) == 6
+    finally:
+        q.stop()

@@ -403,28 +403,11 @@ def _extract(datum, path: str):
 _PANDAS_DTYPE = {"double": "Float64", "bigint": "Int64", "string": "object"}
 
 
-def read_pldata(
-    spark: SparkSession,
-    directory: str,
-    topic: str,
-    fields: dict[str, tuple[str, str]] | None = None,
-    rows_per_batch: int = 4096,
-) -> DataFrame:
-    """``load_pldata_file(directory, topic)`` as a Spark source:
-    ``directory`` (a single recording dir or a glob over many, e.g.
-    ``sessions/*/``) → one typed row per datum with columns
-    (recording, idx, topic, capture_ts, *fields). ``capture_ts`` comes
-    from the ``<topic>_timestamps.npy`` sidecar (the reference's
-    ``data_ts``), left-joined on (recording, idx) so a missing sidecar
-    degrades to nulls instead of dropping datums.
-
-    Scale: one task per recording file; datum decode + field
-    extraction is one Python pass per file emitting bounded Arrow
-    batches of narrow typed columns. The sidecar table has the SAME
-    row cardinality as the body (one clock entry per datum) so the
-    join is a plain equi-join on the unique (recording, idx) key —
-    both sides arrive partitioned by recording file, and AQE picks
-    the strategy; never broadcast it."""
+def _body_parser(fields, rows_per_batch: int):
+    """The shared datum-stream decode kernel: resolves the field spec,
+    returns (fields, output DDL schema, mapInPandas closure). Both the
+    batch reader and the streaming face run THIS closure, so streamed
+    rows equal batch rows for the same files by construction."""
     fields = dict(PUPIL_FIELDS if fields is None else fields)
     reserved = {"recording", "idx", "topic", "capture_ts"}
     clash = reserved & set(fields)
@@ -488,6 +471,33 @@ def read_pldata(
             if rows:
                 yield flush(rows)
 
+    return fields, body_schema, parse_body
+
+
+def read_pldata(
+    spark: SparkSession,
+    directory: str,
+    topic: str,
+    fields: dict[str, tuple[str, str]] | None = None,
+    rows_per_batch: int = 4096,
+) -> DataFrame:
+    """``load_pldata_file(directory, topic)`` as a Spark source:
+    ``directory`` (a single recording dir or a glob over many, e.g.
+    ``sessions/*/``) → one typed row per datum with columns
+    (recording, idx, topic, capture_ts, *fields). ``capture_ts`` comes
+    from the ``<topic>_timestamps.npy`` sidecar (the reference's
+    ``data_ts``), left-joined on (recording, idx) so a missing sidecar
+    degrades to nulls instead of dropping datums.
+
+    Scale: one task per recording file; datum decode + field
+    extraction is one Python pass per file emitting bounded Arrow
+    batches of narrow typed columns. The sidecar table has the SAME
+    row cardinality as the body (one clock entry per datum) so the
+    join is a plain equi-join on the unique (recording, idx) key —
+    both sides arrive partitioned by recording file, and AQE picks
+    the strategy; never broadcast it."""
+    fields, body_schema, parse_body = _body_parser(fields, rows_per_batch)
+
     def parse_sidecar(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
@@ -550,3 +560,44 @@ def read_pldata(
         "capture_ts",
         *[c for c in fields],
     )
+
+
+# the binaryFile source's fixed schema (needed up front by readStream)
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_pldata(
+    spark: SparkSession,
+    directory: str,
+    topic: str,
+    fields: dict[str, tuple[str, str]] | None = None,
+    rows_per_batch: int = 4096,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming capture ingest: `binaryFile` is a streaming-capable
+    file source, so each newly-landed ``<topic>.pldata`` recording
+    file becomes one task in the micro-batch that discovers it —
+    decoded by the SAME kernel as the batch reader (shared closure),
+    so streamed rows ≡ batch ``read_pldata`` rows for the same files
+    by construction (minus ``capture_ts``: the sidecar join is a
+    batch-side concern — the datum's own ``timestamp`` field carries
+    the capture clock in Pupil captures, and a foreachBatch sink that
+    needs the sidecar can run the batch reader per micro-batch).
+
+    Scale: discovery cost is the file listing per trigger; decode
+    parallelism is files-per-trigger, the same unit as batch. State:
+    none — the map is stateless, so this composes with watermarked
+    downstream operators (e.g. streaming_blinks over the confidence
+    column) without extra bookkeeping."""
+    fields, body_schema, parse_body = _body_parser(fields, rows_per_batch)
+    reader = spark.readStream.format("binaryFile").schema(
+        _BINARYFILE_SCHEMA
+    )
+    for k, v in (options or {}).items():  # e.g. maxFilesPerTrigger
+        reader = reader.option(k, v)
+    files = reader.load(
+        os.path.join(directory, topic + ".pldata")
+    ).select("path", "content")
+    return files.mapInPandas(parse_body, schema=body_schema)
