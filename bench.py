@@ -155,6 +155,8 @@ HEADLINE = [
     "knn_label_accuracy",
     "label_separation",
     "props_rollup",
+    # r11 additions
+    "calibration_3d_bundle",
 ]
 
 
