@@ -2896,3 +2896,64 @@ def test_streaming_pldata_ingest_matches_batch(spark, tmp_path):
         assert len(want) == 6
     finally:
         q.stop()
+
+
+def test_streaming_y4m_frames_match_batch_and_drive_detector(spark, tmp_path):
+    """stream_y4m_frames: segment files discovered across micro-batches
+    produce exactly the batch read_y4m_frames rows (shared decode
+    kernel), and the stateless pupil detector composes over the stream
+    unchanged (batch operator on a stream — the r7 pattern)."""
+    import datetime
+    import os
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import detect_pupil_frames
+    from vedb_gaze_spark.sources.y4m import (
+        encode_y4m,
+        read_y4m_frames,
+        stream_y4m_frames,
+    )
+
+    root = tmp_path / "segments"
+    os.makedirs(root)
+    H, W = 48, 64
+    yy, xx = np.mgrid[0:H, 0:W]
+    for seg in range(2):
+        frames = []
+        for i in range(3):
+            a = np.full((H, W), 180, dtype=np.uint8)
+            a[(xx - (20 + 4 * seg + i)) ** 2 + (yy - 24) ** 2 <= 36] = 20
+            frames.append(a)
+        (root / f"eye{seg}.y4m").write_bytes(
+            encode_y4m(frames, fps=(30, 1))
+        )
+        os.utime(root / f"eye{seg}.y4m", (1_700_000_000 + seg,) * 2)
+
+    t0 = datetime.datetime(2026, 1, 1)
+    stream = stream_y4m_frames(
+        spark, str(root), start_ts=t0,
+        options={"maxFilesPerTrigger": "1"},
+    )
+    q = (
+        detect_pupil_frames(stream)
+        .writeStream.format("memory")
+        .queryName("mem_y4m")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            tuple(r) for r in spark.sql("SELECT * FROM mem_y4m").collect()
+        }
+        batch = read_y4m_frames(spark, str(root), start_ts=t0)
+        want = {tuple(r) for r in detect_pupil_frames(batch).collect()}
+        assert got == want
+        assert len(want) == 6
+        # the detections actually track the planted moving pupil
+        xs = sorted(r[3] for r in want)
+        assert xs[0] < xs[-1] and all(18 < x < 30 for x in xs)
+    finally:
+        q.stop()

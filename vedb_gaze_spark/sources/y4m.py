@@ -185,6 +185,26 @@ def read_y4m_frames(
     re-batched every ``frames_per_batch`` rows so executor memory is
     bounded by batch_size·frame_bytes, not file size. The payload
     column prunes away for metadata-only queries as usual."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.y4m")
+        .load(path)
+        .select("path", "modificationTime", "content")
+    )
+    return files.mapInPandas(
+        _frame_parser(user_ids, start_ts, frames_per_batch),
+        schema=_FRAME_SCHEMA,
+    )
+
+
+def _frame_parser(
+    user_ids: dict[str, int] | None,
+    start_ts: datetime.datetime | None,
+    frames_per_batch: int,
+):
+    """The shared segment-file → frame-rows decode closure: both the
+    batch reader and the streaming face run THIS kernel, so streamed
+    frame rows equal batch rows for the same files by construction."""
     umap = dict(user_ids or {})
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -246,10 +266,44 @@ def read_y4m_frames(
             if rows:
                 yield flush(rows)
 
+    return run
+
+
+# the binaryFile source's fixed schema (needed up front by readStream)
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_y4m_frames(
+    spark: SparkSession,
+    path: str,
+    user_ids: dict[str, int] | None = None,
+    start_ts: datetime.datetime | None = None,
+    frames_per_batch: int = 64,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming video ingest: `binaryFile` is a streaming-capable
+    source, so each newly-landed .y4m segment file becomes one task in
+    the micro-batch that discovers it, decoded by the SAME kernel as
+    the batch reader — streamed frame rows ≡ batch rows for the same
+    files by construction. The frame detectors (detect_frame_markers /
+    detect_pupil_frames and friends) are stateless Arrow-batched maps,
+    so they compose over this stream with no twin — a camera rig that
+    drops segment files into a directory becomes a live detection
+    pipeline. Pass ``start_ts`` explicitly for deterministic stamps
+    (the mtime default is fine live, but replays re-stamp)."""
+    reader = spark.readStream.format("binaryFile").schema(
+        _BINARYFILE_SCHEMA
+    )
+    for k, v in (options or {}).items():  # e.g. maxFilesPerTrigger
+        reader = reader.option(k, v)
     files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.y4m")
+        reader.option("pathGlobFilter", "*.y4m")
         .load(path)
         .select("path", "modificationTime", "content")
     )
-    return files.mapInPandas(run, schema=_FRAME_SCHEMA)
+    return files.mapInPandas(
+        _frame_parser(user_ids, start_ts, frames_per_batch),
+        schema=_FRAME_SCHEMA,
+    )
