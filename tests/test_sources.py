@@ -1897,3 +1897,83 @@ def test_pupil_edge_kernels_are_exact_on_analytic_inputs():
     sup = outline_support(e, 40.0, 40.0, 30.0, 30.0, 0.0)
     assert sup > 0.95  # the ring supports its own circle
     assert outline_support(e, 40.0, 40.0, 60.0, 60.0, 0.0) < 0.2
+
+
+def test_pldata_capture_to_calibration_end_to_end(spark, tmp_path):
+    """A reference user's actual workflow off disk: pupil datums and
+    reference-marker datums land as pldata captures; read_pldata loads
+    both topics, nearest-clock pairing builds the canonical point
+    table, and calibration_linear_points recovers the planted linear
+    gaze map with ~zero residual — the capture-file-to-calibration
+    chain (load_pldata_file → calibrate, reference pipelines.py) with
+    no CSV export step."""
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.calibration import (
+        calibration_linear_points,
+    )
+    from vedb_gaze_spark.sources.pldata import read_pldata, write_pldata
+
+    rec = tmp_path / "cap" / "rec0"
+    # planted gaze map: g = (0.8 px + 0.1, 0.5 py + 0.05)
+    pupil, ref = [], []
+    for i in range(40):
+        ts = 100.0 + i * 0.1
+        px = 0.1 + (i % 10) * 0.08
+        py = 0.2 + (i % 8) * 0.09
+        pupil.append(
+            {
+                "topic": "pupil.0",
+                "timestamp": ts,
+                "confidence": 0.95,
+                "norm_pos": [px, py],
+                "id": 0,
+            }
+        )
+        ref.append(
+            {
+                "topic": "gaze.marker",
+                "timestamp": ts + 0.01,  # marker clock slightly offset
+                "confidence": 1.0,
+                "norm_pos": [0.8 * px + 0.1, 0.5 * py + 0.05],
+            }
+        )
+    write_pldata(str(rec), "pupil", pupil)
+    write_pldata(str(rec), "marker", ref)
+
+    pup = read_pldata(spark, str(rec), "pupil").where(
+        F.col("confidence") > 0.6
+    )
+    mrk = read_pldata(
+        spark,
+        str(rec),
+        "marker",
+        fields={
+            "timestamp": ("timestamp", "double"),
+            "norm_pos_x": ("norm_pos.0", "double"),
+            "norm_pos_y": ("norm_pos.1", "double"),
+        },
+    )
+    # nearest-clock pairing on the shared capture index (both topics
+    # write one datum per sample here; the general path is match_nearest)
+    pts = (
+        pup.select(
+            "idx",
+            F.lit(1).alias("user_id"),
+            F.col("norm_pos_x").alias("px"),
+            F.col("norm_pos_y").alias("py"),
+        )
+        .join(
+            mrk.select(
+                "idx",
+                F.col("norm_pos_x").alias("gx"),
+                F.col("norm_pos_y").alias("gy"),
+            ),
+            "idx",
+        )
+    )
+    fit = calibration_linear_points(pts).collect()[0]
+    assert fit.n_points == 40
+    assert abs(fit.slope_x - 0.8) < 1e-6 and abs(fit.intercept_x - 0.1) < 1e-6
+    assert abs(fit.slope_y - 0.5) < 1e-6 and abs(fit.intercept_y - 0.05) < 1e-6
+    assert fit.rmse < 1e-6
