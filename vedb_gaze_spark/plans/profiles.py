@@ -62,9 +62,10 @@ def _build() -> dict[str, Profile]:
         {},
         "plabs_detect_pupil over eye frames (pupil_detection_pl.py:11); "
         "start_frame/end_frame are a slice of the input frames "
-        "DataFrame (a WHERE on frame_id), not operator knobs. The "
-        "pylids/pytorch tags name trained-model detectors — the one "
-        "unvendorable stub (see detect_pupil_frames docstring).",
+        "DataFrame (a WHERE on frame_id), not operator knobs. "
+        "refine='edge' (r11) adds the Detector2D-style Canny edge-"
+        "support refinement from public algorithms; the pylids/pytorch "
+        "tags name trained pytorch detectors, still excluded.",
     )
     p["pupil-plab_default_testshort"] = Profile(
         "pupil",

@@ -1513,6 +1513,9 @@ _GATE_ORDER = [
     "incident_window_stats",
     "gopher_rules",
     "c4_clean",
+    # -- r11 additions (never recorded; front of the r12 rotation
+    #    after the r7 debt above) ----
+    "calibration_3d_bundle",
 ]
 
 
