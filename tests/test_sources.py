@@ -1977,3 +1977,96 @@ def test_pldata_capture_to_calibration_end_to_end(spark, tmp_path):
     assert abs(fit.slope_x - 0.8) < 1e-6 and abs(fit.intercept_x - 0.1) < 1e-6
     assert abs(fit.slope_y - 0.5) < 1e-6 and abs(fit.intercept_y - 0.05) < 1e-6
     assert fit.rmse < 1e-6
+
+
+def test_msgpack_codec_roundtrip_property():
+    """Property test (SURVEY §5): arbitrary nested capture-shaped
+    objects survive pack→unpack exactly. Tuples normalize to lists
+    (msgpack arrays), everything else is identity."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vedb_gaze_spark.sources.pldata import (
+        msgpack_packb,
+        msgpack_unpackb,
+    )
+
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**64 - 1),
+        st.floats(allow_nan=False),
+        st.text(max_size=40),
+        st.binary(max_size=40),
+    )
+    nested = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=5),
+            st.dictionaries(st.text(max_size=8), inner, max_size=5),
+        ),
+        max_leaves=25,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(nested)
+    def roundtrip(obj):
+        assert msgpack_unpackb(msgpack_packb(obj)) == obj
+
+    roundtrip()
+
+
+def test_pldata_sink_roundtrips_recordings(spark, tmp_path):
+    """write_pldata_recordings (the distributed PLData_Writer): typed
+    rows packed back into per-recording capture files read back
+    identically through read_pldata — nested ellipse paths rebuilt,
+    sidecar carried from capture_ts, absent fields stay absent."""
+    from vedb_gaze_spark.sources.pldata import (
+        read_pldata,
+        write_pldata,
+        write_pldata_recordings,
+    )
+
+    src = tmp_path / "orig"
+    datums_a = [
+        {
+            "topic": "pupil.0",
+            "timestamp": 5.0 + i,
+            "confidence": 0.9 - 0.1 * i,
+            "norm_pos": [0.5, 0.4 + 0.05 * i],
+            "diameter": 30.0 + i,
+            "ellipse": {
+                "center": [96.0 + i, 60.0],
+                "axes": [14.0, 10.0],
+                "angle": 30.0 * i,
+            },
+            "id": 0,
+        }
+        for i in range(3)
+    ]
+    # rec_b's datums LACK ellipse/diameter — absence must round-trip
+    datums_b = [
+        {
+            "topic": "pupil.1",
+            "timestamp": 9.5,
+            "confidence": 0.3,
+            "norm_pos": [0.1, 0.2],
+            "id": 1,
+        }
+    ]
+    write_pldata(str(src / "rec_a"), "pupil", datums_a)
+    write_pldata(str(src / "rec_b"), "pupil", datums_b)
+
+    orig = read_pldata(spark, str(src / "*"), "pupil")
+    out_root = tmp_path / "written"
+    write_pldata_recordings(orig, str(out_root), "pupil")
+    back = read_pldata(spark, str(out_root / "*"), "pupil")
+
+    key = lambda r: (r.recording, r.idx)  # noqa: E731
+    a = sorted(map(tuple, orig.collect()), key=lambda t: (t[0], t[1]))
+    b = sorted(map(tuple, back.collect()), key=lambda t: (t[0], t[1]))
+    assert a == b and len(a) == 4
+    # the sidecar really was rebuilt (not defaulted): capture clocks
+    rb = {r.idx: r.capture_ts for r in back.where(
+        "recording = 'rec_a'").collect()}
+    assert rb == {0: 5.0, 1: 6.0, 2: 7.0}

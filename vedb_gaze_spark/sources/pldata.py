@@ -601,3 +601,103 @@ def stream_pldata(
         os.path.join(directory, topic + ".pldata")
     ).select("path", "content")
     return files.mapInPandas(parse_body, schema=body_schema)
+
+
+def _unflatten(pairs):
+    """Inverse of ``_extract``: [(dotted path, value)] → nested datum.
+    Integer path steps rebuild arrays (contiguous from 0 — the shipped
+    field specs index pairs/triples), string steps rebuild maps."""
+    root: dict = {}
+
+    def node_for(nxt: str):
+        return [] if nxt.isdigit() else {}
+
+    for path, v in pairs:
+        parts = path.split(".")
+        cur = root
+        for i, p in enumerate(parts[:-1]):
+            nxt = parts[i + 1]
+            if isinstance(cur, list):
+                k = int(p)
+                while len(cur) <= k:
+                    cur.append(None)
+                if cur[k] is None:
+                    cur[k] = node_for(nxt)
+                cur = cur[k]
+            else:
+                if p not in cur:
+                    cur[p] = node_for(nxt)
+                cur = cur[p]
+        last = parts[-1]
+        if isinstance(cur, list):
+            k = int(last)
+            while len(cur) <= k:
+                cur.append(None)
+            cur[k] = v
+        else:
+            cur[last] = v
+    return root
+
+
+def write_pldata_recordings(
+    df: DataFrame,
+    path: str,
+    topic: str,
+    fields: dict[str, tuple[str, str]] | None = None,
+) -> str:
+    """Distributed PLData_Writer (file_methods.py:157): pack typed rows
+    back into per-recording ``<path>/<recording>/<topic>.pldata`` +
+    timestamp sidecar — the exact inverse of ``read_pldata``, so
+    detection outputs written here load in actual Pupil Labs tooling
+    (and round-trip through read_pldata, pytest-pinned). One
+    applyInPandas group per recording (bounded by construction: one
+    capture file each), datums ordered by idx; the sidecar takes
+    ``capture_ts`` when present, else the datum's own timestamp.
+
+    Filesystem contract: files are written from EXECUTORS via plain
+    ``open()`` — the write_tar_shards contract (shared filesystem /
+    local mode); on executor-local disks route through the Hadoop
+    FileSystem API instead (sources/writers.py pattern)."""
+    fields = dict(PUPIL_FIELDS if fields is None else fields)
+    os.makedirs(path, exist_ok=True)
+    has_cts = "capture_ts" in df.columns
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx")
+        rec = str(pdf["recording"].iloc[0])
+        datums, ts = [], []
+        for row in pdf.itertuples(index=False):
+            pairs = []
+            for cname, (p, typ) in fields.items():
+                v = getattr(row, cname)
+                if v is None or (isinstance(v, float) and v != v):
+                    continue  # absent fields stay absent
+                if typ == "double":
+                    v = float(v)
+                elif typ == "bigint":
+                    v = int(v)
+                else:
+                    v = str(v)
+                pairs.append((p, v))
+            datum = _unflatten(pairs)
+            datum["topic"] = str(row.topic)
+            datums.append(datum)
+            cts = getattr(row, "capture_ts", None) if has_cts else None
+            if cts is not None and not (
+                isinstance(cts, float) and cts != cts
+            ):
+                ts.append(float(cts))
+            else:
+                ts.append(float(datum.get("timestamp", 0.0)))
+        write_pldata(
+            os.path.join(path, rec), topic, datums, timestamps=ts
+        )
+        return pd.DataFrame(
+            {"recording": [rec], "n_datums": [len(datums)]}
+        )
+
+    stats = df.groupBy("recording").applyInPandas(
+        pack, "recording string, n_datums long"
+    )
+    stats.collect()  # materialize (stats is recordings-sized)
+    return path
