@@ -319,6 +319,7 @@ def pupil_pixel_pipeline(
     marker_threshold: int = 200,
     min_confidence: float = 0.6,
     match_tol_s: float = 0.5,
+    pupil_refine: str = "none",
 ) -> DataFrame:
     """The reference's FULL camera-to-error chain on real pixels — the
     pupil-side twin of marker_pixel_pipeline, closing the pipelines.py
@@ -352,7 +353,7 @@ def pupil_pixel_pipeline(
     )
 
     p = detect_pupil_frames(
-        pupil_frames, threshold=pupil_threshold
+        pupil_frames, threshold=pupil_threshold, refine=pupil_refine
     ).where(F.col("confidence") > min_confidence)
     m = single_detection_gate(
         detect_frame_markers(marker_frames, threshold=marker_threshold)
