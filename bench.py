@@ -157,6 +157,7 @@ HEADLINE = [
     "props_rollup",
     # r11 additions
     "calibration_3d_bundle",
+    "mine_hard_negatives",
 ]
 
 

@@ -1855,3 +1855,45 @@ def test_run_profile_chain_reference_default_chain(spark):
     assert all(r.err_est < 0.05 for r in surf), sorted(
         r.err_est for r in surf
     )[-3:]
+
+
+def test_mine_hard_negatives_matches_numpy_and_filters_labels(spark, sf_dir):
+    """Hard-negative mining (contrastive data prep): for every probe,
+    the k other-label corpus vectors by exact cosine — checked against
+    an independent numpy recompute; same-label vectors never appear
+    even when they are globally nearer."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators.similarity import mine_hard_negatives
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = mine_hard_negatives(emb).collect()
+    pdf = emb.select("vec_id", "embedding", "label").toPandas()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    lbl = pdf["label"].to_numpy()
+    nq = P.ANN_N_QUERIES
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.neighbor_id, r.cosine, r.neighbor_label)
+        )
+    norms = np.linalg.norm(V, axis=1)
+    for q in range(nq):
+        qi = int(np.flatnonzero(ids == q)[0])
+        mask = (ids >= nq) & (lbl != lbl[qi])
+        cos = V[mask] @ V[qi] / (norms[mask] * norms[qi])
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6
+        cand = sorted(
+            zip(-cos, ids[mask]), key=lambda t: (t[0], t[1])
+        )[: P.ANN_K]
+        want = [(i + 1, int(n), -c) for i, (c, n) in enumerate(cand)]
+        have = sorted(got[q])
+        assert [(r, n) for r, n, _, _ in have] == [
+            (r, n) for r, n, _ in want
+        ], (q, have, want)
+        for (_, _, c_have, nl), (_, _, c_want) in zip(have, want):
+            assert abs(c_have - c_want) < 2e-6
+            assert nl != int(lbl[qi])

@@ -2052,3 +2052,77 @@ def _ivf_sq8_search(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score_sq8")
     )
+
+
+def mine_hard_negatives(
+    embeddings: DataFrame,
+    k: int = P.ANN_K,
+    n_queries: int = P.ANN_N_QUERIES,
+) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data-prep step
+    (in-batch negatives are mostly easy; retrieval-mined near-boundary
+    negatives carry the gradient signal — Karpukhin et al. 2020 "Dense
+    Passage Retrieval", Xiong et al. 2021 ANCE): for each probe vector
+    (the first ``n_queries``), the k most-cosine-similar corpus
+    vectors whose ``label`` DIFFERS from the probe's, ranked by
+    similarity — one (query, hard negative) training pair per row.
+
+    Plan shape = ann_cosine_topk's (broadcast probe set, ONE corpus
+    scan, partition-local top-k prune before the per-query window) —
+    the label-inequality filter cuts the scored stream BEFORE the
+    prune, so same-label rows never compete for the k slots; the two
+    label columns re-attach via q·k-sized joins (knn_label_accuracy's
+    pattern, AQE broadcasts the tiny side). Nothing corpus-sized ever
+    shuffles onto the query keys. At 100 TB the probe set is the
+    training batch / anchor sample — broadcastable by construction."""
+    base = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("label").cast("int").alias("lbl"),
+    )
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("lbl").alias("qlbl"),
+    )
+    corpus = base.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("lbl").alias("nlbl"),
+    )
+    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("nlbl") != F.col("qlbl"))
+        .withColumn("cosine", cos)
+    )
+    pruned = _partial_topk(scored, k)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    topk = (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    lab = embeddings.select(
+        "vec_id", F.col("label").cast("int").alias("_lbl")
+    )
+    return (
+        topk.join(
+            lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                "_lbl", "query_label"
+            ),
+            "query_id",
+        )
+        .join(
+            lab.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("_lbl", "neighbor_label"),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "cosine",
+            "query_label",
+            "neighbor_label",
+        )
+    )

@@ -1830,6 +1830,29 @@ FROM embeddings q JOIN pred p ON p.query_id = q.vec_id
 WHERE q.vec_id < {P.KNN_N_QUERIES}
 """
 
+# hard-negative mining (operators/similarity.py:mine_hard_negatives):
+# per probe, the k most-similar OTHER-label corpus vectors — the
+# contrastive-training pair miner; ann_cosine_topk's ranking with the
+# label-inequality filter ahead of the window.
+MINE_HARD_NEGATIVES = f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_COS}, 6) AS cosine,
+         CAST(a.label AS INTEGER) AS query_label,
+         CAST(b.label AS INTEGER) AS neighbor_label
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < {P.ANN_N_QUERIES} AND b.vec_id >= {P.ANN_N_QUERIES}
+  WHERE CAST(a.label AS INTEGER) <> CAST(b.label AS INTEGER)
+)
+SELECT query_id, rank, neighbor_id, cosine, query_label, neighbor_label
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+         ) AS rank
+  FROM scored
+) t WHERE rank <= {P.ANN_K}
+"""
+
 # per-label separation report (operators/similarity.py:
 # label_separation): exact micro-unit centroids, cohesion mean from
 # micro-quantized member cosines, nearest-other-centroid confusability.

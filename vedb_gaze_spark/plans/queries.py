@@ -918,6 +918,13 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(load_table(spark, "embeddings", sf_dir))
 
 
+@register("mine_hard_negatives", oracles.MINE_HARD_NEGATIVES)
+def _mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.mine_hard_negatives(
+        load_table(spark, "embeddings", sf_dir)
+    )
+
+
 @register("knn_label_accuracy", oracles.KNN_LABEL_ACCURACY)
 def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_label_accuracy(
@@ -1516,6 +1523,7 @@ _GATE_ORDER = [
     # -- r11 additions (never recorded; front of the r12 rotation
     #    after the r7 debt above) ----
     "calibration_3d_bundle",
+    "mine_hard_negatives",
 ]
 
 
