@@ -158,6 +158,7 @@ HEADLINE = [
     # r11 additions
     "calibration_3d_bundle",
     "mine_hard_negatives",
+    "mine_triplets",
 ]
 
 

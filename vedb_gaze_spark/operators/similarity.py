@@ -224,7 +224,9 @@ def dedup_embedding_lsh(embeddings: DataFrame) -> DataFrame:
     return _exact_rescore(cand, v)
 
 
-def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
+def _partial_topk(
+    scored: DataFrame, k: int, extra: list[tuple[str, str]] | None = None
+) -> DataFrame:
     """Partition-local top-k prune (no shuffle): each Arrow batch keeps at
     most k rows per query under the SAME total order the final ranking
     uses (cosine desc, neighbor_id asc — rounded cosine makes it
@@ -232,7 +234,12 @@ def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
     output. Only ≤ batches·queries·k rows ever reach the final per-query
     window — the full n·q scored set never shuffles onto the (few) query
     keys. At 100 TB this is the difference between a q-reducer bottleneck
-    and a metadata-sized merge."""
+    and a metadata-sized merge.
+
+    ``extra``: [(column, ddl_type)] carried through the prune unchanged
+    (e.g. label columns) — cheaper than re-joining them onto the pruned
+    table from another corpus scan."""
+    extra = list(extra or [])
 
     def prune(batches):
         import numpy as np
@@ -253,9 +260,11 @@ def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
                     parts.append(pdf.iloc[idx])
             yield pd.concat(parts, ignore_index=True)
 
-    return scored.select("query_id", "neighbor_id", "cosine").mapInPandas(
-        prune, "query_id bigint, neighbor_id bigint, cosine double"
+    cols = ["query_id", "neighbor_id", "cosine"] + [c for c, _ in extra]
+    ddl = "query_id bigint, neighbor_id bigint, cosine double" + "".join(
+        f", {c} {t}" for c, t in extra
     )
+    return scored.select(*cols).mapInPandas(prune, ddl)
 
 
 def ann_cosine_topk(
@@ -2096,33 +2105,117 @@ def mine_hard_negatives(
         .where(F.col("nlbl") != F.col("qlbl"))
         .withColumn("cosine", cos)
     )
-    pruned = _partial_topk(scored, k)
+    # labels ride through the prune (extra columns) — re-joining them
+    # after the topk would cost two more corpus scans
+    pruned = _partial_topk(
+        scored, k, extra=[("qlbl", "int"), ("nlbl", "int")]
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    topk = (
+    return (
         pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-    )
-    lab = embeddings.select(
-        "vec_id", F.col("label").cast("int").alias("_lbl")
-    )
-    return (
-        topk.join(
-            lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
-                "_lbl", "query_label"
-            ),
-            "query_id",
-        )
-        .join(
-            lab.withColumnRenamed("vec_id", "neighbor_id")
-            .withColumnRenamed("_lbl", "neighbor_label"),
-            "neighbor_id",
-        )
         .select(
             "query_id",
             "rank",
             "neighbor_id",
             "cosine",
-            "query_label",
-            "neighbor_label",
+            F.col("qlbl").alias("query_label"),
+            F.col("nlbl").alias("neighbor_label"),
+        )
+    )
+
+
+def mine_triplets(
+    embeddings: DataFrame,
+    k: int = P.ANN_K,
+    n_queries: int = P.ANN_N_QUERIES,
+) -> DataFrame:
+    """Triplet assembly — the training artifact contrastive losses
+    consume (anchor, positive, negative) with margins (Schroff et al.
+    2015 FaceNet triplets; Karpukhin 2020 positives + hard negatives):
+    per probe, the single most-similar SAME-label corpus vector (the
+    retrieved positive) paired against each of the k most-similar
+    OTHER-label vectors (the hard negatives), with
+    margin = pos_cos − neg_cos (semi-hard/hard split is a filter on
+    this column downstream).
+
+    ONE corpus scan serves both sides: the scored stream keys the
+    partition-local prune by query_id·2 + is_same_label, so positives
+    and negatives prune in separate groups without a second scan or a
+    cache; the final windows and the positive⋈negatives join run on
+    q·k-sized tables. Probes lacking a same-label corpus vector drop
+    (no positive → no triplet), mirroring the SQL inner join."""
+    base = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("label").cast("int").alias("lbl"),
+    )
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("lbl").alias("qlbl"),
+    )
+    corpus = base.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("lbl").alias("nlbl"),
+    )
+    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .withColumn("cosine", cos)
+        .select(
+            # composite prune key: positives and negatives occupy
+            # separate top-k groups inside the SAME one-scan prune
+            (
+                F.col("qid") * 2
+                + (F.col("nlbl") == F.col("qlbl")).cast("long")
+            ).alias("query_id"),
+            "neighbor_id",
+            "cosine",
+        )
+    )
+    pruned = _partial_topk(scored, k).select(
+        F.floor(F.col("query_id") / 2).cast("long").alias("qid"),
+        (F.col("query_id") % 2 == 1).alias("is_pos"),
+        "neighbor_id",
+        "cosine",
+    )
+    w = Window.partitionBy("qid", "is_pos").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    ranked = pruned.withColumn("rank", F.row_number().over(w))
+    # branch-free positive attach: branching pos/neg off `ranked` would
+    # re-execute the whole scored subplan per branch (no ReusedExchange
+    # across a broadcast cross join — measured 8 FileScans); instead a
+    # per-qid window max over the positive rows pins (pos_cos,
+    # positive_id) onto every row of the SAME pass. max of
+    # struct(cosine, -neighbor_id) = highest cosine, ties to the
+    # smaller id — the row_number order expressed as one aggregate.
+    wq = Window.partitionBy("qid")
+    best_pos = F.max(
+        F.when(
+            F.col("is_pos"),
+            F.struct(
+                F.col("cosine").alias("c"),
+                (-F.col("neighbor_id")).alias("negid"),
+            ),
+        )
+    ).over(wq)
+    return (
+        ranked.withColumn("bp", best_pos)
+        .where(
+            (~F.col("is_pos"))
+            & (F.col("rank") <= k)
+            & F.col("bp").isNotNull()  # probes without a positive drop
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            "rank",
+            (-F.col("bp.negid")).alias("positive_id"),
+            F.col("bp.c").alias("pos_cos"),
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("cosine").alias("neg_cos"),
+            F.round(F.col("bp.c") - F.col("cosine"), 6).alias("margin"),
         )
     )

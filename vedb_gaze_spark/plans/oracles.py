@@ -1853,6 +1853,34 @@ FROM (
 ) t WHERE rank <= {P.ANN_K}
 """
 
+# triplet assembly (operators/similarity.py:mine_triplets): per probe,
+# the top-1 same-label positive joined against each of the k hardest
+# other-label negatives, with margin = pos_cos - neg_cos.
+MINE_TRIPLETS = f"""
+WITH scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+         round({_COS}, 6) AS cosine,
+         CAST(a.label AS INTEGER) = CAST(b.label AS INTEGER) AS is_pos
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < {P.ANN_N_QUERIES} AND b.vec_id >= {P.ANN_N_QUERIES}
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY qid, is_pos ORDER BY cosine DESC, neighbor_id
+         ) AS rank
+  FROM scored
+), pos AS (
+  SELECT qid, neighbor_id AS positive_id, cosine AS pos_cos
+  FROM ranked WHERE is_pos AND rank = 1
+), neg AS (
+  SELECT qid, rank, neighbor_id AS negative_id, cosine AS neg_cos
+  FROM ranked WHERE NOT is_pos AND rank <= {P.ANN_K}
+)
+SELECT p.qid AS query_id, n.rank, p.positive_id, p.pos_cos,
+       n.negative_id, n.neg_cos,
+       round(p.pos_cos - n.neg_cos, 6) AS margin
+FROM pos p JOIN neg n ON n.qid = p.qid
+"""
+
 # per-label separation report (operators/similarity.py:
 # label_separation): exact micro-unit centroids, cohesion mean from
 # micro-quantized member cosines, nearest-other-centroid confusability.

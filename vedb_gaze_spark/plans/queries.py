@@ -925,6 +925,11 @@ def _mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mine_triplets", oracles.MINE_TRIPLETS)
+def _mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.mine_triplets(load_table(spark, "embeddings", sf_dir))
+
+
 @register("knn_label_accuracy", oracles.KNN_LABEL_ACCURACY)
 def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_label_accuracy(
@@ -1524,6 +1529,7 @@ _GATE_ORDER = [
     #    after the r7 debt above) ----
     "calibration_3d_bundle",
     "mine_hard_negatives",
+    "mine_triplets",
 ]
 
 
