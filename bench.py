@@ -159,6 +159,7 @@ HEADLINE = [
     "calibration_3d_bundle",
     "mine_hard_negatives",
     "mine_triplets",
+    "embed_pca",
 ]
 
 

@@ -1897,3 +1897,53 @@ def test_mine_hard_negatives_matches_numpy_and_filters_labels(spark, sf_dir):
         for (_, _, c_have, nl), (_, _, c_want) in zip(have, want):
             assert abs(c_have - c_want) < 2e-6
             assert nl != int(lbl[qi])
+
+
+def test_embed_pca_recovers_planted_axes_and_whitens(spark):
+    """PCA projection (trained-model discipline: batch-count-sized
+    moment collect + driver d×d eigensolve): on data planted along two
+    known orthogonal directions with distinct variances, the top-2
+    components recover those directions (up to the deterministic sign
+    gauge), projected variances come out in planted order, whitening
+    normalizes them to ~1, and the operator is deterministic across
+    runs."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators.similarity import embed_pca, pca_train
+    from vedb_gaze_spark.plans import params as P
+
+    d = P.EMB_DIM
+    a1 = np.zeros(d); a1[3] = 1.0                     # planted axis 1
+    a2 = np.zeros(d); a2[17] = 1.0                    # planted axis 2
+    rows = []
+    for i in range(400):
+        # deterministic pseudo-noise off the index (no RNG)
+        t1 = ((i * 7919) % 400 - 199.5) / 40.0        # sd ~ 2.9
+        t2 = ((i * 104729) % 400 - 199.5) / 120.0     # sd ~ 0.96
+        v = 0.5 + t1 * a1 + t2 * a2
+        rows.append((i, [float(x) for x in v], int(i % 3)))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    mean, comps, scale = pca_train(emb, d_out=2)
+    # deterministic index sequences are not perfectly uncorrelated, so
+    # allow ~1e-3 mixing between the planted axes
+    assert abs(comps[0][3]) > 0.995                   # axis 1 = top comp
+    assert comps[0][3] > 0                            # sign gauge
+    assert abs(comps[1][17]) > 0.995
+    assert np.abs(mean - 0.5).max() < 0.05
+
+    out = {r.vec_id: r.proj for r in embed_pca(emb, d_out=2).collect()}
+    Pm = np.array([out[i] for i in range(400)])
+    v1, v2 = Pm.var(axis=0)
+    assert v1 > v2 > 0.5                              # planted order
+    white = {
+        r.vec_id: r.proj
+        for r in embed_pca(emb, d_out=2, whiten=True).collect()
+    }
+    Wm = np.array([white[i] for i in range(400)])
+    assert np.abs(Wm.var(axis=0) - 1.0).max() < 0.05  # unit variance
+    # deterministic: a second run reproduces bit-identical rows
+    again = {r.vec_id: r.proj for r in embed_pca(emb, d_out=2).collect()}
+    assert again == out

@@ -2219,3 +2219,105 @@ def mine_triplets(
             F.round(F.col("bp.c") - F.col("cosine"), 6).alias("margin"),
         )
     )
+
+
+def pca_train(
+    embeddings: DataFrame, d_out: int = P.RP_DIM, whiten: bool = False
+):
+    """Train a PCA projection (mean, components, scales) from one
+    corpus pass — the data-driven counterpart of embed_project's
+    data-free JL signs (classic Pearson 1901 / Hotelling 1933; the
+    whitening option is the preprocessing semdedup-style pipelines run
+    before cosine work when dimensions are correlated).
+
+    Distributed shape (the trained-model discipline): ONE mapInPandas
+    pass emits per-batch moment rows (n, Σx, flattened Σxxᵀ) — numpy
+    GEMM per Arrow batch, exactly associative float64 sums — and the
+    driver combines the BATCH-COUNT-sized rows, solves the d×d
+    symmetric eigenproblem (d=64: microseconds), and fixes eigenvector
+    sign deterministically (largest-|coordinate| positive). Nothing
+    corpus-sized ever reaches the driver."""
+    import numpy as np
+
+    d_in = P.EMB_DIM
+    moment_schema = "n long, s array<double>, ss array<double>"
+
+    def moments(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    rows = _vecs(embeddings).select("v").mapInPandas(
+        moments, moment_schema
+    ).collect()
+    n = sum(r.n for r in rows)
+    if n < 2:
+        raise ValueError("pca_train needs at least 2 vectors")
+    s = np.sum([np.asarray(r.s) for r in rows], axis=0)
+    ss = np.sum(
+        [np.asarray(r.ss).reshape(d_in, d_in) for r in rows], axis=0
+    )
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(evals)[::-1][:d_out]
+    comps = evecs[:, order].T  # (d_out, d_in)
+    evals = np.maximum(evals[order], 0.0)
+    # deterministic sign gauge: largest-|coordinate| entry positive
+    for j in range(comps.shape[0]):
+        i = int(np.argmax(np.abs(comps[j])))
+        if comps[j, i] < 0:
+            comps[j] = -comps[j]
+    scale = (
+        1.0 / np.sqrt(evals + 1e-9) if whiten else np.ones(d_out)
+    )
+    return mean, comps, scale
+
+
+def embed_pca(
+    embeddings: DataFrame,
+    d_out: int = P.RP_DIM,
+    whiten: bool = False,
+) -> DataFrame:
+    """PCA projection of the embedding column: train (one moment pass +
+    a driver-side d×d eigensolve, see pca_train) then project each
+    vector onto the top components — (vec_id, proj array<double>),
+    rounded half-up 6dp at the boundary like every embedding face.
+
+    The projection applies as ONE literal-matrix transform expression
+    (the _centroid_dots_expr lesson: a single array-of-arrays literal
+    keeps Catalyst analysis flat where per-component expression copies
+    made it dominate runtime) — whole-stage-codegen, no shuffle, no
+    Python in the projection pass. Rows-only face (the eigensolve is
+    LAPACK, not SQL); planted-axes recovery is pytest-pinned."""
+    import numpy as np
+
+    mean, comps, scale = pca_train(embeddings, d_out=d_out, whiten=whiten)
+    rowmat = ", ".join(
+        "array(" + ", ".join(repr(float(x)) for x in comps[j] * scale[j])
+        + ")"
+        for j in range(comps.shape[0])
+    )
+    mean_lit = "array(" + ", ".join(repr(float(m)) for m in mean) + ")"
+    proj = (
+        f"transform(array({rowmat}), c -> "
+        f"floor(aggregate(zip_with(zip_with(v, {mean_lit}, "
+        f"(x, m) -> x - m), c, (x, y) -> x * y), 0D, "
+        f"(acc, x) -> acc + x) * 1e6 + 0.5) / 1e6)"
+    )
+    return _vecs(embeddings).select(
+        "vec_id", F.expr(proj).alias("proj")
+    )

@@ -925,6 +925,11 @@ def _mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embed_pca")  # trained PCA projection (LAPACK eig) → rows-only
+def _embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embed_pca(load_table(spark, "embeddings", sf_dir))
+
+
 @register("mine_triplets", oracles.MINE_TRIPLETS)
 def _mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mine_triplets(load_table(spark, "embeddings", sf_dir))
@@ -1530,6 +1535,7 @@ _GATE_ORDER = [
     "calibration_3d_bundle",
     "mine_hard_negatives",
     "mine_triplets",
+    "embed_pca",
 ]
 
 
