@@ -2957,3 +2957,67 @@ def test_streaming_y4m_frames_match_batch_and_drive_detector(spark, tmp_path):
         assert xs[0] < xs[-1] and all(18 < x < 30 for x in xs)
     finally:
         q.stop()
+
+
+def test_streaming_pca_projection_matches_batch(spark, sf_dir, tmp_path):
+    """The trained PCA model streams as a frozen literal expression
+    (pca_projection_expr — the nb_lang_id frozen-model discipline):
+    embedding micro-batches project row-locally to EXACTLY the batch
+    embed_pca rows."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.similarity import (
+        embed_pca,
+        pca_projection_expr,
+        pca_train,
+    )
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    mean, comps, scale = pca_train(emb, d_out=8, whiten=True)
+    expr = pca_projection_expr(mean, comps, scale, vec_col="v")
+
+    src = str(tmp_path / "emb_stream")
+    half = emb.where("vec_id % 2 = 0")
+    rest = emb.where("vec_id % 2 = 1")
+    half.coalesce(1).write.parquet(os.path.join(src, "c0"))
+    rest.coalesce(1).write.parquet(os.path.join(src, "c1"))
+    t0 = 1_700_000_000
+    for i, d in enumerate(["c0", "c1"]):
+        for root, _, files in os.walk(os.path.join(src, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .select("vec_id", F.expr(expr).alias("proj"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("mem_pca")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            r.vec_id: tuple(r.proj)
+            for r in spark.sql("SELECT * FROM mem_pca").collect()
+        }
+        want = {
+            r.vec_id: tuple(r.proj)
+            for r in embed_pca(emb, d_out=8, whiten=True).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()

@@ -2303,21 +2303,31 @@ def embed_pca(
     made it dominate runtime) — whole-stage-codegen, no shuffle, no
     Python in the projection pass. Rows-only face (the eigensolve is
     LAPACK, not SQL); planted-axes recovery is pytest-pinned."""
-    import numpy as np
-
     mean, comps, scale = pca_train(embeddings, d_out=d_out, whiten=whiten)
+    return _vecs(embeddings).select(
+        "vec_id",
+        F.expr(pca_projection_expr(mean, comps, scale)).alias("proj"),
+    )
+
+
+def pca_projection_expr(mean, comps, scale, vec_col: str = "v") -> str:
+    """The frozen PCA model compiled into ONE literal-matrix projection
+    expression (the _centroid_dots_expr lesson: a single
+    array-of-arrays literal keeps Catalyst analysis flat). Pure
+    whole-stage-codegen, row-local, stateless — so the trained model
+    STREAMS: apply this expression to any micro-batch and the rows
+    equal the batch operator's bit-for-bit (the nb_lang_id / DSIR
+    frozen-model discipline; parity pinned in tests/test_streaming.py).
+    """
     rowmat = ", ".join(
         "array(" + ", ".join(repr(float(x)) for x in comps[j] * scale[j])
         + ")"
         for j in range(comps.shape[0])
     )
     mean_lit = "array(" + ", ".join(repr(float(m)) for m in mean) + ")"
-    proj = (
+    return (
         f"transform(array({rowmat}), c -> "
-        f"floor(aggregate(zip_with(zip_with(v, {mean_lit}, "
+        f"floor(aggregate(zip_with(zip_with({vec_col}, {mean_lit}, "
         f"(x, m) -> x - m), c, (x, y) -> x * y), 0D, "
         f"(acc, x) -> acc + x) * 1e6 + 0.5) / 1e6)"
-    )
-    return _vecs(embeddings).select(
-        "vec_id", F.expr(proj).alias("proj")
     )
