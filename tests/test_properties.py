@@ -825,3 +825,45 @@ def test_label_components_equals_reference_bfs(rows):
         if mask[i, j]
     }
     assert got == comps
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    cx=st.floats(min_value=-50, max_value=250),
+    cy=st.floats(min_value=-50, max_value=250),
+    sa=st.floats(min_value=3.0, max_value=80.0),
+    ratio=st.floats(min_value=0.15, max_value=1.0),
+    ang=st.floats(min_value=-90.0, max_value=90.0),
+    n=st.integers(min_value=7, max_value=60),
+    phase=st.floats(min_value=0.0, max_value=6.28),
+)
+def test_direct_ellipse_fit_is_exact_on_any_analytic_ellipse(
+    cx, cy, sa, ratio, ang, n, phase
+):
+    """The direct LSQ ellipse fit (pupil_edge.py, Halir-Flusser) must
+    recover ANY analytic ellipse exactly from >=7 noiseless outline
+    points — center/axes to 1e-4 absolute, angle to 0.1 deg (mod 180,
+    skipped near circularity where orientation is undefined). No-noise
+    exactness is the property that makes the refinement trustworthy:
+    errors can then only come from the edge detector, never the fit."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators.pupil_edge import (
+        conic_to_ellipse,
+        fit_ellipse_direct,
+    )
+
+    sb = sa * ratio
+    th = np.radians(ang)
+    t = phase + np.arange(n) * (2 * np.pi / n)
+    x = cx + sa * np.cos(t) * np.cos(th) - sb * np.sin(t) * np.sin(th)
+    y = cy + sa * np.cos(t) * np.sin(th) + sb * np.sin(t) * np.cos(th)
+    got = conic_to_ellipse(fit_ellipse_direct(x, y))
+    assert got is not None
+    gx, gy, gmaj, gmin, gang = got
+    assert abs(gx - cx) < 1e-4 and abs(gy - cy) < 1e-4
+    assert abs(gmaj - 2 * sa) < 1e-3 * max(1.0, sa)
+    assert abs(gmin - 2 * sb) < 1e-3 * max(1.0, sa)
+    if ratio < 0.97:  # orientation defined
+        d = abs(gang - ang) % 180.0
+        assert min(d, 180.0 - d) < 0.1, (gang, ang)
