@@ -343,6 +343,14 @@ def test_no_driver_collect_in_operators():
         "def _write_epoch_offsets",
         "def write_epoch_order",
         "def append_epoch_order",
+        # PCA training (r11): collects one (n, Σx, Σxxᵀ) moment row per
+        # ARROW BATCH — batch-count-sized model state (the sq8_stats /
+        # Lloyd's-trainer collect class); vectors never leave executors
+        "def pca_train",
+        # pldata sink (r11): collects one STATS row per recording to
+        # drive the write job — the write_tar_shards collect class;
+        # datum payloads never leave the executors
+        "def write_pldata_recordings",
     )
     root = pathlib.Path(__file__).resolve().parent.parent / "vedb_gaze_spark"
     hits = []
