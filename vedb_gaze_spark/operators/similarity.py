@@ -2260,9 +2260,13 @@ def pca_train(
                 }
             )
 
-    rows = _vecs(embeddings).select("v").mapInPandas(
-        moments, moment_schema
-    ).collect()
+    rows = (
+        _vecs(embeddings)
+        .where(F.col("v").isNotNull())
+        .select("v")
+        .mapInPandas(moments, moment_schema)
+        .collect()
+    )
     n = sum(r.n for r in rows)
     if n < 2:
         raise ValueError("pca_train needs at least 2 vectors")
