@@ -160,6 +160,7 @@ HEADLINE = [
     "mine_hard_negatives",
     "mine_triplets",
     "embed_pca",
+    "mine_hard_negatives_sq8",
 ]
 
 

@@ -1785,13 +1785,20 @@ def _sq8_search(
     codes: DataFrame,
     stats: list[tuple[float, float]],
     k: int = P.ANN_K,
+    pair_filter=None,
+    extra: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Shared SQ8 ADC kernel — the batch registry face (ann_sq8) and the
     streaming server (streaming/serving.py:SQ8Serving) run THIS plan, so
     served answers are the batch answers by construction. queries =
     (query_id, qv array<double>); codes = (neighbor_id, codes
-    array<int>); stats = the per-dim (min, max) model."""
-    corpus = codes.select("neighbor_id", _sq8_decoded(stats).alias("xhat"))
+    array<int>); stats = the per-dim (min, max) model.
+
+    ``pair_filter``/``extra`` (r11, both default-off): a per-pair
+    predicate applied to the scored stream BEFORE the prune and extra
+    (column, ddl) pairs carried through it — the hard-negative miner's
+    label gate rides the same kernel without a second corpus pass."""
+    corpus = codes.withColumn("xhat", _sq8_decoded(stats)).drop("codes")
     dot = F.aggregate(
         F.zip_with("qv", "xhat", lambda a, b: a * b),
         F.lit(0.0),
@@ -1800,8 +1807,10 @@ def _sq8_search(
     scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
         "score_sq8", F.round(dot, 6)
     )
+    if pair_filter is not None:
+        scored = scored.where(pair_filter)
     pruned = _partial_topk(
-        scored.withColumnRenamed("score_sq8", "cosine"), k
+        scored.withColumnRenamed("score_sq8", "cosine"), k, extra=extra
     ).withColumnRenamed("cosine", "score_sq8")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_sq8"), "neighbor_id"
@@ -1809,7 +1818,13 @@ def _sq8_search(
     return (
         pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score_sq8")
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "score_sq8",
+            *[c for c, _ in (extra or [])],
+        )
     )
 
 
@@ -2334,4 +2349,55 @@ def pca_projection_expr(mean, comps, scale, vec_col: str = "v") -> str:
         f"floor(aggregate(zip_with(zip_with({vec_col}, {mean_lit}, "
         f"(x, m) -> x - m), c, (x, y) -> x * y), 0D, "
         f"(acc, x) -> acc + x) * 1e6 + 0.5) / 1e6)"
+    )
+
+
+def mine_hard_negatives_sq8(
+    embeddings: DataFrame,
+    k: int = P.ANN_K,
+    n_queries: int = P.ANN_N_QUERIES,
+) -> DataFrame:
+    """Hard-negative mining over the COMPRESSED corpus — the 100 TB
+    path of mine_hard_negatives: the database side is the 8-bit SQ8
+    reconstruction (4x fewer stored bytes; asymmetric distance, only
+    the corpus quantized) and the label-inequality gate rides the
+    shared ADC kernel's scored stream before the prune. Like ann_sq8
+    (and unlike the trained-codebook PQ family) the quantizer is two
+    exact order statistics per dimension, so the WHOLE miner stays
+    SQL-expressible and hash-gated. Output mirrors mine_hard_negatives
+    with the ADC score in place of the exact cosine."""
+    stats = sq8_stats(embeddings)
+    base = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("label").cast("int").alias("lbl"),
+    )
+    enc = base.select(
+        "vec_id", "v", "lbl", F.array(*_sq8_code_cols(stats)).alias("codes")
+    )
+    queries = enc.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("lbl").alias("qlbl"),
+    )
+    codes = enc.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "codes",
+        F.col("lbl").alias("nlbl"),
+    )
+    out = _sq8_search(
+        queries,
+        codes,
+        stats,
+        k,
+        pair_filter=F.col("nlbl") != F.col("qlbl"),
+        extra=[("qlbl", "int"), ("nlbl", "int")],
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "score_sq8",
+        F.col("qlbl").alias("query_label"),
+        F.col("nlbl").alias("neighbor_label"),
     )

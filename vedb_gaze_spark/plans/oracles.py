@@ -4029,6 +4029,55 @@ FROM ranked WHERE rank <= {P.ANN_K}
 """
 
 
+# hard-negative mining over the SQ8-compressed corpus
+# (operators/similarity.py:mine_hard_negatives_sq8): ANN_SQ8's decode +
+# ADC score with the label-inequality gate ahead of the ranking.
+MINE_HARD_NEGATIVES_SQ8 = f"""
+WITH dims AS MATERIALIZED (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), stats AS MATERIALIZED (
+  SELECT pos, min(x) AS mn, max(x) AS mx FROM dims GROUP BY pos
+), codes AS MATERIALIZED (
+  SELECT d.vec_id, d.pos,
+         CASE WHEN s.mx > s.mn
+              THEN greatest(0, least(255,
+                   CAST(floor((d.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
+                        AS INTEGER)))
+              ELSE 0 END AS code,
+         s.mn, s.mx
+  FROM dims d JOIN stats s USING (pos)
+  WHERE d.vec_id >= {P.ANN_N_QUERIES}
+), lab AS (
+  SELECT vec_id, CAST(label AS INTEGER) AS lbl FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(sum(q.x * (c.mn + c.code * ((c.mx - c.mn) / 255.0))), 6)
+           AS score_sq8
+  FROM dims q JOIN codes c USING (pos)
+  WHERE q.vec_id < {P.ANN_N_QUERIES}
+  GROUP BY q.vec_id, c.vec_id
+), flt AS (
+  SELECT s.query_id, s.neighbor_id, s.score_sq8,
+         ql.lbl AS query_label, nl.lbl AS neighbor_label
+  FROM scored s
+  JOIN lab ql ON ql.vec_id = s.query_id
+  JOIN lab nl ON nl.vec_id = s.neighbor_id
+  WHERE ql.lbl <> nl.lbl
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY score_sq8 DESC, neighbor_id
+         ) AS rank
+  FROM flt
+)
+SELECT query_id, rank, neighbor_id, score_sq8, query_label,
+       neighbor_label
+FROM ranked WHERE rank <= {P.ANN_K}
+"""
+
+
 # Length-bucketed dynamic batching (operators/corpus.py:length_batches):
 # per-source ranking windows (arrival vs length-sorted), batch_id =
 # floor(rank/B), per-batch padding-waste rollup. Integer token counts

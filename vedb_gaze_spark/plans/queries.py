@@ -930,6 +930,13 @@ def _embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embed_pca(load_table(spark, "embeddings", sf_dir))
 
 
+@register("mine_hard_negatives_sq8", oracles.MINE_HARD_NEGATIVES_SQ8)
+def _mine_hard_negatives_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.mine_hard_negatives_sq8(
+        load_table(spark, "embeddings", sf_dir)
+    )
+
+
 @register("mine_triplets", oracles.MINE_TRIPLETS)
 def _mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mine_triplets(load_table(spark, "embeddings", sf_dir))
@@ -1536,6 +1543,7 @@ _GATE_ORDER = [
     "mine_hard_negatives",
     "mine_triplets",
     "embed_pca",
+    "mine_hard_negatives_sq8",
 ]
 
 
