@@ -1955,3 +1955,30 @@ def test_embed_pca_recovers_planted_axes_and_whitens(spark):
     # deterministic: a second run reproduces bit-identical rows
     again = {r.vec_id: r.proj for r in embed_pca(emb, d_out=2).collect()}
     assert again == out
+
+
+def test_sq8_miner_agrees_with_exact_miner(spark, sf_dir):
+    """The compressed miner's honesty gate (the dedup_recall
+    measurement discipline applied to the miner family): the SQ8
+    reconstruction must return substantially the same hard-negative
+    pairs as the exact-cosine miner — 8-bit uniform quantization
+    perturbs scores ~1e-3, far below typical neighbor gaps (measured
+    overlap 1.0 on both test SFs; pinned at >=0.8 to absorb genuinely
+    tied neighborhoods)."""
+    from vedb_gaze_spark.operators.similarity import (
+        mine_hard_negatives,
+        mine_hard_negatives_sq8,
+    )
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in mine_hard_negatives(emb).collect()
+    }
+    sq8 = {
+        (r.query_id, r.neighbor_id)
+        for r in mine_hard_negatives_sq8(emb).collect()
+    }
+    assert len(exact) == len(sq8) > 0
+    assert len(exact & sq8) / len(exact) >= 0.8
