@@ -44,7 +44,7 @@ KERNELS = [
     ("dedup_ngram_jaccard", 1),  # the exact kernel: minutes at 10x
     ("dedup_minhash_lsh", 2),
     ("dedup_simhash", 2),
-    ("dedup_recall_sampled", 2),
+    ("dedup_recall", 2),  # r12: the registered face IS the sampled gate
     ("dedup_agreement", 2),  # the r11 sampled face
 ]
 

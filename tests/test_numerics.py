@@ -402,3 +402,138 @@ def test_calibration_3d_bundle_recovers_pose_with_translation(spark, sf_dir):
             assert abs(r.roll - roll_t) < 0.01
             assert abs(r.pitch - pitch_t) < 0.01
             assert abs(r.yaw - yaw_t) < 0.01
+
+
+# --- griddata error surface (error_computation.py:165, r12) -------------
+
+
+def test_delaunay_linear_interp_is_exact_on_affine_fields():
+    """The scipy-free griddata(method='linear') kernel
+    (functions/delaunay.py): a linear interpolant over ANY valid
+    triangulation reproduces an affine field exactly inside the hull
+    and returns NaN outside it — so the pin is triangulation-agnostic."""
+    from vedb_gaze_spark.functions.delaunay import delaunay, interp_linear
+
+    rng = np.random.RandomState(7)
+    pts = np.column_stack(
+        [
+            np.repeat(np.linspace(0.05, 0.95, 5), 5),
+            np.tile(np.linspace(0.05, 0.95, 5), 5),
+        ]
+    ) + rng.uniform(-0.01, 0.01, (25, 2))
+    vals = 2.0 + 3.0 * pts[:, 0] - 1.5 * pts[:, 1]
+    tris = delaunay(pts)
+    assert len(tris) >= 25  # ~2n triangles for a hull-heavy set
+    # interior queries: exact affine reproduction
+    qs_in = np.array([[0.5, 0.5], [0.3, 0.7], [0.8, 0.2], [0.11, 0.11]])
+    got = interp_linear(pts, vals, qs_in)
+    want = 2.0 + 3.0 * qs_in[:, 0] - 1.5 * qs_in[:, 1]
+    assert np.allclose(got, want, atol=1e-9)
+    # outside the hull: NaN (the fill_value=nan contract)
+    qs_out = np.array([[-0.5, 0.5], [0.5, 1.5], [1.2, -0.2]])
+    assert np.isnan(interp_linear(pts, vals, qs_out)).all()
+    # determinism: same points, same triangulation
+    assert tris == delaunay(pts)
+
+
+def test_error_surface_grid_reproduces_affine_field_and_hull(spark):
+    """error_surface_grid_points on a planted affine error field:
+    grid nodes inside the marker hull carry the exact affine value
+    (rounded 6dp; the floor-at-min (:200) is a no-op for barycentric
+    blends of an affine field), nodes outside are NULL — and the
+    left-half-only variant NULLs the right half of the grid."""
+    from vedb_gaze_spark.operators.error import (
+        _GRID_X,
+        _GRID_Y,
+        error_surface_grid_points,
+    )
+    from vedb_gaze_spark.plans import params as P
+
+    eps = P.GRID_T_EPS_S
+
+    def table(pts):
+        rows = [
+            (1, float(i) * eps + eps / 2, float(x), float(y),
+             float(2.0 + 3.0 * x - 1.5 * y))
+            for i, (x, y) in enumerate(pts)
+        ]
+        return spark.createDataFrame(
+            rows, "user_id bigint, t double, mx double, my double, err double"
+        )
+
+    # full-frame hull: corners outside the grid envelope + interior
+    full = [(0.05, 0.05), (0.95, 0.05), (0.05, 0.95), (0.95, 0.95),
+            (0.5, 0.48), (0.31, 0.72), (0.68, 0.29)]
+    rows = error_surface_grid_points(table(full)).collect()
+    assert len(rows) == len(_GRID_X) * len(_GRID_Y)
+    for r in rows:
+        want = 2.0 + 3.0 * r.grid_x - 1.5 * r.grid_y
+        assert r.err_est is not None and abs(r.err_est - want) <= 1e-6, r
+
+    # left-half hull: right-half nodes must be NULL, left interior real
+    left = [(0.05, 0.05), (0.45, 0.05), (0.05, 0.95), (0.45, 0.95),
+            (0.25, 0.5), (0.12, 0.3)]
+    rows2 = error_surface_grid_points(table(left)).collect()
+    for r in rows2:
+        if r.grid_x > 0.46:
+            assert r.err_est is None, r
+    assert any(
+        r.err_est is not None for r in rows2
+    ), "left-half hull should cover some grid nodes"
+
+
+def test_error_grid_qc_matches_numpy_recomputation(spark, sf_dir):
+    """error_grid_qc on the events table equals a from-scratch numpy
+    recomputation from the collected surface + the same synthetic gaze
+    signal: weighted error is the gaze-count-weighted mean of the
+    surface over interpolated nodes (the reference's
+    nansum(hst_pct·err)/interp_frac algebra), fraction_excluded the
+    NULL-node gaze share."""
+    from vedb_gaze_spark.operators.error import (
+        _GRID_X,
+        _GRID_Y,
+        _pointwise_error,
+        _surface_grid_indexed,
+        error_grid_qc,
+    )
+    from vedb_gaze_spark.sources.signals import with_gaze
+    from vedb_gaze_spark.sources.tables import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    got = {r.user_id: r for r in error_grid_qc(events).collect()}
+    surf = {}
+    for r in _surface_grid_indexed(_pointwise_error(events)).collect():
+        surf[(r.user_id, r.ix, r.iy)] = r.err_est
+    nx, ny = len(_GRID_X), len(_GRID_Y)
+    from collections import defaultdict
+
+    hist = defaultdict(int)
+    for r in with_gaze(events).select("user_id", "gx", "gy").collect():
+        ix = min(max(int(np.floor(r.gx * nx)), 0), nx - 1)
+        iy = min(max(int(np.floor(r.gy * ny)), 0), ny - 1)
+        hist[(r.user_id, ix, iy)] += 1
+    users = {u for (u, _, _) in hist}
+    assert set(got) == users
+    for u in users:
+        n_gaze = sum(n for (uu, _, _), n in hist.items() if uu == u)
+        n_interp = 0
+        werr = 0.0
+        for (uu, ix, iy), n in hist.items():
+            if uu != u:
+                continue
+            est = surf.get((u, ix, iy))
+            if est is not None:
+                n_interp += n
+                werr += n * est
+        r = got[u]
+        assert r.n_gaze == n_gaze
+        if n_interp:
+            want = np.floor(werr / n_interp * 1e6 + 0.5) / 1e6
+            # one 6dp quantum of slack: Spark's sum order vs this
+            # loop's can differ by ~1 ulp, which flips floor(x+0.5)
+            # when the true value sits exactly on the rounding boundary
+            assert abs(r.gaze_err_weighted - want) <= 1.001e-6, (u, r)
+        else:
+            assert r.gaze_err_weighted is None
+        want_f = np.floor((n_gaze - n_interp) / n_gaze * 1e6 + 0.5) / 1e6
+        assert abs(r.fraction_excluded - want_f) < 1e-9, (u, r)

@@ -1771,6 +1771,42 @@ def test_pldata_roundtrip_and_csv_export_parity(spark, tmp_path):
     assert via_csv == via_pldata
 
 
+def test_pldata_deep_glob_recordings_do_not_collide(spark, tmp_path):
+    """Recording identity under a deeper glob (ADVICE r11): two
+    recordings sharing a dir BASENAME (subjects/*/session1) must stay
+    distinct on the (recording, idx) sidecar-join key — the old
+    basename identity collided them, duplicating rows and attaching the
+    wrong capture_ts. Identity is now the capture dir's path relative
+    to the glob's static root; single-dir reads keep the basename."""
+    from vedb_gaze_spark.sources.pldata import (
+        GAZE_FIELDS,
+        read_pldata,
+        write_pldata,
+    )
+
+    def datum(ts):
+        return {
+            "topic": "gaze.3d.0",
+            "timestamp": ts,
+            "confidence": 0.9,
+            "norm_pos": [0.1, 0.2],
+        }
+
+    root = tmp_path / "subjects"
+    write_pldata(str(root / "s1" / "session1"), "gaze", [datum(1.0)])
+    write_pldata(
+        str(root / "s2" / "session1"), "gaze", [datum(2.0), datum(2.1)]
+    )
+    df = read_pldata(
+        spark, str(root / "*" / "session1"), "gaze", fields=GAZE_FIELDS
+    )
+    rows = {(r.recording, r.idx): r for r in df.collect()}
+    # 3 datums total, no duplication, distinct recording ids
+    assert len(rows) == 3
+    assert rows[("s1/session1", 0)].capture_ts == 1.0
+    assert rows[("s2/session1", 1)].capture_ts == 2.1
+
+
 def test_pupil_edge_refinement_sharpens_ragged_blob(spark):
     """detect_pupil_frames(refine='edge') — the Detector2D-style
     refinement from public algorithms (Canny + direct LSQ ellipse fit

@@ -3021,3 +3021,88 @@ def test_streaming_pca_projection_matches_batch(spark, sf_dir, tmp_path):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_ivfsq8_mining_serves_over_stored_labeled_index(
+    spark, sf_dir, tmp_path
+):
+    """Hard-negative mining over the STORED cell-partitioned index
+    (r11 verdict #5): (a) write_ivfsq8_index(with_labels=True) persists
+    nlbl beside the codes; (b) IVFSQ8Serving(mine_labels=True) streamed
+    over query micro-batches returns EXACTLY the batch
+    mine_hard_negatives_ivfsq8 rows (shared probe + search kernel +
+    pair_filter, model loaded from the index); (c) the codes scan is
+    partition-pruned on the probed cells; (d) every answered neighbor
+    sits in a probed cell of its query (containment)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.operators.similarity import (
+        _dots_expr_for,
+        _ivf_sq8_probe,
+        _vecs,
+        mine_hard_negatives_ivfsq8,
+    )
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.streaming.serving import (
+        IVFSQ8Serving,
+        write_ivfsq8_index,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = str(tmp_path / "mine_idx")
+    write_ivfsq8_index(emb, idx, with_labels=True)
+    # labels live beside the codes
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    assert "nlbl" in codes.columns
+
+    job = IVFSQ8Serving(idx, str(tmp_path / "mine_out"), mine_labels=True)
+    qraw = emb.where(F.col("vec_id") < P.ANN_N_QUERIES)
+
+    # partition pruning still fires with the label column present
+    queries = _vecs(qraw).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probed = _ivf_sq8_probe(queries, job._load_cents(spark), P.IVF_PROBES)
+    plan = (
+        job.probed_codes(spark, probed)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # two micro-batches ≡ the batch miner
+    job.process(qraw.where(F.col("vec_id") % 2 == 0), 0)
+    job.process(qraw.where(F.col("vec_id") % 2 == 1), 1)
+    got = {tuple(r) for r in job.results(spark).collect()}
+    want = {tuple(r) for r in mine_hard_negatives_ivfsq8(emb).collect()}
+    assert got == want and len(want) > 0
+
+    # containment: every answered neighbor's cell is probed by its query
+    cents = job._load_cents(spark)
+    cell_of = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id",
+            F.expr(
+                _dots_expr_for(cents, "cast(embedding as array<double>)")
+            ).alias("d"),
+        )
+        .select(
+            "vec_id",
+            (F.expr("array_position(d, array_max(d))") - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+        .collect()
+    }
+    probed_cells = {}
+    for r in probed.select("query_id", "cell").collect():
+        probed_cells.setdefault(r.query_id, set()).add(r.cell)
+    for r in job.results(spark).collect():
+        assert cell_of[r.neighbor_id] in probed_cells[r.query_id], r
+    # and the mining answers really exclude same-label pairs
+    for r in job.results(spark).collect():
+        assert r.query_label != r.neighbor_label, r

@@ -12,6 +12,15 @@ Re-expresses error_computation.py:18 ``compute_error``:
 - ``error_surface_tps``: the TPS error surface on a coarse grid
   (:173-198, method='tps'), numpy per user via applyInPandas on
   cluster-reduced points.
+- ``error_surface_grid``: the ``method='griddata'`` surface (:165-166)
+  — hull-bounded scattered interpolation of the error field onto the
+  same grid (scipy-free Delaunay + barycentric linear,
+  functions/delaunay.py), NULL outside the convex hull (the
+  reference's fill_value=nan / extrapolate=False contract).
+- ``error_grid_qc``: the interpolated-gaze QC rollup (:204-213) —
+  gaze-histogram-weighted mean of the grid surface plus the
+  fraction of gaze falling outside the interpolated region
+  (``gaze_fraction_excluded``).
 
 PPD is inlined as a Python literal so both engines parse the identical
 double (no cross-engine division-order drift).
@@ -145,3 +154,170 @@ def error_surface_tps_points(
         F.median("err").alias("err"),
     )
     return apply_per_key(reduced, "user_id", run, _SURFACE_SCHEMA)
+
+
+_GRID_SCHEMA = (
+    "user_id bigint, ix int, iy int, grid_x double, grid_y double, "
+    "err_est double"
+)
+
+
+def _cluster_reduce(e: DataFrame) -> DataFrame:
+    """The shared cluster-median reduction both surface faces run
+    (bounded per-group size regardless of session length)."""
+    e = e.withColumn("cluster", F.floor(F.col("t") / P.GRID_T_EPS_S))
+    return e.groupBy("user_id", "cluster").agg(
+        F.median("mx").alias("mx"),
+        F.median("my").alias("my"),
+        F.median("err").alias("err"),
+    )
+
+
+def _surface_grid_indexed(e: DataFrame) -> DataFrame:
+    """Internal grid face carrying node indices (ix, iy) so the QC
+    rollup can key gaze-histogram bins to surface nodes without
+    re-deriving positions from float grid coordinates."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "ix": pd.Series([], dtype="int32"),
+                "iy": pd.Series([], dtype="int32"),
+                "grid_x": pd.Series([], dtype="float64"),
+                "grid_y": pd.Series([], dtype="float64"),
+                "err_est": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 4:
+            # reference raises below 4 points (:146); a distributed
+            # sweep degrades to no-surface-for-this-user instead
+            return empty
+        from vedb_gaze_spark.functions.delaunay import interp_linear
+
+        # dedup coincident cluster medians (Delaunay precondition):
+        # mean err per exact position, deterministic order
+        pdf = (
+            pdf.groupby(["mx", "my"], as_index=False, sort=True)["err"]
+            .mean()
+        )
+        if len(pdf) < 4:
+            return empty
+        xy = pdf[["mx", "my"]].to_numpy()
+        v = pdf["err"].to_numpy()
+        gx, gy = np.meshgrid(_GRID_X, _GRID_Y)
+        ixg, iyg = np.meshgrid(
+            np.arange(len(_GRID_X)), np.arange(len(_GRID_Y))
+        )
+        pts = np.column_stack([gx.ravel(), gy.ravel()])
+        est = interp_linear(xy, v, pts)
+        # reference floors the surface at the minimum observed error
+        # (:200) — NaN (outside hull) passes through untouched
+        est = np.where(np.isnan(est), est, np.maximum(est, v.min()))
+        return pd.DataFrame(
+            {
+                "user_id": np.int64(pdf["user_id"].iloc[0])
+                if "user_id" in pdf
+                else 0,
+                "ix": ixg.ravel().astype("int32"),
+                "iy": iyg.ravel().astype("int32"),
+                "grid_x": pts[:, 0],
+                "grid_y": pts[:, 1],
+                "err_est": np.round(est, 6),
+            }
+        )
+
+    # keep user_id through the position-dedup groupby above
+    def run_keyed(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = pdf["user_id"].iloc[0] if len(pdf) else 0
+        out = run(pdf)
+        if len(out):
+            out["user_id"] = np.int64(uid)
+        return out
+
+    return apply_per_key(_cluster_reduce(e), "user_id", run_keyed, _GRID_SCHEMA)
+
+
+def error_surface_grid(events: DataFrame) -> DataFrame:
+    """``compute_error(method='griddata')`` (error_computation.py:165):
+    hull-bounded scattered interpolation of the pointwise error field
+    onto the coarse evaluation grid — scipy-free Delaunay + barycentric
+    LINEAR blend (functions/delaunay.py; the reference calls scipy's
+    cubic variant — same hull/NaN semantics, simplex-local model), per
+    user on cluster-median points, NULL outside the convex hull (the
+    fill_value=nan / extrapolate=False contract), floored at the
+    minimum observed error (:200). Output user × 48 grid rows — tiny
+    at any scale; the heavy lifting (matching, confidence gate,
+    pixel-space error) is the same distributed _pointwise_error spine
+    every §2.E face shares."""
+    return error_surface_grid_points(_pointwise_error(events))
+
+
+def error_surface_grid_points(e: DataFrame) -> DataFrame:
+    """POINT-TABLE face of error_surface_grid (the calibration_*_points
+    convention): ``e`` carries (user_id, t, mx, my, err)."""
+    return _surface_grid_indexed(e).select(
+        "user_id", "grid_x", "grid_y", "err_est"
+    )
+
+
+def error_grid_qc(events: DataFrame) -> DataFrame:
+    """The interpolated-gaze QC rollup of the griddata path
+    (error_computation.py:204-213): histogram the session's gaze
+    positions onto the surface's node bins, then per user report
+    gaze_err_weighted — nansum(hst_pct · err_image) normalized by the
+    interpolated fraction, which reduces to the gaze-count-weighted
+    mean of the surface over interpolated nodes — and
+    fraction_excluded, the share of gaze falling where the surface is
+    NULL (outside the marker hull). The reference returns these two
+    scalars with every compute_error dict; they are THE session-level
+    QC numbers a sweep reads.
+
+    Shape: one groupBy over gaze (user × 48 bins), one broadcast join
+    against the user × 48 surface, one rollup — the surface side is
+    model-sized, so the plan stays scan + two tiny exchanges."""
+    nx, ny = len(_GRID_X), len(_GRID_Y)
+    g = with_gaze(events)
+    bx = F.least(F.floor(F.col("gx") * nx), F.lit(nx - 1)).cast("int")
+    by = F.least(F.floor(F.col("gy") * ny), F.lit(ny - 1)).cast("int")
+    counts = (
+        g.withColumn("ix", F.greatest(bx, F.lit(0)))
+        .withColumn("iy", F.greatest(by, F.lit(0)))
+        .groupBy("user_id", "ix", "iy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    surface = _surface_grid_indexed(_pointwise_error(events)).select(
+        "user_id", "ix", "iy", "err_est"
+    )
+    joined = counts.join(
+        F.broadcast(surface), ["user_id", "ix", "iy"], "left"
+    )
+    n_interp = F.sum(
+        F.when(F.col("err_est").isNotNull(), F.col("n")).otherwise(F.lit(0))
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_gaze"),
+            n_interp.alias("n_interp"),
+            F.sum(
+                F.when(
+                    F.col("err_est").isNotNull(),
+                    F.col("n") * F.col("err_est"),
+                ).otherwise(F.lit(0.0))
+            ).alias("werr"),
+        )
+        .select(
+            "user_id",
+            F.col("n_gaze").cast("long").alias("n_gaze"),
+            F.expr(
+                "CASE WHEN n_interp > 0 THEN "
+                "floor(werr / cast(n_interp as double) * 1e6 + 0.5) / 1e6 "
+                "END"
+            ).alias("gaze_err_weighted"),
+            F.expr(
+                "floor((n_gaze - n_interp) / cast(n_gaze as double) "
+                "* 1e6 + 0.5) / 1e6"
+            ).alias("fraction_excluded"),
+        )
+    )

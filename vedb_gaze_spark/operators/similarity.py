@@ -2028,18 +2028,23 @@ def ann_ivf_sq8(
 def _ivf_sq8_probe(
     queries: DataFrame, cents: list[list[float]], n_probes: int
 ) -> DataFrame:
-    """(query_id, qv) → (query_id, qv, cell): the nprobe best cells per
-    query under the ROUNDED dot ranking — the same 6dp quantization the
-    corpus assignment and the SQL oracle use, so the probe set is
-    engine-stable (ties cannot flip in one engine only)."""
+    """(query_id, qv, *extra) → (query_id, qv, *extra, cell): the
+    nprobe best cells per query under the ROUNDED dot ranking — the
+    same 6dp quantization the corpus assignment and the SQL oracle
+    use, so the probe set is engine-stable (ties cannot flip in one
+    engine only). Any extra query columns (e.g. the miner's qlbl)
+    pass through."""
+    carry = [c for c in queries.columns if c not in ("query_id", "qv")]
     probes = queries.withColumn(
         "dots", F.expr(_dots_expr_for(cents, "qv"))
-    ).select("query_id", "qv", F.posexplode("dots").alias("cell", "d"))
+    ).select(
+        "query_id", "qv", *carry, F.posexplode("dots").alias("cell", "d")
+    )
     wprobe = Window.partitionBy("query_id").orderBy(F.desc("d"), "cell")
     return (
         probes.withColumn("pr", F.row_number().over(wprobe))
         .where(F.col("pr") <= n_probes)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", *carry, "cell")
     )
 
 
@@ -2048,14 +2053,25 @@ def _ivf_sq8_search(
     codes: DataFrame,
     stats: list[tuple[float, float]],
     k: int = P.ANN_K,
+    pair_filter=None,
+    extra: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
-    """Shared IVF+SQ8 scoring kernel — the batch face (ann_ivf_sq8) and
-    the streaming server (streaming/serving.py:IVFSQ8Serving) run THIS
-    plan: probed (query_id, qv, cell) equi-joins the cell-keyed code
-    table, the SQ8 reconstruction scores survivors, partial top-k
-    prunes before the per-query window."""
+    """Shared IVF+SQ8 scoring kernel — the batch face (ann_ivf_sq8),
+    the streaming server (streaming/serving.py:IVFSQ8Serving) and the
+    cell-pruned hard-negative miner (mine_hard_negatives_ivfsq8) run
+    THIS plan: probed (query_id, qv, cell) equi-joins the cell-keyed
+    code table, the SQ8 reconstruction scores survivors, partial top-k
+    prunes before the per-query window.
+
+    ``pair_filter``/``extra`` (r12, the _sq8_search hooks): a per-pair
+    predicate applied to the scored stream BEFORE the prune and extra
+    (column, ddl) pairs carried through it — the miner's label gate
+    rides the same cell-pruned kernel without a second index scan."""
     corpus = codes.select(
-        "neighbor_id", _sq8_decoded(stats).alias("xhat"), "cell"
+        "neighbor_id",
+        _sq8_decoded(stats).alias("xhat"),
+        "cell",
+        *[c for c, _ in (extra or []) if c in codes.columns],
     )
     dot = F.aggregate(
         F.zip_with("qv", "xhat", lambda a, b: a * b),
@@ -2065,8 +2081,10 @@ def _ivf_sq8_search(
     scored = corpus.join(F.broadcast(probed), "cell").withColumn(
         "score_sq8", F.round(dot, 6)
     )
+    if pair_filter is not None:
+        scored = scored.where(pair_filter)
     pruned = _partial_topk(
-        scored.withColumnRenamed("score_sq8", "cosine"), k
+        scored.withColumnRenamed("score_sq8", "cosine"), k, extra=extra
     ).withColumnRenamed("cosine", "score_sq8")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_sq8"), "neighbor_id"
@@ -2074,7 +2092,13 @@ def _ivf_sq8_search(
     return (
         pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score_sq8")
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "score_sq8",
+            *[c for c, _ in (extra or [])],
+        )
     )
 
 
@@ -2247,8 +2271,11 @@ def pca_train(
 
     Distributed shape (the trained-model discipline): ONE mapInPandas
     pass emits per-batch moment rows (n, Σx, flattened Σxxᵀ) — numpy
-    GEMM per Arrow batch, exactly associative float64 sums — and the
-    driver combines the BATCH-COUNT-sized rows, solves the d×d
+    GEMM per Arrow batch — and the driver combines the BATCH-COUNT-sized
+    rows in a content-sorted order (collect order follows partition
+    layout, and float sums are order-sensitive; sorting pins the
+    summation order so batch and stream training see the same model
+    for the same rows regardless of layout), solves the d×d
     symmetric eigenproblem (d=64: microseconds), and fixes eigenvector
     sign deterministically (largest-|coordinate| positive). Nothing
     corpus-sized ever reaches the driver."""
@@ -2282,6 +2309,9 @@ def pca_train(
         .mapInPandas(moments, moment_schema)
         .collect()
     )
+    # deterministic combine order (collect order is partition-layout-
+    # dependent; float summation is not associative in practice)
+    rows = sorted(rows, key=lambda r: (r.n, tuple(r.s)))
     n = sum(r.n for r in rows)
     if n < 2:
         raise ValueError("pca_train needs at least 2 vectors")
@@ -2316,12 +2346,13 @@ def embed_pca(
     vector onto the top components — (vec_id, proj array<double>),
     rounded half-up 6dp at the boundary like every embedding face.
 
-    The projection applies as ONE literal-matrix transform expression
-    (the _centroid_dots_expr lesson: a single array-of-arrays literal
-    keeps Catalyst analysis flat where per-component expression copies
-    made it dominate runtime) — whole-stage-codegen, no shuffle, no
-    Python in the projection pass. Rows-only face (the eigensolve is
-    LAPACK, not SQL); planted-axes recovery is pytest-pinned."""
+    The projection applies as unrolled per-component literal sums
+    (pca_projection_expr — embed_project's true-codegen shape; the r11
+    HOF literal-matrix form evaluated interpreted per row and measured
+    4× slower at 10×, PERF_NOTES r12) — whole-stage codegen, no
+    shuffle, no Python in the projection pass. Rows-only face (the
+    eigensolve is LAPACK, not SQL); planted-axes recovery is
+    pytest-pinned."""
     mean, comps, scale = pca_train(embeddings, d_out=d_out, whiten=whiten)
     return _vecs(embeddings).select(
         "vec_id",
@@ -2330,14 +2361,43 @@ def embed_pca(
 
 
 def pca_projection_expr(mean, comps, scale, vec_col: str = "v") -> str:
-    """The frozen PCA model compiled into ONE literal-matrix projection
-    expression (the _centroid_dots_expr lesson: a single
-    array-of-arrays literal keeps Catalyst analysis flat). Pure
-    whole-stage-codegen, row-local, stateless — so the trained model
-    STREAMS: apply this expression to any micro-batch and the rows
-    equal the batch operator's bit-for-bit (the nb_lang_id / DSIR
-    frozen-model discipline; parity pinned in tests/test_streaming.py).
-    """
+    """The frozen PCA model compiled into one projection expression —
+    the UNROLLED per-component sums (embed_project's true-codegen
+    shape): each component j is the left-associative
+    Σ_i w_ji·(v_i − m_i) over scalar literals, which whole-stage
+    codegen compiles to straight-line arithmetic. The r11 HOF form
+    (transform/zip_with/aggregate over one literal matrix) evaluated
+    INTERPRETED per row — HigherOrderFunction expressions never enter
+    generated code — and measured 4× slower on the projection pass at
+    10× corpus (1.84 s vs 7.47 s; ~14× on the marginal per-row cost —
+    PERF_NOTES r12); the unrolled sum is bit-identical to it (same
+    multiply terms, same left-assoc order, 0D+t0 ≡ t0), so
+    the switch is invisible to results. Row-local, shuffle-free,
+    stateless — the trained model STREAMS: apply this expression to
+    any micro-batch and the rows equal the batch operator's
+    bit-for-bit (the nb_lang_id / DSIR frozen-model discipline;
+    parity pinned in tests/test_streaming.py)."""
+    d_in = comps.shape[1]
+    cols = ", ".join(
+        "floor(("
+        + " + ".join(
+            f"({float(comps[j, i] * scale[j])!r}) * "
+            f"(element_at({vec_col}, {i + 1}) - ({float(mean[i])!r}))"
+            for i in range(d_in)
+        )
+        + ") * 1e6 + 0.5) / 1e6"
+        for j in range(comps.shape[0])
+    )
+    return f"array({cols})"
+
+
+def pca_projection_expr_hof(mean, comps, scale, vec_col: str = "v") -> str:
+    """The r11 HigherOrderFunction form of pca_projection_expr (one
+    literal matrix through transform/zip_with/aggregate), kept for the
+    PERF_NOTES r12 measurement: analysis-flat (the _centroid_dots_expr
+    lesson) but interpreted per row, which loses to the unrolled
+    codegen form 4× at 10× corpus (~14× marginal). Bit-identical
+    output."""
     rowmat = ", ".join(
         "array(" + ", ".join(repr(float(x)) for x in comps[j] * scale[j])
         + ")"
@@ -2388,6 +2448,76 @@ def mine_hard_negatives_sq8(
     out = _sq8_search(
         queries,
         codes,
+        stats,
+        k,
+        pair_filter=F.col("nlbl") != F.col("qlbl"),
+        extra=[("qlbl", "int"), ("nlbl", "int")],
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        "score_sq8",
+        F.col("qlbl").alias("query_label"),
+        F.col("nlbl").alias("neighbor_label"),
+    )
+
+
+def mine_hard_negatives_ivfsq8(
+    embeddings: DataFrame,
+    k: int = P.ANN_K,
+    n_queries: int = P.ANN_N_QUERIES,
+    n_probes: int = P.IVF_PROBES,
+) -> DataFrame:
+    """Hard-negative mining through the INVERTED FILE in front of the
+    SQ8 codes — the true 100 TB mining path (r11 verdict #5): instead
+    of flat-scanning all compressed codes per probe batch
+    (mine_hard_negatives_sq8), each probe reads only its nprobe best
+    coarse cells — the same cell restriction ann_ivf_sq8 is hash-green
+    on — and the label-inequality gate rides the shared cell-pruned ADC
+    kernel (_ivf_sq8_search's pair_filter hook) before the partial
+    top-k prune. Against a STORED index (write_ivfsq8_index with
+    labels) the cell key is a parquet partition column, so mining
+    reads ≈ nprobe/n_cells of the index from disk — the plan
+    IVFSQ8Serving already answers probe micro-batches with
+    (mining parity + probed-cell containment pytest-pinned).
+
+    Both quantizers are exactly reproducible (fixed literal coarse
+    centroids + two order statistics per dimension), so the WHOLE
+    cell-pruned miner is SQL-expressible and hash-gated. Output
+    mirrors mine_hard_negatives_sq8; rows can differ from the flat
+    miner exactly where a true hard negative lives outside the probed
+    cells — the recall trade every IVF front makes."""
+    stats = sq8_stats(embeddings)
+    cents = [list(map(float, c)) for c in P.IVF_CENTROIDS]
+    base = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.col("label").cast("int").alias("lbl"),
+    )
+    enc = base.select(
+        "vec_id",
+        "v",
+        "lbl",
+        F.array(*_sq8_code_cols(stats)).alias("codes"),
+        F.expr(_dots_expr_for(cents, "v")).alias("dots"),
+    )
+    cell = (F.expr("array_position(dots, array_max(dots))") - 1).cast("int")
+    corpus = enc.where(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "codes",
+        cell.alias("cell"),
+        F.col("lbl").alias("nlbl"),
+    )
+    queries = enc.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("lbl").alias("qlbl"),
+    )
+    probed = _ivf_sq8_probe(queries, cents, n_probes)
+    out = _ivf_sq8_search(
+        probed,
+        corpus,
         stats,
         k,
         pair_filter=F.col("nlbl") != F.col("qlbl"),

@@ -4078,6 +4078,75 @@ FROM ranked WHERE rank <= {P.ANN_K}
 """
 
 
+# Cell-pruned hard-negative mining (operators/similarity.py:
+# mine_hard_negatives_ivfsq8): the ANN_IVF_SQ8 probe + cell restriction
+# with the label-inequality gate applied to the scored stream before
+# the per-query ranking — both quantizers exactly reproducible, so the
+# whole cell-pruned miner hash-gates.
+MINE_HARD_NEGATIVES_IVFSQ8 = f"""
+WITH dims AS MATERIALIZED (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), stats AS MATERIALIZED (
+  SELECT pos, min(x) AS mn, max(x) AS mx FROM dims GROUP BY pos
+), codes AS MATERIALIZED (
+  SELECT d.vec_id, d.pos,
+         CASE WHEN s.mx > s.mn
+              THEN greatest(0, least(255,
+                   CAST(floor((d.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
+                        AS INTEGER)))
+              ELSE 0 END AS code,
+         s.mn, s.mx
+  FROM dims d JOIN stats s USING (pos)
+  WHERE d.vec_id >= {P.ANN_N_QUERIES}
+), lab AS (
+  SELECT vec_id, CAST(label AS INTEGER) AS lbl FROM embeddings
+), dots AS MATERIALIZED (
+  SELECT vec_id, embedding,
+    {_IVF_DOTS}
+  FROM embeddings WHERE vec_id >= {P.ANN_N_QUERIES}
+), cells AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, {_IVF_CASE} AS cell
+  FROM (SELECT *, {_IVF_MAX} AS mx FROM dots) t
+), qdots AS MATERIALIZED (
+  {_IVF_PROBE_SELECTS}
+), probed AS (
+  SELECT query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cell) AS pr
+    FROM qdots
+  ) t WHERE pr <= {P.IVF_PROBES}
+), pairs AS (
+  SELECT p.query_id, b.neighbor_id
+  FROM probed p JOIN cells b ON p.cell = b.cell
+  JOIN lab ql ON ql.vec_id = p.query_id
+  JOIN lab nl ON nl.vec_id = b.neighbor_id
+  WHERE ql.lbl <> nl.lbl
+), scored AS (
+  SELECT pr.query_id, pr.neighbor_id,
+         round(sum(q.x * (c.mn + c.code * ((c.mx - c.mn) / 255.0))), 6)
+           AS score_sq8
+  FROM pairs pr
+  JOIN dims q ON q.vec_id = pr.query_id
+  JOIN codes c ON c.vec_id = pr.neighbor_id AND c.pos = q.pos
+  GROUP BY pr.query_id, pr.neighbor_id
+), ranked AS (
+  SELECT s.query_id, s.neighbor_id, s.score_sq8,
+         ql.lbl AS query_label, nl.lbl AS neighbor_label,
+         row_number() OVER (
+           PARTITION BY s.query_id ORDER BY s.score_sq8 DESC, s.neighbor_id
+         ) AS rank
+  FROM scored s
+  JOIN lab ql ON ql.vec_id = s.query_id
+  JOIN lab nl ON nl.vec_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, score_sq8, query_label,
+       neighbor_label
+FROM ranked WHERE rank <= {P.ANN_K}
+"""
+
+
 # Length-bucketed dynamic batching (operators/corpus.py:length_batches):
 # per-source ranking windows (arrival vs length-sorted), batch_id =
 # floor(rank/B), per-batch padding-waste rollup. Integer token counts

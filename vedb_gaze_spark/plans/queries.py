@@ -930,6 +930,13 @@ def _embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embed_pca(load_table(spark, "embeddings", sf_dir))
 
 
+@register("mine_hard_negatives_ivfsq8", oracles.MINE_HARD_NEGATIVES_IVFSQ8)
+def _mine_hard_negatives_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.mine_hard_negatives_ivfsq8(
+        load_table(spark, "embeddings", sf_dir)
+    )
+
+
 @register("mine_hard_negatives_sq8", oracles.MINE_HARD_NEGATIVES_SQ8)
 def _mine_hard_negatives_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mine_hard_negatives_sq8(
@@ -1053,6 +1060,16 @@ def _gaze_error_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("error_surface_tps")  # TPS grid surface → rows-only
 def _error_surface_tps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error.error_surface_tps(load_table(spark, "events", sf_dir))
+
+
+@register("error_surface_grid")  # Delaunay-interp surface → rows-only
+def _error_surface_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return error.error_surface_grid(load_table(spark, "events", sf_dir))
+
+
+@register("error_grid_qc")  # interpolated-gaze QC rollup → rows-only
+def _error_grid_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return error.error_grid_qc(load_table(spark, "events", sf_dir))
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1238,13 +1255,16 @@ def _mix_plan_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mix_plan_temperature(load_table(spark, "documents", sf_dir))
 
 
-@register("dedup_recall", oracles.DEDUP_RECALL)
+@register("dedup_recall", oracles.DEDUP_RECALL_SAMPLED)
 def _dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.dedup_recall(load_table(spark, "documents", sf_dir))
-
-
-@register("dedup_recall_sampled", oracles.DEDUP_RECALL_SAMPLED)
-def _dedup_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: the GATED face is the SAMPLED measurement (the dedup_agreement
+    # pattern, r11 verdict #7): the exact PPJoin member is superlinear on
+    # repetitive corpora, so the unsampled form — previously the slowest
+    # bench row at 12.5 s — stays the bounded-corpus operator API
+    # (dedup.dedup_recall(docs), exactness-on-sample pinned by
+    # tests/test_plans.py::test_sampled_recall_pairs_...). This key
+    # absorbs the former dedup_recall_sampled registry entry (identical
+    # plan); its r9 hash-green record carries over semantically.
     from vedb_gaze_spark.plans import params as P
 
     return dedup.dedup_recall(
@@ -1312,75 +1332,35 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver correctness gate records exactly the first ~50 registry
 # entries per round. Iteration order is therefore explicit, not
 # declaration order, and ROTATES each round so every entry's official
-# record stays fresh. r11 window — EXACTLY 50 entries above the
-# boundary marker (r10's comment said 50 but counted 51, so the 51st
-# row, quality_classifier, missed its refresh — ADVICE r10):
-#  (1) dedup_agreement FIRST: its registered face changed this round
-#      (sampled three-kernel matrix, r10 verdict #1), so the r9 record
-#      no longer covers the shipped semantics.
-#  (2) the 49 oldest official records, oldest-first: all 10 r6 rows
-#      (including the quality_classifier row the r10 off-by-one
-#      dropped) + the first 39 of the 49 r7 rows.
-# Tail: the remaining 10 r7 rows (r12's window debt), then r8/r9/r10.
-# Every entry is still re-proven locally each run by
-# tests/test_driver_parity.py regardless of window position.
+# record stays fresh. r12 window — EXACTLY 50 entries above the
+# boundary marker (r11 verdict #1):
+#  (1) dedup_recall FIRST: its registered face changed this round (the
+#      SAMPLED gate, absorbing the former dedup_recall_sampled key —
+#      r11 verdict #7), so the r9 record no longer covers the shipped
+#      semantics.
+#  (2) the 5 r11 additions that never received a driver record: the 3
+#      SQL-oracled miners + the 2 rows-only trained-float faces.
+#  (3) the oldest official records, oldest-first: all 10 r7 rows +
+#      the first 34 of the 44 r8 rows.
+# Tail: the remaining 10 r8 rows (r13's window debt), then r9/r10 and
+# the 50 rows the r11 window re-greened. Every entry is still re-proven
+# locally each run by tests/test_driver_parity.py regardless of window
+# position.
 _GATE_ORDER = [
-    # -- (1) re-gate: registered face changed to the sampled matrix --
-    "dedup_agreement",
-    # -- (2) r6-recorded rows (oldest debt, incl. the off-by-one miss)
-    "quality_classifier",
-    "ccnet_ppl_buckets",
-    "lm_score_bigram",
-    "pack_efficiency",
-    "key_skew_report",
-    "group_sample",
-    "filter_funnel",
-    "bloom_decontaminate",
-    "minhash_containment",
-    "curriculum_pack",
-    # -- (2) the 39 oldest r7-recorded rows --------------------------
-    "q1_pricing_summary",
-    "q18_large_orders",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q20_potential_promotion",
-    "q21_suppliers_waiting",
-    "match_nearest",
-    "match_window_median",
-    "match_asof_forward",
-    "run_length",
-    "onoff_expand",
-    "odometry_speed",
-    "resample_linear",
-    "outliers_z",
-    "brief_detections",
-    "size_filter",
-    "bimodal_filter",
-    "detrend_median",
-    "smooth_savgol",
-    "sessionize",
-    "cluster_stats",
-    "eye_velocity",
-    "detect_saccades",
-    "detect_fixations",
-    "detect_blinks",
-    "pii_scrub",
-    "repetition_score",
-    "revenue_rollup",
-    "line_dedup",
-    "line_dedup_skewsafe",
-    "decontaminate",
-    "stratified_sample",
-    "hll_distinct",
-    "funnel_conversion",
-    "value_percentiles",
-    "cms_heavy_hitters",
-    "bm25_search",
-    "curation_full",
-    "dedup_embedding_lsh",
-    # ---- window boundary (exactly 50 entries above) ----------------
-    # -- tail: remaining rows by record age --------------------------
-    # -- r7-recorded rows (r12 window debt) ----
+    # -- (1) re-gate: registered face changed to the sampled gate ----
+    "dedup_recall",
+    # -- (2) r11 additions with no driver record yet -----------------
+    "mine_hard_negatives",
+    "mine_triplets",
+    "mine_hard_negatives_sq8",
+    "embed_pca",
+    "calibration_3d_bundle",
+    # -- (2b) r12 additions (griddata error surface + its QC rollup,
+    #    r11 verdict #2; the cell-pruned miner, r11 verdict #5) -------
+    "error_surface_grid",
+    "error_grid_qc",
+    "mine_hard_negatives_ivfsq8",
+    # -- (3) r7-recorded rows (oldest debt) --------------------------
     "ann_recall",
     "calibration_linear",
     "hash_embed",
@@ -1391,7 +1371,7 @@ _GATE_ORDER = [
     "value_anomalies",
     "cross_source_dedup",
     "corpus_stats",
-    # -- r8-recorded rows ----
+    # -- (3) the 34 oldest r8-recorded rows --------------------------
     "q6_revenue",
     "q4_order_priority",
     "q10_returned_item",
@@ -1423,6 +1403,11 @@ _GATE_ORDER = [
     "trade_hits",
     "data_split",
     "session_paths",
+    # ---- window boundary (exactly 50 entries above) ----------------
+    # -- tail: remaining rows by record age --------------------------
+    # -- r8-recorded rows (r13 window debt; chunk_documents,
+    #    funnel_windowed and event_markov displaced from the window
+    #    by the 3 r12 keys) ----
     "chunk_documents",
     "funnel_windowed",
     "event_markov",
@@ -1452,8 +1437,6 @@ _GATE_ORDER = [
     "ann_ivf_sq8",
     "sq8_recall",
     "q14_promo_revenue",
-    "dedup_recall",
-    "dedup_recall_sampled",
     "nb_lang_id",
     "resample_tps",
     "calibration_rbf",
@@ -1537,13 +1520,57 @@ _GATE_ORDER = [
     "incident_window_stats",
     "gopher_rules",
     "c4_clean",
-    # -- r11 additions (never recorded; front of the r12 rotation
-    #    after the r7 debt above) ----
-    "calibration_3d_bundle",
-    "mine_hard_negatives",
-    "mine_triplets",
-    "embed_pca",
-    "mine_hard_negatives_sq8",
+    # -- r11-recorded rows (refreshed last round) ----
+    "dedup_agreement",
+    "quality_classifier",
+    "ccnet_ppl_buckets",
+    "lm_score_bigram",
+    "pack_efficiency",
+    "key_skew_report",
+    "group_sample",
+    "filter_funnel",
+    "bloom_decontaminate",
+    "minhash_containment",
+    "curriculum_pack",
+    "q1_pricing_summary",
+    "q18_large_orders",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q20_potential_promotion",
+    "q21_suppliers_waiting",
+    "match_nearest",
+    "match_window_median",
+    "match_asof_forward",
+    "run_length",
+    "onoff_expand",
+    "odometry_speed",
+    "resample_linear",
+    "outliers_z",
+    "brief_detections",
+    "size_filter",
+    "bimodal_filter",
+    "detrend_median",
+    "smooth_savgol",
+    "sessionize",
+    "cluster_stats",
+    "eye_velocity",
+    "detect_saccades",
+    "detect_fixations",
+    "detect_blinks",
+    "pii_scrub",
+    "repetition_score",
+    "revenue_rollup",
+    "line_dedup",
+    "line_dedup_skewsafe",
+    "decontaminate",
+    "stratified_sample",
+    "hll_distinct",
+    "funnel_conversion",
+    "value_percentiles",
+    "cms_heavy_hitters",
+    "bm25_search",
+    "curation_full",
+    "dedup_embedding_lsh",
 ]
 
 

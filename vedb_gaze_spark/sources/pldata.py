@@ -403,7 +403,41 @@ def _extract(datum, path: str):
 _PANDAS_DTYPE = {"double": "Float64", "bigint": "Int64", "string": "object"}
 
 
-def _body_parser(fields, rows_per_batch: int):
+def _glob_root(directory: str) -> str:
+    """Static (wildcard-free) prefix of the recording glob, normalized
+    with any URI scheme stripped. Recording identity is the capture
+    dir's path RELATIVE to this root, so two recordings sharing a dir
+    basename under a deeper glob (e.g. ``subjects/*/session1``) cannot
+    collide on the (recording, idx) sidecar-join key."""
+    from urllib.parse import urlparse
+
+    static: list[str] = []
+    for part in directory.rstrip("/").split("/"):
+        if any(c in part for c in "*?[{"):
+            break
+        static.append(part)
+    path = "/".join(static) or "/"
+    parsed = urlparse(path)
+    return os.path.normpath(parsed.path if parsed.scheme else path)
+
+
+def _recording_id(fpath: str, root: str) -> str:
+    """Identity of the recording that owns ``fpath``: its parent dir
+    relative to the glob root (unique per recording by construction);
+    falls back to the dir basename when the file sits AT the root
+    (single-recording reads, where the basename is the natural name)."""
+    from urllib.parse import urlparse
+
+    parent = fpath.rstrip("/").rsplit("/", 1)[0]
+    parsed = urlparse(parent)
+    ppath = os.path.normpath(parsed.path if parsed.scheme else parent)
+    rel = os.path.relpath(ppath, root)
+    if rel == "." or rel.startswith(".."):
+        return ppath.rsplit("/", 1)[-1]
+    return rel
+
+
+def _body_parser(fields, rows_per_batch: int, rec_root: str):
     """The shared datum-stream decode kernel: resolves the field spec,
     returns (fields, output DDL schema, mapInPandas closure). Both the
     batch reader and the streaming face run THIS closure, so streamed
@@ -438,7 +472,7 @@ def _body_parser(fields, rows_per_batch: int):
         for pdf in batches:
             rows: list[tuple] = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                rec = fpath.rstrip("/").rsplit("/", 2)[-2]
+                rec = _recording_id(fpath, rec_root)
                 for i, pair in enumerate(
                     iter_msgpack_stream(bytes(content))
                 ):
@@ -495,8 +529,13 @@ def read_pldata(
     row cardinality as the body (one clock entry per datum) so the
     join is a plain equi-join on the unique (recording, idx) key —
     both sides arrive partitioned by recording file, and AQE picks
-    the strategy; never broadcast it."""
-    fields, body_schema, parse_body = _body_parser(fields, rows_per_batch)
+    the strategy; never broadcast it. ``recording`` is the capture
+    dir's path relative to the glob's static root (_recording_id), so
+    deep globs with repeated dir basenames cannot collide."""
+    rec_root = _glob_root(directory)
+    fields, body_schema, parse_body = _body_parser(
+        fields, rows_per_batch, rec_root
+    )
 
     def parse_sidecar(
         batches: Iterator[pd.DataFrame],
@@ -506,7 +545,7 @@ def read_pldata(
             idxs: list[int] = []
             tss: list[float] = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                rec = fpath.rstrip("/").rsplit("/", 2)[-2]
+                rec = _recording_id(fpath, rec_root)
                 arr = parse_npy(bytes(content)).astype("float64").ravel()
                 recs.extend([rec] * len(arr))
                 idxs.extend(range(len(arr)))
@@ -520,15 +559,33 @@ def read_pldata(
             )
 
     def scan(glob: str) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
         try:
             return (
                 spark.read.format("binaryFile")
                 .load(glob)
                 .select("path", "content")
             )
-        except Exception as exc:  # noqa: BLE001 — AnalysisException class
-            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(
-                exc
+        except AnalysisException as exc:
+            # Match the typed errorClass (getCondition in PySpark 4,
+            # getErrorClass before it) rather than locale-dependent
+            # message wording; the message substrings stay as fallback
+            # for builds that predate error classes.
+            cond = ""
+            for getter in ("getCondition", "getErrorClass"):
+                fn = getattr(exc, getter, None)
+                if callable(fn):
+                    try:
+                        cond = fn() or ""
+                    except Exception:  # noqa: BLE001 — best-effort probe
+                        cond = ""
+                    if cond:
+                        break
+            if (
+                "PATH_NOT_FOUND" in cond
+                or "PATH_NOT_FOUND" in str(exc)
+                or "Path does not exist" in str(exc)
             ):
                 return None  # the reference's IOError -> empty contract
             raise
@@ -591,7 +648,9 @@ def stream_pldata(
     none — the map is stateless, so this composes with watermarked
     downstream operators (e.g. streaming_blinks over the confidence
     column) without extra bookkeeping."""
-    fields, body_schema, parse_body = _body_parser(fields, rows_per_batch)
+    fields, body_schema, parse_body = _body_parser(
+        fields, rows_per_batch, _glob_root(directory)
+    )
     reader = spark.readStream.format("binaryFile").schema(
         _BINARYFILE_SCHEMA
     )

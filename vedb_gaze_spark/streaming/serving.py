@@ -412,12 +412,19 @@ def write_ivfsq8_index(
     path: str,
     n_queries: int = P.ANN_N_QUERIES,
     cents: list[list[float]] | None = None,
+    with_labels: bool = False,
 ) -> list[tuple[float, float]]:
     """IVF+SQ8 serving index: 8-bit codes PARTITIONED BY coarse cell
     (`codes/cell=N/` — the write_ivfpq_index layout at the SQL-green
     end of the family) with the SELF-DESCRIBING model beside them:
     `{path}/stats` (per-dim min/max) and `{path}/centroids` (the coarse
-    quantizer the cells were assigned under)."""
+    quantizer the cells were assigned under).
+
+    ``with_labels`` (r12): persist each vector's label beside its codes
+    (`nlbl`) so hard-negative MINING can run cell-pruned over the
+    stored index (mine_hard_negatives_ivfsq8's serving path) — the
+    label gate then filters the scored stream without any join back to
+    the raw corpus."""
     from vedb_gaze_spark.operators.similarity import (
         _dots_expr_for,
         sq8_encode,
@@ -432,11 +439,20 @@ def write_ivfsq8_index(
     enc = sq8_encode(embeddings, stats).withColumn(
         "dots", F.expr(_dots_expr_for(cents, "v"))
     )
+    if with_labels:
+        lab = embeddings.select(
+            F.col("vec_id").alias("_lid"),
+            F.col("label").cast("int").alias("nlbl"),
+        )
+        enc = enc.join(lab, enc["vec_id"] == lab["_lid"]).drop("_lid")
     cell = (F.expr("array_position(dots, array_max(dots))") - 1).cast("int")
     (
         enc.where(F.col("vec_id") >= n_queries)
         .select(
-            F.col("vec_id").alias("neighbor_id"), "codes", cell.alias("cell")
+            F.col("vec_id").alias("neighbor_id"),
+            "codes",
+            cell.alias("cell"),
+            *(["nlbl"] if with_labels else []),
         )
         .write.mode("overwrite")
         .partitionBy("cell")
@@ -467,11 +483,17 @@ class IVFSQ8Serving:
         out_dir: str,
         k: int = P.ANN_K,
         nprobe: int = P.IVF_PROBES,
+        mine_labels: bool = False,
     ) -> None:
         self.index_path = index_path
         self.out_dir = out_dir
         self.k = k
         self.nprobe = nprobe
+        # r12: hard-negative MINING mode — requires an index written
+        # with_labels=True; each query micro-batch carries its label,
+        # the label-inequality gate rides the shared kernel's
+        # pair_filter, and answers add (query_label, neighbor_label).
+        self.mine_labels = mine_labels
         self._stats: list[tuple[float, float]] | None = None
         self._cents: list[list[float]] | None = None
 
@@ -516,22 +538,62 @@ class IVFSQ8Serving:
         )
 
         spark = batch_queries.sparkSession
-        queries = _vecs(batch_queries).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-        )
+        if self.mine_labels:
+            lab = batch_queries.select(
+                F.col("vec_id").alias("_lid"),
+                F.col("label").cast("int").alias("qlbl"),
+            )
+            v = _vecs(batch_queries)
+            queries = (
+                v.join(lab, v["vec_id"] == lab["_lid"])
+                .drop("_lid")
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"),
+                    "qlbl",
+                )
+            )
+        else:
+            queries = _vecs(batch_queries).select(
+                F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+            )
         probed = _ivf_sq8_probe(
             queries, self._load_cents(spark), self.nprobe
         )
         codes = self.probed_codes(spark, probed)
-        out = _ivf_sq8_search(probed, codes, self._load_stats(spark), self.k)
+        if self.mine_labels:
+            out = _ivf_sq8_search(
+                probed,
+                codes,
+                self._load_stats(spark),
+                self.k,
+                pair_filter=F.col("nlbl") != F.col("qlbl"),
+                extra=[("qlbl", "int"), ("nlbl", "int")],
+            ).select(
+                "query_id",
+                "rank",
+                "neighbor_id",
+                "score_sq8",
+                F.col("qlbl").alias("query_label"),
+                F.col("nlbl").alias("neighbor_label"),
+            )
+        else:
+            out = _ivf_sq8_search(
+                probed, codes, self._load_stats(spark), self.k
+            )
         out.write.mode("overwrite").parquet(
             f"{self.out_dir}/batch={batch_id}"
         )
 
     def results(self, spark: SparkSession) -> DataFrame:
-        return spark.read.schema(
+        schema = (
             "query_id bigint, rank int, neighbor_id bigint, score_sq8 double"
-        ).option("recursiveFileLookup", "true").parquet(self.out_dir)
+        )
+        if self.mine_labels:
+            schema += ", query_label int, neighbor_label int"
+        return spark.read.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(self.out_dir)
 
 
 def append_ivfsq8_index(embeddings_new: DataFrame, path: str) -> None:
