@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""10x-corpus scaling slopes for the dedup family (PERF_NOTES table).
+"""10x scaling slopes: dedup kernels, contrastive miners, capture ingest.
 
-Rebuilds the r3 measurement on the CURRENT kernels (r10 verdict #6):
+Dedup: rebuilds the r3 measurement on the CURRENT kernels (r10 verdict #6):
 two synthetic 50k-doc corpora derived from the sf0.1 documents table
 (written under /tmp — testdata untouched), then base-vs-10x wall times
 for the near-dup kernels plus the sampled gates, and LSH recall against
@@ -18,7 +18,19 @@ Instances (deterministic, md5-derived — no RNG):
   near-dups (density preserved ~10x the base pair count) while
   cross-index pairs fall below the threshold.
 
-Usage: python scripts/slope_bench.py [--passes 2] [--out slope_r11.json]
+r12 additions (r11 verdict #9):
+- miners: the three hard-negative miners at 1x and 10x the embeddings
+  CORPUS (probe count fixed — the production shape: corpus grows,
+  probe batch doesn't). Expected: ~linear for the flat-scan miners,
+  ~linear with a 1/n_cells constant for the cell-pruned one.
+- ingest: pldata and Y4M capture ingest at 1x and 10x the FILE count —
+  one task per capture file is the parallelism unit, so wall time
+  should scale with files/cores, not file count (the file-count
+  scaling pin; the per-file task shape itself is pytest-pinned in
+  tests/test_sources.py).
+
+Usage: python scripts/slope_bench.py [--passes 2] [--out slope_r12.json]
+  [--families dedup,miners,ingest]
 Writes one JSON with per-instance per-kernel seconds + pair counts +
 recall, and prints it.
 """
@@ -36,7 +48,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-TMP = "/tmp/slope_r11"
+TMP = "/tmp/slope_r12"
 
 # timed kernels: registered faces only, so the measurement is exactly
 # what the per-round gate runs. (key, passes_at_10x)
@@ -100,16 +112,170 @@ def build_instances() -> dict[str, str]:
     return paths
 
 
+def build_embeddings_10x() -> str:
+    """10x the sf0.1 embeddings CORPUS (vec_id >= n_queries rows
+    replicated with fresh ids), probe rows kept once — the production
+    mining shape where the corpus grows but the probe batch doesn't."""
+    import pandas as pd
+
+    from vedb_gaze_spark.plans import params as P
+
+    out_dir = os.path.join(TMP, "emb10x")
+    out_path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(out_path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    base = pd.read_parquet(os.path.join(BASE, "embeddings.parquet"))
+    q = base[base["vec_id"] < P.ANN_N_QUERIES]
+    c = base[base["vec_id"] >= P.ANN_N_QUERIES]
+    reps = []
+    n_corpus = len(c)
+    for k in range(10):
+        r = c.copy()
+        r["vec_id"] = P.ANN_N_QUERIES + (
+            (r["vec_id"] - P.ANN_N_QUERIES) + k * n_corpus
+        )
+        reps.append(r)
+    pd.concat([q, *reps], ignore_index=True).to_parquet(
+        out_path, index=False
+    )
+    return out_dir
+
+
+MINER_KEYS = [
+    "mine_hard_negatives",
+    "mine_hard_negatives_sq8",
+    "mine_hard_negatives_ivfsq8",
+]
+
+
+def run_miners(spark, passes: int) -> dict:
+    from vedb_gaze_spark.plans.queries import QUERIES
+
+    dirs = {"base": BASE, "x10": build_embeddings_10x()}
+    for key in MINER_KEYS:
+        QUERIES[key](spark, WARM).collect()  # plan-shape warmup
+    spark._jvm.System.gc()
+    res: dict[str, dict] = {}
+    for inst, d in dirs.items():
+        res[inst] = {}
+        for key in MINER_KEYS:
+            best, n_rows = None, None
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                n_rows = len(QUERIES[key](spark, d).collect())
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                spark._jvm.System.gc()
+            res[inst][key] = {"sec": round(best, 3), "rows": n_rows}
+            print(
+                f"[slope] {inst:5s} {key:28s} {best:8.2f} s rows={n_rows}",
+                file=sys.stderr, flush=True,
+            )
+    for key in MINER_KEYS:
+        b = res["base"][key]["sec"]
+        res["x10"][f"{key}_slope"] = (
+            round(res["x10"][key]["sec"] / b, 2) if b else None
+        )
+    return res
+
+
+def run_ingest(spark, passes: int) -> dict:
+    """pldata + Y4M capture ingest at 1x and 10x the FILE count —
+    per-file task parallelism means wall should grow ~files/cores."""
+    import numpy as np
+
+    from vedb_gaze_spark.sources.pldata import (
+        GAZE_FIELDS, read_pldata, write_pldata,
+    )
+    from vedb_gaze_spark.sources.y4m import encode_y4m, read_y4m_frames
+
+    res: dict[str, dict] = {}
+    n_datums, n_frames = 2000, 48
+    frames = [
+        (np.arange(64 * 64, dtype=np.uint8) + i).reshape(64, 64)
+        for i in range(n_frames)
+    ]
+    y4m_bytes = encode_y4m(frames)
+    for inst, n_files in (("base", 16), ("x10", 160)):
+        pl_root = os.path.join(TMP, f"pl_{inst}")
+        y4m_root = os.path.join(TMP, f"y4m_{inst}")
+        if not os.path.exists(pl_root):
+            for i in range(n_files):
+                write_pldata(
+                    os.path.join(pl_root, f"rec_{i:04d}"), "gaze",
+                    [
+                        {"topic": "gaze.3d.0", "timestamp": j * 0.01,
+                         "confidence": 0.9, "norm_pos": [0.5, 0.5]}
+                        for j in range(n_datums)
+                    ],
+                )
+        if not os.path.exists(y4m_root):
+            os.makedirs(y4m_root)
+            for i in range(n_files):
+                with open(
+                    os.path.join(y4m_root, f"seg_{i:04d}.y4m"), "wb"
+                ) as fh:
+                    fh.write(y4m_bytes)
+        res[inst] = {"n_files": n_files}
+        for name, job in (
+            (
+                "read_pldata",
+                lambda: read_pldata(
+                    spark, os.path.join(pl_root, "*"), "gaze",
+                    fields=GAZE_FIELDS,
+                ).count(),
+            ),
+            (
+                "read_y4m_frames",
+                lambda: read_y4m_frames(spark, y4m_root).count(),
+            ),
+        ):
+            best, n_rows = None, None
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                n_rows = job()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                spark._jvm.System.gc()
+            res[inst][name] = {"sec": round(best, 3), "rows": n_rows}
+            print(
+                f"[slope] {inst:5s} {name:28s} {best:8.2f} s rows={n_rows}",
+                file=sys.stderr, flush=True,
+            )
+    for name in ("read_pldata", "read_y4m_frames"):
+        b = res["base"][name]["sec"]
+        res["x10"][f"{name}_slope"] = (
+            round(res["x10"][name]["sec"] / b, 2) if b else None
+        )
+    return res
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=2)
-    ap.add_argument("--out", default=os.path.join(TMP, "slope_r11.json"))
+    ap.add_argument("--out", default=os.path.join(TMP, "slope_r12.json"))
+    ap.add_argument("--families", default="dedup,miners,ingest")
     args = ap.parse_args()
 
     from vedb_gaze_spark.plans.queries import QUERIES
     from vedb_gaze_spark.session import get_spark
 
     spark = get_spark("slope-bench")
+    families = set(args.families.split(","))
+    if "dedup" not in families:
+        inst_dirs = {}
+        results: dict[str, dict] = {}
+        out = {"sf_base": BASE, "instances": results}
+        if "miners" in families:
+            out["miners"] = run_miners(spark, args.passes)
+        if "ingest" in families:
+            out["ingest"] = run_ingest(spark, args.passes)
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=1)
+        spark.stop()
+        print(json.dumps(out))
+        return
     inst_dirs = {"base": BASE, **build_instances()}
 
     # plan-shape warmup at the tiny SF (the bench.py discipline)
@@ -162,6 +328,10 @@ def main() -> None:
             results[inst][f"{key}_slope"] = (
                 round(results[inst][key]["sec"] / b, 2) if b else None
             )
+    if "miners" in families:
+        out["miners"] = run_miners(spark, args.passes)
+    if "ingest" in families:
+        out["ingest"] = run_ingest(spark, args.passes)
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
     spark.stop()

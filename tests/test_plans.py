@@ -1982,3 +1982,102 @@ def test_sq8_miner_agrees_with_exact_miner(spark, sf_dir):
     }
     assert len(exact) == len(sq8) > 0
     assert len(exact & sq8) / len(exact) >= 0.8
+
+
+def test_run_profile_chain_binocular_reference_chain(spark):
+    """r12 (r11 verdict #3): the reference's BINOCULAR chain —
+    calibration-binocular_pl_default (externals/gaze_mappers.py:18,
+    calibrate_2d_binocular + Binocular_Gaze_Mapper) — composes
+    end-to-end from profile names on planted two-eye frames, the
+    NotImplementedError gone. Each eye sees the SAME ring marker
+    through its OWN linear map (eye0: mx = 0.1 + 0.8·px; eye1:
+    mx = 0.2 + 0.6·px — all planted positions integer-pixel exact by
+    construction), eye1 frames lag eye0 by 0.05 s (inside the pairing
+    cutoff). The chain must detect both pupil streams, pair each with
+    the markers, recover both per-eye fits to ~zero residual, emit
+    binocular rows, and fit a ~zero TPS error surface to the binocular
+    mapped-gaze error."""
+    import datetime
+
+    import numpy as np
+
+    from vedb_gaze_spark.operators.multimodal import encode_pnm
+    from vedb_gaze_spark.plans.profiles import run_profile_chain
+
+    EH, EW = 100, 200
+    WH, WW = 300, 400
+    base = 1_700_000_000
+    yy_e, xx_e = np.mgrid[0:EH, 0:EW]
+
+    def ts(s, off=0.0):
+        # one sample per 3 days: each lands in its own GRID_T_EPS_S
+        # cluster so the TPS surface has >= 5 reduced points
+        return datetime.datetime.utcfromtimestamp(base) + \
+            datetime.timedelta(seconds=s * 3 * 86_400 + off)
+
+    def eye_frame(cx, cy):
+        a = np.full((EH, EW), 180, dtype=np.uint8)
+        el = ((xx_e - cx) / 10.0) ** 2 + ((yy_e - cy) / 6.0) ** 2 <= 1.0
+        a[el] = 20
+        return bytearray(encode_pnm(a))
+
+    eye, world = [], []
+    for j in range(9):
+        # integer-exact family: eye0 at (40+15j, 2b), eye1 at
+        # (20+20j, 4b-20); marker at the shared image
+        # mx = 0.1+0.8·px0 = 0.2+0.6·px1, my = 0.05+0.5·py0 = 0.1+0.25·py1
+        b = 9 + 2 * j
+        cx0, cy0 = 40 + 15 * j, 2 * b
+        cx1, cy1 = 20 + 20 * j, 4 * b - 20
+        assert 12 <= cx1 < EW - 12 and 8 <= cy1 < EH - 8
+        eye.append((5, 2 * j, ts(j), eye_frame(cx0, cy0), 0))
+        eye.append((5, 2 * j + 1, ts(j, 0.05), eye_frame(cx1, cy1), 1))
+        mx_px = 40 + 8 * (cx0 // 5)      # (0.1 + 0.8*cx0/EW) * WW
+        my_px = 15 + 3 * (cy0 // 2) * 1  # (0.05 + 0.5*cy0/EH) * WH
+        assert abs(mx_px - (0.1 + 0.8 * cx0 / EW) * WW) < 1e-9
+        assert abs(my_px - (0.05 + 0.5 * cy0 / EH) * WH) < 1e-9
+        assert abs((0.2 + 0.6 * cx1 / EW) * WW - mx_px) < 1e-9
+        assert abs((0.1 + 0.25 * cy1 / EH) * WH - my_px) < 1e-9
+        w = np.zeros((WH, WW), dtype=np.uint8)
+        w[my_px - 4 : my_px + 5, mx_px - 4 : mx_px + 5] = 255
+        w[my_px - 1 : my_px + 2, mx_px - 1 : mx_px + 2] = 0
+        world.append((5, j, ts(j, 0.25), bytearray(encode_pnm(w))))
+
+    eye_df = spark.createDataFrame(
+        eye,
+        "user_id long, frame_id long, ts timestamp, payload binary, "
+        "eye int",
+    )
+    world_df = spark.createDataFrame(
+        world, "user_id long, frame_id long, ts timestamp, payload binary"
+    )
+    chain = [
+        "pupil-plab_default",
+        "marker-circles_halfres",
+        "calibration-binocular_pl_default",
+        "error-smooth_tps_default",
+    ]
+    arts = run_profile_chain(chain, eye_df, world_df)
+    assert set(chain) <= set(arts)
+
+    # both eyes detected and paired: 9 tagged points per eye
+    gpts = arts["_binocular_points"].collect()
+    assert len(gpts) == 18
+    assert {r.eye for r in gpts} == {0, 1}
+
+    # the mapper emits binocular rows (eye1 partners suppressed), and
+    # every mapped gaze sits on its marker target to ~6dp
+    mapped = arts["calibration-binocular_pl_default"].collect()
+    assert len(mapped) == 9
+    assert all(r.source == "binocular" for r in mapped), mapped[:3]
+    tgt = {r.event_id: (r.gx, r.gy) for r in gpts}
+    for r in mapped:
+        gx, gy = tgt[r.event_id]
+        assert abs(r.gaze_x - gx) < 1e-5 and abs(r.gaze_y - gy) < 1e-5, r
+
+    # the error surface over the binocular mapped error is ~zero
+    surf = arts["error-smooth_tps_default"].collect()
+    assert len(surf) == 48
+    assert all(r.err_est < 0.05 for r in surf), sorted(
+        r.err_est for r in surf
+    )[-3:]

@@ -2115,3 +2115,138 @@ def test_pldata_sink_roundtrips_recordings(spark, tmp_path):
     rb = {r.idx: r.capture_ts for r in back.where(
         "recording = 'rec_a'").collect()}
     assert rb == {0: 5.0, 1: 6.0, 2: 7.0}
+
+
+def test_intrinsics_store_roundtrip_and_pose_from_store(spark, tmp_path):
+    """Camera-calibration persistence (r12; reference
+    file_methods.py:348/:377): (a) save_intrinsics maintains one
+    msgpack file per camera with per-resolution REPLACE semantics and
+    version:1; (b) save_extrinsics UPDATES (merges) an existing
+    resolution entry; (c) read_intrinsics lifts the store into one
+    typed DataFrame; (d) marker_3d_pose_from_store resolves its
+    pinhole model from the store and returns the kwargs path's rows
+    bit-for-bit."""
+    import datetime
+
+    from vedb_gaze_spark.operators.multimodal import marker_3d_pose
+    from vedb_gaze_spark.sources.intrinsics import (
+        load_intrinsics,
+        load_object,
+        marker_3d_pose_from_store,
+        read_intrinsics,
+        save_extrinsics,
+        save_intrinsics,
+    )
+
+    d = str(tmp_path / "calib")
+    K = [[600.0, 0.0, 320.0], [0.0, 600.0, 240.0], [0.0, 0.0, 1.0]]
+    intr = {
+        "camera_matrix": K,
+        "dist_coefs": [[0.1, -0.05, 0.001, 0.0, 0.0]],
+        "cam_type": "radial",
+    }
+    save_intrinsics(d, "Pupil Cam 1 ID2", (640, 480), intr)
+    # second resolution for the same camera lands in the SAME file
+    save_intrinsics(
+        d, "Pupil Cam 1 ID2", (1280, 720),
+        {"camera_matrix": [[1200.0, 0.0, 640.0],
+                           [0.0, 1200.0, 360.0], [0.0, 0.0, 1.0]],
+         "dist_coefs": [[0.0] * 5], "cam_type": "radial"},
+    )
+    raw = load_object(str(tmp_path / "calib" / "Pupil_Cam_1_ID2.intrinsics"))
+    assert raw["version"] == 1
+    assert set(raw) == {"version", "(640, 480)", "(1280, 720)"}
+    got = load_intrinsics(d, "Pupil Cam 1 ID2", (640, 480))
+    assert got["camera_matrix"] == K and got["cam_type"] == "radial"
+    # replace semantics: re-saving a resolution overwrites its entry
+    save_intrinsics(
+        d, "Pupil Cam 1 ID2", (640, 480), {**intr, "cam_type": "fisheye"}
+    )
+    assert load_intrinsics(d, "Pupil Cam 1 ID2", (640, 480))[
+        "cam_type"
+    ] == "fisheye"
+
+    # extrinsics: update semantics merge new keys into the entry
+    save_extrinsics(d, "world", (640, 480), {"rotation": [0.0, 0.0, 0.0]})
+    save_extrinsics(d, "world", (640, 480), {"translation": [1.0, 2.0, 3.0]})
+    ext = load_object(str(tmp_path / "calib" / "world.extrinsics"))
+    assert set(ext["(640, 480)"]) == {"rotation", "translation"}
+
+    # typed Spark face: one row per (camera, resolution)
+    rows = {
+        (r.cam_name, r.res_w): r for r in read_intrinsics(spark, d).collect()
+    }
+    assert set(rows) == {
+        ("Pupil_Cam_1_ID2", 640), ("Pupil_Cam_1_ID2", 1280)
+    }
+    r = rows[("Pupil_Cam_1_ID2", 640)]
+    assert r.camera_matrix == [600.0, 0.0, 320.0, 0.0, 600.0, 240.0,
+                               0.0, 0.0, 1.0]
+    assert r.dist_coefs[:2] == [0.1, -0.05] and r.cam_type == "fisheye"
+
+    # pose-from-store ≡ kwargs path bit-for-bit
+    FX = FY = 600.0
+    CX, CY = 320.0, 240.0
+    D = 7.6
+    ts0 = datetime.datetime.utcfromtimestamp(1_700_000_000)
+    X, Y, Z = 20.0, -10.0, 500.0
+    u, v = CX + FX * X / Z, CY + FY * Y / Z
+    dia = FX * D / Z
+    ell = spark.createDataFrame(
+        [(1, 0, ts0, 1, u, v, dia, dia, 0.0, 1.0, u / 640, v / 480)],
+        "user_id long, frame_id long, ts timestamp, marker_id int, "
+        "x double, y double, axis_minor double, axis_major double, "
+        "angle_deg double, confidence double, norm_x double, norm_y double",
+    )
+    save_intrinsics(d, "world cam", (640, 480), intr)
+    via_store = marker_3d_pose_from_store(
+        ell, d, "world cam", (640, 480), marker_diameter=D
+    ).collect()
+    via_kwargs = marker_3d_pose(ell, FX, FY, CX, CY, D).collect()
+    assert [tuple(r) for r in via_store] == [tuple(r) for r in via_kwargs]
+    assert abs(via_store[0].tz - Z) < 1e-3
+
+
+def test_capture_ingest_parallelism_is_file_granular(spark, tmp_path):
+    """The file-count scaling pin behind slope_bench's ingest family
+    (r12): capture files are binaryFile sources — unsplittable, so no
+    file spans tasks, and with the bin-packing budget below the file
+    size each file gets its OWN partition: ingest parallelism scales
+    with file count (the 100 TB story: a rig writes one file per
+    recording; a sweep over N recordings is N-way parallel)."""
+    import numpy as np
+
+    from vedb_gaze_spark.sources.pldata import read_pldata, write_pldata
+    from vedb_gaze_spark.sources.y4m import encode_y4m, read_y4m_frames
+
+    n_files = 6
+    pl_root = tmp_path / "pl"
+    y4m_root = tmp_path / "y4m"
+    y4m_root.mkdir()
+    frame = np.arange(64 * 64, dtype=np.uint8).reshape(64, 64)
+    for i in range(n_files):
+        write_pldata(
+            str(pl_root / f"rec_{i}"), "gaze",
+            [{"topic": "g", "timestamp": float(j), "confidence": 0.9,
+              "norm_pos": [0.5, 0.5]} for j in range(200)],
+        )
+        (y4m_root / f"seg_{i}.y4m").write_bytes(
+            encode_y4m([frame, frame + 1])
+        )
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        # force the bin-packer's budget below one file so packing
+        # cannot merge files; unsplittability is then observable
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        pl = read_pldata(spark, str(pl_root / "*"), "gaze")
+        assert pl.rdd.getNumPartitions() >= n_files
+        assert pl.count() == n_files * 200
+        y = read_y4m_frames(spark, str(y4m_root))
+        assert y.rdd.getNumPartitions() == n_files  # one task per file
+        assert y.count() == n_files * 2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)

@@ -79,6 +79,24 @@ def gaze_map_binocular(
     g = with_gaze(events).withColumn(
         "eye", (F.col("event_id") % 2).cast("int")
     )
+    return gaze_map_binocular_points(g, cutoff_s=cutoff_s, pairing=pairing)
+
+
+def gaze_map_binocular_points(
+    g: DataFrame,
+    cutoff_s: float = P.BINOCULAR_CUTOFF_S,
+    pairing: str = "nearest",
+) -> DataFrame:
+    """POINT-TABLE face of gaze_map_binocular (r12, the
+    calibration_*_points convention): ``g`` carries (user_id, eye,
+    event_id, t, px, py, gx, gy, conf) — per-eye pupil samples with
+    their calibration targets, whether from the events signal view
+    (the face above, eye = event_id parity) or from two real eye-camera
+    detection streams paired against markers
+    (plans/profiles.py:run_profile_chain's binocular chain, where
+    gx/gy are the paired marker positions). Identical plan to the
+    registered face by construction — the face above is one withColumn
+    in front of this."""
     fits = _eye_fits(g)
     m = (
         g.join(F.broadcast(fits), ["user_id", "eye"])

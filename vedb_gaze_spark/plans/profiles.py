@@ -283,12 +283,25 @@ def run_profile_chain(
 
     Steps may appear in any subset, but calibration/gaze/error steps
     need a pupil and a marker step earlier in the list — a missing
-    producer raises instead of silently fitting nothing. Profiles whose
-    operator has no point face (binocular pairing needs two eye
-    streams) raise NotImplementedError naming the profile."""
+    producer raises instead of silently fitting nothing.
+
+    Binocular chains (r12, closing the r11 NotImplementedError): when
+    the calibration profile is the binocular mapper
+    (calibration-binocular_pl_default), ``eye_frames`` must carry an
+    ``eye`` column (0/1 — the reference records eye0/eye1 video
+    separately; tag them when unioning). The chain then runs the pupil
+    profile per eye, pairs EACH eye's detections with the marker
+    stream through the same pair_pupil_markers glue, and feeds the
+    tagged union to gaze_map_binocular_points (binocular.py) — the
+    registered gaze_map_binocular kernel on real detections. A later
+    error step fits its surface to the BINOCULAR mapped-gaze error."""
     from pyspark.sql import functions as F
 
     from vedb_gaze_spark.functions.core import iter_checkpoint
+    from vedb_gaze_spark.operators.binocular import (
+        gaze_map_binocular,
+        gaze_map_binocular_points,
+    )
     from vedb_gaze_spark.operators.calibration import (
         calibration_linear_points,
     )
@@ -301,9 +314,12 @@ def run_profile_chain(
         pair_pupil_markers,
         single_detection_gate,
     )
+    from pyspark.sql import Window
 
     out: dict = {}
     pup = det = pairs = None
+    pup_by_eye: dict | None = None
+    binoc = None  # (mapped rows, tagged point table) of a binocular fit
 
     def paired():
         nonlocal pairs
@@ -325,7 +341,63 @@ def run_profile_chain(
             out["_pairs"] = pairs
         return pairs
 
+    def binocular_points():
+        """Tagged per-eye point table for the binocular mapper: each
+        eye's confidence-gated detections paired with the marker
+        stream (the same glue as paired()), marker positions as the
+        calibration targets, a deterministic per-user row id for the
+        pairing window's tie order."""
+        if pup_by_eye is None:
+            raise ValueError(
+                "calibration-binocular_pl_default needs eye_frames "
+                "with an 'eye' column (0/1) — the reference records "
+                "eye0/eye1 video separately; tag them when unioning"
+            )
+        if det is None:
+            raise ValueError(
+                "binocular calibration needs a marker step earlier in "
+                "the chain"
+            )
+        m = single_detection_gate(det)
+        per_eye = []
+        for e in (0, 1):
+            p = pup_by_eye[e].where(F.col("confidence") > min_confidence)
+            per_eye.append(
+                pair_pupil_markers(p, m, match_tol_s).withColumn(
+                    "eye", F.lit(e).cast("int")
+                )
+            )
+        g = per_eye[0].unionByName(per_eye[1])
+        wid = Window.partitionBy("user_id").orderBy("t", "eye")
+        return g.select(
+            "user_id",
+            "eye",
+            F.row_number().over(wid).cast("long").alias("event_id"),
+            "t",
+            "px",
+            "py",
+            F.col("mx").alias("gx"),
+            F.col("my").alias("gy"),
+            F.lit(1.0).alias("conf"),  # detections pre-gated above
+        )
+
     def mapped_error():
+        if binoc is not None:
+            # binocular chain: the error field is the BINOCULAR mapped
+            # gaze vs its anchor's marker target (join back on the
+            # deterministic row id — pair-table-sized)
+            mapped, gpts = binoc
+            tgt = gpts.select("user_id", "event_id", "gx", "gy")
+            m = mapped.join(tgt, ["user_id", "event_id"])
+            ex = (F.col("gaze_x") - F.col("gx")) * P.DEG_HORIZ
+            ey = (F.col("gaze_y") - F.col("gy")) * P.DEG_VERT
+            return m.select(
+                "user_id",
+                F.col("t_out").alias("t"),
+                F.col("gx").alias("mx"),
+                F.col("gy").alias("my"),
+                F.sqrt(ex * ex + ey * ey).alias("err"),
+            )
         g = paired()
         fit = calibration_linear_points(
             g.select(
@@ -351,7 +423,16 @@ def run_profile_chain(
     for name in steps:
         pr = resolve(name)
         if pr.step == "pupil":
-            pup = pr(eye_frames)
+            if "eye" in eye_frames.columns:
+                # per-eye detection streams for binocular chains; the
+                # combined (union) stream keeps monocular glue working
+                pup_by_eye = {
+                    e: pr(eye_frames.where(F.col("eye") == e))
+                    for e in (0, 1)
+                }
+                pup = pup_by_eye[0].unionByName(pup_by_eye[1])
+            else:
+                pup = pr(eye_frames)
             out[name] = pup
         elif pr.step == "marker":
             det = pr(world_frames)
@@ -366,12 +447,17 @@ def run_profile_chain(
                 )
             out[name] = pr(detections_to_marker_stream(det))
         elif pr.step == "calibration":
+            if pr.fn is gaze_map_binocular:
+                gpts = iter_checkpoint(binocular_points(), eager=False)
+                mapped = gaze_map_binocular_points(gpts, **pr.kwargs)
+                out[name] = mapped
+                out["_binocular_points"] = gpts
+                binoc = (mapped, gpts)
+                continue
             face = _points_face(pr.fn)
             if face is None:
                 raise NotImplementedError(
-                    f"{name!r} has no point-table face (binocular "
-                    "pairing needs two eye streams — use "
-                    "gaze_map_binocular on the events view)"
+                    f"{name!r} has no point-table face"
                 )
             g = paired()
             out[name] = face(
