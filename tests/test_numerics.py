@@ -537,3 +537,60 @@ def test_error_grid_qc_matches_numpy_recomputation(spark, sf_dir):
             assert r.gaze_err_weighted is None
         want_f = np.floor((n_gaze - n_interp) / n_gaze * 1e6 + 0.5) / 1e6
         assert abs(r.fraction_excluded - want_f) < 1e-9, (u, r)
+
+
+def test_error_surface_tps_cv_selects_smoothing_and_reproduces_affine(spark):
+    """error_surface_tps_cv (r12; compute_error's DEFAULT method,
+    error_computation.py:20): (a) a noiseless affine error field is
+    reproduced exactly on the grid — the affine part of a TPS carries
+    zero bending energy, so every lambda in the reference grid yields
+    the same exact surface; (b) on a NOISY affine field the LOO sweep
+    picks more smoothing than the interpolating end of the grid, and
+    the surface stays closer to the clean field than the lambda=1e-6
+    interpolator (the reason tps_cv is the reference default)."""
+    from vedb_gaze_spark.functions.tps import tps_eval, tps_fit
+    from vedb_gaze_spark.operators.error import (
+        _TPS_CV_LAMBDAS,
+        error_surface_tps_cv_points,
+    )
+    from vedb_gaze_spark.plans import params as P
+
+    eps = P.GRID_T_EPS_S
+    rng = np.random.RandomState(12)
+    pts = rng.rand(24, 2) * 0.9 + 0.05
+
+    def table(noise):
+        rows = [
+            (1, float(i) * eps + eps / 2, float(x), float(y),
+             float(1.0 + 2.0 * x + 0.5 * y + n))
+            for i, ((x, y), n) in enumerate(zip(pts, noise))
+        ]
+        return spark.createDataFrame(
+            rows, "user_id bigint, t double, mx double, my double, err double"
+        )
+
+    # (a) noiseless affine: exact on every grid node
+    clean = error_surface_tps_cv_points(table(np.zeros(24))).collect()
+    assert len(clean) == 48
+    floor = min(1.0 + 2.0 * x + 0.5 * y for x, y in pts)
+    for r in clean:
+        want = max(1.0 + 2.0 * r.grid_x + 0.5 * r.grid_y, floor)
+        assert abs(r.err_est - want) < 1e-5, r
+
+    # (b) noisy affine: CV surface beats the pure interpolator
+    noise = rng.randn(24) * 0.3
+    noisy = {
+        (r.grid_x, r.grid_y): r.err_est
+        for r in error_surface_tps_cv_points(table(noise)).collect()
+    }
+    theta = tps_fit(pts, 1.0 + 2.0 * pts[:, 0] + 0.5 * pts[:, 1] + noise,
+                    _TPS_CV_LAMBDAS[0])
+    worse = better = 0.0
+    for (gx, gy), est in noisy.items():
+        want = 1.0 + 2.0 * gx + 0.5 * gy
+        interp = float(
+            tps_eval(np.array([[gx, gy]]), pts, theta)[0]
+        )
+        better += (est - want) ** 2
+        worse += (interp - want) ** 2
+    assert better < worse, (better, worse)

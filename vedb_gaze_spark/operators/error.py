@@ -156,6 +156,69 @@ def error_surface_tps_points(
     return apply_per_key(reduced, "user_id", run, _SURFACE_SCHEMA)
 
 
+# the reference's default LOO grid: compute_error(lambd=...) is
+# np.logspace(-6, 1, 15) (error_computation.py:23-38)
+_TPS_CV_LAMBDAS = tuple(10.0 ** (-6.0 + 7.0 * i / 14.0) for i in range(15))
+
+
+def error_surface_tps_cv(
+    events: DataFrame, lambdas: tuple = _TPS_CV_LAMBDAS
+) -> DataFrame:
+    """``compute_error(method='tps_cv')`` — the reference's DEFAULT
+    error-surface method (error_computation.py:20,:183-198): per user,
+    leave-one-out cross-validation selects the TPS smoothing lambda
+    from the reference's logspace(-6, 1, 15) grid, then the winning
+    lambda's surface evaluates on the coarse grid. The LOO sweep uses
+    the closed-form stacked-inverse kernel (functions/tps.py:
+    tps_fit_cv — pinned ≡ the reference's explicit refit loop in
+    tests/test_numerics.py), so the per-user cost is one O(n³) solve
+    per lambda over CLUSTER-REDUCED points, not n refits."""
+    return error_surface_tps_cv_points(
+        _pointwise_error(events), lambdas=lambdas
+    )
+
+
+def error_surface_tps_cv_points(
+    e: DataFrame, lambdas: tuple = _TPS_CV_LAMBDAS
+) -> DataFrame:
+    """POINT-TABLE face of error_surface_tps_cv (the
+    calibration_*_points convention)."""
+    from vedb_gaze_spark.functions.tps import tps_fit_cv
+
+    lam_grid = np.asarray(lambdas, dtype=float)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 5:
+            return pd.DataFrame(
+                {"user_id": [], "grid_x": [], "grid_y": [], "err_est": []}
+            ).astype(
+                {
+                    "user_id": "int64",
+                    "grid_x": "float64",
+                    "grid_y": "float64",
+                    "err_est": "float64",
+                }
+            )
+        xy = pdf[["mx", "my"]].to_numpy()
+        v = pdf["err"].to_numpy()
+        lam, _ = tps_fit_cv(xy, v, lam_grid)
+        theta = tps_fit(xy, v, lam)
+        gx, gy = np.meshgrid(_GRID_X, _GRID_Y)
+        pts = np.column_stack([gx.ravel(), gy.ravel()])
+        est = tps_eval(pts, xy, theta)
+        est = np.maximum(est, v.min())  # the :200 floor
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "grid_x": pts[:, 0],
+                "grid_y": pts[:, 1],
+                "err_est": np.round(est, 6),
+            }
+        )
+
+    return apply_per_key(_cluster_reduce(e), "user_id", run, _SURFACE_SCHEMA)
+
+
 _GRID_SCHEMA = (
     "user_id bigint, ix int, iy int, grid_x double, grid_y double, "
     "err_est double"

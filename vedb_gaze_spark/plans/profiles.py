@@ -42,7 +42,10 @@ def _build() -> dict[str, Profile]:
         calibration_poly,
         calibration_tps,
     )
-    from vedb_gaze_spark.operators.error import error_surface_tps
+    from vedb_gaze_spark.operators.error import (
+        error_surface_tps,
+        error_surface_tps_cv,
+    )
     from vedb_gaze_spark.operators.multimodal import (
         detect_checkerboard_frames,
         detect_pupil_frames,
@@ -206,11 +209,13 @@ def _build() -> dict[str, Profile]:
     ):
         p[f"error-{tag}"] = Profile(
             "error",
-            error_surface_tps,
+            error_surface_tps_cv,
             {},
-            "tps error surface; fov* tags rescale degrees-per-screen "
-            "(plans/params.py DEG_HORIZ/DEG_VERT), conf*/outlier* are "
-            "parse-stage gates.",
+            "tps_cv error surface (r12: the true LOO-lambda-selected "
+            "operator — compute_error's DEFAULT method, "
+            "error_computation.py:20/:183); fov* tags rescale "
+            "degrees-per-screen (plans/params.py DEG_HORIZ/DEG_VERT), "
+            "conf*/outlier* are parse-stage gates.",
         )
     return p
 
@@ -305,7 +310,10 @@ def run_profile_chain(
     from vedb_gaze_spark.operators.calibration import (
         calibration_linear_points,
     )
-    from vedb_gaze_spark.operators.error import error_surface_tps_points
+    from vedb_gaze_spark.operators.error import (
+        error_surface_tps_cv,
+        error_surface_tps_points,
+    )
     from vedb_gaze_spark.operators.multimodal import (
         detections_to_marker_stream,
     )
@@ -475,9 +483,16 @@ def run_profile_chain(
                 )
             )
         elif pr.step == "error":
-            out[name] = error_surface_tps_points(
-                mapped_error(), **pr.kwargs
+            from vedb_gaze_spark.operators.error import (
+                error_surface_tps_cv_points,
             )
+
+            err_face = (
+                error_surface_tps_cv_points
+                if pr.fn is error_surface_tps_cv
+                else error_surface_tps_points
+            )
+            out[name] = err_face(mapped_error(), **pr.kwargs)
         else:  # pragma: no cover — every registered step is handled
             raise KeyError(f"unhandled step kind {pr.step!r} for {name!r}")
     return out

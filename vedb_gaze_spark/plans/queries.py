@@ -1072,6 +1072,11 @@ def _error_grid_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return error.error_grid_qc(load_table(spark, "events", sf_dir))
 
 
+@register("error_surface_tps_cv")  # LOO-lambda TPS surface → rows-only
+def _error_surface_tps_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return error.error_surface_tps_cv(load_table(spark, "events", sf_dir))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, sf_dir)
 
@@ -1360,6 +1365,7 @@ _GATE_ORDER = [
     "error_surface_grid",
     "error_grid_qc",
     "mine_hard_negatives_ivfsq8",
+    "error_surface_tps_cv",
     # -- (3) r7-recorded rows (oldest debt) --------------------------
     "ann_recall",
     "calibration_linear",
@@ -1402,12 +1408,12 @@ _GATE_ORDER = [
     "daily_trend",
     "trade_hits",
     "data_split",
-    "session_paths",
     # ---- window boundary (exactly 50 entries above) ----------------
     # -- tail: remaining rows by record age --------------------------
-    # -- r8-recorded rows (r13 window debt; chunk_documents,
-    #    funnel_windowed and event_markov displaced from the window
-    #    by the 3 r12 keys) ----
+    # -- r8-recorded rows (r13 window debt; session_paths,
+    #    chunk_documents, funnel_windowed and event_markov displaced
+    #    from the window by the 4 r12 keys) ----
+    "session_paths",
     "chunk_documents",
     "funnel_windowed",
     "event_markov",
