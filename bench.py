@@ -169,6 +169,11 @@ HEADLINE = [
     "mine_triplets",
     "embed_pca",
     "mine_hard_negatives_sq8",
+    # r12 additions
+    "mine_hard_negatives_ivfsq8",
+    "error_surface_grid",
+    "error_grid_qc",
+    "error_surface_tps_cv",
 ]
 
 

@@ -32,21 +32,25 @@ from __future__ import annotations
 import numpy as np
 
 
-def _in_circumcircle(a, b, c, p, eps: float = 1e-12) -> bool:
-    """True iff p lies strictly inside the circumcircle of (a, b, c).
-    Sign is orientation-corrected so callers need not order vertices."""
-    m = np.array(
-        [
-            [a[0] - p[0], a[1] - p[1], (a[0] - p[0]) ** 2 + (a[1] - p[1]) ** 2],
-            [b[0] - p[0], b[1] - p[1], (b[0] - p[0]) ** 2 + (b[1] - p[1]) ** 2],
-            [c[0] - p[0], c[1] - p[1], (c[0] - p[0]) ** 2 + (c[1] - p[1]) ** 2],
-        ]
-    )
-    det = float(np.linalg.det(m))
-    orient = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
-    if orient < 0:
-        det = -det
-    return det > eps
+def _circumcircle(a, b, c):
+    """Circumcenter + squared radius of triangle (a, b, c), or None for
+    a degenerate (collinear) triangle. Computed ONCE per triangle at
+    creation so the hot in-circle test is three float ops — the
+    np.linalg.det-per-test form paid ~50× in per-call overhead
+    (PERF_NOTES r12)."""
+    ax, ay = float(a[0]), float(a[1])
+    bx, by = float(b[0]), float(b[1])
+    cx, cy = float(c[0]), float(c[1])
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if d == 0.0:
+        return None
+    a2 = ax * ax + ay * ay
+    b2 = bx * bx + by * by
+    c2 = cx * cx + cy * cy
+    ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+    uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+    r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+    return ux, uy, r2
 
 
 def delaunay(pts: np.ndarray) -> list[tuple[int, int, int]]:
@@ -71,19 +75,22 @@ def delaunay(pts: np.ndarray) -> list[tuple[int, int, int]]:
         ]
     )
     P = np.vstack([pts, sup])
-    tris: list[tuple[int, int, int]] = [(n, n + 1, n + 2)]
+    # each entry: (i, j, k, circumcenter_x, circumcenter_y, r², valid)
+    first = _circumcircle(P[n], P[n + 1], P[n + 2])
+    tris: list[tuple] = [(n, n + 1, n + 2, *first)]
+    eps = 1e-12 * max(1.0, span * span)
     for idx in order:
-        p = P[idx]
+        px, py = float(P[idx][0]), float(P[idx][1])
         bad = [
             t
             for t in tris
-            if _in_circumcircle(P[t[0]], P[t[1]], P[t[2]], p)
+            if (px - t[3]) ** 2 + (py - t[4]) ** 2 < t[5] - eps
         ]
         if not bad:
             # strictly-on-circle / degenerate case: fall back to the
             # containing triangle so insertion always proceeds
             for t in tris:
-                if _bary(P[t[0]], P[t[1]], P[t[2]], p) is not None:
+                if _bary(P[t[0]], P[t[1]], P[t[2]], (px, py)) is not None:
                     bad = [t]
                     break
             if not bad:
@@ -97,8 +104,15 @@ def delaunay(pts: np.ndarray) -> list[tuple[int, int, int]]:
             tris.remove(t)
         for (a, b), cnt in sorted(edge_count.items()):
             if cnt == 1:
-                tris.append((a, b, int(idx)))
-    return [t for t in tris if max(t) < n]
+                cc = _circumcircle(P[a], P[b], (px, py))
+                if cc is None:
+                    # collinear cavity edge with the new point: a
+                    # zero-area triangle would never contain anything;
+                    # keep it with an empty circle so the mesh stays
+                    # consistent for later cavity walks
+                    cc = (px, py, 0.0)
+                tris.append((a, b, int(idx), *cc))
+    return [(t[0], t[1], t[2]) for t in tris if max(t[:3]) < n]
 
 
 def _bary(a, b, c, q, eps: float = 1e-9):
@@ -127,27 +141,40 @@ def interp_linear(
     qs = np.asarray(qs, dtype=np.float64)
     out = np.full(len(qs), np.nan)
     tris = delaunay(pts)
-    for (i, j, k) in tris:
-        a, b, c = pts[i], pts[j], pts[k]
-        den = (b[1] - c[1]) * (a[0] - c[0]) + (c[0] - b[0]) * (a[1] - c[1])
-        if den == 0.0:
-            continue
-        w1 = (
-            (b[1] - c[1]) * (qs[:, 0] - c[0])
-            + (c[0] - b[0]) * (qs[:, 1] - c[1])
-        ) / den
-        w2 = (
-            (c[1] - a[1]) * (qs[:, 0] - c[0])
-            + (a[0] - c[0]) * (qs[:, 1] - c[1])
-        ) / den
-        w3 = 1.0 - w1 - w2
-        inside = (
-            (w1 >= -1e-9) & (w2 >= -1e-9) & (w3 >= -1e-9) & np.isnan(out)
-        )
-        if inside.any():
-            out[inside] = (
-                w1[inside] * vals[i]
-                + w2[inside] * vals[j]
-                + w3[inside] * vals[k]
-            )
+    if not tris:
+        return out
+    # one broadcasted barycentric solve over all (triangle, query)
+    # pairs — the per-triangle loop paid ~10 numpy calls per triangle
+    # on tiny arrays (PERF_NOTES r12)
+    T = np.asarray(tris, dtype=np.int64)
+    A, B, C = pts[T[:, 0]], pts[T[:, 1]], pts[T[:, 2]]
+    den = (B[:, 1] - C[:, 1]) * (A[:, 0] - C[:, 0]) + (
+        C[:, 0] - B[:, 0]
+    ) * (A[:, 1] - C[:, 1])
+    ok = den != 0.0
+    den = np.where(ok, den, 1.0)
+    dx = qs[None, :, 0] - C[:, None, 0]  # (T, Q)
+    dy = qs[None, :, 1] - C[:, None, 1]
+    w1 = (
+        (B[:, 1] - C[:, 1])[:, None] * dx
+        + (C[:, 0] - B[:, 0])[:, None] * dy
+    ) / den[:, None]
+    w2 = (
+        (C[:, 1] - A[:, 1])[:, None] * dx
+        + (A[:, 0] - C[:, 0])[:, None] * dy
+    ) / den[:, None]
+    w3 = 1.0 - w1 - w2
+    inside = (
+        (w1 >= -1e-9) & (w2 >= -1e-9) & (w3 >= -1e-9) & ok[:, None]
+    )
+    # first containing triangle per query (shared-edge queries are
+    # well-defined: the interpolant is continuous across simplices)
+    hit = inside.any(axis=0)
+    first = inside.argmax(axis=0)
+    v = (
+        w1 * vals[T[:, 0]][:, None]
+        + w2 * vals[T[:, 1]][:, None]
+        + w3 * vals[T[:, 2]][:, None]
+    )
+    out[hit] = v[first[hit], np.nonzero(hit)[0]]
     return out
