@@ -594,3 +594,71 @@ def test_error_surface_tps_cv_selects_smoothing_and_reproduces_affine(spark):
         better += (est - want) ** 2
         worse += (interp - want) ** 2
     assert better < worse, (better, worse)
+
+
+def test_error_surface_grid_smoothing_blur(spark):
+    """The reference's optional error_smoothing_kernels box blur
+    (error_computation.py:168-172) on the griddata surface: (a) a
+    constant field blurs to itself; (b) hull NaNs survive the blur
+    (the reference restores them after blurring); (c) an interior node
+    of an affine field equals the manual 3x3 mean of the pre-blur
+    surface with REFLECT_101 edges (cv2.blur's default border)."""
+    from vedb_gaze_spark.operators.error import (
+        _GRID_X,
+        _GRID_Y,
+        _box_blur,
+        error_surface_grid_points,
+    )
+    from vedb_gaze_spark.plans import params as P
+
+    eps = P.GRID_T_EPS_S
+
+    def table(const=None):
+        pts = [(0.05, 0.05), (0.95, 0.05), (0.05, 0.95), (0.95, 0.95),
+               (0.5, 0.48), (0.31, 0.72)]
+        rows = [
+            (1, float(i) * eps + eps / 2, float(x), float(y),
+             float(2.5 if const else 2.0 + 3.0 * x - 1.5 * y))
+            for i, (x, y) in enumerate(pts)
+        ]
+        return spark.createDataFrame(
+            rows, "user_id bigint, t double, mx double, my double, err double"
+        )
+
+    # (a) constant field: blur is a no-op inside the hull
+    got = error_surface_grid_points(table(const=True), smoothing=(3, 3))
+    for r in got.collect():
+        if r.err_est is not None:
+            assert abs(r.err_est - 2.5) < 1e-6, r
+
+    # (b)+(c): affine field, left-half hull table with NaNs
+    plain = {
+        (r.grid_x, r.grid_y): r.err_est
+        for r in error_surface_grid_points(table()).collect()
+    }
+    sm = {
+        (r.grid_x, r.grid_y): r.err_est
+        for r in error_surface_grid_points(
+            table(), smoothing=(3, 3)
+        ).collect()
+    }
+    assert {k for k, v in plain.items() if v is None} == {
+        k for k, v in sm.items() if v is None
+    }
+    # manual recompute: fill NaNs with max, blur, restore, floor at min
+    img = np.array(
+        [[plain[(gx, gy)] for gx in _GRID_X] for gy in _GRID_Y],
+        dtype="float64",
+    )
+    nanmask = np.isnan(img)
+    filled = np.where(nanmask, np.nanmax(img), img)
+    want = _box_blur(filled, 3, 3)
+    vmin = np.nanmin(img)  # planted errs floor at the min observed err
+    for iy, gy in enumerate(_GRID_Y):
+        for ix, gx in enumerate(_GRID_X):
+            if not nanmask[iy, ix]:
+                w = max(want[iy, ix], vmin)
+                assert abs(sm[(gx, gy)] - w) < 1e-5, (ix, iy)
+    # the blur itself: a hand-computed interior 3x3 mean
+    manual = filled[1:4, 1:4].mean()
+    assert abs(_box_blur(filled, 3, 3)[2, 2] - manual) < 1e-12

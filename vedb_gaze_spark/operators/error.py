@@ -236,7 +236,29 @@ def _cluster_reduce(e: DataFrame) -> DataFrame:
     )
 
 
-def _surface_grid_indexed(e: DataFrame) -> DataFrame:
+def _box_blur(img: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    """cv2.blur twin for the error image (error_computation.py:170):
+    kh×kw uniform mean with the REFLECT_101 border cv2 defaults to
+    (np.pad mode='reflect' is the same convention). Pure numpy — the
+    grid is user×48, so this is microseconds."""
+    ph, pw = kh // 2, kw // 2
+    pad = np.pad(img, ((ph, kh - 1 - ph), (pw, kw - 1 - pw)), "reflect")
+    # separable mean via 2-D cumulative sums on the tiny padded grid
+    c = pad.cumsum(axis=0).cumsum(axis=1)
+    c = np.pad(c, ((1, 0), (1, 0)))
+    H, W = img.shape
+    out = (
+        c[kh : kh + H, kw : kw + W]
+        - c[:H, kw : kw + W]
+        - c[kh : kh + H, :W]
+        + c[:H, :W]
+    ) / float(kh * kw)
+    return out
+
+
+def _surface_grid_indexed(
+    e: DataFrame, smoothing: tuple[int, int] | None = None
+) -> DataFrame:
     """Internal grid face carrying node indices (ix, iy) so the QC
     rollup can key gaze-histogram bins to surface nodes without
     re-deriving positions from float grid coordinates."""
@@ -274,6 +296,17 @@ def _surface_grid_indexed(e: DataFrame) -> DataFrame:
         )
         pts = np.column_stack([gx.ravel(), gy.ravel()])
         est = interp_linear(xy, v, pts)
+        if smoothing is not None:
+            # error_smoothing_kernels (:168-172): NaNs filled with the
+            # surface max, box-blurred, then the hull mask restored —
+            # the blur smooths INSIDE the hull only
+            img = est.reshape(len(_GRID_Y), len(_GRID_X))
+            nanmask = np.isnan(img)
+            if not nanmask.all():
+                filled = np.where(nanmask, np.nanmax(img), img)
+                blurred = _box_blur(filled, smoothing[0], smoothing[1])
+                img = np.where(nanmask, np.nan, blurred)
+                est = img.ravel()
         # reference floors the surface at the minimum observed error
         # (:200) — NaN (outside hull) passes through untouched
         est = np.where(np.isnan(est), est, np.maximum(est, v.min()))
@@ -301,7 +334,9 @@ def _surface_grid_indexed(e: DataFrame) -> DataFrame:
     return apply_per_key(_cluster_reduce(e), "user_id", run_keyed, _GRID_SCHEMA)
 
 
-def error_surface_grid(events: DataFrame) -> DataFrame:
+def error_surface_grid(
+    events: DataFrame, smoothing: tuple[int, int] | None = None
+) -> DataFrame:
     """``compute_error(method='griddata')`` (error_computation.py:165):
     hull-bounded scattered interpolation of the pointwise error field
     onto the coarse evaluation grid — scipy-free Delaunay + barycentric
@@ -312,14 +347,21 @@ def error_surface_grid(events: DataFrame) -> DataFrame:
     minimum observed error (:200). Output user × 48 grid rows — tiny
     at any scale; the heavy lifting (matching, confidence gate,
     pixel-space error) is the same distributed _pointwise_error spine
-    every §2.E face shares."""
-    return error_surface_grid_points(_pointwise_error(events))
+    every §2.E face shares. ``smoothing`` is the reference's optional
+    error_smoothing_kernels box blur (:168-172), applied inside the
+    hull only (NaNs filled with the surface max for the blur, then
+    restored — the reference's exact recipe)."""
+    return error_surface_grid_points(
+        _pointwise_error(events), smoothing=smoothing
+    )
 
 
-def error_surface_grid_points(e: DataFrame) -> DataFrame:
+def error_surface_grid_points(
+    e: DataFrame, smoothing: tuple[int, int] | None = None
+) -> DataFrame:
     """POINT-TABLE face of error_surface_grid (the calibration_*_points
     convention): ``e`` carries (user_id, t, mx, my, err)."""
-    return _surface_grid_indexed(e).select(
+    return _surface_grid_indexed(e, smoothing=smoothing).select(
         "user_id", "grid_x", "grid_y", "err_est"
     )
 
