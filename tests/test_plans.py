@@ -2081,3 +2081,25 @@ def test_run_profile_chain_binocular_reference_chain(spark):
     assert all(r.err_est < 0.05 for r in surf), sorted(
         r.err_est for r in surf
     )[-3:]
+
+
+def test_r12_operator_plan_pins(spark, sf_dir):
+    """Plan shapes of the r12 additions: the cell-pruned miner joins
+    the code table against a BROADCAST probe set (never a shuffle join
+    of the corpus onto query keys) with no sort-merge join and no
+    cartesian product anywhere; error_grid_qc's surface side joins
+    BROADCAST against the gaze-histogram counts (the surface is
+    model-sized: user x 48)."""
+    from vedb_gaze_spark.plans.queries import QUERIES
+
+    miner = QUERIES["mine_hard_negatives_ivfsq8"](spark, sf_dir)
+    p = miner._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p[:2000]
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+    qc = QUERIES["error_grid_qc"](spark, sf_dir)
+    p2 = qc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p2
+    assert "SortMergeJoin" not in p2
+    assert "CartesianProduct" not in p2
