@@ -2250,3 +2250,70 @@ def test_capture_ingest_parallelism_is_file_granular(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
         spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
+def test_coordinate_converters_point_grid_and_export_dirs(spark, tmp_path):
+    """The last small reference utilities (r12): (a) normalize /
+    denormalize pixel<->norm converters incl. the flip_y order
+    subtlety (methods.py:55/:69 — normalize flips AFTER the divide,
+    denormalize BEFORE the multiply; the composition round-trips to
+    float precision), as both scalar twins and codegen column
+    expressions;
+    (b) get_point_grid (calibration.py:416) — dense-horizontal +
+    dense-vertical line layout with the ceil(n/aspect) vertical count;
+    (c) next_export_sub_dir (file_methods.py:196) — the 000/001 Pupil
+    export numbering."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from vedb_gaze_spark.functions.coords import (
+        denormalize,
+        denormalize_cols,
+        normalize,
+        normalize_cols,
+    )
+    from vedb_gaze_spark.operators.calibration import (
+        point_grid,
+        point_grid_df,
+    )
+    from vedb_gaze_spark.sources.intrinsics import next_export_sub_dir
+
+    # (a) scalar parity with the reference formulas + exact round-trip
+    size = (640, 480)
+    for flip in (False, True):
+        n = normalize((160.0, 120.0), size, flip_y=flip)
+        assert n == ((0.25, 0.75) if flip else (0.25, 0.25))
+        back = denormalize(n, size, flip_y=flip)
+        assert back == (160.0, 120.0)
+    # column expressions agree with the scalar twins
+    df = spark.createDataFrame(
+        [(160.0, 120.0), (0.0, 480.0), (639.0, 1.0)], "px double, py double"
+    )
+    nx, ny = normalize_cols(F.col("px"), F.col("py"), 640, 480, flip_y=True)
+    bx, by = denormalize_cols(nx, ny, 640, 480, flip_y=True)
+    for r in df.select("px", "py", nx.alias("nx"), ny.alias("ny"),
+                       bx.alias("bx"), by.alias("by")).collect():
+        sn = normalize((r.px, r.py), size, flip_y=True)
+        assert (r.nx, r.ny) == sn
+        assert abs(r.bx - r.px) < 1e-9 and abs(r.by - r.py) < 1e-9
+
+    # (b) point grid: counts and layout mirror the reference recipe
+    xg, yg = point_grid(n_points=10, n_horizontal_lines=3,
+                        n_vertical_lines=5)
+    n_vert_pts = int(np.ceil(10 / (5 / 3)))
+    assert len(xg) == 10 * 3 + 5 * n_vert_pts == len(yg)
+    # horizontal-line block: y constant per line, x spans [0, 1]
+    assert set(np.round(yg[:30], 6)) == {0.0, 0.5, 1.0}
+    assert xg[:10].min() == 0.0 and xg[:10].max() == 1.0
+    grid_df = point_grid_df(spark, n_points=10, n_horizontal_lines=3,
+                            n_vertical_lines=5)
+    assert grid_df.count() == len(xg)
+
+    # (c) export numbering: empty -> 000, then increments past gaps
+    root = str(tmp_path / "exports")
+    import os
+
+    assert next_export_sub_dir(root).endswith("/000")
+    os.makedirs(os.path.join(root, "000"))
+    os.makedirs(os.path.join(root, "007"))
+    assert next_export_sub_dir(root).endswith("/008")

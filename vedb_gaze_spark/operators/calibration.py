@@ -339,3 +339,44 @@ def calibration_tps_points(g: DataFrame) -> DataFrame:
     return apply_per_key(
         _cluster_medians_points(g), "user_id", run, _TPS_SCHEMA
     )
+
+
+def point_grid(
+    n_points: int = 60,
+    n_horizontal_lines: int = 7,
+    n_vertical_lines: int = 10,
+    st_horizontal: float = 0.0,
+    fin_horizontal: float = 1.0,
+    st_vertical: float = 0.0,
+    fin_vertical: float = 1.0,
+):
+    """The reference's rectangular validation grid
+    (calibration.py:416 ``get_point_grid``): horizontal lines sampled
+    densely along x, then vertical lines sampled densely along y
+    (n_points_vertical = ceil(n_points / (n_vertical/n_horizontal))),
+    concatenated — the (x, y) target layout calibration-validation
+    sweeps evaluate against. Returns (xg_pts, yg_pts) numpy arrays,
+    same as the reference."""
+    import numpy as np
+
+    aspect_ratio = n_vertical_lines / n_horizontal_lines
+    n_points_vertical = int(np.ceil(n_points / aspect_ratio))
+    tt_sparse_h = np.linspace(st_vertical, fin_vertical, n_horizontal_lines)
+    tt_dense_h = np.linspace(st_horizontal, fin_horizontal, n_points)
+    xga, yga = np.meshgrid(tt_dense_h, tt_sparse_h)
+    tt_sparse_v = np.linspace(st_horizontal, fin_horizontal, n_vertical_lines)
+    tt_dense_v = np.linspace(st_vertical, fin_vertical, n_points_vertical)
+    xgb, ygb = np.meshgrid(tt_sparse_v, tt_dense_v)
+    xg_pts = np.hstack([xga.flatten(), xgb.flatten()])
+    yg_pts = np.hstack([yga.flatten(), ygb.flatten()])
+    return xg_pts, yg_pts
+
+
+def point_grid_df(spark, **kwargs):
+    """DataFrame face of point_grid: (point_id, x, y) — the broadcastable
+    target table a distributed validation sweep joins against."""
+    xg, yg = point_grid(**kwargs)
+    return spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(zip(xg, yg))],
+        "point_id int, x double, y double",
+    )

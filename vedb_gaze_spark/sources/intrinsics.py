@@ -175,3 +175,19 @@ def marker_3d_pose_from_store(
         cy0=float(K[1][2]),
         marker_diameter=marker_diameter,
     )
+
+
+def next_export_sub_dir(root_export_dir: str) -> str:
+    """``file_methods.next_export_sub_dir`` (:196): the Pupil export
+    numbering convention — the next three-digit subdirectory name
+    (000, 001, ...) under a recording's export root."""
+    import glob as _glob
+
+    pattern = os.path.join(root_export_dir, "[0-9][0-9][0-9]")
+    existing = sorted(_glob.iglob(pattern))
+    try:
+        latest = os.path.split(existing[-1])[-1]
+        nxt = "{:03d}".format(int(latest) + 1)
+    except IndexError:
+        nxt = "000"
+    return os.path.join(root_export_dir, nxt)
