@@ -45,6 +45,7 @@ def canon(rows, colnames):
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     sdf = QUERIES[name](spark, sf_dir)
+    _assert_driver_canon_schema(name, sdf.schema)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
 
@@ -106,3 +107,19 @@ def test_rows_only_query_runs(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert df.columns, name
     assert df.count() > 0, f"{name}: expected non-trivial output on {sf_dir}"
+    _assert_driver_canon_schema(name, df.schema)
+
+
+def _assert_driver_canon_schema(name, schema):
+    from pyspark.sql import types as T
+
+    for field in schema.fields:
+        assert not isinstance(
+            field.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), (
+            f"{name}: registered face emits complex-typed column "
+            f"{field.name!r} ({field.dataType.simpleString()}) — the "
+            "driver's pandas canonicalizer sorts every column and cannot "
+            "hash array/map/struct cells (embed_pca's r12 crash: "
+            "\"unhashable type: 'list'\"). Explode or flatten at the face."
+        )

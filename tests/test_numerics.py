@@ -509,8 +509,12 @@ def test_error_grid_qc_matches_numpy_recomputation(spark, sf_dir):
 
     hist = defaultdict(int)
     for r in with_gaze(events).select("user_id", "gx", "gy").collect():
-        ix = min(max(int(np.floor(r.gx * nx)), 0), nx - 1)
-        iy = min(max(int(np.floor(r.gy * ny)), 0), ny - 1)
+        # np.histogram2d semantics: out-of-range gaze is DROPPED (the
+        # synthetic signal stays in [0.08, 0.92], so every row binned)
+        if not (0 <= r.gx <= 1 and 0 <= r.gy <= 1):
+            continue
+        ix = min(int(np.floor(r.gx * nx)), nx - 1)
+        iy = min(int(np.floor(r.gy * ny)), ny - 1)
         hist[(r.user_id, ix, iy)] += 1
     users = {u for (u, _, _) in hist}
     assert set(got) == users
@@ -596,13 +600,102 @@ def test_error_surface_tps_cv_selects_smoothing_and_reproduces_affine(spark):
     assert better < worse, (better, worse)
 
 
+def test_error_grid_qc_drops_out_of_range_gaze(spark, sf_dir):
+    """np.histogram2d with edges linspace(0,1,n+1) drops gaze outside
+    [0,1]^2 from the total AND the weighting (error_computation.py:208;
+    ADVICE r12 #2 — r12 clamped such gaze into edge bins, inflating
+    n_gaze and shifting gaze_err_weighted/fraction_excluded). Injecting
+    out-of-range rows through the gaze override must leave every QC
+    number unchanged, and the ==1 right edge must still bin (numpy's
+    closed final interval)."""
+    from vedb_gaze_spark.operators.error import error_grid_qc
+    from vedb_gaze_spark.sources.signals import with_gaze
+    from vedb_gaze_spark.sources.tables import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    base_gaze = with_gaze(events).select("user_id", "gx", "gy")
+    uid = base_gaze.first().user_id
+    junk = spark.createDataFrame(
+        [
+            (uid, -0.01, 0.5), (uid, 1.2, 0.5), (uid, 0.5, -3.0),
+            (uid, 0.5, 1.0001), (uid, float("nan"), 0.5),
+        ],
+        "user_id bigint, gx double, gy double",
+    )
+    want = {r.user_id: r for r in error_grid_qc(events).collect()}
+    got = {
+        r.user_id: r
+        for r in error_grid_qc(
+            events, gaze=base_gaze.unionByName(junk)
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u].n_gaze == want[u].n_gaze, u
+        assert got[u].gaze_err_weighted == want[u].gaze_err_weighted, u
+        assert got[u].fraction_excluded == want[u].fraction_excluded, u
+
+    # the ==1.0 edge is IN-range: exactly-1 gaze lands in the last bin
+    edge = spark.createDataFrame(
+        [(uid, 1.0, 1.0)], "user_id bigint, gx double, gy double"
+    )
+    got_edge = {
+        r.user_id: r
+        for r in error_grid_qc(
+            events, gaze=base_gaze.unionByName(edge)
+        ).collect()
+    }
+    assert got_edge[uid].n_gaze == want[uid].n_gaze + 1
+
+
+def test_tps_cv_lambda_grid_is_the_reference_16_point_default():
+    """_TPS_CV_LAMBDAS must reproduce compute_error's literal 16-value
+    default list (error_computation.py:20-36 == np.logspace(-6, 1, 16),
+    exponent step 7/15) BIT-exactly, and the r12 15-point grid it
+    replaces (logspace(-6, 1, 15)) must be demonstrably different: the
+    two grids share only their endpoints, and on a generic noisy field
+    the LOO sweep selects different winning lambdas (ADVICE r12 #1 —
+    the default tps_cv surface diverged from the reference's)."""
+    from vedb_gaze_spark.functions.tps import tps_fit_cv
+    from vedb_gaze_spark.operators.error import _TPS_CV_LAMBDAS
+
+    reference_default = (
+        1e-06, 2.9286445646252375e-06, 8.576958985908945e-06,
+        2.5118864315095822e-05, 7.356422544596421e-05,
+        0.00021544346900318845, 0.000630957344480193,
+        0.0018478497974222907, 0.0054116952654646375,
+        0.01584893192461114, 0.04641588833612782, 0.1359356390878527,
+        0.3981071705534969, 1.165914401179831, 3.414548873833601, 10.0,
+    )
+    assert _TPS_CV_LAMBDAS == reference_default  # bit-exact, all 16
+
+    old_15 = tuple(10.0 ** (-6.0 + 7.0 * i / 14.0) for i in range(15))
+    shared = {x for x in old_15 if any(abs(x - y) / y < 1e-12
+                                       for y in reference_default)}
+    assert shared == {1e-06, 10.0}  # interiors are disjoint
+
+    rng = np.random.RandomState(0)
+    pts = rng.rand(20, 2) * 0.9 + 0.05
+    v = (np.sin(3 * pts[:, 0]) + 0.5 * pts[:, 1] ** 2
+         + rng.randn(20) * 0.15)
+    lam_old, _ = tps_fit_cv(pts, v, np.asarray(old_15))
+    lam_new, _ = tps_fit_cv(pts, v, np.asarray(_TPS_CV_LAMBDAS))
+    assert lam_old != lam_new  # 0.01 vs 0.015848…: the fix is load-bearing
+    assert lam_new in reference_default
+
+
 def test_error_surface_grid_smoothing_blur(spark):
     """The reference's optional error_smoothing_kernels box blur
     (error_computation.py:168-172) on the griddata surface: (a) a
     constant field blurs to itself; (b) hull NaNs survive the blur
     (the reference restores them after blurring); (c) an interior node
     of an affine field equals the manual 3x3 mean of the pre-blur
-    surface with REFLECT_101 edges (cv2.blur's default border)."""
+    surface with REFLECT_101 edges (cv2.blur's default border). The
+    NaN fill is np.nanmax(gaze_err) — the max OBSERVED pointwise error
+    on the reduced points, NOT the interpolated surface max (ADVICE
+    r12 #3; on this affine field the data max 4.775 sits at
+    (0.95, 0.05), outside the 0.1–0.9 grid span, so the two fills
+    genuinely differ and the recompute below distinguishes them)."""
     from vedb_gaze_spark.operators.error import (
         _GRID_X,
         _GRID_Y,
@@ -645,13 +738,18 @@ def test_error_surface_grid_smoothing_blur(spark):
     assert {k for k, v in plain.items() if v is None} == {
         k for k, v in sm.items() if v is None
     }
-    # manual recompute: fill NaNs with max, blur, restore, floor at min
+    # manual recompute: fill NaNs with the max OBSERVED err (the
+    # planted data max, not the surface max), blur, restore, floor
+    pts = [(0.05, 0.05), (0.95, 0.05), (0.05, 0.95), (0.95, 0.95),
+           (0.5, 0.48), (0.31, 0.72)]
+    data_max = max(2.0 + 3.0 * x - 1.5 * y for x, y in pts)
     img = np.array(
         [[plain[(gx, gy)] for gx in _GRID_X] for gy in _GRID_Y],
         dtype="float64",
     )
     nanmask = np.isnan(img)
-    filled = np.where(nanmask, np.nanmax(img), img)
+    assert data_max > np.nanmax(img) + 0.1  # the two fills differ here
+    filled = np.where(nanmask, data_max, img)
     want = _box_blur(filled, 3, 3)
     vmin = np.nanmin(img)  # planted errs floor at the min observed err
     for iy, gy in enumerate(_GRID_Y):

@@ -156,9 +156,13 @@ def error_surface_tps_points(
     return apply_per_key(reduced, "user_id", run, _SURFACE_SCHEMA)
 
 
-# the reference's default LOO grid: compute_error(lambd=...) is
-# np.logspace(-6, 1, 15) (error_computation.py:23-38)
-_TPS_CV_LAMBDAS = tuple(10.0 ** (-6.0 + 7.0 * i / 14.0) for i in range(15))
+# the reference's default LOO grid: compute_error(lambd=...)'s literal
+# 16-value default list (error_computation.py:20-36) IS
+# np.logspace(-6, 1, 16) — step 7/15 in the exponent (its second value
+# 2.9286445646e-06 = 10^(-6+7/15)). r12 shipped a 15-point grid that
+# shared only the endpoints; LOO could select a different lambda
+# (ADVICE r12 #1, pinned in tests/test_numerics.py).
+_TPS_CV_LAMBDAS = tuple(10.0 ** (-6.0 + 7.0 * i / 15.0) for i in range(16))
 
 
 def error_surface_tps_cv(
@@ -167,7 +171,8 @@ def error_surface_tps_cv(
     """``compute_error(method='tps_cv')`` — the reference's DEFAULT
     error-surface method (error_computation.py:20,:183-198): per user,
     leave-one-out cross-validation selects the TPS smoothing lambda
-    from the reference's logspace(-6, 1, 15) grid, then the winning
+    from the reference's 16-point logspace(-6, 1, 16) default list
+    (reproduced bit-exactly by _TPS_CV_LAMBDAS), then the winning
     lambda's surface evaluates on the coarse grid. The LOO sweep uses
     the closed-form stacked-inverse kernel (functions/tps.py:
     tps_fit_cv — pinned ≡ the reference's explicit refit loop in
@@ -298,12 +303,16 @@ def _surface_grid_indexed(
         est = interp_linear(xy, v, pts)
         if smoothing is not None:
             # error_smoothing_kernels (:168-172): NaNs filled with the
-            # surface max, box-blurred, then the hull mask restored —
-            # the blur smooths INSIDE the hull only
+            # max OBSERVED pointwise error — np.nanmax(gaze_err), i.e.
+            # v.max() on the reduced points, NOT the interpolated
+            # surface max (ADVICE r12 #3: a linear surface's max is
+            # <= the data max, so the r12 fill biased blurred values
+            # near the hull boundary low) — box-blurred, then the hull
+            # mask restored: the blur smooths INSIDE the hull only
             img = est.reshape(len(_GRID_Y), len(_GRID_X))
             nanmask = np.isnan(img)
             if not nanmask.all():
-                filled = np.where(nanmask, np.nanmax(img), img)
+                filled = np.where(nanmask, v.max(), img)
                 blurred = _box_blur(filled, smoothing[0], smoothing[1])
                 img = np.where(nanmask, np.nan, blurred)
                 est = img.ravel()
@@ -366,7 +375,7 @@ def error_surface_grid_points(
     )
 
 
-def error_grid_qc(events: DataFrame) -> DataFrame:
+def error_grid_qc(events: DataFrame, gaze: DataFrame | None = None) -> DataFrame:
     """The interpolated-gaze QC rollup of the griddata path
     (error_computation.py:204-213): histogram the session's gaze
     positions onto the surface's node bins, then per user report
@@ -380,14 +389,27 @@ def error_grid_qc(events: DataFrame) -> DataFrame:
 
     Shape: one groupBy over gaze (user × 48 bins), one broadcast join
     against the user × 48 surface, one rollup — the surface side is
-    model-sized, so the plan stays scan + two tiny exchanges."""
+    model-sized, so the plan stays scan + two tiny exchanges.
+
+    ``gaze`` (optional, default the events signal view) overrides the
+    gaze-position table: (user_id, gx, gy) — the reference reads
+    gaze['norm_pos'], which CAN leave [0,1]^2 for poorly calibrated
+    sessions; out-of-range rows are dropped per np.histogram2d."""
     nx, ny = len(_GRID_X), len(_GRID_Y)
-    g = with_gaze(events)
+    g = with_gaze(events) if gaze is None else gaze
+    # np.histogram2d with edges linspace(0, 1, n+1) DROPS gaze outside
+    # [0,1]^2 from both the total and the weighting (ADVICE r12 #2 —
+    # r12 clamped them into edge bins); only the ==1 right edge folds
+    # into the last bin (numpy's closed final interval).
+    g = g.where(
+        (F.col("gx") >= 0) & (F.col("gx") <= 1)
+        & (F.col("gy") >= 0) & (F.col("gy") <= 1)
+    )
     bx = F.least(F.floor(F.col("gx") * nx), F.lit(nx - 1)).cast("int")
     by = F.least(F.floor(F.col("gy") * ny), F.lit(ny - 1)).cast("int")
     counts = (
-        g.withColumn("ix", F.greatest(bx, F.lit(0)))
-        .withColumn("iy", F.greatest(by, F.lit(0)))
+        g.withColumn("ix", bx)
+        .withColumn("iy", by)
         .groupBy("user_id", "ix", "iy")
         .agg(F.count(F.lit(1)).alias("n"))
     )

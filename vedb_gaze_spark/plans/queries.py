@@ -927,7 +927,14 @@ def _mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embed_pca")  # trained PCA projection (LAPACK eig) → rows-only
 def _embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embed_pca(load_table(spark, "embeddings", sf_dir))
+    # Driver-canon face: the driver's pandas canonicalizer sorts every
+    # column and cannot hash array cells (r12's only red record), so the
+    # operator's proj array<double> is posexploded to scalar
+    # (vec_id, component, value) rows — same values, scalar schema.
+    out = similarity.embed_pca(load_table(spark, "embeddings", sf_dir))
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("component", "value")
+    )
 
 
 @register("mine_hard_negatives_ivfsq8", oracles.MINE_HARD_NEGATIVES_IVFSQ8)
@@ -1337,82 +1344,24 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver correctness gate records exactly the first ~50 registry
 # entries per round. Iteration order is therefore explicit, not
 # declaration order, and ROTATES each round so every entry's official
-# record stays fresh. r12 window — EXACTLY 50 entries above the
-# boundary marker (r11 verdict #1):
-#  (1) dedup_recall FIRST: its registered face changed this round (the
-#      SAMPLED gate, absorbing the former dedup_recall_sampled key —
-#      r11 verdict #7), so the r9 record no longer covers the shipped
-#      semantics.
-#  (2) the 5 r11 additions that never received a driver record: the 3
-#      SQL-oracled miners + the 2 rows-only trained-float faces.
-#  (3) the oldest official records, oldest-first: all 10 r7 rows +
-#      the first 34 of the 44 r8 rows.
-# Tail: the remaining 10 r8 rows (r13's window debt), then r9/r10 and
-# the 50 rows the r11 window re-greened. Every entry is still re-proven
-# locally each run by tests/test_driver_parity.py regardless of window
-# position.
+# record stays fresh. r13 window — EXACTLY 50 entries above the
+# boundary marker (r12 verdict #1/#3):
+#  (1) the two faces whose registered output changed this round:
+#      embed_pca (r12's only red record — the face now posexplodes
+#      proj to scalar rows) and error_surface_tps_cv (the LOO lambda
+#      grid corrected to the reference's 16-point default list, so the
+#      winning lambda — and the surface — can differ from r12's).
+#  (2) the oldest official records, oldest-first: all 14 r8 rows +
+#      the 34 oldest r9 rows (clears 48 of the 62-key stale debt; the
+#      remaining 13 r9 rows head the r14 window).
+# Tail: remaining r9, then r10/r11 and the rows the r12 window
+# re-greened. Every entry is still re-proven locally each run by
+# tests/test_driver_parity.py regardless of window position.
 _GATE_ORDER = [
-    # -- (1) re-gate: registered face changed to the sampled gate ----
-    "dedup_recall",
-    # -- (2) r11 additions with no driver record yet -----------------
-    "mine_hard_negatives",
-    "mine_triplets",
-    "mine_hard_negatives_sq8",
+    # -- (1) faces CHANGED this round, re-gate first ------------------
     "embed_pca",
-    "calibration_3d_bundle",
-    # -- (2b) r12 additions (griddata error surface + its QC rollup,
-    #    r11 verdict #2; the cell-pruned miner, r11 verdict #5) -------
-    "error_surface_grid",
-    "error_grid_qc",
-    "mine_hard_negatives_ivfsq8",
     "error_surface_tps_cv",
-    # -- (3) r7-recorded rows (oldest debt) --------------------------
-    "ann_recall",
-    "calibration_linear",
-    "hash_embed",
-    "ccnet_ppl_threshold",
-    "ngram_novelty",
-    "pmi_bigrams",
-    "mix_plan_temperature",
-    "value_anomalies",
-    "cross_source_dedup",
-    "corpus_stats",
-    # -- (3) the 34 oldest r8-recorded rows --------------------------
-    "q6_revenue",
-    "q4_order_priority",
-    "q10_returned_item",
-    "q12_priority_class",
-    "time_slice",
-    "dedup_timestamps",
-    "cluster_grid",
-    "gaze_map_binocular",
-    "saccade_rate",
-    "quat_to_euler",
-    "token_count",
-    "text_quality",
-    "lang_id",
-    "char_entropy",
-    "lm_score",
-    "tfidf_keywords",
-    "daily_type_pivot",
-    "dau_rollup",
-    "retention_cohorts",
-    "scrub_stopwords",
-    "doc_fingerprint",
-    "winnow_overlap",
-    "dedup_exact",
-    "corpus_pipeline_novelty",
-    "epoch_shuffle",
-    "heaps_law",
-    "lm_score_trigram",
-    "daily_trend",
-    "trade_hits",
-    "data_split",
-    # ---- window boundary (exactly 50 entries above) ----------------
-    # -- tail: remaining rows by record age --------------------------
-    # -- r8-recorded rows (r13 window debt; session_paths,
-    #    chunk_documents, funnel_windowed and event_markov displaced
-    #    from the window by the 4 r12 keys) ----
+    # -- (2) the 14 r8-recorded rows (oldest debt) --------------------
     "session_paths",
     "chunk_documents",
     "funnel_windowed",
@@ -1427,7 +1376,7 @@ _GATE_ORDER = [
     "length_batches",
     "q1_sql",
     "q6_sql",
-    # -- r9-recorded rows ----
+    # -- (2) the 34 oldest r9-recorded rows ---------------------------
     "q3_sql",
     "q12_sql",
     "q14_sql",
@@ -1462,6 +1411,9 @@ _GATE_ORDER = [
     "dedup_substring_clean",
     "event_transitions",
     "dedup_ngram_jaccard",
+    # ---- window boundary (exactly 50 entries above) ----------------
+    # -- tail: remaining rows by record age --------------------------
+    # -- remaining r9-recorded rows (r14 window debt) ----
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
@@ -1526,7 +1478,7 @@ _GATE_ORDER = [
     "incident_window_stats",
     "gopher_rules",
     "c4_clean",
-    # -- r11-recorded rows (refreshed last round) ----
+    # -- r11-recorded rows ----
     "dedup_agreement",
     "quality_classifier",
     "ccnet_ppl_buckets",
@@ -1577,6 +1529,55 @@ _GATE_ORDER = [
     "bm25_search",
     "curation_full",
     "dedup_embedding_lsh",
+    # -- r12-recorded rows (refreshed last round) ----
+    "dedup_recall",
+    "mine_hard_negatives",
+    "mine_triplets",
+    "mine_hard_negatives_sq8",
+    "calibration_3d_bundle",
+    "error_surface_grid",
+    "error_grid_qc",
+    "mine_hard_negatives_ivfsq8",
+    "ann_recall",
+    "calibration_linear",
+    "hash_embed",
+    "ccnet_ppl_threshold",
+    "ngram_novelty",
+    "pmi_bigrams",
+    "mix_plan_temperature",
+    "value_anomalies",
+    "cross_source_dedup",
+    "corpus_stats",
+    "q6_revenue",
+    "q4_order_priority",
+    "q10_returned_item",
+    "q12_priority_class",
+    "time_slice",
+    "dedup_timestamps",
+    "cluster_grid",
+    "gaze_map_binocular",
+    "saccade_rate",
+    "quat_to_euler",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "char_entropy",
+    "lm_score",
+    "tfidf_keywords",
+    "daily_type_pivot",
+    "dau_rollup",
+    "retention_cohorts",
+    "scrub_stopwords",
+    "doc_fingerprint",
+    "winnow_overlap",
+    "dedup_exact",
+    "corpus_pipeline_novelty",
+    "epoch_shuffle",
+    "heaps_law",
+    "lm_score_trigram",
+    "daily_trend",
+    "trade_hits",
+    "data_split",
 ]
 
 
