@@ -600,6 +600,95 @@ def test_error_surface_tps_cv_selects_smoothing_and_reproduces_affine(spark):
     assert better < worse, (better, worse)
 
 
+def test_reference_resolution_surface_matches_numpy(spark):
+    """r12 verdict #4: the surface grid is parameterized — grid_nodes
+    reproduces the reference's vertical_horizontal_smooth_error_resolution
+    semantics ((vres, hres) rows/cols on linspace(0, 1), scalar =
+    fraction-of-image_resolution; error_computation.py:20,:152-162) —
+    and error_surface_grid_points at the REFERENCE resolution matches a
+    from-scratch numpy reimplementation on a planted affine field:
+    affine values inside the marker hull (linear barycentric
+    interpolation is exact on affine fields), NULL outside, floored at
+    the minimum observed error. Hull membership is recomputed
+    independently via a monotone-chain convex hull + half-plane test.
+    A reduced (30, 40) image-fraction grid keeps the pin fast; the
+    (300, 400) default itself is pinned shape-only below."""
+    from vedb_gaze_spark.operators.error import (
+        REFERENCE_RESOLUTION,
+        error_surface_grid_points,
+        grid_nodes,
+    )
+    from vedb_gaze_spark.plans import params as P
+
+    # grid_nodes semantics pins
+    gx, gy = grid_nodes(REFERENCE_RESOLUTION)
+    assert len(gx) == 400 and len(gy) == 300
+    assert gx[0] == 0.0 and gx[-1] == 1.0 and gy[0] == 0.0 and gy[-1] == 1.0
+    sx, sy = grid_nodes(0.25)  # the reference's scalar path
+    assert len(sx) == int(P.IMAGE_W * 0.25) == 512
+    assert len(sy) == int(P.IMAGE_H * 0.25) == 384
+    dx, dy = grid_nodes()  # no knobs → the 8×6 bench grid, unchanged
+    assert len(dx) == 8 and len(dy) == 6 and dx[0] == 0.1 and dx[-1] == 0.9
+
+    eps = P.GRID_T_EPS_S
+    rng = np.random.RandomState(7)
+    pts = rng.rand(18, 2) * 0.8 + 0.1
+    errs = 1.0 + 2.0 * pts[:, 0] + 0.5 * pts[:, 1]
+    rows = [
+        (1, float(i) * eps + eps / 2, float(x), float(y), float(e))
+        for i, ((x, y), e) in enumerate(zip(pts, errs))
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id bigint, t double, mx double, my double, err double"
+    )
+    res = (30, 40)
+    got = {
+        (r.grid_x, r.grid_y): r.err_est
+        for r in error_surface_grid_points(e, resolution=res).collect()
+    }
+    ngx, ngy = grid_nodes(res)
+    assert len(got) == 30 * 40 and len(ngx) == 40 and len(ngy) == 30
+
+    # independent hull: monotone chain + signed-area half-plane test
+    def hull(points):
+        P2 = sorted(map(tuple, points))
+        def half(seq):
+            h = []
+            for q in seq:
+                while len(h) >= 2 and (
+                    (h[-1][0] - h[-2][0]) * (q[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (q[0] - h[-2][0])
+                ) <= 0:
+                    h.pop()
+                h.append(q)
+            return h
+        lo, hi = half(P2), half(reversed(P2))
+        return np.array(lo[:-1] + hi[:-1])
+
+    H = hull(pts)
+    A, B = H, np.roll(H, -1, axis=0)
+    floor_v = errs.min()
+    n_in = n_out = 0
+    for yy in ngy:
+        for xx in ngx:
+            cross = (B[:, 0] - A[:, 0]) * (yy - A[:, 1]) - (
+                B[:, 1] - A[:, 1]
+            ) * (xx - A[:, 0])
+            est = got[(xx, yy)]
+            if (cross > 1e-9).all():  # strictly inside
+                n_in += 1
+                want = max(1.0 + 2.0 * xx + 0.5 * yy, floor_v)
+                assert est is not None and abs(est - want) < 1e-5, (xx, yy)
+            elif (cross < -1e-9).any():  # strictly outside
+                n_out += 1
+                assert est is None, (xx, yy, est)
+    assert n_in > 100 and n_out > 100  # both regimes exercised
+
+    # the (300, 400) reference default, shape-only (120k nodes/user)
+    big = error_surface_grid_points(e, resolution=REFERENCE_RESOLUTION)
+    assert big.count() == 300 * 400
+
+
 def test_error_grid_qc_drops_out_of_range_gaze(spark, sf_dir):
     """np.histogram2d with edges linspace(0,1,n+1) drops gaze outside
     [0,1]^2 from the total AND the weighting (error_computation.py:208;

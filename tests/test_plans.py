@@ -1859,7 +1859,12 @@ def test_run_profile_chain_reference_default_chain(spark):
     assert cal[0].rmse_pass1 < 1e-3 and cal[0].rmse_pass2 < 1e-3, cal
 
     surf = arts["error-smooth_tps_default"].collect()
-    assert len(surf) == 48  # 8 x 6 grid, one user
+    # r13: the profile carries the reference's surface grid — (300,
+    # 400) = (vres, hres) on linspace(0, 1) — so a replayed reference
+    # config reproduces the reference's surface SHAPE (r12 verdict #4)
+    assert len(surf) == 300 * 400  # one user
+    xs = {r.grid_x for r in surf}
+    assert len(xs) == 400 and min(xs) == 0.0 and max(xs) == 1.0
     assert all(r.err_est < 0.05 for r in surf), sorted(
         r.err_est for r in surf
     )[-3:]
@@ -2076,8 +2081,10 @@ def test_run_profile_chain_binocular_reference_chain(spark):
         assert abs(r.gaze_x - gx) < 1e-5 and abs(r.gaze_y - gy) < 1e-5, r
 
     # the error surface over the binocular mapped error is ~zero
+    # (r13: at the reference's full-image (300, 400) grid the profile
+    # now carries)
     surf = arts["error-smooth_tps_default"].collect()
-    assert len(surf) == 48
+    assert len(surf) == 300 * 400
     assert all(r.err_est < 0.05 for r in surf), sorted(
         r.err_est for r in surf
     )[-3:]

@@ -106,16 +106,70 @@ _SURFACE_SCHEMA = "user_id bigint, grid_x double, grid_y double, err_est double"
 _GRID_X = np.linspace(0.1, 0.9, 8)
 _GRID_Y = np.linspace(0.1, 0.9, 6)
 
+# The reference's full-image surface grid:
+# vertical_horizontal_smooth_error_resolution=(300, 400) unpacks as
+# (vres, hres) — image ROWS then COLS — and the node positions are
+# hpix = linspace(0, 1, hres), vpix = linspace(0, 1, vres)
+# (error_computation.py:20, :152-162). The registered bench faces keep
+# the compact 8×6 grid spanning (0.1, 0.9) so their outputs stay
+# user×48; pass resolution/span to any surface face (or resolve an
+# error-smooth_* profile, which carries the reference default) to
+# reproduce the reference's surface shape.
+REFERENCE_RESOLUTION = (300, 400)
+REFERENCE_SPAN = (0.0, 1.0)
 
-def error_surface_tps(events: DataFrame, lambd: float = 0.01) -> DataFrame:
-    """TPS error surface evaluated on a coarse grid
-    (error_computation.py:173, method='tps'), per user on cluster-median
-    points. Output is user × 48 grid values — tiny at any scale."""
-    return error_surface_tps_points(_pointwise_error(events), lambd=lambd)
+
+def grid_nodes(
+    resolution: tuple[int, int] | float | None = None,
+    span: tuple[float, float] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Surface grid nodes (grid_x, grid_y) for the error faces.
+
+    ``resolution=None, span=None`` → the engine's 8×6 bench grid.
+    ``resolution=(vres, hres)`` mirrors the reference kwarg order
+    (rows, cols); a SCALAR resolution is the reference's
+    fraction-of-image_resolution path (error_computation.py:152-155:
+    ``(image_resolution * res).astype(int)`` with image_resolution =
+    (W, H), so hres scales the width). ``span`` defaults to the
+    reference's linspace(0, 1) when any knob is set."""
+    if resolution is None and span is None:
+        return _GRID_X, _GRID_Y
+    if resolution is None:
+        resolution = REFERENCE_RESOLUTION
+    if isinstance(resolution, (tuple, list)):
+        vres, hres = resolution
+    else:
+        hres = int(P.IMAGE_W * resolution)
+        vres = int(P.IMAGE_H * resolution)
+    lo, hi = REFERENCE_SPAN if span is None else span
+    return (
+        np.linspace(float(lo), float(hi), int(hres)),
+        np.linspace(float(lo), float(hi), int(vres)),
+    )
+
+
+def error_surface_tps(
+    events: DataFrame,
+    lambd: float = 0.01,
+    resolution: tuple[int, int] | float | None = None,
+    span: tuple[float, float] | None = None,
+) -> DataFrame:
+    """TPS error surface evaluated on a grid (error_computation.py:173,
+    method='tps'), per user on cluster-median points. Default is the
+    compact 8×6 bench grid (user × 48 values); resolution/span reach
+    the reference's full-image (300, 400) / linspace(0, 1) grid — see
+    grid_nodes."""
+    return error_surface_tps_points(
+        _pointwise_error(events), lambd=lambd,
+        resolution=resolution, span=span,
+    )
 
 
 def error_surface_tps_points(
-    e: DataFrame, lambd: float = 0.01
+    e: DataFrame,
+    lambd: float = 0.01,
+    resolution: tuple[int, int] | float | None = None,
+    span: tuple[float, float] | None = None,
 ) -> DataFrame:
     """POINT-TABLE face of error_surface_tps (r11, the
     calibration_*_points convention): ``e`` carries (user_id, t, mx,
@@ -124,6 +178,7 @@ def error_surface_tps_points(
     of real pixel detections (plans/profiles.py:run_profile_chain).
     The cluster-median reduction happens here so every caller gets the
     same bounded per-group size."""
+    grid_x, grid_y = grid_nodes(resolution, span)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 5:
@@ -133,7 +188,7 @@ def error_surface_tps_points(
         xy = pdf[["mx", "my"]].to_numpy()
         v = pdf["err"].to_numpy()
         theta = tps_fit(xy, v, lambd)
-        gx, gy = np.meshgrid(_GRID_X, _GRID_Y)
+        gx, gy = np.meshgrid(grid_x, grid_y)
         pts = np.column_stack([gx.ravel(), gy.ravel()])
         est = tps_eval(pts, xy, theta)
         # reference floors the surface at the minimum observed error (:200)
@@ -166,7 +221,10 @@ _TPS_CV_LAMBDAS = tuple(10.0 ** (-6.0 + 7.0 * i / 15.0) for i in range(16))
 
 
 def error_surface_tps_cv(
-    events: DataFrame, lambdas: tuple = _TPS_CV_LAMBDAS
+    events: DataFrame,
+    lambdas: tuple = _TPS_CV_LAMBDAS,
+    resolution: tuple[int, int] | float | None = None,
+    span: tuple[float, float] | None = None,
 ) -> DataFrame:
     """``compute_error(method='tps_cv')`` — the reference's DEFAULT
     error-surface method (error_computation.py:20,:183-198): per user,
@@ -179,18 +237,23 @@ def error_surface_tps_cv(
     tests/test_numerics.py), so the per-user cost is one O(n³) solve
     per lambda over CLUSTER-REDUCED points, not n refits."""
     return error_surface_tps_cv_points(
-        _pointwise_error(events), lambdas=lambdas
+        _pointwise_error(events), lambdas=lambdas,
+        resolution=resolution, span=span,
     )
 
 
 def error_surface_tps_cv_points(
-    e: DataFrame, lambdas: tuple = _TPS_CV_LAMBDAS
+    e: DataFrame,
+    lambdas: tuple = _TPS_CV_LAMBDAS,
+    resolution: tuple[int, int] | float | None = None,
+    span: tuple[float, float] | None = None,
 ) -> DataFrame:
     """POINT-TABLE face of error_surface_tps_cv (the
     calibration_*_points convention)."""
     from vedb_gaze_spark.functions.tps import tps_fit_cv
 
     lam_grid = np.asarray(lambdas, dtype=float)
+    grid_x, grid_y = grid_nodes(resolution, span)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 5:
@@ -208,7 +271,7 @@ def error_surface_tps_cv_points(
         v = pdf["err"].to_numpy()
         lam, _ = tps_fit_cv(xy, v, lam_grid)
         theta = tps_fit(xy, v, lam)
-        gx, gy = np.meshgrid(_GRID_X, _GRID_Y)
+        gx, gy = np.meshgrid(grid_x, grid_y)
         pts = np.column_stack([gx.ravel(), gy.ravel()])
         est = tps_eval(pts, xy, theta)
         est = np.maximum(est, v.min())  # the :200 floor
@@ -262,11 +325,15 @@ def _box_blur(img: np.ndarray, kh: int, kw: int) -> np.ndarray:
 
 
 def _surface_grid_indexed(
-    e: DataFrame, smoothing: tuple[int, int] | None = None
+    e: DataFrame,
+    smoothing: tuple[int, int] | None = None,
+    resolution: tuple[int, int] | float | None = None,
+    span: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Internal grid face carrying node indices (ix, iy) so the QC
     rollup can key gaze-histogram bins to surface nodes without
     re-deriving positions from float grid coordinates."""
+    grid_x, grid_y = grid_nodes(resolution, span)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -295,9 +362,9 @@ def _surface_grid_indexed(
         if len(xy) < 4:
             return empty
         v = np.bincount(inv, weights=arr[:, 2]) / np.bincount(inv)
-        gx, gy = np.meshgrid(_GRID_X, _GRID_Y)
+        gx, gy = np.meshgrid(grid_x, grid_y)
         ixg, iyg = np.meshgrid(
-            np.arange(len(_GRID_X)), np.arange(len(_GRID_Y))
+            np.arange(len(grid_x)), np.arange(len(grid_y))
         )
         pts = np.column_stack([gx.ravel(), gy.ravel()])
         est = interp_linear(xy, v, pts)
@@ -309,7 +376,7 @@ def _surface_grid_indexed(
             # <= the data max, so the r12 fill biased blurred values
             # near the hull boundary low) — box-blurred, then the hull
             # mask restored: the blur smooths INSIDE the hull only
-            img = est.reshape(len(_GRID_Y), len(_GRID_X))
+            img = est.reshape(len(grid_y), len(grid_x))
             nanmask = np.isnan(img)
             if not nanmask.all():
                 filled = np.where(nanmask, v.max(), img)
@@ -344,7 +411,10 @@ def _surface_grid_indexed(
 
 
 def error_surface_grid(
-    events: DataFrame, smoothing: tuple[int, int] | None = None
+    events: DataFrame,
+    smoothing: tuple[int, int] | None = None,
+    resolution: tuple[int, int] | float | None = None,
+    span: tuple[float, float] | None = None,
 ) -> DataFrame:
     """``compute_error(method='griddata')`` (error_computation.py:165):
     hull-bounded scattered interpolation of the pointwise error field
@@ -358,24 +428,36 @@ def error_surface_grid(
     pixel-space error) is the same distributed _pointwise_error spine
     every §2.E face shares. ``smoothing`` is the reference's optional
     error_smoothing_kernels box blur (:168-172), applied inside the
-    hull only (NaNs filled with the surface max for the blur, then
-    restored — the reference's exact recipe)."""
+    hull only (NaNs filled with the max OBSERVED pointwise error for
+    the blur, then restored — the reference's np.nanmax(gaze_err)
+    fill). ``resolution``/``span`` reach the reference's full-image
+    (300, 400) / linspace(0, 1) grid (grid_nodes); default stays the
+    8×6 bench grid so the registered key's output is user × 48."""
     return error_surface_grid_points(
-        _pointwise_error(events), smoothing=smoothing
+        _pointwise_error(events), smoothing=smoothing,
+        resolution=resolution, span=span,
     )
 
 
 def error_surface_grid_points(
-    e: DataFrame, smoothing: tuple[int, int] | None = None
+    e: DataFrame,
+    smoothing: tuple[int, int] | None = None,
+    resolution: tuple[int, int] | float | None = None,
+    span: tuple[float, float] | None = None,
 ) -> DataFrame:
     """POINT-TABLE face of error_surface_grid (the calibration_*_points
     convention): ``e`` carries (user_id, t, mx, my, err)."""
-    return _surface_grid_indexed(e, smoothing=smoothing).select(
-        "user_id", "grid_x", "grid_y", "err_est"
-    )
+    return _surface_grid_indexed(
+        e, smoothing=smoothing, resolution=resolution, span=span
+    ).select("user_id", "grid_x", "grid_y", "err_est")
 
 
-def error_grid_qc(events: DataFrame, gaze: DataFrame | None = None) -> DataFrame:
+def error_grid_qc(
+    events: DataFrame,
+    gaze: DataFrame | None = None,
+    resolution: tuple[int, int] | float | None = None,
+    span: tuple[float, float] | None = None,
+) -> DataFrame:
     """The interpolated-gaze QC rollup of the griddata path
     (error_computation.py:204-213): histogram the session's gaze
     positions onto the surface's node bins, then per user report
@@ -394,8 +476,12 @@ def error_grid_qc(events: DataFrame, gaze: DataFrame | None = None) -> DataFrame
     ``gaze`` (optional, default the events signal view) overrides the
     gaze-position table: (user_id, gx, gy) — the reference reads
     gaze['norm_pos'], which CAN leave [0,1]^2 for poorly calibrated
-    sessions; out-of-range rows are dropped per np.histogram2d."""
-    nx, ny = len(_GRID_X), len(_GRID_Y)
+    sessions; out-of-range rows are dropped per np.histogram2d.
+    ``resolution``/``span`` select the surface grid (grid_nodes); the
+    gaze histogram always bins on [0,1] edges with one bin per node,
+    exactly the reference's linspace(0, 1, n+1) edges."""
+    grid_x, grid_y = grid_nodes(resolution, span)
+    nx, ny = len(grid_x), len(grid_y)
     g = with_gaze(events) if gaze is None else gaze
     # np.histogram2d with edges linspace(0, 1, n+1) DROPS gaze outside
     # [0,1]^2 from both the total and the weighting (ADVICE r12 #2 —
@@ -413,9 +499,9 @@ def error_grid_qc(events: DataFrame, gaze: DataFrame | None = None) -> DataFrame
         .groupBy("user_id", "ix", "iy")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    surface = _surface_grid_indexed(_pointwise_error(events)).select(
-        "user_id", "ix", "iy", "err_est"
-    )
+    surface = _surface_grid_indexed(
+        _pointwise_error(events), resolution=resolution, span=span
+    ).select("user_id", "ix", "iy", "err_est")
     joined = counts.join(
         F.broadcast(surface), ["user_id", "ix", "iy"], "left"
     )

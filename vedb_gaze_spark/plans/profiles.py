@@ -189,14 +189,25 @@ def _build() -> dict[str, Profile]:
         "map — folded into the calibration operators' map stage; the "
         "linear face is the registered/oracled form.",
     )
+    # every error profile carries the reference's surface grid —
+    # vertical_horizontal_smooth_error_resolution=(300, 400) on
+    # linspace(0, 1) (error_computation.py:20,:158-162) — so replaying
+    # a reference config reproduces the reference's surface SHAPE; the
+    # registered bench keys keep the compact 8x6 grid (operators/
+    # error.py grid_nodes).
+    ref_grid = {"resolution": (300, 400), "span": (0.0, 1.0)}
     p["error-smooth_tps_default"] = Profile(
         "error",
         error_surface_tps,
-        {},
-        "compute_error's tps error surface (error_computation.py:18).",
+        dict(ref_grid),
+        "compute_error's tps error surface (error_computation.py:18) "
+        "at the reference's (300, 400) image-fraction grid.",
     )
     p["error-smooth_tps_lambda0p1"] = Profile(
-        "error", error_surface_tps, {"lambd": 0.1}, "lambda=0.1 surface."
+        "error",
+        error_surface_tps,
+        {"lambd": 0.1, **ref_grid},
+        "lambda=0.1 surface.",
     )
     for tag in (
         "smooth_tps_cv_clust_med_outlier4std",
@@ -210,7 +221,7 @@ def _build() -> dict[str, Profile]:
         p[f"error-{tag}"] = Profile(
             "error",
             error_surface_tps_cv,
-            {},
+            dict(ref_grid),
             "tps_cv error surface (r12: the true LOO-lambda-selected "
             "operator — compute_error's DEFAULT method, "
             "error_computation.py:20/:183); fov* tags rescale "
