@@ -329,10 +329,16 @@ def _surface_grid_indexed(
     smoothing: tuple[int, int] | None = None,
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
+    interp: str = "cubic",
 ) -> DataFrame:
     """Internal grid face carrying node indices (ix, iy) so the QC
     rollup can key gaze-histogram bins to surface nodes without
-    re-deriving positions from float grid coordinates."""
+    re-deriving positions from float grid coordinates. ``interp`` is
+    'cubic' (the reference's griddata method — C¹ Clough-Tocher,
+    functions/delaunay.py interp_cubic, the r13 default) or 'linear'
+    (the r12 barycentric variant; same hull/NaN semantics)."""
+    if interp not in ("cubic", "linear"):
+        raise ValueError(f"interp must be 'cubic' or 'linear': {interp!r}")
     grid_x, grid_y = grid_nodes(resolution, span)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -350,7 +356,12 @@ def _surface_grid_indexed(
             # reference raises below 4 points (:146); a distributed
             # sweep degrades to no-surface-for-this-user instead
             return empty
-        from vedb_gaze_spark.functions.delaunay import interp_linear
+        from vedb_gaze_spark.functions.delaunay import (
+            interp_cubic,
+            interp_linear,
+        )
+
+        interp_fn = interp_cubic if interp == "cubic" else interp_linear
 
         # dedup coincident cluster medians (Delaunay precondition):
         # mean err per exact position, deterministic (lexsorted) order.
@@ -367,7 +378,7 @@ def _surface_grid_indexed(
             np.arange(len(grid_x)), np.arange(len(grid_y))
         )
         pts = np.column_stack([gx.ravel(), gy.ravel()])
-        est = interp_linear(xy, v, pts)
+        est = interp_fn(xy, v, pts)
         if smoothing is not None:
             # error_smoothing_kernels (:168-172): NaNs filled with the
             # max OBSERVED pointwise error — np.nanmax(gaze_err), i.e.
@@ -415,15 +426,18 @@ def error_surface_grid(
     smoothing: tuple[int, int] | None = None,
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
+    interp: str = "cubic",
 ) -> DataFrame:
     """``compute_error(method='griddata')`` (error_computation.py:165):
     hull-bounded scattered interpolation of the pointwise error field
-    onto the coarse evaluation grid — scipy-free Delaunay + barycentric
-    LINEAR blend (functions/delaunay.py; the reference calls scipy's
-    cubic variant — same hull/NaN semantics, simplex-local model), per
-    user on cluster-median points, NULL outside the convex hull (the
-    fill_value=nan / extrapolate=False contract), floored at the
-    minimum observed error (:200). Output user × 48 grid rows — tiny
+    onto the evaluation grid — scipy-free Delaunay + the C¹
+    Clough-Tocher CUBIC blend the reference's griddata call names
+    (method='cubic'; functions/delaunay.py interp_cubic, with
+    minimum-norm-network gradient estimation — interp='linear' keeps
+    the r12 barycentric variant), per user on cluster-median points,
+    NULL outside the convex hull (the fill_value=nan /
+    extrapolate=False contract), floored at the minimum observed
+    error (:200). Output user × 48 grid rows — tiny
     at any scale; the heavy lifting (matching, confidence gate,
     pixel-space error) is the same distributed _pointwise_error spine
     every §2.E face shares. ``smoothing`` is the reference's optional
@@ -435,7 +449,7 @@ def error_surface_grid(
     8×6 bench grid so the registered key's output is user × 48."""
     return error_surface_grid_points(
         _pointwise_error(events), smoothing=smoothing,
-        resolution=resolution, span=span,
+        resolution=resolution, span=span, interp=interp,
     )
 
 
@@ -444,11 +458,13 @@ def error_surface_grid_points(
     smoothing: tuple[int, int] | None = None,
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
+    interp: str = "cubic",
 ) -> DataFrame:
     """POINT-TABLE face of error_surface_grid (the calibration_*_points
     convention): ``e`` carries (user_id, t, mx, my, err)."""
     return _surface_grid_indexed(
-        e, smoothing=smoothing, resolution=resolution, span=span
+        e, smoothing=smoothing, resolution=resolution, span=span,
+        interp=interp,
     ).select("user_id", "grid_x", "grid_y", "err_est")
 
 

@@ -1346,14 +1346,16 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # declaration order, and ROTATES each round so every entry's official
 # record stays fresh. r13 window — EXACTLY 50 entries above the
 # boundary marker (r12 verdict #1/#3):
-#  (1) the two faces whose registered output changed this round:
+#  (1) the four faces whose registered output changed this round:
 #      embed_pca (r12's only red record — the face now posexplodes
-#      proj to scalar rows) and error_surface_tps_cv (the LOO lambda
-#      grid corrected to the reference's 16-point default list, so the
-#      winning lambda — and the surface — can differ from r12's).
+#      proj to scalar rows), error_surface_tps_cv (the LOO lambda
+#      grid corrected to the reference's 16-point default list),
+#      error_surface_grid + error_grid_qc (interp switched to the
+#      reference's C¹ Clough-Tocher cubic, the method its griddata
+#      call names).
 #  (2) the oldest official records, oldest-first: all 14 r8 rows +
-#      the 34 oldest r9 rows (clears 48 of the 62-key stale debt; the
-#      remaining 13 r9 rows head the r14 window).
+#      the 32 oldest r9 rows (clears 46 of the 62-key stale debt; the
+#      remaining 15 r9 rows head the r14 window).
 # Tail: remaining r9, then r10/r11 and the rows the r12 window
 # re-greened. Every entry is still re-proven locally each run by
 # tests/test_driver_parity.py regardless of window position.
@@ -1361,6 +1363,8 @@ _GATE_ORDER = [
     # -- (1) faces CHANGED this round, re-gate first ------------------
     "embed_pca",
     "error_surface_tps_cv",
+    "error_surface_grid",
+    "error_grid_qc",
     # -- (2) the 14 r8-recorded rows (oldest debt) --------------------
     "session_paths",
     "chunk_documents",
@@ -1409,11 +1413,11 @@ _GATE_ORDER = [
     "dsir_select",
     "dedup_substring",
     "dedup_substring_clean",
-    "event_transitions",
-    "dedup_ngram_jaccard",
     # ---- window boundary (exactly 50 entries above) ----------------
     # -- tail: remaining rows by record age --------------------------
     # -- remaining r9-recorded rows (r14 window debt) ----
+    "event_transitions",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
@@ -1535,8 +1539,6 @@ _GATE_ORDER = [
     "mine_triplets",
     "mine_hard_negatives_sq8",
     "calibration_3d_bundle",
-    "error_surface_grid",
-    "error_grid_qc",
     "mine_hard_negatives_ivfsq8",
     "ann_recall",
     "calibration_linear",
