@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""10x scaling slopes: dedup kernels, contrastive miners, capture ingest.
+"""10x scaling slopes: dedup kernels, miners, capture ingest, error surfaces.
 
 Dedup: rebuilds the r3 measurement on the CURRENT kernels (r10 verdict #6):
 two synthetic 50k-doc corpora derived from the sf0.1 documents table
@@ -30,7 +30,7 @@ r12 additions (r11 verdict #9):
   tests/test_sources.py).
 
 Usage: python scripts/slope_bench.py [--passes 2] [--out slope_r12.json]
-  [--families dedup,miners,ingest]
+  [--families dedup,miners,ingest,errors]
 Writes one JSON with per-instance per-kernel seconds + pair counts +
 recall, and prints it.
 """
@@ -149,6 +149,76 @@ MINER_KEYS = [
 ]
 
 
+def build_events_10x() -> str:
+    """10x the sf0.1 events table by USER count (1,500 -> 15,000
+    users): replicas shift user_id and event_id together, so every
+    replica user carries a distinct deterministic gaze signal (the
+    signal view derives positions from event_id). This scales the
+    GROUP COUNT of the per-user applyInPandas error-surface kernels —
+    the declared residual cost of the §2.E family (PERF_NOTES r12)."""
+    import pandas as pd
+
+    out_dir = os.path.join(TMP, "events10x")
+    out_path = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(out_path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    base = pd.read_parquet(os.path.join(BASE, "events.parquet"))
+    n_users = int(base["user_id"].max()) + 1
+    n_events = int(base["event_id"].max()) + 1
+    reps = []
+    for k in range(10):
+        r = base.copy()
+        r["user_id"] = r["user_id"] + k * n_users
+        r["event_id"] = r["event_id"] + k * n_events
+        reps.append(r)
+    pd.concat(reps, ignore_index=True).to_parquet(out_path, index=False)
+    return out_dir
+
+
+ERROR_KEYS = [
+    "error_surface_grid",
+    "error_surface_tps_cv",
+    "error_grid_qc",
+]
+
+
+def run_errors(spark, passes: int) -> dict:
+    """The §2.E surface family at 1x and 10x the USER count (r12
+    verdict #8): cluster-reduce + per-user numpy kernels, so wall
+    should grow ~linearly in groups (with the fixed distributed-spine
+    cost amortized); a superlinear slope would mean the per-group
+    overhead compounds and users-per-task batching needs work."""
+    from vedb_gaze_spark.plans.queries import QUERIES
+
+    dirs = {"base": BASE, "x10": build_events_10x()}
+    for key in ERROR_KEYS:
+        QUERIES[key](spark, WARM).collect()  # plan-shape warmup
+    spark._jvm.System.gc()
+    res: dict[str, dict] = {}
+    for inst, d in dirs.items():
+        res[inst] = {}
+        for key in ERROR_KEYS:
+            best, n_rows = None, None
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                n_rows = len(QUERIES[key](spark, d).collect())
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                spark._jvm.System.gc()
+            res[inst][key] = {"sec": round(best, 3), "rows": n_rows}
+            print(
+                f"[slope] {inst:5s} {key:28s} {best:8.2f} s rows={n_rows}",
+                file=sys.stderr, flush=True,
+            )
+    for key in ERROR_KEYS:
+        b = res["base"][key]["sec"]
+        res["x10"][f"{key}_slope"] = (
+            round(res["x10"][key]["sec"] / b, 2) if b else None
+        )
+    return res
+
+
 def run_miners(spark, passes: int) -> dict:
     from vedb_gaze_spark.plans.queries import QUERIES
 
@@ -255,7 +325,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(TMP, "slope_r12.json"))
-    ap.add_argument("--families", default="dedup,miners,ingest")
+    ap.add_argument("--families", default="dedup,miners,ingest,errors")
     args = ap.parse_args()
 
     from vedb_gaze_spark.plans.queries import QUERIES
@@ -271,6 +341,8 @@ def main() -> None:
             out["miners"] = run_miners(spark, args.passes)
         if "ingest" in families:
             out["ingest"] = run_ingest(spark, args.passes)
+        if "errors" in families:
+            out["errors"] = run_errors(spark, args.passes)
         with open(args.out, "w") as fh:
             json.dump(out, fh, indent=1)
         spark.stop()
@@ -332,6 +404,8 @@ def main() -> None:
         out["miners"] = run_miners(spark, args.passes)
     if "ingest" in families:
         out["ingest"] = run_ingest(spark, args.passes)
+    if "errors" in families:
+        out["errors"] = run_errors(spark, args.passes)
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
     spark.stop()

@@ -1672,19 +1672,28 @@ def _ivfpq_search(
 def sq8_stats(embeddings: DataFrame) -> list[tuple[float, float]]:
     """Per-dimension (min, max) of the embedding table — the SQ8 'model'
     (reference anchor: FAISS ScalarQuantizer QT_8bit train(), public
-    API). One posexplode + one dim-keyed groupBy whose output is EMB_DIM
-    rows — model state, the same collect class as the Lloyd's trainers.
-    min/max of doubles are exact element picks, so the Spark-collected
-    stats equal the oracle's SQL-computed stats bit-for-bit."""
+    API). ONE unrolled aggregate of 2·EMB_DIM min/max expressions over
+    element_at — no explode, no shuffle, map-side partial aggregation
+    straight to a single model-state row (r13: the previous
+    posexplode + pos-keyed groupBy shuffled a rows×dim intermediate —
+    ~1.7 s of every SQ8 face build at sf0.1, the family's dominant
+    cost; PERF_NOTES). min/max of doubles are exact element picks, so
+    the Spark-collected stats equal the oracle's SQL-computed stats
+    bit-for-bit."""
     v = _vecs(embeddings)
-    rows = (
-        v.select(F.posexplode("v").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-        .collect()
+    dim = P.EMB_DIM
+    # ONE selectExpr string → one py4j call, one global-agg job with a
+    # single array output field. Building this as 2·EMB_DIM Column
+    # objects costs ~0.45 s of py4j round trips PER CALL before Spark
+    # sees the plan, and the posexplode+groupBy it replaces paid an
+    # explode+shuffle job — both measured r13 (PERF_NOTES: the SQ8
+    # faces\' dominant cost was fixed per-call overhead, not data).
+    pairs = ", ".join(
+        f"min(element_at(v, {d + 1})), max(element_at(v, {d + 1}))"
+        for d in range(dim)
     )
-    by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in rows}
-    return [by_pos[i] for i in range(len(by_pos))]
+    arr = v.selectExpr(f"array({pairs}) AS s").collect()[0][0]
+    return [(arr[2 * d], arr[2 * d + 1]) for d in range(dim)]
 
 
 def sq8_encode(
@@ -1696,34 +1705,26 @@ def sq8_encode(
     each step is a single IEEE op on identical doubles in both engines,
     so codes are exactly reproducible (no summation order anywhere)."""
     v = _vecs(embeddings)
-    return v.select(
-        "vec_id", "v", F.array(*_sq8_code_cols(stats)).alias("codes")
+    return v.select("vec_id", "v", _sq8_codes_expr(stats).alias("codes"))
+
+
+def _sq8_codes_expr(stats: list[tuple[float, float]]) -> Column:
+    """array(<code_0>, …, <code_{D-1}>) as ONE parsed SQL string — the
+    encode definition sq8_encode and the index-growth path
+    (streaming/serving.py:append_ivfsq8_index) share. The [0, 255]
+    clamp is FAISS QT_8bit saturation semantics: encoding the
+    index-build corpus never leaves range (stats come from the data),
+    but append_ivfsq8_index reuses the STORED stats for new vectors,
+    and an appended value outside the original per-dim range must
+    saturate, not escape 8 bits. Mirrored in the ANN_SQ8 /
+    ANN_IVF_SQ8 / SQ8_RECALL oracle CASEs."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            _sq8_code_sql(d, mn, mx) for d, (mn, mx) in enumerate(stats)
+        )
+        + ")"
     )
-
-
-def _sq8_code_cols(stats: list[tuple[float, float]]) -> list[Column]:
-    """The per-dimension code expressions over a parsed `v` column —
-    the ONE encode definition sq8_encode and the index-growth path
-    (streaming/serving.py:append_ivfsq8_index) share."""
-    cols = []
-    for d, (mn, mx) in enumerate(stats):
-        x = F.element_at("v", d + 1)
-        if mx > mn:
-            code = F.floor(
-                (x - F.lit(mn)) / (F.lit(mx) - F.lit(mn)) * F.lit(255.0)
-                + F.lit(0.5)
-            ).cast("int")
-            # Clamp to [0, 255] (FAISS QT_8bit semantics): encoding the
-            # index-build corpus never leaves range (stats come from the
-            # data), but append_ivfsq8_index reuses the STORED stats for
-            # new vectors, and an appended value outside the original
-            # per-dim range must saturate, not escape 8 bits. Mirrored
-            # in the ANN_SQ8 / ANN_IVF_SQ8 / SQ8_RECALL oracle CASEs.
-            code = F.greatest(F.lit(0), F.least(F.lit(255), code))
-        else:  # degenerate constant dimension
-            code = F.lit(0)
-        cols.append(code)
-    return cols
 
 
 def ann_sq8(
@@ -1750,9 +1751,16 @@ def ann_sq8(
     neighbor_id tie-breaks."""
     stats = sq8_stats(embeddings)
     enc = sq8_encode(embeddings, stats)
+    # repartition = optimizer barrier (CollapseProject stops at an
+    # Exchange): the freshly-built array(64 code exprs) must reach the
+    # unrolled dot as an OPAQUE column, or Catalyst inlines the whole
+    # array construction into every element_at term (64x64 expression
+    # blowup — measured seconds of pure planning per call, PERF_NOTES
+    # r13). One tiny exchange of the 4x-compressed corpus; the stored-
+    # index serving path needs no barrier (parquet codes are opaque).
     corpus = enc.where(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"), "codes"
-    )
+    ).repartition("neighbor_id")
     queries = enc.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1760,24 +1768,51 @@ def ann_sq8(
 
 
 
-def _sq8_decoded(stats: list[tuple[float, float]]):
-    """Column: the SQ8 reconstruction x̂ from a `codes` column — decoded
-    ONCE per corpus row (plan-level strength reduction of the per-pair
-    decode; values identical, decode does not involve q)."""
-    mn_arr = F.array(*[F.lit(mn) for mn, _ in stats])
-    mx_arr = F.array(*[F.lit(mx) for _, mx in stats])
-    return F.transform(
-        "codes",
-        lambda c, i: F.element_at(mn_arr, i + F.lit(1))
-        + c.cast("double")
-        * (
-            (
-                F.element_at(mx_arr, i + F.lit(1))
-                - F.element_at(mn_arr, i + F.lit(1))
-            )
-            / F.lit(255.0)
-        ),
+def _sq8_code_sql(d: int, mn: float, mx: float, vec: str = "v") -> str:
+    """SQL text of one dimension's SQ8 code over a parsed ``vec``
+    column — the _sq8_codes_expr arithmetic verbatim (single-op IEEE
+    steps + the [0, 255] clamp), as a string so the inline faces can
+    fuse encode into the scoring expression."""
+    if mx <= mn:
+        return "0"
+    x = f"element_at({vec}, {d + 1})"
+    code = (
+        f"cast(floor(({x} - ({float(mn)!r})) / "
+        f"(({float(mx)!r}) - ({float(mn)!r})) * 255.0D + 0.5D) as int)"
     )
+    return f"greatest(0, least(255, {code}))"
+
+
+def _sq8_dot_expr(stats: list[tuple[float, float]], corpus_vec: str = "codes"):
+    """The SQ8 ADC dot ``Σ_d qv_d · (mn_d + codes_d·scale_d)`` as ONE
+    unrolled whole-stage-codegen expression with the frozen per-dim
+    (mn, scale) literals baked in — decode fused into the multiply, no
+    intermediate xhat array, no HigherOrderFunction (HOFs never enter
+    generated code and evaluate interpreted per pair — the embed_pca
+    lesson, re-measured on this kernel r13, PERF_NOTES).
+
+    ``corpus_vec="codes"`` reads a STORED/opaque codes column (the
+    serving path: parquet-backed indexes). ``corpus_vec="v"`` fuses
+    the ENCODE in as well, scoring straight off the parsed embedding —
+    the inline faces use this because feeding a freshly-built
+    array(64 code exprs) into 64 element_at terms invites Catalyst's
+    projection collapse to inline the whole array construction into
+    EVERY term (64×64 node blowup; measured ~2.3 s of pure
+    planning/codegen per ann_sq8 call at sf0.1, r13 PERF_NOTES).
+    Values are bit-identical on both paths: same code arithmetic, same
+    mn + code·scale decode, same left-assoc sum from 0.0, 6dp round."""
+    terms = []
+    for d, (mn, mx) in enumerate(stats):
+        scale = (mx - mn) / 255.0
+        if corpus_vec == "codes":
+            code = f"cast(element_at(codes, {d + 1}) as double)"
+        else:
+            code = f"cast({_sq8_code_sql(d, mn, mx, corpus_vec)} as double)"
+        terms.append(
+            f"(element_at(qv, {d + 1}) * (({float(mn)!r}) + "
+            f"{code} * ({float(scale)!r})))"
+        )
+    return F.expr("0D + " + " + ".join(terms))
 
 
 def _sq8_search(
@@ -1787,6 +1822,7 @@ def _sq8_search(
     k: int = P.ANN_K,
     pair_filter=None,
     extra: list[tuple[str, str]] | None = None,
+    corpus_vec: str = "codes",
 ) -> DataFrame:
     """Shared SQ8 ADC kernel — the batch registry face (ann_sq8) and the
     streaming server (streaming/serving.py:SQ8Serving) run THIS plan, so
@@ -1797,16 +1833,20 @@ def _sq8_search(
     ``pair_filter``/``extra`` (r11, both default-off): a per-pair
     predicate applied to the scored stream BEFORE the prune and extra
     (column, ddl) pairs carried through it — the hard-negative miner's
-    label gate rides the same kernel without a second corpus pass."""
-    corpus = codes.withColumn("xhat", _sq8_decoded(stats)).drop("codes")
-    dot = F.aggregate(
-        F.zip_with("qv", "xhat", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
-        "score_sq8", F.round(dot, 6)
-    )
+    label gate rides the same kernel without a second corpus pass.
+
+    r13: the ADC dot is one UNROLLED fused decode+multiply sum —
+    ``Σ_d qv_d · (mn_d + codes_d·scale_d)`` over scalar literals with
+    the same left-assoc order and per-term IEEE ops as the previous
+    aggregate(zip_with(...)) form, which (like every
+    HigherOrderFunction) evaluated INTERPRETED per pair and never
+    entered whole-stage codegen — the embed_pca lesson (PERF_NOTES
+    r12/r13: isolated ann_sq8 2.71 s before / after measured there;
+    the 6dp round bridges the oracle's SUM order exactly as
+    before)."""
+    scored = codes.crossJoin(F.broadcast(queries)).withColumn(
+        "score_sq8", F.round(_sq8_dot_expr(stats, corpus_vec), 6)
+    ).drop(corpus_vec)
     if pair_filter is not None:
         scored = scored.where(pair_filter)
     pruned = _partial_topk(
@@ -2015,9 +2055,10 @@ def ann_ivf_sq8(
         "dots", F.expr(_dots_expr_for(cents, "v"))
     )
     cell = (F.expr("array_position(dots, array_max(dots))") - 1).cast("int")
+    # repartition barrier: see ann_sq8
     corpus = enc.where(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"), "codes", cell.alias("cell")
-    )
+    ).repartition("neighbor_id")
     queries = enc.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -2055,6 +2096,7 @@ def _ivf_sq8_search(
     k: int = P.ANN_K,
     pair_filter=None,
     extra: list[tuple[str, str]] | None = None,
+    corpus_vec: str = "codes",
 ) -> DataFrame:
     """Shared IVF+SQ8 scoring kernel — the batch face (ann_ivf_sq8),
     the streaming server (streaming/serving.py:IVFSQ8Serving) and the
@@ -2066,21 +2108,21 @@ def _ivf_sq8_search(
     ``pair_filter``/``extra`` (r12, the _sq8_search hooks): a per-pair
     predicate applied to the scored stream BEFORE the prune and extra
     (column, ddl) pairs carried through it — the miner's label gate
-    rides the same cell-pruned kernel without a second index scan."""
+    rides the same cell-pruned kernel without a second index scan.
+
+    r13: the ADC dot is the same UNROLLED fused decode+multiply sum as
+    _sq8_search (whole-stage codegen; the HOF form evaluated
+    interpreted per pair) — term arithmetic, order and the 6dp round
+    unchanged, so scores are bit-identical."""
     corpus = codes.select(
         "neighbor_id",
-        _sq8_decoded(stats).alias("xhat"),
+        corpus_vec,
         "cell",
         *[c for c, _ in (extra or []) if c in codes.columns],
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "xhat", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     scored = corpus.join(F.broadcast(probed), "cell").withColumn(
-        "score_sq8", F.round(dot, 6)
-    )
+        "score_sq8", F.round(_sq8_dot_expr(stats, corpus_vec), 6)
+    ).drop(corpus_vec)
     if pair_filter is not None:
         scored = scored.where(pair_filter)
     pruned = _partial_topk(
@@ -2433,18 +2475,19 @@ def mine_hard_negatives_sq8(
         F.col("label").cast("int").alias("lbl"),
     )
     enc = base.select(
-        "vec_id", "v", "lbl", F.array(*_sq8_code_cols(stats)).alias("codes")
+        "vec_id", "v", "lbl", _sq8_codes_expr(stats).alias("codes")
     )
     queries = enc.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("lbl").alias("qlbl"),
     )
+    # repartition barrier: see ann_sq8
     codes = enc.where(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"),
         "codes",
         F.col("lbl").alias("nlbl"),
-    )
+    ).repartition("neighbor_id")
     out = _sq8_search(
         queries,
         codes,
@@ -2499,16 +2542,17 @@ def mine_hard_negatives_ivfsq8(
         "vec_id",
         "v",
         "lbl",
-        F.array(*_sq8_code_cols(stats)).alias("codes"),
+        _sq8_codes_expr(stats).alias("codes"),
         F.expr(_dots_expr_for(cents, "v")).alias("dots"),
     )
     cell = (F.expr("array_position(dots, array_max(dots))") - 1).cast("int")
+    # repartition barrier: see ann_sq8
     corpus = enc.where(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"),
         "codes",
         cell.alias("cell"),
         F.col("lbl").alias("nlbl"),
-    )
+    ).repartition("neighbor_id")
     queries = enc.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -606,7 +606,7 @@ def append_ivfsq8_index(embeddings_new: DataFrame, path: str) -> None:
     over the grown index ≡ the shared kernel over old ∪ new."""
     from vedb_gaze_spark.operators.similarity import (
         _dots_expr_for,
-        _sq8_code_cols,
+        _sq8_codes_expr,
         _vecs,
     )
 
@@ -624,7 +624,7 @@ def append_ivfsq8_index(embeddings_new: DataFrame, path: str) -> None:
         "dots", F.expr(_dots_expr_for(cents, "v"))
     ).select(
         F.col("vec_id").alias("neighbor_id"),
-        F.array(*_sq8_code_cols(stats)).alias("codes"),
+        _sq8_codes_expr(stats).alias("codes"),
         (F.expr("array_position(dots, array_max(dots))") - 1)
         .cast("int")
         .alias("cell"),
