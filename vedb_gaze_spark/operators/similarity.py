@@ -294,24 +294,25 @@ def ann_cosine_topk(
     )
 
 
-def _bucket(v: Column) -> Column:
+def _bucket(vec_col: str = "v") -> Column:
     """Sign-bit bucket from the fixed hyperplanes: bit p set iff
     round(dot(v, plane_p), 6) > 0 — the dot is quantized before the sign
     test (mirrored in the oracle) so summation-order float drift cannot
-    flip a bucket in one engine only."""
-    bucket = F.lit(0)
+    flip a bucket in one engine only. ONE parsed SQL string: the r12
+    form built 64 F.lit Columns per plane (512 py4j round trips per
+    face call) and evaluated each dot through an interpreted HOF chain
+    (PERF_NOTES r13); the unrolled sum keeps the identical
+    left-assoc term order and the pre-sign 6dp round."""
+    parts = []
     for p, plane in enumerate(P.LSH_PLANES):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        dot = F.round(
-            F.aggregate(
-                F.zip_with(v, lit_plane, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
+        dot = "0D + " + " + ".join(
+            f"({float(x)!r}) * element_at({vec_col}, {i + 1})"
+            for i, x in enumerate(plane)
         )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+        parts.append(
+            f"(CASE WHEN round({dot}, 6) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return F.expr(" + ".join(parts))
 
 
 def ann_lsh(
@@ -343,7 +344,7 @@ def ann_lsh(
     recall (tests/test_plans.py::test_ann_lsh_multiprobe_recall_on_
     planted_near_duplicates), rising further with standard band-OR
     composition (dedup_embedding_lsh's banding)."""
-    v = _vecs(embeddings).withColumn("bucket", _bucket(F.col("v")))
+    v = _vecs(embeddings).withColumn("bucket", _bucket("v"))
     queries = v.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
     )
@@ -657,10 +658,15 @@ def vector_norm(embeddings: DataFrame) -> DataFrame:
     """L2 norm of each embedding — the vector twin of odometry.py:99's
     absolute_linear_velocity (np.linalg.norm over stream vectors)."""
     v = _vecs(embeddings)
-    norm = F.sqrt(
-        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    # unrolled codegen sum (HOFs evaluate interpreted; same left-assoc
+    # order as the aggregate form it replaces — PERF_NOTES r13)
+    sq = "0D + " + " + ".join(
+        f"element_at(v, {d + 1}) * element_at(v, {d + 1})"
+        for d in range(P.EMB_DIM)
     )
-    return v.select("vec_id", F.round(norm, 6).alias("l2_norm"))
+    return v.select(
+        "vec_id", F.expr(f"round(sqrt({sq}), 6)").alias("l2_norm")
+    )
 
 
 def rp_signs(
