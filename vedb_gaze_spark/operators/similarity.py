@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vedb_gaze_spark.functions.core import cosine_similarity, iter_checkpoint
+from vedb_gaze_spark.functions.core import cosine_expr, iter_checkpoint
 from vedb_gaze_spark.plans import params as P
 
 
@@ -119,7 +119,7 @@ def _exact_rescore(cand: DataFrame, v: DataFrame) -> DataFrame:
     output is independent of how candidates were generated."""
     a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    cos = F.round(cosine_expr("va", "vb", P.EMB_DIM), 6)
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
@@ -283,7 +283,7 @@ def ann_cosine_topk(
     corpus = v.where(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
     )
-    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
+    cos = F.round(cosine_expr("qv", "nv", P.EMB_DIM), 6)
     scored = corpus.crossJoin(F.broadcast(queries)).withColumn("cosine", cos)
     pruned = _partial_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -362,7 +362,7 @@ def ann_lsh(
     corpus = v.where(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "bucket"
     )
-    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
+    cos = F.round(cosine_expr("qv", "nv", P.EMB_DIM), 6)
     scored = corpus.join(F.broadcast(queries), "bucket").withColumn("cosine", cos)
     # in-bucket volume is ≈ corpus/buckets per query, but the same
     # q-reducer window bottleneck applies — prune partition-locally first
@@ -497,8 +497,6 @@ def score_label_margins(
     since an unseen label excludes none of them. Downstream gates
     filter on margin IS NULL to route unseen-label rows to re-training
     instead of averaging nulls away."""
-    from vedb_gaze_spark.functions.core import cosine_similarity
-
     if len(cents) < 2:
         raise ValueError(
             "score_label_margins needs a frozen model with >=2 labels "
@@ -515,10 +513,7 @@ def score_label_margins(
         (
             int(lbl),
             F.round(
-                cosine_similarity(
-                    F.col("v"), F.array(*[F.lit(float(c)) for c in cv])
-                ),
-                6,
+                cosine_expr("v", [float(c) for c in cv], P.EMB_DIM), 6
             ),
         )
         for lbl, cv in sorted(cents)
@@ -580,7 +575,7 @@ def label_separation(embeddings: DataFrame) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
     )
     carr = label_centroids(embeddings).select("label", "cv")
-    cosr = F.round(cosine_similarity(F.col("v"), F.col("cv")), 6)
+    cosr = F.round(cosine_expr("v", "cv", P.EMB_DIM), 6)
     intra = (
         v.join(F.broadcast(carr), "label")
         .select(
@@ -599,7 +594,7 @@ def label_separation(embeddings: DataFrame) -> DataFrame:
     )
     a = carr.select(F.col("label").alias("label"), F.col("cv").alias("acv"))
     b = carr.select(F.col("label").alias("nn_label"), F.col("cv").alias("bcv"))
-    ccos = F.round(cosine_similarity(F.col("acv"), F.col("bcv")), 6)
+    ccos = F.round(cosine_expr("acv", "bcv", P.EMB_DIM), 6)
     w = Window.partitionBy("label").orderBy(F.desc("nn_cos"), "nn_label")
     nearest = (
         a.crossJoin(F.broadcast(b))
@@ -843,7 +838,7 @@ def ann_ivf_trained(
     probed = probes.withColumn("pr", F.row_number().over(wprobe)).where(
         F.col("pr") <= n_probes
     )
-    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
+    cos = F.round(cosine_expr("qv", "nv", P.EMB_DIM), 6)
     scored = corpus.join(
         F.broadcast(probed.select("query_id", "qv", "cell")), "cell"
     ).withColumn("cosine", cos)
@@ -898,7 +893,7 @@ def ann_ivf(
     probed = probes.withColumn("pr", F.row_number().over(wprobe)).where(
         F.col("pr") <= n_probes
     )
-    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
+    cos = F.round(cosine_expr("qv", "nv", P.EMB_DIM), 6)
     scored = corpus.join(
         F.broadcast(probed.select("query_id", "qv", "cell")), "cell"
     ).withColumn("cosine", cos)
@@ -1411,7 +1406,7 @@ def _pq_rerank(
         .select("query_id", "neighbor_id", F.col("cosine").alias("adc_score"))
     )
     qfull = queries.select("query_id", "qv")
-    exact = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
+    exact = F.round(cosine_expr("qv", "nv", P.EMB_DIM), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         cand.join(full_vectors, "neighbor_id")
@@ -2186,7 +2181,7 @@ def mine_hard_negatives(
         F.col("v").alias("nv"),
         F.col("lbl").alias("nlbl"),
     )
-    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
+    cos = F.round(cosine_expr("qv", "nv", P.EMB_DIM), 6)
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .where(F.col("nlbl") != F.col("qlbl"))
@@ -2247,7 +2242,7 @@ def mine_triplets(
         F.col("v").alias("nv"),
         F.col("lbl").alias("nlbl"),
     )
-    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
+    cos = F.round(cosine_expr("qv", "nv", P.EMB_DIM), 6)
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .withColumn("cosine", cos)
