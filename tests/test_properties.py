@@ -867,3 +867,4 @@ def test_direct_ellipse_fit_is_exact_on_any_analytic_ellipse(
     if ratio < 0.97:  # orientation defined
         d = abs(gang - ang) % 180.0
         assert min(d, 180.0 - d) < 0.1, (gang, ang)
+

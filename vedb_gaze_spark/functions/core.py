@@ -59,31 +59,6 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-def _vec_sql(side, dim: int) -> list[str]:
-    """Per-element SQL texts for one cosine operand: a column NAME
-    yields element_at references, a list of floats yields literals
-    (no F.lit py4j round trips)."""
-    if isinstance(side, str):
-        return [f"element_at({side}, {i + 1})" for i in range(dim)]
-    return [f"({float(x)!r})" for x in side]
-
-
-def cosine_expr(a, b, dim: int) -> Column:
-    """cosine_similarity as ONE unrolled parsed SQL string — the hot
-    pair-scoring variant (r13). HigherOrderFunction chains never enter
-    whole-stage codegen and evaluate interpreted per ROW — ruinous on
-    (query × corpus) pair streams — and building per-element Column
-    objects costs a py4j round trip each (PERF_NOTES r13). ``a`` / ``b``
-    are column NAMES or literal float lists; term order and arithmetic
-    match cosine_similarity exactly (left-assoc sums from 0.0, sqrt,
-    dot/(na·nb)), so values are bit-identical and the same 6dp
-    round bridges the oracle."""
-    av, bv = _vec_sql(a, dim), _vec_sql(b, dim)
-    dot = "0D + " + " + ".join(f"{x} * {y}" for x, y in zip(av, bv))
-    na = "sqrt(0D + " + " + ".join(f"{x} * {x}" for x in av) + ")"
-    nb = "sqrt(0D + " + " + ".join(f"{y} * {y}" for y in bv) + ")"
-    return F.expr(f"({dot}) / ({na} * {nb})")
-
 
 def iter_checkpoint(df, eager: bool = True):
     """Lineage truncation for ITERATIVE spines (PageRank/HITS rounds,

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vedb_gaze_spark.functions.core import cosine_expr, iter_checkpoint
+from vedb_gaze_spark.functions.core import cosine_similarity, iter_checkpoint
 from vedb_gaze_spark.plans import params as P
 
 
@@ -119,7 +119,7 @@ def _exact_rescore(cand: DataFrame, v: DataFrame) -> DataFrame:
     output is independent of how candidates were generated."""
     a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = F.round(cosine_expr("va", "vb", P.EMB_DIM), 6)
+    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
@@ -283,7 +283,7 @@ def ann_cosine_topk(
     corpus = v.where(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
     )
-    cos = F.round(cosine_expr("qv", "nv", P.EMB_DIM), 6)
+    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
     scored = corpus.crossJoin(F.broadcast(queries)).withColumn("cosine", cos)
     pruned = _partial_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -298,21 +298,23 @@ def _bucket(vec_col: str = "v") -> Column:
     """Sign-bit bucket from the fixed hyperplanes: bit p set iff
     round(dot(v, plane_p), 6) > 0 — the dot is quantized before the sign
     test (mirrored in the oracle) so summation-order float drift cannot
-    flip a bucket in one engine only. ONE parsed SQL string: the r12
-    form built 64 F.lit Columns per plane (512 py4j round trips per
-    face call) and evaluated each dot through an interpreted HOF chain
-    (PERF_NOTES r13); the unrolled sum keeps the identical
-    left-assoc term order and the pre-sign 6dp round."""
-    parts = []
-    for p, plane in enumerate(P.LSH_PLANES):
-        dot = "0D + " + " + ".join(
-            f"({float(x)!r}) * element_at({vec_col}, {i + 1})"
-            for i, x in enumerate(plane)
-        )
-        parts.append(
-            f"(CASE WHEN round({dot}, 6) > 0 THEN {1 << p} ELSE 0 END)"
-        )
-    return F.expr(" + ".join(parts))
+    flip a bucket in one engine only. ONE parsed HOF string (the
+    _dots_expr_for shape): per-plane dots evaluate interpreted, which
+    the row volume keeps cheap — the r13 fully-unrolled CASE chain
+    (512 arithmetic terms) regressed the face 0.83 → 2.29 s isolated
+    on parse/codegen cost alone (PERF_NOTES r13)."""
+    mat = ", ".join(
+        "array(" + ", ".join(repr(float(x)) for x in plane) + ")"
+        for plane in P.LSH_PLANES
+    )
+    weights = ", ".join(str(1 << p) for p in range(len(P.LSH_PLANES)))
+    return F.expr(
+        f"aggregate(zip_with(transform(array({mat}), c -> "
+        f"round(aggregate(zip_with({vec_col}, c, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, x) -> acc + x), 6)), "
+        f"array({weights}), (d, w) -> CASE WHEN d > 0 THEN w ELSE 0 END), "
+        f"0, (acc, x) -> acc + x)"
+    )
 
 
 def ann_lsh(
@@ -362,7 +364,7 @@ def ann_lsh(
     corpus = v.where(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), "bucket"
     )
-    cos = F.round(cosine_expr("qv", "nv", P.EMB_DIM), 6)
+    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
     scored = corpus.join(F.broadcast(queries), "bucket").withColumn("cosine", cos)
     # in-bucket volume is ≈ corpus/buckets per query, but the same
     # q-reducer window bottleneck applies — prune partition-locally first
@@ -513,7 +515,15 @@ def score_label_margins(
         (
             int(lbl),
             F.round(
-                cosine_expr("v", [float(c) for c in cv], P.EMB_DIM), 6
+                cosine_similarity(
+                    F.col("v"),
+                    F.expr(
+                        "array("
+                        + ", ".join(repr(float(c)) for c in cv)
+                        + ")"
+                    ),
+                ),
+                6,
             ),
         )
         for lbl, cv in sorted(cents)
@@ -575,7 +585,7 @@ def label_separation(embeddings: DataFrame) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
     )
     carr = label_centroids(embeddings).select("label", "cv")
-    cosr = F.round(cosine_expr("v", "cv", P.EMB_DIM), 6)
+    cosr = F.round(cosine_similarity(F.col("v"), F.col("cv")), 6)
     intra = (
         v.join(F.broadcast(carr), "label")
         .select(
@@ -594,7 +604,7 @@ def label_separation(embeddings: DataFrame) -> DataFrame:
     )
     a = carr.select(F.col("label").alias("label"), F.col("cv").alias("acv"))
     b = carr.select(F.col("label").alias("nn_label"), F.col("cv").alias("bcv"))
-    ccos = F.round(cosine_expr("acv", "bcv", P.EMB_DIM), 6)
+    ccos = F.round(cosine_similarity(F.col("acv"), F.col("bcv")), 6)
     w = Window.partitionBy("label").orderBy(F.desc("nn_cos"), "nn_label")
     nearest = (
         a.crossJoin(F.broadcast(b))
@@ -716,25 +726,22 @@ def embed_project(
 
 
 def _centroid_dots_expr(vec_col: str) -> str:
-    """All centroid dot products as ONE expression over a single literal
-    centroid matrix. Expanding per-centroid expressions instead (16
-    copies of a 64-literal array through rounding + argmax chains) blows
-    the plan up enough that Catalyst analysis dominates runtime
-    (measured: 8.3 s → 1.5 s for the same job at sf0.1)."""
-    mat = ", ".join(
-        "array(" + ", ".join(repr(float(x)) for x in c) + ")"
-        for c in P.IVF_CENTROIDS
-    )
-    return (
-        f"transform(array({mat}), c -> "
-        f"round(aggregate(zip_with({vec_col}, c, (x, y) -> x * y), "
-        f"cast(0.0 as double), (acc, x) -> acc + x), 6))"
-    )
+    """All centroid dot products against P.IVF_CENTROIDS as ONE parsed
+    expression — see _dots_expr_for."""
+    return _dots_expr_for(P.IVF_CENTROIDS, vec_col)
 
 
 def _dots_expr_for(cents: list[list[float]], vec_col: str) -> str:
-    """Centroid dot products as ONE literal-matrix expression (the
-    _centroid_dots_expr lesson) for an arbitrary centroid set."""
+    """Centroid dot products as ONE literal-matrix HOF expression.
+    Measured bounds on this expression's form (PERF_NOTES r11/r13):
+    K separate py4j-built per-centroid expressions made Catalyst
+    analysis dominate (8.3 s → 1.5 s when collapsed to this single
+    transform); the r13 experiment of UNROLLING the K×dim matrix into
+    plain arithmetic went the other way (ann_ivf 0.84 → 15.2 s
+    isolated — parse/codegen of a ~1,000-term tree per face call
+    dwarfs the interpreted HOF eval at corpus sizes where rows are
+    thousands). The HOF stays: one py4j call, one small analysis
+    pass, per-row interpreted eval that the data volume keeps cheap."""
     mat = ", ".join(
         "array(" + ", ".join(repr(float(x)) for x in c) + ")" for c in cents
     )
@@ -838,7 +845,7 @@ def ann_ivf_trained(
     probed = probes.withColumn("pr", F.row_number().over(wprobe)).where(
         F.col("pr") <= n_probes
     )
-    cos = F.round(cosine_expr("qv", "nv", P.EMB_DIM), 6)
+    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
     scored = corpus.join(
         F.broadcast(probed.select("query_id", "qv", "cell")), "cell"
     ).withColumn("cosine", cos)
@@ -893,7 +900,7 @@ def ann_ivf(
     probed = probes.withColumn("pr", F.row_number().over(wprobe)).where(
         F.col("pr") <= n_probes
     )
-    cos = F.round(cosine_expr("qv", "nv", P.EMB_DIM), 6)
+    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
     scored = corpus.join(
         F.broadcast(probed.select("query_id", "qv", "cell")), "cell"
     ).withColumn("cosine", cos)
@@ -1406,7 +1413,7 @@ def _pq_rerank(
         .select("query_id", "neighbor_id", F.col("cosine").alias("adc_score"))
     )
     qfull = queries.select("query_id", "qv")
-    exact = F.round(cosine_expr("qv", "nv", P.EMB_DIM), 6)
+    exact = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         cand.join(full_vectors, "neighbor_id")
@@ -2181,7 +2188,7 @@ def mine_hard_negatives(
         F.col("v").alias("nv"),
         F.col("lbl").alias("nlbl"),
     )
-    cos = F.round(cosine_expr("qv", "nv", P.EMB_DIM), 6)
+    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .where(F.col("nlbl") != F.col("qlbl"))
@@ -2242,7 +2249,7 @@ def mine_triplets(
         F.col("v").alias("nv"),
         F.col("lbl").alias("nlbl"),
     )
-    cos = F.round(cosine_expr("qv", "nv", P.EMB_DIM), 6)
+    cos = F.round(cosine_similarity(F.col("qv"), F.col("nv")), 6)
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .withColumn("cosine", cos)
