@@ -630,7 +630,11 @@ def test_error_surface_tps_cv_selects_smoothing_and_reproduces_affine(spark):
     the same exact surface; (b) on a NOISY affine field the LOO sweep
     picks more smoothing than the interpolating end of the grid, and
     the surface stays closer to the clean field than the lambda=1e-6
-    interpolator (the reason tps_cv is the reference default)."""
+    interpolator (the reason tps_cv is the reference default); (c) the
+    reference's extrapolate=False default (r13): nodes OUTSIDE the fit
+    points' convex hull are NULL — the :197 mask by the griddata NaN
+    pattern — and passing extrapolate=True restores values
+    everywhere."""
     from vedb_gaze_spark.functions.tps import tps_eval, tps_fit
     from vedb_gaze_spark.operators.error import (
         _TPS_CV_LAMBDAS,
@@ -652,19 +656,49 @@ def test_error_surface_tps_cv_selects_smoothing_and_reproduces_affine(spark):
             rows, "user_id bigint, t double, mx double, my double, err double"
         )
 
-    # (a) noiseless affine: exact on every grid node
+    # (a) noiseless affine: exact on every IN-HULL grid node; the
+    # extrapolate=True face is exact on ALL nodes (affine TPS
+    # extrapolates exactly)
     clean = error_surface_tps_cv_points(table(np.zeros(24))).collect()
     assert len(clean) == 48
     floor = min(1.0 + 2.0 * x + 0.5 * y for x, y in pts)
+    n_in = n_out = 0
     for r in clean:
+        if r.err_est is None:
+            n_out += 1
+            continue
+        n_in += 1
+        want = max(1.0 + 2.0 * r.grid_x + 0.5 * r.grid_y, floor)
+        assert abs(r.err_est - want) < 1e-5, r
+    assert n_in >= 30  # pts span [0.05, 0.95]^2: most of the 8x6 grid
+    full = error_surface_tps_cv_points(
+        table(np.zeros(24)), extrapolate=True
+    ).collect()
+    assert all(r.err_est is not None for r in full)
+    for r in full:
         want = max(1.0 + 2.0 * r.grid_x + 0.5 * r.grid_y, floor)
         assert abs(r.err_est - want) < 1e-5, r
 
-    # (b) noisy affine: CV surface beats the pure interpolator
+    # (c) the masked set IS the hull complement (shared Delaunay hull)
+    from vedb_gaze_spark.functions.delaunay import interp_linear
+    from vedb_gaze_spark.operators.error import _GRID_X, _GRID_Y
+    gxg, gyg = np.meshgrid(_GRID_X, _GRID_Y)
+    nodes = np.column_stack([gxg.ravel(), gyg.ravel()])
+    probe = interp_linear(pts, np.zeros(24), nodes)
+    want_null = {
+        (x, y) for (x, y), p_ in zip(map(tuple, nodes), probe)
+        if np.isnan(p_)
+    }
+    got_null = {(r.grid_x, r.grid_y) for r in clean if r.err_est is None}
+    assert got_null == want_null
+    assert n_out == len(want_null)
+
+    # (b) noisy affine: CV surface beats the pure interpolator in-hull
     noise = rng.randn(24) * 0.3
     noisy = {
         (r.grid_x, r.grid_y): r.err_est
         for r in error_surface_tps_cv_points(table(noise)).collect()
+        if r.err_est is not None
     }
     theta = tps_fit(pts, 1.0 + 2.0 * pts[:, 0] + 0.5 * pts[:, 1] + noise,
                     _TPS_CV_LAMBDAS[0])

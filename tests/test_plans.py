@@ -1861,12 +1861,17 @@ def test_run_profile_chain_reference_default_chain(spark):
     surf = arts["error-smooth_tps_default"].collect()
     # r13: the profile carries the reference's surface grid — (300,
     # 400) = (vres, hres) on linspace(0, 1) — so a replayed reference
-    # config reproduces the reference's surface SHAPE (r12 verdict #4)
+    # config reproduces the reference's surface SHAPE (r12 verdict #4),
+    # and the reference's extrapolate=False default NULLs nodes outside
+    # the marker hull (error_computation.py:178 mask)
     assert len(surf) == 300 * 400  # one user
     xs = {r.grid_x for r in surf}
     assert len(xs) == 400 and min(xs) == 0.0 and max(xs) == 1.0
-    assert all(r.err_est < 0.05 for r in surf), sorted(
-        r.err_est for r in surf
+    in_hull = [r for r in surf if r.err_est is not None]
+    assert len(in_hull) > 1000  # markers span ~[0.26,0.76]x[0.2,0.53]
+    assert len(in_hull) < len(surf)  # full-image grid exceeds the hull
+    assert all(r.err_est < 0.05 for r in in_hull), sorted(
+        r.err_est for r in in_hull
     )[-3:]
 
 
@@ -2028,12 +2033,17 @@ def test_run_profile_chain_binocular_reference_chain(spark):
 
     eye, world = [], []
     for j in range(9):
-        # integer-exact family: eye0 at (40+15j, 2b), eye1 at
-        # (20+20j, 4b-20); marker at the shared image
+        # integer-exact family on a 3x3 GRID (r13: the error step's
+        # extrapolate=False hull mask needs non-degenerate marker
+        # geometry — the old both-linear-in-j layout was COLLINEAR,
+        # which even the reference's griddata hull would reject):
+        # eye0 at (40+30c, 18+12r); eye1 solves the shared image
         # mx = 0.1+0.8·px0 = 0.2+0.6·px1, my = 0.05+0.5·py0 = 0.1+0.25·py1
-        b = 9 + 2 * j
-        cx0, cy0 = 40 + 15 * j, 2 * b
-        cx1, cy1 = 20 + 20 * j, 4 * b - 20
+        # → cx1 = (4·cx0−100)/3, cy1 = 2·cy0−20 (all integers here)
+        r_, c_ = divmod(j, 3)
+        cx0, cy0 = 40 + 30 * c_, 18 + 12 * r_
+        cx1, cy1 = (4 * cx0 - 100) // 3, 2 * cy0 - 20
+        assert (4 * cx0 - 100) % 3 == 0
         assert 12 <= cx1 < EW - 12 and 8 <= cy1 < EH - 8
         eye.append((5, 2 * j, ts(j), eye_frame(cx0, cy0), 0))
         eye.append((5, 2 * j + 1, ts(j, 0.05), eye_frame(cx1, cy1), 1))
@@ -2082,11 +2092,13 @@ def test_run_profile_chain_binocular_reference_chain(spark):
 
     # the error surface over the binocular mapped error is ~zero
     # (r13: at the reference's full-image (300, 400) grid the profile
-    # now carries)
+    # now carries, hull-masked per extrapolate=False)
     surf = arts["error-smooth_tps_default"].collect()
     assert len(surf) == 300 * 400
-    assert all(r.err_est < 0.05 for r in surf), sorted(
-        r.err_est for r in surf
+    in_hull = [r for r in surf if r.err_est is not None]
+    assert 0 < len(in_hull) < len(surf)
+    assert all(r.err_est < 0.05 for r in in_hull), sorted(
+        r.err_est for r in in_hull
     )[-3:]
 
 

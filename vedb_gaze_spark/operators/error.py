@@ -148,20 +148,44 @@ def grid_nodes(
     )
 
 
+def _hull_mask(xy: np.ndarray, pts: np.ndarray, est: np.ndarray) -> np.ndarray:
+    """NaN ``est`` at grid points outside the convex hull of the fit
+    points ``xy`` — the reference's extrapolate=False contract: it
+    masks the tps/tps_cv surfaces wherever the griddata surface is
+    NaN (error_computation.py:178/:197), and griddata's NaN set IS the
+    complement of the points' convex hull. The test reuses the shared
+    Delaunay machinery on position-deduped points (interp_linear over
+    a zero field: finite inside the hull, NaN outside — hull identity
+    between the linear and cubic variants is pytest-pinned)."""
+    from vedb_gaze_spark.functions.delaunay import interp_linear
+
+    uxy = np.unique(xy, axis=0)
+    probe = interp_linear(uxy, np.zeros(len(uxy)), pts)
+    return np.where(np.isnan(probe), np.nan, est)
+
+
 def error_surface_tps(
     events: DataFrame,
     lambd: float = 0.01,
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
+    extrapolate: bool = False,
 ) -> DataFrame:
     """TPS error surface evaluated on a grid (error_computation.py:173,
     method='tps'), per user on cluster-median points. Default is the
     compact 8×6 bench grid (user × 48 values); resolution/span reach
     the reference's full-image (300, 400) / linspace(0, 1) grid — see
-    grid_nodes."""
+    grid_nodes. ``extrapolate`` mirrors compute_error's kwarg (default
+    FALSE, the reference default): when False the TPS estimate is
+    NULLed outside the fit points' convex hull — the reference masks
+    its tps/tps_cv surfaces by the griddata surface's NaN pattern
+    (error_computation.py:178/:197 ``gaze_err_image[np.isnan(tmp)] =
+    np.nan``), and the cubic/linear griddata hull is exactly the
+    convex hull of the points (r13; r12 shipped the extrapolating
+    variant only)."""
     return error_surface_tps_points(
         _pointwise_error(events), lambd=lambd,
-        resolution=resolution, span=span,
+        resolution=resolution, span=span, extrapolate=extrapolate,
     )
 
 
@@ -170,6 +194,7 @@ def error_surface_tps_points(
     lambd: float = 0.01,
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
+    extrapolate: bool = False,
 ) -> DataFrame:
     """POINT-TABLE face of error_surface_tps (r11, the
     calibration_*_points convention): ``e`` carries (user_id, t, mx,
@@ -191,7 +216,10 @@ def error_surface_tps_points(
         gx, gy = np.meshgrid(grid_x, grid_y)
         pts = np.column_stack([gx.ravel(), gy.ravel()])
         est = tps_eval(pts, xy, theta)
-        # reference floors the surface at the minimum observed error (:200)
+        if not extrapolate:
+            est = _hull_mask(xy, pts, est)
+        # reference floors the surface at the minimum observed error
+        # (:200); NaN (outside hull) propagates through np.maximum
         est = np.maximum(est, v.min())
         return pd.DataFrame(
             {
@@ -225,6 +253,7 @@ def error_surface_tps_cv(
     lambdas: tuple = _TPS_CV_LAMBDAS,
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
+    extrapolate: bool = False,
 ) -> DataFrame:
     """``compute_error(method='tps_cv')`` — the reference's DEFAULT
     error-surface method (error_computation.py:20,:183-198): per user,
@@ -235,10 +264,14 @@ def error_surface_tps_cv(
     the closed-form stacked-inverse kernel (functions/tps.py:
     tps_fit_cv — pinned ≡ the reference's explicit refit loop in
     tests/test_numerics.py), so the per-user cost is one O(n³) solve
-    per lambda over CLUSTER-REDUCED points, not n refits."""
+    per lambda over CLUSTER-REDUCED points, not n refits.
+    ``extrapolate`` (default False, the reference default) NULLs the
+    surface outside the fit points' convex hull, mirroring
+    error_computation.py:197's mask of the tps_cv surface by the
+    griddata NaN pattern — see error_surface_tps."""
     return error_surface_tps_cv_points(
         _pointwise_error(events), lambdas=lambdas,
-        resolution=resolution, span=span,
+        resolution=resolution, span=span, extrapolate=extrapolate,
     )
 
 
@@ -247,6 +280,7 @@ def error_surface_tps_cv_points(
     lambdas: tuple = _TPS_CV_LAMBDAS,
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
+    extrapolate: bool = False,
 ) -> DataFrame:
     """POINT-TABLE face of error_surface_tps_cv (the
     calibration_*_points convention)."""
@@ -274,7 +308,9 @@ def error_surface_tps_cv_points(
         gx, gy = np.meshgrid(grid_x, grid_y)
         pts = np.column_stack([gx.ravel(), gy.ravel()])
         est = tps_eval(pts, xy, theta)
-        est = np.maximum(est, v.min())  # the :200 floor
+        if not extrapolate:
+            est = _hull_mask(xy, pts, est)
+        est = np.maximum(est, v.min())  # the :200 floor (NaN passes)
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"].iloc[0],

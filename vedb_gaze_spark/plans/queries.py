@@ -1346,16 +1346,18 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # declaration order, and ROTATES each round so every entry's official
 # record stays fresh. r13 window — EXACTLY 50 entries above the
 # boundary marker (r12 verdict #1/#3):
-#  (1) the four faces whose registered output changed this round:
+#  (1) the five faces whose registered output changed this round:
 #      embed_pca (r12's only red record — the face now posexplodes
 #      proj to scalar rows), error_surface_tps_cv (the LOO lambda
-#      grid corrected to the reference's 16-point default list),
+#      grid corrected to the reference's 16-point default list + the
+#      extrapolate=False hull mask), error_surface_tps (hull mask —
+#      the reference's :178 extrapolate=False default),
 #      error_surface_grid + error_grid_qc (interp switched to the
 #      reference's C¹ Clough-Tocher cubic, the method its griddata
 #      call names).
 #  (2) the oldest official records, oldest-first: all 14 r8 rows +
-#      the 32 oldest r9 rows (clears 46 of the 62-key stale debt; the
-#      remaining 15 r9 rows head the r14 window).
+#      the 31 oldest r9 rows (clears 45 of the 62-key stale debt; the
+#      remaining 16 r9 rows head the r14 window).
 # Tail: remaining r9, then r10/r11 and the rows the r12 window
 # re-greened. Every entry is still re-proven locally each run by
 # tests/test_driver_parity.py regardless of window position.
@@ -1363,6 +1365,7 @@ _GATE_ORDER = [
     # -- (1) faces CHANGED this round, re-gate first ------------------
     "embed_pca",
     "error_surface_tps_cv",
+    "error_surface_tps",
     "error_surface_grid",
     "error_grid_qc",
     # -- (2) the 14 r8-recorded rows (oldest debt) --------------------
@@ -1400,7 +1403,6 @@ _GATE_ORDER = [
     "resample_tps",
     "calibration_rbf",
     "calibration_tps",
-    "error_surface_tps",
     "ann_ivf_trained",
     "q3_shipping_priority",
     "q5_local_supplier",
