@@ -571,7 +571,7 @@ def test_error_grid_qc_matches_numpy_recomputation(spark, sf_dir):
     from vedb_gaze_spark.operators.error import (
         _GRID_X,
         _GRID_Y,
-        _pointwise_error,
+        _reduced_error,
         _surface_grid_indexed,
         error_grid_qc,
     )
@@ -581,7 +581,9 @@ def test_error_grid_qc_matches_numpy_recomputation(spark, sf_dir):
     events = load_table(spark, "events", sf_dir)
     got = {r.user_id: r for r in error_grid_qc(events).collect()}
     surf = {}
-    for r in _surface_grid_indexed(_pointwise_error(events)).collect():
+    # the same surface the rollup keys against (r13: the reference-
+    # order spine — position medians, reduced-position error, 4σ cut)
+    for r in _surface_grid_indexed(_reduced_error(events)).collect():
         surf[(r.user_id, r.ix, r.iy)] = r.err_est
     nx, ny = len(_GRID_X), len(_GRID_Y)
     from collections import defaultdict
@@ -800,6 +802,76 @@ def test_reference_resolution_surface_matches_numpy(spark):
     # the (300, 400) reference default, shape-only (120k nodes/user)
     big = error_surface_grid_points(e, resolution=REFERENCE_RESOLUTION)
     assert big.count() == 300 * 400
+
+
+def test_reduced_error_is_norm_of_position_medians(spark, sf_dir):
+    """r13: the surface-input spine follows the reference's exact ORDER
+    (error_computation.py:106-143) — confidence gate, cluster-median of
+    the POSITIONS, error of the REDUCED positions, then the median±4σ
+    cut on the reduced errors. Recomputed from scratch off the signal
+    view; the r12 median-of-per-point-error-norms is genuinely
+    different on this data (asserted), so the pin distinguishes the two
+    orders."""
+    from collections import defaultdict
+
+    from vedb_gaze_spark.operators.error import (
+        PPD,
+        _outlier_cut,
+        _reduced_error,
+    )
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.sources.signals import with_gaze
+    from vedb_gaze_spark.sources.tables import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    g = with_gaze(events).where(f"conf > {P.MIN_CONFIDENCE}").collect()
+    groups = defaultdict(list)
+    for r in g:
+        groups[(r.user_id, int(np.floor(r.t / P.GRID_T_EPS_S)))].append(r)
+    want = {}
+    any_diff = False
+    for (u, c), rows in groups.items():
+        mx = float(np.median([r.mx for r in rows]))
+        my = float(np.median([r.my for r in rows]))
+        gx = float(np.median([r.gx for r in rows]))
+        gy = float(np.median([r.gy for r in rows]))
+        err = float(np.hypot((gx - mx) * P.IMAGE_W,
+                             (gy - my) * P.IMAGE_H) / PPD)
+        med_of_norms = float(np.median([
+            np.hypot((r.gx - r.mx) * P.IMAGE_W,
+                     (r.gy - r.my) * P.IMAGE_H) / PPD
+            for r in rows
+        ]))
+        if abs(err - med_of_norms) > 1e-9:
+            any_diff = True
+        want[(u, c)] = (mx, my, err)
+    assert any_diff  # the two reduction orders differ on this data
+
+    got = {}
+    for r in _reduced_error(events).collect():
+        c = int(np.floor(r.t / P.GRID_T_EPS_S))
+        got[(r.user_id, c)] = (r.mx, r.my, r.err)
+    assert set(got) == set(want)
+    for k in want:
+        for a, b in zip(got[k], want[k]):
+            assert abs(a - b) < 1e-9, (k, got[k], want[k])
+
+    # the cut: per user, keep |err − median| <= k·std_pop; k=None is a
+    # no-op; a planted far outlier is dropped while the rest survive
+    red = _reduced_error(events)
+    assert _outlier_cut(red, None).count() == red.count()
+    # n=30 inliers: with a single outlier x among n points,
+    # std_pop ≈ x/√n, so the 4σ cut only triggers for √n > 4
+    rows = [(1, float(i), 0.5, 0.5, 1.0 + 0.01 * i) for i in range(30)]
+    rows.append((1, 99.0, 0.5, 0.5, 500.0))
+    pl = spark.createDataFrame(
+        rows, "user_id bigint, t double, mx double, my double, err double"
+    )
+    kept = _outlier_cut(pl, 4.0).collect()
+    errs = np.array([r[4] for r in rows])
+    keep_mask = np.abs(errs - np.median(errs)) <= 4.0 * errs.std()
+    assert {r.err for r in kept} == set(errs[keep_mask])
+    assert 500.0 not in {r.err for r in kept}
 
 
 def test_error_grid_qc_drops_out_of_range_gaze(spark, sf_dir):

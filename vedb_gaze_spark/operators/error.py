@@ -148,6 +148,55 @@ def grid_nodes(
     )
 
 
+def _reduced_error(events: DataFrame) -> DataFrame:
+    """The reference's surface-input spine in its exact ORDER
+    (error_computation.py:106-132, r13): confidence filter →
+    cluster-median of the POSITIONS (marker_pos and gaze_pos
+    separately, :111-127) → pixel-space error magnitude of the REDUCED
+    positions (:130-132). r12 reduced the per-point error magnitudes
+    instead (median of norms); the reference takes the norm of the
+    coordinate medians — different whenever positions vary within a
+    cluster. Emits the (user_id, t, mx, my, err) point-table contract
+    with one row per cluster at t = cluster·eps + eps/2, so the
+    kernels' internal cluster reduce is an identity pass-through."""
+    g = with_gaze(events).where(F.col("conf") > P.MIN_CONFIDENCE)
+    g = g.withColumn("cluster", F.floor(F.col("t") / P.GRID_T_EPS_S))
+    red = g.groupBy("user_id", "cluster").agg(
+        F.median("mx").alias("mx"),
+        F.median("my").alias("my"),
+        F.median("gx").alias("gx"),
+        F.median("gy").alias("gy"),
+    )
+    dx = (F.col("gx") - F.col("mx")) * P.IMAGE_W
+    dy = (F.col("gy") - F.col("my")) * P.IMAGE_H
+    return red.select(
+        "user_id",
+        (F.col("cluster") * P.GRID_T_EPS_S + P.GRID_T_EPS_S / 2.0).alias("t"),
+        "mx",
+        "my",
+        (F.sqrt(dx * dx + dy * dy) / F.lit(PPD)).alias("err"),
+    )
+
+
+def _outlier_cut(reduced: DataFrame, outlier_stds: float | None) -> DataFrame:
+    """The reference's ``outlier_stds`` cut on the CLUSTER-REDUCED
+    errors (error_computation.py:133-143, default 4): keep
+    |err − median(err)| <= k·std(err), stats per user over the reduced
+    points (np.std is the population std → stddev_pop). None disables,
+    like the reference kwarg. One window over the cluster-reduced
+    table — tens of rows per user at any scale."""
+    if outlier_stds is None:
+        return reduced
+    w = Window.partitionBy("user_id")
+    with_stats = reduced.withColumn(
+        "__med", F.median("err").over(w)
+    ).withColumn("__std", F.stddev_pop("err").over(w))
+    return with_stats.where(
+        F.abs(F.col("err") - F.col("__med"))
+        <= outlier_stds * F.col("__std")
+    ).drop("__med", "__std")
+
+
 def _hull_mask(xy: np.ndarray, pts: np.ndarray, est: np.ndarray) -> np.ndarray:
     """NaN ``est`` at grid points outside the convex hull of the fit
     points ``xy`` — the reference's extrapolate=False contract: it
@@ -170,6 +219,7 @@ def error_surface_tps(
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
     extrapolate: bool = False,
+    outlier_stds: float | None = P.ERROR_OUTLIER_STDS,
 ) -> DataFrame:
     """TPS error surface evaluated on a grid (error_computation.py:173,
     method='tps'), per user on cluster-median points. Default is the
@@ -182,10 +232,14 @@ def error_surface_tps(
     (error_computation.py:178/:197 ``gaze_err_image[np.isnan(tmp)] =
     np.nan``), and the cubic/linear griddata hull is exactly the
     convex hull of the points (r13; r12 shipped the extrapolating
-    variant only)."""
+    variant only). The surface input follows the reference's exact
+    order (r13): cluster-median of POSITIONS, then the error of the
+    reduced positions, then the ``outlier_stds`` median±k·std cut
+    (:106-143) — see _reduced_error/_outlier_cut."""
     return error_surface_tps_points(
-        _pointwise_error(events), lambd=lambd,
+        _reduced_error(events), lambd=lambd,
         resolution=resolution, span=span, extrapolate=extrapolate,
+        outlier_stds=outlier_stds,
     )
 
 
@@ -195,14 +249,18 @@ def error_surface_tps_points(
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
     extrapolate: bool = False,
+    outlier_stds: float | None = P.ERROR_OUTLIER_STDS,
 ) -> DataFrame:
     """POINT-TABLE face of error_surface_tps (r11, the
     calibration_*_points convention): ``e`` carries (user_id, t, mx,
     my, err) — pointwise gaze error in degrees at marker positions,
-    whether from the events signal view (the face above) or mapped out
-    of real pixel detections (plans/profiles.py:run_profile_chain).
-    The cluster-median reduction happens here so every caller gets the
-    same bounded per-group size."""
+    whether from the reference-order event spine (_reduced_error) or
+    mapped out of real pixel detections
+    (plans/profiles.py:run_profile_chain). The cluster-median
+    reduction happens here so every caller gets the same bounded
+    per-group size (an identity pass-through for pre-reduced input),
+    followed by the reference's ``outlier_stds`` cut (:133-143) on the
+    reduced errors."""
     grid_x, grid_y = grid_nodes(resolution, span)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -230,12 +288,7 @@ def error_surface_tps_points(
             }
         )
 
-    e = e.withColumn("cluster", F.floor(F.col("t") / P.GRID_T_EPS_S))
-    reduced = e.groupBy("user_id", "cluster").agg(
-        F.median("mx").alias("mx"),
-        F.median("my").alias("my"),
-        F.median("err").alias("err"),
-    )
+    reduced = _outlier_cut(_cluster_reduce(e), outlier_stds)
     return apply_per_key(reduced, "user_id", run, _SURFACE_SCHEMA)
 
 
@@ -254,6 +307,7 @@ def error_surface_tps_cv(
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
     extrapolate: bool = False,
+    outlier_stds: float | None = P.ERROR_OUTLIER_STDS,
 ) -> DataFrame:
     """``compute_error(method='tps_cv')`` — the reference's DEFAULT
     error-surface method (error_computation.py:20,:183-198): per user,
@@ -268,10 +322,13 @@ def error_surface_tps_cv(
     ``extrapolate`` (default False, the reference default) NULLs the
     surface outside the fit points' convex hull, mirroring
     error_computation.py:197's mask of the tps_cv surface by the
-    griddata NaN pattern — see error_surface_tps."""
+    griddata NaN pattern — see error_surface_tps. Surface input
+    follows the reference's exact order (r13): position medians →
+    reduced-position error → the outlier_stds cut (:106-143)."""
     return error_surface_tps_cv_points(
-        _pointwise_error(events), lambdas=lambdas,
+        _reduced_error(events), lambdas=lambdas,
         resolution=resolution, span=span, extrapolate=extrapolate,
+        outlier_stds=outlier_stds,
     )
 
 
@@ -281,6 +338,7 @@ def error_surface_tps_cv_points(
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
     extrapolate: bool = False,
+    outlier_stds: float | None = P.ERROR_OUTLIER_STDS,
 ) -> DataFrame:
     """POINT-TABLE face of error_surface_tps_cv (the
     calibration_*_points convention)."""
@@ -320,7 +378,10 @@ def error_surface_tps_cv_points(
             }
         )
 
-    return apply_per_key(_cluster_reduce(e), "user_id", run, _SURFACE_SCHEMA)
+    return apply_per_key(
+        _outlier_cut(_cluster_reduce(e), outlier_stds),
+        "user_id", run, _SURFACE_SCHEMA,
+    )
 
 
 _GRID_SCHEMA = (
@@ -366,6 +427,7 @@ def _surface_grid_indexed(
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
     interp: str = "cubic",
+    outlier_stds: float | None = P.ERROR_OUTLIER_STDS,
 ) -> DataFrame:
     """Internal grid face carrying node indices (ix, iy) so the QC
     rollup can key gaze-histogram bins to surface nodes without
@@ -454,7 +516,10 @@ def _surface_grid_indexed(
             out["user_id"] = np.int64(uid)
         return out
 
-    return apply_per_key(_cluster_reduce(e), "user_id", run_keyed, _GRID_SCHEMA)
+    return apply_per_key(
+        _outlier_cut(_cluster_reduce(e), outlier_stds),
+        "user_id", run_keyed, _GRID_SCHEMA,
+    )
 
 
 def error_surface_grid(
@@ -463,6 +528,7 @@ def error_surface_grid(
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
     interp: str = "cubic",
+    outlier_stds: float | None = P.ERROR_OUTLIER_STDS,
 ) -> DataFrame:
     """``compute_error(method='griddata')`` (error_computation.py:165):
     hull-bounded scattered interpolation of the pointwise error field
@@ -482,10 +548,14 @@ def error_surface_grid(
     the blur, then restored — the reference's np.nanmax(gaze_err)
     fill). ``resolution``/``span`` reach the reference's full-image
     (300, 400) / linspace(0, 1) grid (grid_nodes); default stays the
-    8×6 bench grid so the registered key's output is user × 48."""
+    8×6 bench grid so the registered key's output is user × 48. The
+    surface input follows the reference's exact order (r13): position
+    medians → reduced-position error → the outlier_stds cut
+    (:106-143)."""
     return error_surface_grid_points(
-        _pointwise_error(events), smoothing=smoothing,
+        _reduced_error(events), smoothing=smoothing,
         resolution=resolution, span=span, interp=interp,
+        outlier_stds=outlier_stds,
     )
 
 
@@ -495,12 +565,13 @@ def error_surface_grid_points(
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
     interp: str = "cubic",
+    outlier_stds: float | None = P.ERROR_OUTLIER_STDS,
 ) -> DataFrame:
     """POINT-TABLE face of error_surface_grid (the calibration_*_points
     convention): ``e`` carries (user_id, t, mx, my, err)."""
     return _surface_grid_indexed(
         e, smoothing=smoothing, resolution=resolution, span=span,
-        interp=interp,
+        interp=interp, outlier_stds=outlier_stds,
     ).select("user_id", "grid_x", "grid_y", "err_est")
 
 
@@ -509,6 +580,7 @@ def error_grid_qc(
     gaze: DataFrame | None = None,
     resolution: tuple[int, int] | float | None = None,
     span: tuple[float, float] | None = None,
+    outlier_stds: float | None = P.ERROR_OUTLIER_STDS,
 ) -> DataFrame:
     """The interpolated-gaze QC rollup of the griddata path
     (error_computation.py:204-213): histogram the session's gaze
@@ -552,7 +624,8 @@ def error_grid_qc(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     surface = _surface_grid_indexed(
-        _pointwise_error(events), resolution=resolution, span=span
+        _reduced_error(events), resolution=resolution, span=span,
+        outlier_stds=outlier_stds,
     ).select("user_id", "ix", "iy", "err_est")
     joined = counts.join(
         F.broadcast(surface), ["user_id", "ix", "iy"], "left"
