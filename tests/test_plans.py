@@ -2122,3 +2122,44 @@ def test_r12_operator_plan_pins(spark, sf_dir):
     assert "BroadcastHashJoin" in p2
     assert "SortMergeJoin" not in p2
     assert "CartesianProduct" not in p2
+
+
+def test_r13_sq8_plan_pins(spark, sf_dir):
+    """r13 SQ8 overhaul plan shapes (PERF_NOTES r13): sq8_stats is ONE
+    shuffle-free global aggregate (partial+final HashAggregate, no
+    Exchange in between beyond the single-partition gather — the r12
+    posexplode + pos-keyed groupBy paid a hash-partitioned shuffle of
+    a rows×dim intermediate), and the scoring side of ann_sq8 contains
+    no HigherOrderFunction nodes (the unrolled fused decode+multiply
+    dot — HOFs would evaluate interpreted per pair)."""
+    from pyspark.sql import functions as F
+
+    from vedb_gaze_spark.operators.similarity import _vecs, sq8_stats
+    from vedb_gaze_spark.plans import params as P
+    from vedb_gaze_spark.plans.queries import QUERIES
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = ", ".join(
+        f"min(element_at(v, {d + 1})), max(element_at(v, {d + 1}))"
+        for d in range(P.EMB_DIM)
+    )
+    stats_plan = (
+        _vecs(emb).selectExpr(f"array({pairs}) AS s")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # a global aggregate gathers partials over a SinglePartition
+    # exchange; the r12 shape's hashpartitioning(pos, ...) shuffle of
+    # the exploded intermediate must not return
+    assert "Generate" not in stats_plan  # no posexplode
+    assert "hashpartitioning" not in stats_plan, stats_plan[:1500]
+
+    ann = QUERIES["ann_sq8"](spark, sf_dir)
+    p = ann._jdf.queryExecution().executedPlan().toString()
+    for hof in ("aggregate(", "zip_with(", "transform("):
+        assert hof not in p, f"HOF {hof!r} back in the ann_sq8 plan"
+    assert "CartesianProduct" not in p
+    # the stats values themselves: exact order-statistic picks
+    st = sq8_stats(emb)
+    assert len(st) == P.EMB_DIM
+    assert all(mn <= mx for mn, mx in st)
