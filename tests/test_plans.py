@@ -1491,6 +1491,21 @@ def test_ann_sq8_recall_and_code_range(spark, sf_dir):
     assert rng.lo == 0 and rng.hi == 255, (rng.lo, rng.hi)
 
 
+def test_sq8_stats_empty_table_raises_clear_error(spark, sf_dir):
+    """Degenerate-input pin (r13 ADVICE): sq8_stats over ZERO vectors
+    must raise a clear ValueError at train time, not let the NULL
+    min/max reach _sq8_code_sql and surface as a bare TypeError at
+    plan-build time."""
+    import pytest
+
+    from vedb_gaze_spark.operators import similarity
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).where("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        similarity.sq8_stats(emb)
+
+
 def test_kmeanspar_init_deterministic_and_improves_objective(spark, sf_dir):
     """k-means|| pins (Bahmani et al. 2012): (a) hash-derived coin flips
     make the whole train deterministic — two runs, identical centroids;

@@ -1701,6 +1701,14 @@ def sq8_stats(embeddings: DataFrame) -> list[tuple[float, float]]:
         for d in range(dim)
     )
     arr = v.selectExpr(f"array({pairs}) AS s").collect()[0][0]
+    if any(x is None for x in arr):
+        # min/max over ZERO rows are NULL — surface the degenerate
+        # input here with a clear message instead of letting
+        # _sq8_code_sql raise a bare TypeError at plan-build time.
+        raise ValueError(
+            "sq8_stats: embeddings table is empty (or a dimension is "
+            "all-NULL); cannot train an SQ8 model on zero vectors"
+        )
     return [(arr[2 * d], arr[2 * d + 1]) for d in range(dim)]
 
 
@@ -1791,31 +1799,26 @@ def _sq8_code_sql(d: int, mn: float, mx: float, vec: str = "v") -> str:
     return f"greatest(0, least(255, {code}))"
 
 
-def _sq8_dot_expr(stats: list[tuple[float, float]], corpus_vec: str = "codes"):
-    """The SQ8 ADC dot ``Σ_d qv_d · (mn_d + codes_d·scale_d)`` as ONE
-    unrolled whole-stage-codegen expression with the frozen per-dim
-    (mn, scale) literals baked in — decode fused into the multiply, no
-    intermediate xhat array, no HigherOrderFunction (HOFs never enter
-    generated code and evaluate interpreted per pair — the embed_pca
-    lesson, re-measured on this kernel r13, PERF_NOTES).
+def _sq8_dot_expr(stats: list[tuple[float, float]]):
+    """The SQ8 ADC dot ``Σ_d qv_d · (mn_d + codes_d·scale_d)`` over an
+    opaque ``codes`` column as ONE unrolled whole-stage-codegen
+    expression with the frozen per-dim (mn, scale) literals baked in —
+    decode fused into the multiply, no intermediate xhat array, no
+    HigherOrderFunction (HOFs never enter generated code and evaluate
+    interpreted per pair — the embed_pca lesson, re-measured on this
+    kernel r13, PERF_NOTES).
 
-    ``corpus_vec="codes"`` reads a STORED/opaque codes column (the
-    serving path: parquet-backed indexes). ``corpus_vec="v"`` fuses
-    the ENCODE in as well, scoring straight off the parsed embedding —
-    the inline faces use this because feeding a freshly-built
-    array(64 code exprs) into 64 element_at terms invites Catalyst's
-    projection collapse to inline the whole array construction into
-    EVERY term (64×64 node blowup; measured ~2.3 s of pure
-    planning/codegen per ann_sq8 call at sf0.1, r13 PERF_NOTES).
-    Values are bit-identical on both paths: same code arithmetic, same
-    mn + code·scale decode, same left-assoc sum from 0.0, 6dp round."""
+    All callers score a materialized codes column: the serving path
+    reads it from parquet, the inline faces encode once and put a
+    repartition() Exchange between build and consume (the barrier that
+    stops Catalyst's projection collapse from inlining a freshly-built
+    array(64 code exprs) into all 64 element_at terms — the 64×64
+    node blowup, ~2.3 s of pure planning per call, r13 PERF_NOTES).
+    Same left-assoc sum from 0.0 and 6dp round as the oracle CASEs."""
     terms = []
     for d, (mn, mx) in enumerate(stats):
         scale = (mx - mn) / 255.0
-        if corpus_vec == "codes":
-            code = f"cast(element_at(codes, {d + 1}) as double)"
-        else:
-            code = f"cast({_sq8_code_sql(d, mn, mx, corpus_vec)} as double)"
+        code = f"cast(element_at(codes, {d + 1}) as double)"
         terms.append(
             f"(element_at(qv, {d + 1}) * (({float(mn)!r}) + "
             f"{code} * ({float(scale)!r})))"
@@ -1830,7 +1833,6 @@ def _sq8_search(
     k: int = P.ANN_K,
     pair_filter=None,
     extra: list[tuple[str, str]] | None = None,
-    corpus_vec: str = "codes",
 ) -> DataFrame:
     """Shared SQ8 ADC kernel — the batch registry face (ann_sq8) and the
     streaming server (streaming/serving.py:SQ8Serving) run THIS plan, so
@@ -1853,8 +1855,8 @@ def _sq8_search(
     the 6dp round bridges the oracle's SUM order exactly as
     before)."""
     scored = codes.crossJoin(F.broadcast(queries)).withColumn(
-        "score_sq8", F.round(_sq8_dot_expr(stats, corpus_vec), 6)
-    ).drop(corpus_vec)
+        "score_sq8", F.round(_sq8_dot_expr(stats), 6)
+    ).drop("codes")
     if pair_filter is not None:
         scored = scored.where(pair_filter)
     pruned = _partial_topk(
@@ -2104,7 +2106,6 @@ def _ivf_sq8_search(
     k: int = P.ANN_K,
     pair_filter=None,
     extra: list[tuple[str, str]] | None = None,
-    corpus_vec: str = "codes",
 ) -> DataFrame:
     """Shared IVF+SQ8 scoring kernel — the batch face (ann_ivf_sq8),
     the streaming server (streaming/serving.py:IVFSQ8Serving) and the
@@ -2124,13 +2125,13 @@ def _ivf_sq8_search(
     unchanged, so scores are bit-identical."""
     corpus = codes.select(
         "neighbor_id",
-        corpus_vec,
+        "codes",
         "cell",
         *[c for c, _ in (extra or []) if c in codes.columns],
     )
     scored = corpus.join(F.broadcast(probed), "cell").withColumn(
-        "score_sq8", F.round(_sq8_dot_expr(stats, corpus_vec), 6)
-    ).drop(corpus_vec)
+        "score_sq8", F.round(_sq8_dot_expr(stats), 6)
+    ).drop("codes")
     if pair_filter is not None:
         scored = scored.where(pair_filter)
     pruned = _partial_topk(

@@ -1344,80 +1344,20 @@ def _curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver correctness gate records exactly the first ~50 registry
 # entries per round. Iteration order is therefore explicit, not
 # declaration order, and ROTATES each round so every entry's official
-# record stays fresh. r13 window — EXACTLY 50 entries above the
-# boundary marker (r12 verdict #1/#3):
-#  (1) the five faces whose registered output changed this round:
-#      embed_pca (r12's only red record — the face now posexplodes
-#      proj to scalar rows), error_surface_tps_cv (the LOO lambda
-#      grid corrected to the reference's 16-point default list + the
-#      extrapolate=False hull mask), error_surface_tps (hull mask —
-#      the reference's :178 extrapolate=False default),
-#      error_surface_grid + error_grid_qc (interp switched to the
-#      reference's C¹ Clough-Tocher cubic, the method its griddata
-#      call names).
-#  (2) the oldest official records, oldest-first: all 14 r8 rows +
-#      the 31 oldest r9 rows (clears 45 of the 62-key stale debt; the
-#      remaining 16 r9 rows head the r14 window).
-# Tail: remaining r9, then r10/r11 and the rows the r12 window
-# re-greened. Every entry is still re-proven locally each run by
+# record stays fresh. r14 window — EXACTLY 50 entries above the
+# boundary marker (r13 verdict #1): no registered face's OUTPUT
+# changed this round, so the window is purely the stale debt,
+# oldest-first:
+#  (1) the 15 r9-recorded rows (the oldest records left after the
+#      r13 rotation; the verdict's "16" counted the absorbed
+#      `dedup_recall_sampled` alias, which is no longer a key), then
+#  (2) the 35 oldest r10-recorded rows.
+# Tail: the remaining 15 r10 rows (they head the r15 window), then
+# r11/r12, then the 50 rows the r13 window just re-greened. Every
+# entry is still re-proven locally each run by
 # tests/test_driver_parity.py regardless of window position.
 _GATE_ORDER = [
-    # -- (1) faces CHANGED this round, re-gate first ------------------
-    "embed_pca",
-    "error_surface_tps_cv",
-    "error_surface_tps",
-    "error_surface_grid",
-    "error_grid_qc",
-    # -- (2) the 14 r8-recorded rows (oldest debt) --------------------
-    "session_paths",
-    "chunk_documents",
-    "funnel_windowed",
-    "event_markov",
-    "unigram_lm_stats",
-    "quality_classifier_trained",
-    "ann_ivf_kmeanspar",
-    "vector_norm",
-    "embed_project",
-    "ann_ivfpq",
-    "ann_ivfpq_trained",
-    "length_batches",
-    "q1_sql",
-    "q6_sql",
-    # -- (2) the 34 oldest r9-recorded rows ---------------------------
-    "q3_sql",
-    "q12_sql",
-    "q14_sql",
-    "quality_classifier_sampled",
-    "q4_sql",
-    "q17_sql",
-    "q21_sql",
-    "knn_label_accuracy",
-    "label_separation",
-    "props_rollup",
-    "token_zipf_fit",
-    "ann_sq8",
-    "ann_ivf_sq8",
-    "sq8_recall",
-    "q14_promo_revenue",
-    "nb_lang_id",
-    "resample_tps",
-    "calibration_rbf",
-    "calibration_tps",
-    "ann_ivf_trained",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "cluster_dbscan",
-    "detect_blinks_eyelid",
-    "pack_sequences",
-    "source_overlap",
-    "contamination_report",
-    "mix_plan",
-    "dsir_select",
-    "dedup_substring",
-    "dedup_substring_clean",
-    # ---- window boundary (exactly 50 entries above) ----------------
-    # -- tail: remaining rows by record age --------------------------
-    # -- remaining r9-recorded rows (r14 window debt) ----
+    # -- (1) the 15 r9-recorded rows (oldest debt) --------------------
     "event_transitions",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -1433,7 +1373,7 @@ _GATE_ORDER = [
     "calibration_hmd",
     "semdedup",
     "semdedup_prune",
-    # -- r10-recorded rows ----
+    # -- (2) the 35 oldest r10-recorded rows --------------------------
     "detect_blinks_phased",
     "q15_sql",
     "q18_sql",
@@ -1469,6 +1409,9 @@ _GATE_ORDER = [
     "calibration_poly3",
     "calibration_3d",
     "gaze_error",
+    # ---- window boundary (exactly 50 entries above) ----------------
+    # -- tail: remaining rows by record age --------------------------
+    # -- remaining 15 r10-recorded rows (head the r15 window) ----
     "gaze_error_weighted",
     "gaze_pipeline",
     "marker_pipeline",
@@ -1582,6 +1525,57 @@ _GATE_ORDER = [
     "daily_trend",
     "trade_hits",
     "data_split",
+    # -- r13-recorded rows (refreshed last round) ----
+    "embed_pca",
+    "error_surface_tps_cv",
+    "error_surface_tps",
+    "error_surface_grid",
+    "error_grid_qc",
+    "session_paths",
+    "chunk_documents",
+    "funnel_windowed",
+    "event_markov",
+    "unigram_lm_stats",
+    "quality_classifier_trained",
+    "ann_ivf_kmeanspar",
+    "vector_norm",
+    "embed_project",
+    "ann_ivfpq",
+    "ann_ivfpq_trained",
+    "length_batches",
+    "q1_sql",
+    "q6_sql",
+    "q3_sql",
+    "q12_sql",
+    "q14_sql",
+    "quality_classifier_sampled",
+    "q4_sql",
+    "q17_sql",
+    "q21_sql",
+    "knn_label_accuracy",
+    "label_separation",
+    "props_rollup",
+    "token_zipf_fit",
+    "ann_sq8",
+    "ann_ivf_sq8",
+    "sq8_recall",
+    "q14_promo_revenue",
+    "nb_lang_id",
+    "resample_tps",
+    "calibration_rbf",
+    "calibration_tps",
+    "ann_ivf_trained",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "cluster_dbscan",
+    "detect_blinks_eyelid",
+    "pack_sequences",
+    "source_overlap",
+    "contamination_report",
+    "mix_plan",
+    "dsir_select",
+    "dedup_substring",
+    "dedup_substring_clean",
 ]
 
 
