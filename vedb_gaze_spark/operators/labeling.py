@@ -181,22 +181,33 @@ def saccade_rate(
     return e.select("user_id", "event_id", F.round(rate, 6).alias("rate_per_hour"))
 
 
-def quat_to_euler(events: DataFrame) -> DataFrame:
-    """euler_from_quaternion as used on odometry orientation streams
-    (odometry.py:100: ori_ang = euler_from_quaternion(*orientation.T)).
-    Quaternion components derived deterministically from event_id
-    (integer arithmetic, cross-engine exact); roll/pitch/yaw via the
-    standard atan2/asin formulas — all JVM-side trig."""
-    k = F.col("event_id")
-    qw = (k * 7877) % 1000 / 1000.0 + 0.5
-    qx = ((k * 104917) % 1000 - 500) / 500.0
-    qy = ((k * 15485863) % 1000 - 500) / 500.0
-    qz = ((k * 32452843) % 1000 - 500) / 500.0
+def euler_cols(qw, qx, qy, qz) -> tuple:
+    """euler_from_quaternion (odometry.py:176) as Column algebra:
+    normalize, then roll/pitch/yaw via the standard atan2/asin
+    formulas with the asin argument clamped (the reference's +1/-1
+    saturation) — all JVM-side trig. Shared by the synthetic-quat
+    registry face and the capture-stream path (ODOMETRY_FIELDS'
+    quat_w..quat_z columns)."""
     nrm = F.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
     w, x, y, z = qw / nrm, qx / nrm, qy / nrm, qz / nrm
     roll = F.atan2(2.0 * (w * x + y * z), 1.0 - 2.0 * (x * x + y * y))
     pitch = F.asin(F.greatest(F.least(2.0 * (w * y - x * z), F.lit(1.0)), F.lit(-1.0)))
     yaw = F.atan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z))
+    return roll, pitch, yaw
+
+
+def quat_to_euler(events: DataFrame) -> DataFrame:
+    """euler_from_quaternion as used on odometry orientation streams
+    (odometry.py:100: ori_ang = euler_from_quaternion(*orientation.T)).
+    Quaternion components derived deterministically from event_id
+    (integer arithmetic, cross-engine exact); angle algebra shared
+    with the capture path via euler_cols."""
+    k = F.col("event_id")
+    qw = (k * 7877) % 1000 / 1000.0 + 0.5
+    qx = ((k * 104917) % 1000 - 500) / 500.0
+    qy = ((k * 15485863) % 1000 - 500) / 500.0
+    qz = ((k * 32452843) % 1000 - 500) / 500.0
+    roll, pitch, yaw = euler_cols(qw, qx, qy, qz)
     return events.select(
         "event_id",
         F.round(roll, 6).alias("roll"),

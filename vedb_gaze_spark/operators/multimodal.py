@@ -754,6 +754,141 @@ def _ring_accept(mask, bright, ring_tol):
     return accept
 
 
+def _gauss_kernel1d(ksize, sigma):
+    """cv2.getGaussianKernel semantics in numpy: ``sigma <= 0`` derives
+    the default σ = 0.3·((ksize−1)/2 − 1) + 0.8, taps are
+    exp(−(i−c)²/2σ²) normalized to sum 1."""
+    import numpy as np
+
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
+    c = (ksize - 1) / 2.0
+    x = np.arange(ksize, dtype=np.float64) - c
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def _sep_gauss(img, ksize, sigma):
+    """Separable Gaussian-weighted local mean with replicate padding
+    (cv2's BORDER_REPLICATE) — the windowed sum behind both
+    GaussianBlur and ADAPTIVE_THRESH_GAUSSIAN_C, in pure numpy: pad,
+    then one shifted-slice multiply-add per tap per axis (2·ksize
+    vector ops over the frame; no Python-per-pixel work)."""
+    import numpy as np
+
+    k = _gauss_kernel1d(ksize, sigma)
+    r = ksize // 2
+    a = np.asarray(img, dtype=np.float64)
+    p = np.pad(a, ((0, 0), (r, r)), mode="edge")
+    outx = np.zeros_like(a)
+    for i in range(ksize):
+        outx += k[i] * p[:, i : i + a.shape[1]]
+    p = np.pad(outx, ((r, r), (0, 0)), mode="edge")
+    out = np.zeros_like(a)
+    for i in range(ksize):
+        out += k[i] * p[i : i + a.shape[0], :]
+    return out
+
+
+def _adaptive_inv_masks(y, block=29, cs=(36, 18, 3)):
+    """The reference's three-pass adaptive binarization front-end
+    (externals/circle_detector.py:214–240 find_pupil_circle_marker:
+    GaussianBlur(3×3, σ=0.25) then three
+    cv2.adaptiveThreshold(ADAPTIVE_THRESH_GAUSSIAN_C, THRESH_BINARY_INV,
+    blockSize=29, C∈{36, 18, 3}) passes — 'complicated scene', 'normal
+    scene', 'marker in low contrast'), re-expressed in pure numpy:
+    foreground = pixels at least C darker than their 29×29
+    Gaussian-weighted neighborhood mean. Local-contrast masks find the
+    rings a single global intensity threshold misses on unevenly-lit or
+    low-contrast frames. Float means throughout (cv2 rounds the mean
+    image to uint8 first — a ≤0.5-gray-level re-expression difference,
+    documented rather than emulated)."""
+    blur = _sep_gauss(y, 3, 0.25)
+    lmean = _sep_gauss(blur, block, -1.0)
+    return [blur <= lmean - float(c) for c in cs]
+
+
+def _outer_boundary(xs, ys):
+    """Outer-contour sample of a pixel component: the per-scanline
+    extremal pixels along BOTH axes (min/max x of every row ∪ min/max y
+    of every column), deduplicated. Exact outer boundary for
+    star-convex components — circles, ellipses, squares, and the
+    annular rings the detector verifies — without tracing; the inner
+    boundary of an annulus never enters, so the fit residual measures
+    the OUTER silhouette the reference fits contours to."""
+    import numpy as np
+
+    pts = []
+    for a, b in ((ys, xs), (xs, ys)):
+        ua, inv = np.unique(a, return_inverse=True)
+        lo = np.full(len(ua), np.iinfo(np.int64).max)
+        hi = np.full(len(ua), np.iinfo(np.int64).min)
+        np.minimum.at(lo, inv, b)
+        np.maximum.at(hi, inv, b)
+        if a is ys:
+            pts.append(np.column_stack([lo, ua]))
+            pts.append(np.column_stack([hi, ua]))
+        else:
+            pts.append(np.column_stack([ua, lo]))
+            pts.append(np.column_stack([ua, hi]))
+    allp = np.unique(np.concatenate(pts), axis=0)
+    return allp[:, 0].astype(np.float64), allp[:, 1].astype(np.float64)
+
+
+def _dist_pts_ellipse(cx, cy, full_major, full_minor, angle_deg, xs, ys):
+    """Unsigned point-to-ellipse distances — the reference's
+    dist_pts_ellipse (externals/methods.py:83) verbatim in vector
+    numpy: move points to the ellipse frame, rotate onto the axes,
+    normalize by the semi-axes, and scale the unit-circle deviation
+    back to pixels."""
+    import numpy as np
+
+    rx, ry = full_major / 2.0, full_minor / 2.0
+    th = np.radians(angle_deg)
+    dx = xs - cx
+    dy = ys - cy
+    px = np.cos(th) * dx + np.sin(th) * dy
+    py = -np.sin(th) * dx + np.cos(th) * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        nx = px / rx
+        ny = py / ry
+        norm_mag = np.sqrt(nx * nx + ny * ny)
+        ratio = np.abs(norm_mag - 1.0) / norm_mag
+        ex = nx * ratio * rx
+        ey = ny * ratio * ry
+        err = np.sqrt(ex * ex + ey * ey)
+    return np.where(np.isfinite(err), err, np.inf)
+
+
+def _ring_fit_residual(xs, ys):
+    """Max ellipse-fit residual of a component's outer boundary — the
+    reference's per-candidate acceptance quantity
+    (circle_detector.py:514/:615 ``max(dist_pts_ellipse(e, c))`` with
+    e = cv2.fitEllipse(c)): direct least-squares ellipse fit
+    (Fitzgibbon/Halir-Flusser, the shared pupil_edge kernel) to the
+    boundary, then the max unsigned distance of those same points.
+    Mirrors the reference's degenerate-contour escape (<5 points →
+    fit 0, accepted): too few points for a fit returns 0.0; a boundary
+    no ellipse fits (degenerate scatter) returns +inf (rejected)."""
+    import numpy as np
+
+    from vedb_gaze_spark.operators.pupil_edge import (
+        conic_to_ellipse,
+        fit_ellipse_direct,
+    )
+
+    if len(xs) < 6:
+        return 0.0
+    conic = fit_ellipse_direct(xs, ys)
+    ell = conic_to_ellipse(conic) if conic is not None else None
+    if ell is None:
+        return float("inf")
+    ecx, ecy, fmaj, fmin, ang = ell
+    if fmaj <= 0 or fmin <= 0:
+        return float("inf")
+    return float(_dist_pts_ellipse(ecx, ecy, fmaj, fmin, ang, xs, ys).max())
+
+
 _DETECT_SCHEMA = (
     "user_id bigint, frame_id bigint, ts timestamp, marker_id int, "
     "x double, y double, size bigint, norm_x double, norm_y double"
@@ -896,9 +1031,12 @@ _RING_SCHEMA = (
 def detect_ring_markers(
     frames: DataFrame,
     payload_col: str = "payload",
-    threshold: int = 200,
+    threshold: int | str = 200,
     min_size: int = 4,
     ring_tol: float = 2.0,
+    fit_tol: float | None = None,
+    adaptive_block: int = 29,
+    adaptive_cs: tuple = (36, 18, 3),
 ) -> DataFrame:
     """Typed concentric-marker detection — the full CircleTracker
     contract including the Ref/Stop CLASSIFICATION (reference
@@ -922,7 +1060,36 @@ def detect_ring_markers(
     rows are ordered per frame by the ring's minimum pixel index
     (deterministic on any platform), and x/y/size/norm follow the
     detect_frame_markers conventions (ring-component centroid — exact
-    center by symmetry on planted markers)."""
+    center by symmetry on planted markers).
+
+    ``threshold="adaptive"`` (r14, default off) swaps the single
+    global intensity split for the reference's robust binarization
+    front-end (circle_detector.py:214–240: GaussianBlur + THREE
+    ADAPTIVE_THRESH_GAUSSIAN_C/THRESH_BINARY_INV passes at
+    blockSize=``adaptive_block``, C∈``adaptive_cs`` — 'complicated
+    scene' / 'normal scene' / 'marker in low contrast'): each pass
+    yields a local-contrast mask run through the SAME two-polarity
+    nesting acceptance, candidates from all passes pooled before the
+    outermost-ring suppression (the reference's found_pos duplicate
+    discard). Markers on unevenly-lit or low-contrast frames — where
+    a global threshold sees nothing — are found by the C=3 pass.
+
+    ``fit_tol`` (r14, default off) adds the reference's per-candidate
+    ellipse-fit-residual acceptance (circle_detector.py:514/:615
+    ``max(dist_pts_ellipse(e, c))`` with e = cv2.fitEllipse(c);
+    methods.py:83): the ring component's outer boundary is fitted with
+    the direct least-squares ellipse (the shared pupil_edge kernel) and
+    the candidate is rejected when any boundary point sits more than
+    ``fit_tol`` px off the fit — a noisy non-elliptic blob that happens
+    to nest no longer passes. Opt-in (None = off) because the planted
+    operator-API pins use SQUARE rings, which the reference's own gate
+    would reject (a square's corners sit ~0.15·side off its best
+    ellipse); the reference's contrast-adaptive tolerance
+    ``0.5 + (256 − img_contrast)/256`` maps to fit_tol≈0.5–1.5."""
+    if isinstance(threshold, str) and threshold != "adaptive":
+        raise ValueError(
+            f"threshold must be an int or 'adaptive', got {threshold!r}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -941,59 +1108,82 @@ def detect_ring_markers(
                     continue
                 y = _luma(a)
                 h, w = y.shape
-                mask = y >= threshold
+                if threshold == "adaptive":
+                    masks = _adaptive_inv_masks(
+                        y, adaptive_block, adaptive_cs
+                    )
+                else:
+                    masks = [y >= threshold]
                 lum = y.astype(np.int64)
                 cands = []
-                for ring_mask, core_mask in ((mask, ~mask), (~mask, mask)):
-                    rlab = _label_components(ring_mask)
-                    rids, rcnt, rsx, rsy, rx0, ry0, rx1, ry1 = _comp_geoms(rlab)
-                    if len(rids) == 0:
-                        continue
-                    cids, ccnt, csx, csy, cx0, cy0, cx1, cy1 = _comp_geoms(
-                        _label_components(core_mask)
-                    )
-                    if len(cids) == 0:
-                        continue
-                    ccx = csx / ccnt
-                    ccy = csy / ccnt
-                    # per-ring-component luma sums for the 128 split
-                    rflat = np.flatnonzero(rlab.ravel())
-                    rinv = np.searchsorted(rids, rlab.ravel()[rflat])
-                    lsum = np.bincount(
-                        rinv, weights=lum.ravel()[rflat].astype(np.float64)
-                    )
-                    # explicit raster-order key: each component's minimum
-                    # flat pixel index, computed from geometry so the
-                    # cross-labeling sort below never depends on how
-                    # _label_components happens to number labels
-                    rfirst = np.full(len(rids), rlab.size, dtype=np.int64)
-                    np.minimum.at(rfirst, rinv, rflat)
-                    for i in range(len(rids)):
-                        if rcnt[i] < min_size:
-                            continue
-                        # full ring only: border-touching components are
-                        # background, not markers
-                        if (
-                            rx0[i] == 0 or ry0[i] == 0
-                            or rx1[i] == w - 1 or ry1[i] == h - 1
-                        ):
-                            continue
-                        rcx = rsx[i] / rcnt[i]
-                        rcy = rsy[i] / rcnt[i]
-                        nested = (
-                            (cx0 > rx0[i]) & (cx1 < rx1[i])
-                            & (cy0 > ry0[i]) & (cy1 < ry1[i])
-                            & (np.abs(ccx - rcx) <= ring_tol)
-                            & (np.abs(ccy - rcy) <= ring_tol)
+                for mask in masks:
+                    for ring_mask, core_mask in (
+                        (mask, ~mask), (~mask, mask)
+                    ):
+                        rlab = _label_components(ring_mask)
+                        rids, rcnt, rsx, rsy, rx0, ry0, rx1, ry1 = (
+                            _comp_geoms(rlab)
                         )
-                        if not nested.any():
+                        if len(rids) == 0:
                             continue
-                        mtype = (
-                            "ref" if lsum[i] / rcnt[i] >= 128.0 else "stop"
+                        cids, ccnt, csx, csy, cx0, cy0, cx1, cy1 = _comp_geoms(
+                            _label_components(core_mask)
                         )
-                        cands.append(
-                            (int(rfirst[i]), rcx, rcy, int(rcnt[i]), mtype)
+                        if len(cids) == 0:
+                            continue
+                        ccx = csx / ccnt
+                        ccy = csy / ccnt
+                        # per-ring-component luma sums for the 128 split
+                        rflat = np.flatnonzero(rlab.ravel())
+                        rinv = np.searchsorted(rids, rlab.ravel()[rflat])
+                        lsum = np.bincount(
+                            rinv,
+                            weights=lum.ravel()[rflat].astype(np.float64),
                         )
+                        # explicit raster-order key: each component's
+                        # minimum flat pixel index, computed from geometry
+                        # so the cross-labeling sort below never depends on
+                        # how _label_components happens to number labels
+                        rfirst = np.full(len(rids), rlab.size, dtype=np.int64)
+                        np.minimum.at(rfirst, rinv, rflat)
+                        for i in range(len(rids)):
+                            if rcnt[i] < min_size:
+                                continue
+                            # full ring only: border-touching components
+                            # are background, not markers
+                            if (
+                                rx0[i] == 0 or ry0[i] == 0
+                                or rx1[i] == w - 1 or ry1[i] == h - 1
+                            ):
+                                continue
+                            rcx = rsx[i] / rcnt[i]
+                            rcy = rsy[i] / rcnt[i]
+                            nested = (
+                                (cx0 > rx0[i]) & (cx1 < rx1[i])
+                                & (cy0 > ry0[i]) & (cy1 < ry1[i])
+                                & (np.abs(ccx - rcx) <= ring_tol)
+                                & (np.abs(ccy - rcy) <= ring_tol)
+                            )
+                            if not nested.any():
+                                continue
+                            if fit_tol is not None:
+                                sel = rflat[rinv == i]
+                                bxs, bys = _outer_boundary(
+                                    sel % w, sel // w
+                                )
+                                if _ring_fit_residual(bxs, bys) > fit_tol:
+                                    continue
+                            mtype = (
+                                "ref" if lsum[i] / rcnt[i] >= 128.0
+                                else "stop"
+                            )
+                            rhalf = (
+                                max(rx1[i] - rx0[i], ry1[i] - ry0[i]) + 1
+                            ) / 2.0
+                            cands.append(
+                                (int(rfirst[i]), rcx, rcy, int(rcnt[i]),
+                                 rhalf, mtype)
+                            )
                 # one detection per MARKER, not per ring: a multi-ring
                 # marker (bright ring / dark ring / bright dot) yields
                 # one candidate per nested ring, all sharing a center.
@@ -1003,15 +1193,24 @@ def detect_ring_markers(
                 # OUTERMOST ring first (the reference keys the marker
                 # by its largest ellipse); later candidates at the same
                 # center are the inner rings — suppressed.
+                # Duplicate discard radius is SIZE-AWARE (the reference's
+                # found_pos rule, circle_detector.py:262 'LA.norm(pos −
+                # found_pos[k]) < found_size[k] + ellipse_size'): a later
+                # candidate within (kept half-extent + its own) of a kept
+                # center is the same marker seen by an inner ring OR by
+                # another adaptive pass — never closer than ring_tol so
+                # the exact-center suppression the planted pins rely on
+                # is unchanged.
                 mid = 0
                 kept: list = []
-                for _, rcx, rcy, sz, mtype in sorted(cands):
+                for _, rcx, rcy, sz, rhalf, mtype in sorted(cands):
                     if any(
-                        abs(rcx - kx) <= ring_tol and abs(rcy - ky) <= ring_tol
-                        for kx, ky in kept
+                        ((rcx - kx) ** 2 + (rcy - ky) ** 2) ** 0.5
+                        <= max(ring_tol, kr + rhalf)
+                        for kx, ky, kr in kept
                     ):
                         continue
-                    kept.append((rcx, rcy))
+                    kept.append((rcx, rcy, rhalf))
                     mid += 1
                     cx = np.floor(rcx * 1e6 + 0.5) / 1e6
                     cy = np.floor(rcy * 1e6 + 0.5) / 1e6

@@ -42,7 +42,15 @@ def odometry_speed(events: DataFrame) -> DataFrame:
     with convert_speed's mph and minutes-per-mile views. One sorted
     window per user partition — the same single-shuffle lag algebra as
     eye_velocity."""
-    p = _positions(events)
+    return speed_from_positions(_positions(events))
+
+
+def speed_from_positions(p: DataFrame) -> DataFrame:
+    """The position→speed core over REAL columns (user_id, event_id, t,
+    x, y, z) — what a capture-fed pipeline calls after read_pldata with
+    ODOMETRY_FIELDS (the load_odometry position stream, odometry.py:58);
+    the registry face feeds it the deterministic synthetic positions so
+    the algebra stays oracle-checkable."""
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     dx = F.col("x") - F.lag("x").over(w)
     dy = F.col("y") - F.lag("y").over(w)

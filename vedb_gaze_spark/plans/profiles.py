@@ -86,7 +86,12 @@ def _build() -> dict[str, Profile]:
         "concentric-circle marker detection (find_concentric_circles); "
         "halfres = the reference downsamples frames before detection — "
         "resize upstream (resize is a frame transform, not a detector "
-        "knob here).",
+        "knob here). The reference tag's detector binarizes with the "
+        "three-pass adaptive front-end and gates candidates on "
+        "ellipse-fit residual (circle_detector.py:214/:514) — "
+        "detect_ring_markers(threshold='adaptive', fit_tol=...) names "
+        "both behaviors (r14); the profile default stays the planted-"
+        "frame-exact global threshold.",
     )
     p["marker-circles_halfres_testshort"] = Profile(
         "marker", detect_ring_markers, {}, "frame-range variant of the above."

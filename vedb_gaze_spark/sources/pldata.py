@@ -379,6 +379,37 @@ GAZE_FIELDS: dict[str, tuple[str, str]] = {
     "norm_pos_y": ("norm_pos.1", "double"),
 }
 
+# The odometry datum surface load_odometry reads (reference
+# odometry.py:58 data_fields: tracker_confidence, position, orientation,
+# linear/angular velocity, linear/angular acceleration — topic /
+# timestamp / source_timestamp are popped as extraneous but timestamp
+# stays the clock). ``orientation`` is a (w, x, y, z) quaternion: the
+# reference unpacks it positionally into
+# euler_from_quaternion(w, x, y, z) (odometry.py:97/:176).
+ODOMETRY_FIELDS: dict[str, tuple[str, str]] = {
+    "timestamp": ("timestamp", "double"),
+    "tracker_confidence": ("tracker_confidence", "double"),
+    "pos_x": ("position.0", "double"),
+    "pos_y": ("position.1", "double"),
+    "pos_z": ("position.2", "double"),
+    "quat_w": ("orientation.0", "double"),
+    "quat_x": ("orientation.1", "double"),
+    "quat_y": ("orientation.2", "double"),
+    "quat_z": ("orientation.3", "double"),
+    "lin_vel_x": ("linear_velocity.0", "double"),
+    "lin_vel_y": ("linear_velocity.1", "double"),
+    "lin_vel_z": ("linear_velocity.2", "double"),
+    "ang_vel_x": ("angular_velocity.0", "double"),
+    "ang_vel_y": ("angular_velocity.1", "double"),
+    "ang_vel_z": ("angular_velocity.2", "double"),
+    "lin_acc_x": ("linear_acceleration.0", "double"),
+    "lin_acc_y": ("linear_acceleration.1", "double"),
+    "lin_acc_z": ("linear_acceleration.2", "double"),
+    "ang_acc_x": ("angular_acceleration.0", "double"),
+    "ang_acc_y": ("angular_acceleration.1", "double"),
+    "ang_acc_z": ("angular_acceleration.2", "double"),
+}
+
 
 def _extract(datum, path: str):
     """Walk a dotted path ('ellipse.center.0') through nested
