@@ -60,11 +60,21 @@ def main() -> None:
     spark._jvm.System.gc()
 
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     pass_detail: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(2):
         for name in names:
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            QUERIES[name](spark, SF_DIR).collect()
+            try:
+                QUERIES[name](spark, SF_DIR).collect()
+            except Exception as exc:  # a face that breaks at this SF is
+                # the finding, not a reason to lose the artifact
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"[bench_full] ERROR {name}: {errors[name]}",
+                      file=sys.stderr, flush=True)
+                continue
             dt = round(time.perf_counter() - t0, 3)
             pass_detail[name].append(dt)
             per_query[name] = min(per_query.get(name, dt), dt)
@@ -86,6 +96,7 @@ def main() -> None:
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
+        "errors": errors,
         "passes": 2,
         "queue_rev": format(zlib.crc32(",".join(names).encode()), "08x"),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -250,6 +250,45 @@ def run_miners(spark, passes: int) -> dict:
     return res
 
 
+def run_fullgrid(spark, passes: int) -> dict:
+    """error_grid_qc at the reference's full-image (300, 400) grid vs
+    the 8×6 bench grid (r13 verdict #7): 48 → 120,000 nodes per user
+    (2,500×). The per-user numpy Clough-Tocher evaluation is the
+    expected cost (nodes × users, embarrassingly parallel over user
+    groups); the QC join must NOT broadcast the user×120k surface —
+    past the node budget error_grid_qc falls back to the shuffle
+    equi-join (operators/error.py). One pass at the full grid (the
+    kernel is minutes-scale); best-of-``passes`` at the bench grid."""
+    from vedb_gaze_spark.operators import error as E
+    from vedb_gaze_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", BASE)
+    E.error_grid_qc(ev.where("user_id < 3")).collect()  # shape warmup
+    spark._jvm.System.gc()
+    res: dict = {}
+    for tag, kw, np_ in (
+        ("bench48", {}, passes),
+        ("ref300x400", {"resolution": E.REFERENCE_RESOLUTION}, 1),
+    ):
+        best, n = None, None
+        for _ in range(np_):
+            t0 = time.perf_counter()
+            n = len(E.error_grid_qc(ev, **kw).collect())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark._jvm.System.gc()
+        res[tag] = {"sec": round(best, 3), "rows": n}
+        print(
+            f"[slope] fullgrid {tag:12s} {best:8.2f} s rows={n}",
+            file=sys.stderr, flush=True,
+        )
+    res["nodes_ratio"] = 2500.0
+    res["wall_ratio"] = round(
+        res["ref300x400"]["sec"] / res["bench48"]["sec"], 2
+    )
+    return res
+
+
 def run_ingest(spark, passes: int) -> dict:
     """pldata + Y4M capture ingest at 1x and 10x the FILE count —
     per-file task parallelism means wall should grow ~files/cores."""
@@ -325,7 +364,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(TMP, "slope_r12.json"))
-    ap.add_argument("--families", default="dedup,miners,ingest,errors")
+    ap.add_argument("--families", default="dedup,miners,ingest,errors,fullgrid")
     args = ap.parse_args()
 
     from vedb_gaze_spark.plans.queries import QUERIES
@@ -343,6 +382,8 @@ def main() -> None:
             out["ingest"] = run_ingest(spark, args.passes)
         if "errors" in families:
             out["errors"] = run_errors(spark, args.passes)
+        if "fullgrid" in families:
+            out["fullgrid"] = run_fullgrid(spark, args.passes)
         with open(args.out, "w") as fh:
             json.dump(out, fh, indent=1)
         spark.stop()
@@ -406,6 +447,8 @@ def main() -> None:
         out["ingest"] = run_ingest(spark, args.passes)
     if "errors" in families:
         out["errors"] = run_errors(spark, args.passes)
+    if "fullgrid" in families:
+        out["fullgrid"] = run_fullgrid(spark, args.passes)
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
     spark.stop()

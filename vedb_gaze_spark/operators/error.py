@@ -627,8 +627,16 @@ def error_grid_qc(
         _reduced_error(events), resolution=resolution, span=span,
         outlier_stds=outlier_stds,
     ).select("user_id", "ix", "iy", "err_est")
+    # The surface side is model-sized ONLY on bench-style grids
+    # (user × 48). At the reference's full-image (300, 400) grid it is
+    # user × 120,000 rows — broadcasting that is a driver-memory bet
+    # that loses at fleet user counts (r13 verdict #7), so past a node
+    # budget the join falls back to the shuffle equi-join and AQE
+    # picks the physical strategy from observed sizes.
+    small = nx * ny <= 4096
     joined = counts.join(
-        F.broadcast(surface), ["user_id", "ix", "iy"], "left"
+        F.broadcast(surface) if small else surface,
+        ["user_id", "ix", "iy"], "left",
     )
     n_interp = F.sum(
         F.when(F.col("err_est").isNotNull(), F.col("n")).otherwise(F.lit(0))

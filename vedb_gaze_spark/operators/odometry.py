@@ -65,6 +65,15 @@ def speed_from_positions(p: DataFrame) -> DataFrame:
             "event_id",
             F.round("mps", 6).alias("speed_mps"),
             F.round(F.col("mps") * SEC_PER_HR / M_PER_MILE, 6).alias("speed_mph"),
-            F.round(M_PER_MILE / F.col("mps") / 60.0, 6).alias("mins_per_mile"),
+            # minutes-per-mile is undefined at zero speed (a stationary
+            # sample: consecutive identical positions with dt > 0) —
+            # NULL on both engines instead of ANSI DIVIDE_BY_ZERO.
+            # Found by the r14 full-registry bench at sf0.1; zero-speed
+            # pairs never occur at the sf0.01 gate, so the gate output
+            # is unchanged.
+            F.when(
+                F.col("mps") > 0,
+                F.round(M_PER_MILE / F.col("mps") / 60.0, 6),
+            ).alias("mins_per_mile"),
         )
     )

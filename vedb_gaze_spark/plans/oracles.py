@@ -834,7 +834,8 @@ WITH p AS (
 SELECT user_id, event_id,
   round(mps, 6) AS speed_mps,
   round(mps * 3600.0 / 1609.34, 6) AS speed_mph,
-  round(1609.34 / mps / 60.0, 6) AS mins_per_mile
+  CASE WHEN mps > 0 THEN round(1609.34 / mps / 60.0, 6) END
+    AS mins_per_mile
 FROM v WHERE mps IS NOT NULL AND dt > 0
 """
 
