@@ -2411,6 +2411,56 @@ def embed_pca(
     )
 
 
+def embed_pca_rows(
+    embeddings: DataFrame,
+    d_out: int = P.RP_DIM,
+    whiten: bool = False,
+) -> DataFrame:
+    """embed_pca's SCALAR-ROWS twin: (vec_id, component, value) — the
+    driver-canon shape — emitted as 16 separate projection columns
+    fed through stack() instead of posexplode over one array literal.
+
+    Why (measured r14, PERF_NOTES): a single array(16 × 64-term)
+    expression is ONE unsplittable expression tree — the generated
+    processNext() exceeds the JVM's 64 KB method limit, janino compile
+    FAILS ('Code grows beyond 64 KB'), and the whole stage runs
+    interpreted; parse+analysis of the fused Generate plan adds
+    another ~1.5 s per call. As 16 top-level select expressions each
+    component is its own tree, CodegenContext.splitExpressions carves
+    them into sub-methods, the stage compiles, and stack() over the
+    materialized scalar columns is trivial codegen. Same arithmetic,
+    same floor-6dp rounding, bit-identical rows: isolated best-of-3
+    5.41 s → 2.09 s for the full face at sf0.1."""
+    mean, comps, scale = pca_train(embeddings, d_out=d_out, whiten=whiten)
+    cols = [
+        f"{_pca_component_sql(mean, comps, scale, j)} AS c{j}"
+        for j in range(comps.shape[0])
+    ]
+    stack = (
+        f"stack({comps.shape[0]}, "
+        + ", ".join(f"{j}, c{j}" for j in range(comps.shape[0]))
+        + ") AS (component, value)"
+    )
+    return (
+        _vecs(embeddings)
+        .selectExpr("vec_id", *cols)
+        .selectExpr("vec_id", stack)
+    )
+
+
+def _pca_component_sql(mean, comps, scale, j: int, vec_col: str = "v") -> str:
+    """One projection component as SQL text — the shared arithmetic of
+    pca_projection_expr (array form) and embed_pca_rows (scalar-column
+    form): floor-6dp of the left-associative Σ_i w_ji·(v_i − m_i)."""
+    d_in = comps.shape[1]
+    s = " + ".join(
+        f"({float(comps[j, i] * scale[j])!r}) * "
+        f"(element_at({vec_col}, {i + 1}) - ({float(mean[i])!r}))"
+        for i in range(d_in)
+    )
+    return f"floor(({s}) * 1e6 + 0.5) / 1e6"
+
+
 def pca_projection_expr(mean, comps, scale, vec_col: str = "v") -> str:
     """The frozen PCA model compiled into one projection expression —
     the UNROLLED per-component sums (embed_project's true-codegen
@@ -2428,15 +2478,8 @@ def pca_projection_expr(mean, comps, scale, vec_col: str = "v") -> str:
     any micro-batch and the rows equal the batch operator's
     bit-for-bit (the nb_lang_id / DSIR frozen-model discipline;
     parity pinned in tests/test_streaming.py)."""
-    d_in = comps.shape[1]
     cols = ", ".join(
-        "floor(("
-        + " + ".join(
-            f"({float(comps[j, i] * scale[j])!r}) * "
-            f"(element_at({vec_col}, {i + 1}) - ({float(mean[i])!r}))"
-            for i in range(d_in)
-        )
-        + ") * 1e6 + 0.5) / 1e6"
+        _pca_component_sql(mean, comps, scale, j, vec_col)
         for j in range(comps.shape[0])
     )
     return f"array({cols})"

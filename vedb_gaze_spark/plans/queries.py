@@ -927,13 +927,14 @@ def _mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embed_pca")  # trained PCA projection (LAPACK eig) → rows-only
 def _embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Driver-canon face: the driver's pandas canonicalizer sorts every
-    # column and cannot hash array cells (r12's only red record), so the
-    # operator's proj array<double> is posexploded to scalar
-    # (vec_id, component, value) rows — same values, scalar schema.
-    out = similarity.embed_pca(load_table(spark, "embeddings", sf_dir))
-    return out.select(
-        "vec_id", F.posexplode("proj").alias("component", "value")
+    # Driver-canon face: scalar (vec_id, component, value) rows (the
+    # r12 canonicalizer crash fix), emitted by embed_pca_rows — 16
+    # splittable scalar projections through stack(), NOT posexplode of
+    # one array literal, whose unsplittable 1024-term tree blew the
+    # 64 KB codegen method limit and ran interpreted (r14, 5.41 s →
+    # 2.09 s isolated; PERF_NOTES). Rows bit-identical to the r13 face.
+    return similarity.embed_pca_rows(
+        load_table(spark, "embeddings", sf_dir)
     )
 
 
