@@ -2178,3 +2178,26 @@ def test_r13_sq8_plan_pins(spark, sf_dir):
     st = sq8_stats(emb)
     assert len(st) == P.EMB_DIM
     assert all(mn <= mx for mn, mx in st)
+
+
+def test_r14_fullgrid_qc_join_is_not_broadcast(spark, sf_dir):
+    """At the reference full-image (300, 400) grid the QC surface is
+    user × 120,000 rows. Omitting broadcast() is NOT enough to keep it
+    off the driver: the surface comes out of applyInPandas, whose
+    optimizer size estimate is child-derived and tiny, so the STATIC
+    planner still picks a broadcast hash join and ships the real
+    ~1.3 GiB to the driver (measured maxResultSize abort at 1,500
+    users, slope_r14.json). Pin: past the 4,096-node budget the
+    surface join carries an explicit sort-merge hint, so the static
+    plan contains a SortMergeJoin; the bench-style 48-node plan keeps
+    its broadcast (pinned in test_r12_operator_plan_pins)."""
+    from vedb_gaze_spark.operators.error import (
+        REFERENCE_RESOLUTION,
+        error_grid_qc,
+    )
+    from vedb_gaze_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    qc = error_grid_qc(ev, resolution=REFERENCE_RESOLUTION)
+    p = qc._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in p, p[:2000]

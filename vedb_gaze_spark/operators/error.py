@@ -630,12 +630,17 @@ def error_grid_qc(
     # The surface side is model-sized ONLY on bench-style grids
     # (user × 48). At the reference's full-image (300, 400) grid it is
     # user × 120,000 rows — broadcasting that is a driver-memory bet
-    # that loses at fleet user counts (r13 verdict #7), so past a node
-    # budget the join falls back to the shuffle equi-join and AQE
-    # picks the physical strategy from observed sizes.
+    # that loses at fleet user counts (r13 verdict #7). Merely
+    # omitting the broadcast() hint is NOT enough: the surface comes
+    # out of applyInPandas, whose optimizer size estimate is
+    # child-derived and tiny, so the static planner still picks a
+    # broadcast hash join and ships the real 1.3 GiB to the driver
+    # (measured: maxResultSize abort at 1,500 users × 120k nodes,
+    # slope_r14). Past the node budget the surface side carries an
+    # explicit sort-merge hint — big-big safe at any user count.
     small = nx * ny <= 4096
     joined = counts.join(
-        F.broadcast(surface) if small else surface,
+        F.broadcast(surface) if small else surface.hint("merge"),
         ["user_id", "ix", "iy"], "left",
     )
     n_interp = F.sum(
