@@ -10,7 +10,7 @@ distinct.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vedb_gaze_spark.functions.core import portable_hash60
@@ -31,55 +31,75 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_cols() -> dict[str, Column]:
+    """Per-row quality-metric Column builders over `text` — the single
+    source of truth shared by the text_quality face and the fused
+    curation projection (plans/pipeline.py, PERF_NOTES r14). Values are
+    what the pre-r14 two-step select produced after CollapseProject
+    inlined the intermediate counts: identical expression trees, so
+    outputs are bit-identical. Repeated _TOKENS references all sit at
+    projection level, where subexpression elimination collapses them to
+    one regex pass per row."""
+    sw = ", ".join(f"'{s}'" for s in P.STOPWORDS)
+    n_chars = F.length("text")
+    n_tokens = F.expr(f"size({_TOKENS})")
+    n_stop = F.expr(f"size(filter({_TOKENS}, t -> t IN ({sw})))")
+    n_clean = F.expr("length(regexp_replace(lower(text), '[^a-z0-9 ]', ''))")
+    n_alnum = F.expr("length(regexp_replace(lower(text), '[^a-z0-9]', ''))")
+    stop_ratio = n_stop / n_tokens
+    punct_ratio = (n_chars - n_clean) / n_chars
+    mean_word_len = n_alnum / n_tokens
+    quality = (
+        0.4 * stop_ratio
+        + 0.3 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * F.least(mean_word_len / 8.0, F.lit(1.0))
+    ) * (1.0 - punct_ratio)
+    # floor(x*1e6+0.5), not round(x, 6): Spark's round() allocates a
+    # BigDecimal per row AND rounds the double's exact binary expansion
+    # (HALF_UP), which disagrees with DuckDB's round() on .5-boundary
+    # doubles — two sf0.1 docs sat exactly on a quality tie (PERF_NOTES
+    # r14). The floor form is the repo convention (functions/core.py:
+    # cents): identical IEEE double ops on both engines, equal always.
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return {
+        "n_tokens": n_tokens,
+        "stop_ratio": r6(stop_ratio),
+        "punct_ratio": r6(punct_ratio),
+        "mean_word_len": r6(mean_word_len),
+        "quality": r6(quality),
+    }
+
+
 def text_quality(documents: DataFrame) -> DataFrame:
     """Quality scoring: length, stopword ratio, punctuation ratio, mean
     word length, combined into one deterministic score in [0,1]."""
-    sw = ", ".join(f"'{s}'" for s in P.STOPWORDS)
-    d = documents.select(
-        "doc_id",
-        F.length("text").alias("n_chars"),
-        F.expr(f"size({_TOKENS})").alias("n_tokens"),
-        F.expr(f"size(filter({_TOKENS}, t -> t IN ({sw})))").alias("n_stop"),
-        F.expr("length(regexp_replace(lower(text), '[^a-z0-9 ]', ''))").alias("n_clean"),
-        F.expr("length(regexp_replace(lower(text), '[^a-z0-9]', ''))").alias("n_alnum"),
-    )
-    stop_ratio = F.col("n_stop") / F.col("n_tokens")
-    punct_ratio = (F.col("n_chars") - F.col("n_clean")) / F.col("n_chars")
-    mean_word_len = F.col("n_alnum") / F.col("n_tokens")
-    quality = (
-        0.4 * stop_ratio
-        + 0.3 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
-        + 0.3 * F.least(mean_word_len / 8.0, F.lit(1.0))
-    ) * (1.0 - punct_ratio)
-    return d.where(F.col("n_tokens") > 0).select(
-        "doc_id",
-        "n_tokens",
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(quality, 6).alias("quality"),
+    q = quality_cols()
+    return documents.where(q["n_tokens"] > 0).select(
+        "doc_id", *(c.alias(name) for name, c in q.items())
     )
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
-    """Language ID by marker-stopword counts (n-gram/stopword heuristic):
-    argmax over per-language marker hits, ties resolved by listing order."""
+def lang_pred_col() -> Column:
+    """Per-row language-ID Column (marker-stopword argmax) — shared by
+    the lang_id face and the fused curation projection."""
     counts = {
         lang: F.expr(
             f"size(filter({_TOKENS}, t -> t IN ({', '.join(repr(m) for m in markers)})))"
         )
         for lang, markers in P.LANG_MARKERS.items()
     }
-    d = documents.select(
-        "doc_id", *(c.alias(f"c_{lang}") for lang, c in counts.items())
-    )
-    c_en, c_de, c_es = F.col("c_en"), F.col("c_de"), F.col("c_es")
-    pred = (
+    c_en, c_de, c_es = counts["en"], counts["de"], counts["es"]
+    return (
         F.when((c_de > c_en) & (c_de > c_es), "de")
         .when((c_es > c_en) & (c_es > c_de), "es")
         .otherwise("en")
     )
-    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Language ID by marker-stopword counts (n-gram/stopword heuristic):
+    argmax over per-language marker hits, ties resolved by listing order."""
+    return documents.select("doc_id", lang_pred_col().alias("pred_lang"))
 
 
 def shingles(documents: DataFrame, k: int = P.SHINGLE_K) -> DataFrame:
@@ -278,12 +298,24 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     (no lookaround, no backrefs) so the oracle runs the identical
     automaton. Pure JVM regexp algebra — per-doc, no shuffle, codegens
     with the scan."""
+    counts, clean = pii_cols()
+    return documents.select(
+        "doc_id",
+        *(c.alias(name) for name, c in counts.items()),
+        clean.alias("clean_text"),
+    )
+
+
+def pii_cols() -> tuple[dict[str, Column], Column]:
+    """Per-row PII Column builders (per-class counts on the sequentially
+    scrubbed text, plus the scrubbed text itself) — shared by the
+    pii_scrub face and the fused curation projection."""
     t = F.col("text")
-    counts = []
+    counts: dict[str, Column] = {}
     for pat, tok, name in P.PII_PATTERNS:
-        counts.append(F.regexp_count(t, F.lit(pat)).alias(name))
+        counts[name] = F.regexp_count(t, F.lit(pat))
         t = F.regexp_replace(t, pat, tok)
-    return documents.select("doc_id", *counts, t.alias("clean_text"))
+    return counts, t
 
 
 def repetition_score(documents: DataFrame) -> DataFrame:
@@ -293,21 +325,47 @@ def repetition_score(documents: DataFrame) -> DataFrame:
     corpora (Rae et al. 2021's repetition rules, re-expressed over this
     corpus's token streams).
 
-    Both scores are PER-ROW array expressions (token mode via
-    transform/filter over the distinct set, 2-grams via
-    sequence+element_at) — no explode, no shuffle, whole-stage codegen
-    over the scan; the per-doc cost is bounded by (distinct·n) on
-    ~40-token documents. Docs with no tokens are fenced out (the
-    curation gate upstream already drops empty text)."""
-    toks = f"regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
-    n = f"size({toks})"
+    Both scores are PER-ROW array expressions — no explode, no shuffle,
+    one scan. Expression form matters 11× here (PERF_NOTES r14): the
+    tokenizer regex must never be referenced INSIDE a lambda body,
+    because subexpression elimination is projection-level only — the
+    original transform(distinct, t -> filter(toks, ...)) form re-ran
+    regexp_extract_all per outer element (O(distinct) regex passes per
+    doc, 7.4 s at sf0.1). Token mode is a single-pass max-run-length
+    aggregate over the SORTED tokens (equal to the max count, ties
+    irrelevant); 2-grams zip adjacent slices. Every toks reference now
+    sits at projection level where CSE collapses them (0.66 s, values
+    bit-identical). Docs with no tokens are fenced out (the curation
+    gate upstream already drops empty text)."""
+    top, dup = repetition_cols()
+    return (
+        documents.where(F.expr(f"size({_TOKENS})") >= 1)
+        .select(
+            "doc_id",
+            top.alias("top_word_frac"),
+            dup.alias("dup_2gram_frac"),
+        )
+    )
+
+
+def repetition_cols() -> tuple[Column, Column]:
+    """Per-row (top_word_frac, dup_2gram_frac) Column builders — shared
+    by the repetition_score face and the fused curation projection. The
+    caller fences out zero-token docs (size(_TOKENS) >= 1)."""
+    n = f"size({_TOKENS})"
     top = (
-        f"array_max(transform(array_distinct({toks}),"
-        f" t -> size(filter({toks}, x -> x = t))))"
+        f"aggregate(array_sort({_TOKENS}),"
+        " named_struct('prev', cast(null as string), 'run', 0, 'best', 0),"
+        " (a, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', CASE WHEN x <=> a.prev THEN a.run + 1 ELSE 1 END,"
+        "   'best', greatest(a.best,"
+        "     CASE WHEN x <=> a.prev THEN a.run + 1 ELSE 1 END)),"
+        " a -> a.best)"
     )
     grams = (
-        f"transform(sequence(1, {n} - 1),"
-        f" i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
+        f"zip_with(slice({_TOKENS}, 1, {n} - 1), slice({_TOKENS}, 2, {n} - 1),"
+        f" (x, y) -> concat(x, ' ', y))"
     )
     dup = (
         f"CASE WHEN {n} >= 2 THEN "
@@ -315,14 +373,8 @@ def repetition_score(documents: DataFrame) -> DataFrame:
         f" * 1e6 + 0.5) / 1e6 ELSE 0.0d END"
     )
     return (
-        documents.where(F.expr(n) >= 1)
-        .select(
-            "doc_id",
-            F.expr(
-                f"floor({top} / cast({n} as double) * 1e6 + 0.5) / 1e6"
-            ).alias("top_word_frac"),
-            F.expr(dup).alias("dup_2gram_frac"),
-        )
+        F.expr(f"floor({top} / cast({n} as double) * 1e6 + 0.5) / 1e6"),
+        F.expr(dup),
     )
 
 

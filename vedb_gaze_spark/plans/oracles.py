@@ -1381,13 +1381,13 @@ WITH d AS (
   FROM documents
 )
 SELECT doc_id, n_tokens,
-  round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
-  round((n_chars - n_clean) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
-  round(n_alnum / CAST(n_tokens AS DOUBLE), 6) AS mean_word_len,
-  round((0.4 * (n_stop / CAST(n_tokens AS DOUBLE))
+  floor(n_stop / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+  floor((n_chars - n_clean) / CAST(n_chars AS DOUBLE) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+  floor(n_alnum / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+  floor((0.4 * (n_stop / CAST(n_tokens AS DOUBLE))
        + 0.3 * least(n_tokens / 100.0, 1.0)
        + 0.3 * least((n_alnum / CAST(n_tokens AS DOUBLE)) / 8.0, 1.0))
-       * (1.0 - (n_chars - n_clean) / CAST(n_chars AS DOUBLE)), 6) AS quality
+       * (1.0 - (n_chars - n_clean) / CAST(n_chars AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS quality
 FROM d WHERE n_tokens > 0
 """
 

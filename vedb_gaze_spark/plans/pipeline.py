@@ -483,32 +483,86 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
 
     emitting every surviving doc with its metrics and dedup status.
 
-    Scale shape: the quality and language branches are stateless
-    projections; entropy is the one aggregation branch (O(docs ×
-    alphabet) shuffle); the prune table is pair-graph-sized, so its join
-    broadcasts under AQE. Every join key is doc_id — on a corpus stored
-    bucketed by doc_id (sources/bucketing.py) the whole plan runs
-    without exchanging the corpus once.
+    Scale shape (r14 fusion, PERF_NOTES): every per-row branch —
+    quality, language, and (in curation_full) repetition + PII — is
+    computed as COLUMNS of ONE projection over the corpus scan, not as
+    separate scans joined back on doc_id: the pre-r14 shape paid one
+    corpus scan plus one corpus-sized shuffle join PER BRANCH. What
+    remains joined is only what genuinely isn't row-local: the entropy
+    aggregate (O(docs × alphabet) shuffle) and the near-dup CLUSTER
+    table — pair-graph-sized, broadcast under AQE — against which the
+    prune filter and status are applied directly (dedup_prune's own
+    corpus-sided output would make that join big-big). Output is
+    row-for-row identical to the joined form: all branches project the
+    same source, so inner-joining them on the unique doc_id key was
+    only column concatenation.
     """
-    from vedb_gaze_spark.operators.dedup import dedup_prune
-    from vedb_gaze_spark.operators.text import char_entropy, lang_id, text_quality
+    return _curation_sweep(documents, full=False)
 
-    q = text_quality(documents)
-    lg = lang_id(documents)
-    en = char_entropy(documents)
-    keep = dedup_prune(documents)
+
+def _curation_sweep(documents: DataFrame, full: bool) -> DataFrame:
+    from vedb_gaze_spark.operators.dedup import dedup_clusters
+    from vedb_gaze_spark.operators.text import (
+        char_entropy,
+        lang_pred_col,
+        pii_cols,
+        quality_cols,
+        repetition_cols,
+    )
+
+    q = quality_cols()
+    cols = [
+        F.col("doc_id"),
+        q["n_tokens"].alias("n_tokens"),
+        q["quality"].alias("quality"),
+        lang_pred_col().alias("pred_lang"),
+    ]
+    out_cols = ["doc_id", "n_tokens", "quality", "entropy_bits", "status"]
+    gates = (
+        (F.col("pred_lang") == P.CURATION_LANG)
+        & (F.col("n_tokens") >= P.CURATION_MIN_TOKENS)
+        & (F.col("quality") >= P.CURATION_MIN_QUALITY)
+    )
+    if full:
+        top, dup = repetition_cols()
+        pii, _ = pii_cols()
+        n_pii = None
+        for c in pii.values():
+            n_pii = c if n_pii is None else n_pii + c
+        cols += [
+            top.alias("top_word_frac"),
+            dup.alias("dup_2gram_frac"),
+            n_pii.alias("n_pii"),
+        ]
+        out_cols += ["top_word_frac", "dup_2gram_frac", "n_pii"]
+        gates = (
+            gates
+            & (F.col("top_word_frac") <= P.CURATION_MAX_TOP_WORD)
+            & (F.col("dup_2gram_frac") <= P.CURATION_MAX_DUP_2GRAM)
+        )
+    # the n_tokens >= 1 fence the standalone quality/repetition faces
+    # carry is subsumed by CURATION_MIN_TOKENS >= 1
+    perrow = documents.select(*cols).where(gates)
+    en = char_entropy(documents).select("doc_id", "entropy_bits")
+    lab = dedup_clusters(documents).select("doc_id", "cluster_id")
     return (
-        q.join(lg, "doc_id")
-        .join(en, "doc_id")
-        .join(keep, "doc_id")
+        perrow.join(en, "doc_id")
         .where(
-            (F.col("pred_lang") == P.CURATION_LANG)
-            & (F.col("n_tokens") >= P.CURATION_MIN_TOKENS)
-            & (F.col("quality") >= P.CURATION_MIN_QUALITY)
-            & (F.col("entropy_bits") >= P.CURATION_ENTROPY_LO)
+            (F.col("entropy_bits") >= P.CURATION_ENTROPY_LO)
             & (F.col("entropy_bits") <= P.CURATION_ENTROPY_HI)
         )
-        .select("doc_id", "n_tokens", "quality", "entropy_bits", "status")
+        .join(lab, "doc_id", "left")
+        .where(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("cluster_id").isNull(), F.lit("unique")).otherwise(
+                F.lit("canonical")
+            ),
+        )
+        .select(*out_cols)
     )
 
 
@@ -522,29 +576,11 @@ def curation_full(documents: DataFrame) -> DataFrame:
                              curation report; this corpus scrubs clean)
 
     The repetition and PII branches are stateless per-row projections —
-    they add NO shuffle to curation_pipeline's plan; every join key
-    stays doc_id, so a doc_id-bucketed corpus still runs the whole
-    sweep without exchanging the corpus once."""
-    from vedb_gaze_spark.operators.text import pii_scrub, repetition_score
-
-    rep = repetition_score(documents)
-    pii = pii_scrub(documents).select(
-        "doc_id",
-        (F.col("n_email") + F.col("n_phone") + F.col("n_ip")).alias("n_pii"),
-    )
-    return (
-        curation_pipeline(documents)
-        .join(rep, "doc_id")
-        .join(pii, "doc_id")
-        .where(
-            (F.col("top_word_frac") <= P.CURATION_MAX_TOP_WORD)
-            & (F.col("dup_2gram_frac") <= P.CURATION_MAX_DUP_2GRAM)
-        )
-        .select(
-            "doc_id", "n_tokens", "quality", "entropy_bits", "status",
-            "top_word_frac", "dup_2gram_frac", "n_pii",
-        )
-    )
+    r14: they ride the SAME fused projection as the quality/language
+    gates (_curation_sweep), so the full sweep costs exactly one more
+    set of columns than curation_pipeline, not two more corpus scans
+    plus two corpus-sized joins."""
+    return _curation_sweep(documents, full=True)
 
 
 def corpus_pipeline(documents: DataFrame) -> DataFrame:
