@@ -2180,6 +2180,61 @@ def test_r13_sq8_plan_pins(spark, sf_dir):
     assert all(mn <= mx for mn, mx in st)
 
 
+def test_r14_curation_fusion_plan_pins(spark, sf_dir):
+    """The curation sweep is ONE fused projection over the corpus scan
+    plus exactly two join branches (PERF_NOTES r14): the entropy
+    aggregate (sort-merge, big-big safe) and the pair-graph-sized
+    cluster table (broadcast under AQE). The pre-r14 shape — separate
+    per-row branches joined back on doc_id — read the corpus 6× and
+    paid 3 corpus-sized shuffle joins."""
+    from vedb_gaze_spark.plans.queries import QUERIES
+
+    for key in ("curation_pipeline", "curation_full"):
+        df = QUERIES[key](spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert p.count("FileScan") == 2, f"{key}: {p.count('FileScan')} scans"
+        assert "CartesianProduct" not in p
+
+
+def test_r14_lambda_bodies_never_rerun_the_tokenizer(spark, sf_dir):
+    """Subexpression elimination is projection-level only — an
+    expensive expression referenced inside a HOF lambda body re-runs
+    per element (repetition_score's tokenizer regex ran O(tokens)
+    times per row, 11× the fixed form; PERF_NOTES r14). Pin the fixed
+    expression forms: the tokenizer appears in the optimized plans
+    only OUTSIDE lambda bodies — every `lambdafunction(...)` argument
+    region is regex-free."""
+    import re
+
+    from vedb_gaze_spark.plans.queries import QUERIES
+
+    def lambda_spans_are_regex_free(plan: str) -> bool:
+        for m in re.finditer(r"lambdafunction\(", plan):
+            depth, i = 1, m.end()
+            while depth and i < len(plan):
+                depth += {"(": 1, ")": -1}.get(plan[i], 0)
+                i += 1
+            if "regexp_extract_all" in plan[m.end() : i]:
+                return False
+        return True
+
+    for key in ("repetition_score", "ngram_topk"):
+        df = QUERIES[key](spark, sf_dir)
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "regexp_extract_all" in p  # the tokenizer is still there
+        assert lambda_spans_are_regex_free(p), key
+    # the gram-relation sites keep their regex behind a materialized
+    # projection attribute (CollapseProject's used-more-than-once
+    # guard) — pin that the Generate input is an attribute, not the
+    # inlined regex
+    from vedb_gaze_spark.operators.text import _doc_grams
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    p = _doc_grams(docs, 2)._jdf.queryExecution().optimizedPlan().toString()
+    assert lambda_spans_are_regex_free(p)
+
+
 def test_r14_fullgrid_qc_join_is_not_broadcast(spark, sf_dir):
     """At the reference full-image (300, 400) grid the QC surface is
     user × 120,000 rows. Omitting broadcast() is NOT enough to keep it
