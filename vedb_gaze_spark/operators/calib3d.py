@@ -73,10 +73,11 @@ def _lm_refine(
 ) -> np.ndarray:
     """Levenberg–Marquardt over the 3 axis-angle parameters of a left
     perturbation exp([ω]×)·R0, minimizing Σ θ_i² (the bundle-adjustment
-    loss). Numeric central-difference Jacobian — 6 extra evaluations of
-    an (n,3) matmul per step, on a per-user group that is already
-    bounded; 3×3 normal equations solve. Returns the refined rotation
-    (falls back to R0 if no step improves)."""
+    loss). Numeric central-difference Jacobian — the 6 perturbed
+    evaluations run as ONE stacked (6,n,3) matmul per step (same
+    per-slice BLAS as six scalar calls — bit-identical, r14); 3×3
+    normal equations solve. Returns the refined rotation (falls back
+    to R0 if no step improves)."""
     w = np.zeros(3)
     lam = 1e-3
     cost = float((_angles(R0, Pn, Rf) ** 2).sum())
@@ -84,13 +85,17 @@ def _lm_refine(
     eps = 1e-6
     for _ in range(iters):
         f0 = _angles(R_best, Pn, Rf)
-        J = np.empty((len(f0), 3))
+        Rst = np.empty((6, 3, 3))
         for j in range(3):
             d = np.zeros(3)
             d[j] = eps
-            fp = _angles(_rot_vec(d) @ R_best, Pn, Rf)
-            fm = _angles(_rot_vec(-d) @ R_best, Pn, Rf)
-            J[:, j] = (fp - fm) / (2 * eps)
+            Rst[j] = _rot_vec(d) @ R_best
+            Rst[3 + j] = _rot_vec(-d) @ R_best
+        rot = np.matmul(Pn[None, :, :], Rst.transpose(0, 2, 1))
+        ang = np.arccos(np.clip((rot * Rf[None, :, :]).sum(2), -1.0, 1.0))
+        J = np.empty((len(f0), 3))
+        for j in range(3):
+            J[:, j] = (ang[j] - ang[3 + j]) / (2 * eps)
         g = J.T @ f0
         H = J.T @ J
         stepped = False
@@ -253,28 +258,42 @@ def calibration_hmd(events: DataFrame) -> DataFrame:
             n = d @ R_t + J  # R_t.T applied row-wise: (R_t.T @ d_i)
             normals[eye] = n / np.linalg.norm(n, axis=1, keepdims=True)
 
-        def kabsch(P: np.ndarray, R: np.ndarray) -> np.ndarray:
-            H = P.T @ R
+        # The 50-scale sweep as STACKED numpy (r14): one batched
+        # (50,3,n)@(50,n,3) Kabsch-H build, one batched 3×3 SVD, one
+        # batched residual — numpy dispatches the same BLAS/LAPACK
+        # routine per slice as the former per-scale Python loop, so
+        # results are bit-identical while the ~100 small-call Python
+        # loop per user collapses to ~6 vectorized calls per eye.
+        n_s = len(scales)
+        # (50, n, 3): targets at every z-scale
+        tgt_all = P3[None, :, :] * np.stack(
+            [np.full(n_s, 1.0), np.full(n_s, -1.0), scales], axis=1
+        )[:, None, :]
+        tot_all = np.zeros(n_s)
+        R_all = {}
+        d_all = {}
+        for eye in (0, 1):
+            d = tgt_all - _EYE_T[eye]
+            d = d / np.linalg.norm(d, axis=2, keepdims=True)
+            H = np.matmul(normals[eye].T[None, :, :], d)  # (50, 3, 3)
             U, _, Vt = np.linalg.svd(H)
-            d_ = np.sign(np.linalg.det(Vt.T @ U.T))
-            return Vt.T @ np.diag([1.0, 1.0, d_]) @ U.T
-
-        best = None
-        for s in scales:
-            tgt = P3 * np.array([1.0, -1.0, float(s)])
-            tot = 0.0
-            Rs = {}
-            dirs = {}
-            for eye in (0, 1):
-                d = tgt - _EYE_T[eye]
-                d = d / np.linalg.norm(d, axis=1, keepdims=True)
-                Rk = kabsch(normals[eye], d)
-                tot += float((_angles(Rk, normals[eye], d) ** 2).sum())
-                Rs[eye] = Rk
-                dirs[eye] = d
-            if best is None or tot < best[0]:
-                best = (tot, float(s), Rs, dirs)
-        _, s_best, Rs, dirs = best
+            UT = U.transpose(0, 2, 1)
+            VtT = Vt.transpose(0, 2, 1)
+            det = np.sign(np.linalg.det(np.matmul(VtT, UT)))
+            D = np.tile(np.eye(3), (n_s, 1, 1))
+            D[:, 2, 2] = det
+            Rk = np.matmul(VtT, np.matmul(D, UT))  # (50, 3, 3)
+            rot = np.matmul(
+                normals[eye][None, :, :], Rk.transpose(0, 2, 1)
+            )  # (50, n, 3)
+            ang = np.arccos(np.clip((rot * d).sum(2), -1.0, 1.0))
+            tot_all += (ang**2).sum(1)
+            R_all[eye] = Rk
+            d_all[eye] = d
+        i_best = int(np.argmin(tot_all))
+        s_best = float(scales[i_best])
+        Rs = {eye: R_all[eye][i_best] for eye in (0, 1)}
+        dirs = {eye: d_all[eye][i_best] for eye in (0, 1)}
         res_kab = float(
             np.rad2deg(
                 np.concatenate(
@@ -354,15 +373,24 @@ def _lm_refine_pose(
     stalls a numeric-Jacobian LM exactly on clean data). Angle and
     chord agree to second order near zero, and the angular residual is
     what gets REPORTED. Left axis-angle perturbation exp([ω]×)·R for
-    rotation, additive for translation; central-difference Jacobian
-    (12 extra (n,3) matmuls per step) on a bounded per-user group; 6×6
-    normal equations. Falls back to the best-so-far pose when no
-    damped step improves."""
+    rotation, additive for translation; central-difference Jacobian —
+    the 6 rotation-perturbed evaluations run as ONE stacked (6,n,3)
+    matmul and the 6 translation-perturbed ones reuse a single X·Rᵀ
+    product with batched offsets (same per-slice BLAS, bit-identical,
+    r14) — on a bounded per-user group; 6×6 normal equations. Falls
+    back to the best-so-far pose when no damped step improves."""
 
     def chord(Rm: np.ndarray, T: np.ndarray) -> np.ndarray:
         pred = X @ Rm.T + T
         nrm = np.linalg.norm(pred, axis=1, keepdims=True)
         return (pred / np.maximum(nrm, 1e-15) - O).ravel()
+
+    def chord_stack(pred: np.ndarray) -> np.ndarray:
+        """chord() over a stacked (k,n,3) prediction bundle."""
+        nrm = np.linalg.norm(pred, axis=2, keepdims=True)
+        return (pred / np.maximum(nrm, 1e-15) - O[None, :, :]).reshape(
+            pred.shape[0], -1
+        )
 
     lam = 1e-3
     R_best, T_best = R0, T0.astype(np.float64).copy()
@@ -373,18 +401,23 @@ def _lm_refine_pose(
     for _ in range(iters):
         f0 = chord(R_best, T_best)
         Jm = np.empty((len(f0), 6))
+        Rst = np.empty((6, 3, 3))
         for j in range(3):
             d = np.zeros(3)
             d[j] = eps_w
-            fp = chord(_rot_vec(d) @ R_best, T_best)
-            fm = chord(_rot_vec(-d) @ R_best, T_best)
-            Jm[:, j] = (fp - fm) / (2 * eps_w)
+            Rst[j] = _rot_vec(d) @ R_best
+            Rst[3 + j] = _rot_vec(-d) @ R_best
+        fw = chord_stack(
+            np.matmul(X[None, :, :], Rst.transpose(0, 2, 1))
+            + T_best[None, None, :]
+        )
         for j in range(3):
-            d = np.zeros(3)
-            d[j] = eps_t
-            fp = chord(R_best, T_best + d)
-            fm = chord(R_best, T_best - d)
-            Jm[:, 3 + j] = (fp - fm) / (2 * eps_t)
+            Jm[:, j] = (fw[j] - fw[3 + j]) / (2 * eps_w)
+        XR = X @ R_best.T
+        Toff = np.concatenate([np.eye(3) * eps_t, -np.eye(3) * eps_t])
+        ft = chord_stack(XR[None, :, :] + (T_best + Toff)[:, None, :])
+        for j in range(3):
+            Jm[:, 3 + j] = (ft[j] - ft[3 + j]) / (2 * eps_t)
         g = Jm.T @ f0
         H = Jm.T @ Jm
         stepped = False
