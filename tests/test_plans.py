@@ -2196,6 +2196,50 @@ def test_r14_curation_fusion_plan_pins(spark, sf_dir):
         assert "CartesianProduct" not in p
 
 
+def test_r14_curation_total_on_degenerate_docs(spark, sf_dir):
+    """ANSI mode evaluates pushed-down gate predicates on EVERY row of
+    the fused curation projection — including zero-token docs, where an
+    unguarded n_stop/n_tokens is a DIVIDE_BY_ZERO crash (found r14 with
+    a planted empty doc; the parquet corpus contains none). The metric
+    builders are CASE-guarded total functions: degenerate docs flow
+    through every curation face without error and are gated out, and
+    real docs keep their exact pre-guard values (oracle parity pins
+    those)."""
+    import pandas as pd
+
+    from vedb_gaze_spark.operators.text import (
+        lang_id,
+        repetition_score,
+        text_quality,
+    )
+    from vedb_gaze_spark.plans.pipeline import curation_full, curation_pipeline
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "",  # empty
+                    "!!! ???",  # chars but zero tokens
+                    " \t ",  # whitespace only
+                    "the quick brown fox jumps over the lazy dog and "
+                    "then the dog naps by the door while the fox runs "
+                    "far away to the old red barn near the green hill",
+                ],
+                "lang": ["en"] * 4,
+                "source": ["t"] * 4,
+            }
+        )
+    )
+    assert [r.doc_id for r in text_quality(docs).collect()] == [4]
+    assert len(lang_id(docs).collect()) == 4  # no fence, still total
+    assert [r.doc_id for r in repetition_score(docs).collect()] == [4]
+    surv = curation_pipeline(docs).collect()
+    assert {r.doc_id for r in surv} <= {4}
+    surv_full = curation_full(docs).collect()
+    assert {r.doc_id for r in surv_full} <= {4}
+
+
 def test_r14_lambda_bodies_never_rerun_the_tokenizer(spark, sf_dir):
     """Subexpression elimination is projection-level only — an
     expensive expression referenced inside a HOF lambda body re-runs

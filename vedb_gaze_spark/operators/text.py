@@ -46,9 +46,16 @@ def quality_cols() -> dict[str, Column]:
     n_stop = F.expr(f"size(filter({_TOKENS}, t -> t IN ({sw})))")
     n_clean = F.expr("length(regexp_replace(lower(text), '[^a-z0-9 ]', ''))")
     n_alnum = F.expr("length(regexp_replace(lower(text), '[^a-z0-9]', ''))")
-    stop_ratio = n_stop / n_tokens
-    punct_ratio = (n_chars - n_clean) / n_chars
-    mean_word_len = n_alnum / n_tokens
+    # every ratio is CASE-guarded on its denominator so the builders are
+    # TOTAL functions: when the fused curation projection's gate
+    # predicate pushes down past the metric projection, ANSI mode
+    # evaluates these on EVERY row — including zero-token docs, where an
+    # unguarded division is a DIVIDE_BY_ZERO crash (found r14 with a
+    # planted empty doc; the testdata corpus has none). Guarded and
+    # unguarded values are identical on every doc the faces emit.
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens)
+    punct_ratio = F.when(n_chars > 0, (n_chars - n_clean) / n_chars)
+    mean_word_len = F.when(n_tokens > 0, n_alnum / n_tokens)
     quality = (
         0.4 * stop_ratio
         + 0.3 * F.least(n_tokens / 100.0, F.lit(1.0))
@@ -383,8 +390,13 @@ def repetition_cols() -> tuple[Column, Column]:
         f"floor((1.0 - size(array_distinct({grams})) / cast({n} - 1 as double))"
         f" * 1e6 + 0.5) / 1e6 ELSE 0.0d END"
     )
+    # CASE-guarded like quality_cols' ratios: pushed-down gate
+    # predicates evaluate this on zero-token rows under ANSI
     return (
-        F.expr(f"floor({top} / cast({n} as double) * 1e6 + 0.5) / 1e6"),
+        F.expr(
+            f"CASE WHEN {n} >= 1 THEN "
+            f"floor({top} / cast({n} as double) * 1e6 + 0.5) / 1e6 END"
+        ),
         F.expr(dup),
     )
 
