@@ -182,11 +182,14 @@ def test_stateful_odometry_across_batches(spark, sf_dir, tmp_path):
         for k, w in want.items():
             g = got[k]
             assert g.user_id == w.user_id, k
-            # floor(x*1e6+0.5)/1e6 vs JVM BigDecimal HALF_UP — equal for
-            # these positive magnitudes; compare to rounding tolerance
-            assert abs(g.speed_mps - w.speed_mps) <= 1e-6, k
-            assert abs(g.speed_mph - w.speed_mph) <= 1e-6, k
-            assert abs(g.mins_per_mile - w.mins_per_mile) <= 1e-6, k
+            # both sides round with floor(x*1e6+0.5)/1e6 on the same
+            # IEEE doubles since r14 — EXACT equality, and NULL parity
+            # at zero speed (the batch's stationary-sample NULL)
+            assert g.speed_mps == w.speed_mps, k
+            assert g.speed_mph == w.speed_mph, k
+            assert g.mins_per_mile == w.mins_per_mile or (
+                g.mins_per_mile is None and w.mins_per_mile is None
+            ), k
     finally:
         q.stop()
 

@@ -27,6 +27,12 @@ M_PER_MILE = 1609.34
 SEC_PER_HR = 3600.0
 
 
+def _r6(c):
+    """6dp rounding as floor(x*1e6+0.5)/1e6 — engine-portable identical
+    IEEE ops on Spark and DuckDB (see speed_from_positions)."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
 def _positions(events: DataFrame) -> DataFrame:
     k = F.col("event_id")
     px = ((k * 48271) % 2000 - 1000) / 100.0
@@ -63,8 +69,14 @@ def speed_from_positions(p: DataFrame) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.round("mps", 6).alias("speed_mps"),
-            F.round(F.col("mps") * SEC_PER_HR / M_PER_MILE, 6).alias("speed_mph"),
+            # floor(x*1e6+0.5), not round(x, 6): Spark's BigDecimal
+            # HALF_UP on the double's binary expansion disagrees with
+            # DuckDB round() on .5-boundary doubles — one sf0.1 row's
+            # mins_per_mile sat exactly on the 6dp grid (found by the
+            # r14 all-keys sf0.1 sweep; invisible at the sf0.01 gate).
+            # The floor form runs identical IEEE ops on both engines.
+            _r6(F.col("mps")).alias("speed_mps"),
+            _r6(F.col("mps") * SEC_PER_HR / M_PER_MILE).alias("speed_mph"),
             # minutes-per-mile is undefined at zero speed (a stationary
             # sample: consecutive identical positions with dt > 0) —
             # NULL on both engines instead of ANSI DIVIDE_BY_ZERO.
@@ -73,7 +85,7 @@ def speed_from_positions(p: DataFrame) -> DataFrame:
             # is unchanged.
             F.when(
                 F.col("mps") > 0,
-                F.round(M_PER_MILE / F.col("mps") / 60.0, 6),
+                _r6(M_PER_MILE / F.col("mps") / 60.0),
             ).alias("mins_per_mile"),
         )
     )

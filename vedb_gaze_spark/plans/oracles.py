@@ -832,9 +832,9 @@ WITH p AS (
   FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 )
 SELECT user_id, event_id,
-  round(mps, 6) AS speed_mps,
-  round(mps * 3600.0 / 1609.34, 6) AS speed_mph,
-  CASE WHEN mps > 0 THEN round(1609.34 / mps / 60.0, 6) END
+  floor(mps * 1e6 + 0.5) / 1e6 AS speed_mps,
+  floor(mps * 3600.0 / 1609.34 * 1e6 + 0.5) / 1e6 AS speed_mph,
+  CASE WHEN mps > 0 THEN floor(1609.34 / mps / 60.0 * 1e6 + 0.5) / 1e6 END
     AS mins_per_mile
 FROM v WHERE mps IS NOT NULL AND dt > 0
 """

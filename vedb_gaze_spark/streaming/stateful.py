@@ -352,8 +352,10 @@ def _make_odometry_fn():
             has_prev = False
 
         def r6(v: float) -> float:
-            # HALF_UP at 6 decimals for positive values — the JVM
-            # F.round arithmetic the batch operator applies
+            # floor(x*1e6+0.5)/1e6 — exactly the batch operator's
+            # engine-portable rounding (operators/odometry.py:_r6; the
+            # batch face moved off F.round in r14, which matched this
+            # form on every non-tie value)
             return math.floor(v * 1e6 + 0.5) / 1e6
 
         out: list[tuple] = []
@@ -370,7 +372,10 @@ def _make_odometry_fn():
                 out.append((
                     user_id, eid, r6(mps),
                     r6(mps * SEC_PER_HR / M_PER_MILE),
-                    r6(M_PER_MILE / mps / 60.0) if mps > 0 else float("inf"),
+                    # None at zero speed — the batch operator's NULL
+                    # (stationary sample; the twin previously emitted
+                    # inf, stale vs the r14 batch zero-speed fix)
+                    r6(M_PER_MILE / mps / 60.0) if mps > 0 else None,
                 ))
             prev_t, px, py, pz, has_prev = t, x, y, z, True
 
