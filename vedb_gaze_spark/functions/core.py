@@ -60,6 +60,101 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728', '128m', '1g')."""
+    s = conf_val.strip().lower()
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suf + "b"):
+            s, mult = s[:-2], m
+            break
+        if s.endswith(suf):
+            s, mult = s[:-1], m
+            break
+    if s.endswith("b"):
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return 128 << 20
+
+
+def spread_scan(df, *keys: str):
+    """Deterministic key-hash repartition of a COMPACT source relation
+    before a row-expanding, CPU-dense stage (char-shingle explode +
+    per-shingle md5, token explode + double md5, per-row regex sweeps)
+    whose downstream shuffle is keyed by ``keys``.
+
+    Why this is the right shape at ANY scale (optimization guide §2.3 /
+    §8): the expansion multiplies bytes 10-30× (a (doc_id, pos, hash)
+    row per character), so exchanging the raw rows FIRST and expanding
+    after moves strictly fewer bytes than the default plan, which
+    expands inside the scan stage and shuffles the expanded rows to the
+    keyed aggregation/window. The downstream groupBy/Window on the same
+    keys reuses this exchange's hash partitioning (ClusteredDistribution
+    is satisfied — no second shuffle appears; plan-pinned in tests).
+
+    Scale-adaptivity rather than a local[32] constant: the repartition
+    only fires when the source CANNOT already feed every core — i.e.
+    the file layout admits fewer splits than defaultParallelism (bytes /
+    maxPartitionBytes, the planner's own split math). A 100 TB table
+    has thousands of splits → no-op, zero plan change. A one-row-group
+    bench file (or any small/freshly-compacted table on a real cluster)
+    otherwise serializes the whole hashing pass onto ONE task (measured
+    sf0.1: the 6 M-md5 shingle pass ran single-core — 4.3 s of a 5.5 s
+    query). Non-local URIs and un-stat-able sources conservatively
+    no-op. Partition count is defaultParallelism (the cluster's core
+    budget), never a hard-coded number; the hash keys keep the
+    placement deterministic under task retry (guide §2.5)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    import os as _os
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return df
+        try:
+            total += _os.path.getsize(unquote(u.path))
+        except OSError:
+            return df
+    spark = df.sparkSession
+    maxpb = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    )
+    par = spark.sparkContext.defaultParallelism
+    splits = len(files) + total // max(maxpb, 1)
+    if splits >= par:
+        return df
+    return df.repartition(par, *[F.col(k) for k in keys])
+
+
+def spread_scan_scatter(df, key: str):
+    """spread_scan for MULTI-CONSUMER subtrees: partition on a HASH of
+    ``key`` instead of ``key`` itself, so rows of one key stay together
+    (determinism under retry, guide §2.5) but the partitioning does NOT
+    satisfy the downstream groupBy/Window distribution. That keeps the
+    consumer's own Exchange in the plan — which matters when several
+    branches consume the expensive subtree: Spark de-duplicates work at
+    EXCHANGE boundaries (ReusedExchange), so removing the aggregation's
+    exchange (what the aligned spread_scan does) makes every consumer
+    re-run the whole hashing pass instead of reading the shuffle files
+    once (measured: dedup_minhash_lsh 6.2 s → 21 s with the aligned
+    form inside _doc_sets, back to 2.9 s with this one). Same
+    input-size gate: no-op whenever the scan already feeds the cores."""
+    out = spread_scan(df, key)
+    if out is df:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, F.xxhash64(F.col(key)))
+
+
 def iter_checkpoint(df, eager: bool = True):
     """Lineage truncation for ITERATIVE spines (PageRank/HITS rounds,
     BPE merges, Lloyd's assignments, CC label propagation, multi-use

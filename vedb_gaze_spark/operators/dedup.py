@@ -24,7 +24,11 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vedb_gaze_spark.functions.core import iter_checkpoint, portable_hash60
+from vedb_gaze_spark.functions.core import (
+    iter_checkpoint,
+    portable_hash60,
+    spread_scan_scatter,
+)
 from vedb_gaze_spark.operators.text import shingles
 from vedb_gaze_spark.plans import params as P
 
@@ -46,9 +50,15 @@ def _doc_sets(documents: DataFrame) -> DataFrame:
     md5s); building this table first and deriving the per-shingle stream,
     set sizes, document frequencies, AND verification sets from it means
     Catalyst reuses ONE exchange (ReusedExchange) instead of re-hashing
-    the corpus once per consuming branch."""
+    the corpus once per consuming branch.
+
+    The scatter spread (r14) parallelizes the md5 pass off a
+    single-split scan WITHOUT removing this groupBy's exchange — the
+    aligned spread_scan would satisfy the distribution, delete the
+    exchange, and with it the reuse point every consumer shares
+    (measured: dedup_minhash_lsh 6.2 s → 21 s aligned, 2.9 s scatter)."""
     return (
-        shingles(documents)
+        shingles(spread_scan_scatter(documents, "doc_id"))
         .select("doc_id", portable_hash60("sh").alias("sh"))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("sh")).alias("s"))

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vedb_gaze_spark.functions.core import portable_hash60
+from vedb_gaze_spark.functions.core import (
+    portable_hash60,
+    spread_scan,
+    spread_scan_scatter,
+)
 from vedb_gaze_spark.plans import params as P
 
 _TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
@@ -132,7 +136,12 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     standard local document fingerprint (Schleimer et al.'s winnowing);
     window-min is a per-document ROWS frame — partition key doc_id scales
     with the corpus."""
-    sh = shingles(documents).withColumn("h", portable_hash60("sh"))
+    # scatter-spread (not aligned): the hashing pass parallelizes off
+    # the single-split scan while the Window KEEPS its doc_id exchange,
+    # which is the reuse point winnow_overlap's two fps branches share
+    sh = shingles(spread_scan_scatter(documents, "doc_id")).withColumn(
+        "h", portable_hash60("sh")
+    )
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -638,7 +647,8 @@ def hash_embed(documents: DataFrame, dims: int = 64) -> DataFrame:
     at sf0.1 vs ~1 s for this form (the multimodal_phash_dedup lesson,
     PERF_NOTES r5)."""
     toks = (
-        documents.where(F.col("text").isNotNull())
+        spread_scan(documents, "doc_id")
+        .where(F.col("text").isNotNull())
         .where(F.expr(f"size({_TOKENS})") >= 1)
         .select("doc_id", F.explode(F.expr(_TOKENS)).alias("t"))
         .select(
