@@ -38,4 +38,15 @@ def apply_per_key(
         return pd.concat(outs, ignore_index=True)
 
     salted = df.withColumn("__salt", F.pmod(F.hash(key), F.lit(n_buckets)))
+    # Explicit n_buckets-partition repartition on the salt, NOT the bare
+    # groupBy: the grouped map's ENSURE_REQUIREMENTS exchange is subject
+    # to AQE partition COALESCING, which is byte-based — a per-user
+    # point table is a few hundred KB, so AQE folds all buckets into ONE
+    # partition and every numpy kernel runs sequentially on one core
+    # (measured: error_surface_grid 6.4 s → 1.8 s at sf0.1 from this
+    # line alone). The kernels' cost scales with GROUP COUNT, not bytes
+    # — exactly the case byte-based coalescing mis-sizes. An explicit
+    # numPartitions repartition is exempt from coalescing and satisfies
+    # the groupBy's distribution (no second exchange appears).
+    salted = salted.repartition(n_buckets, "__salt")
     return salted.groupBy("__salt").applyInPandas(run, schema=schema)
