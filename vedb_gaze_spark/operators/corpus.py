@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vedb_gaze_spark.functions.core import portable_hash60
+from vedb_gaze_spark.functions.core import portable_hash60, spread_scan_scatter
 from vedb_gaze_spark.plans import params as P
 
 _TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
@@ -194,7 +194,10 @@ def decontaminate(
     benchmark (an eval suite) is megabytes against terabytes of corpus,
     so the corpus side joins without shuffling."""
     ngrams = (
-        documents.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        # scatter-spread (r14): n-gram build + k salted md5 probes per
+        # gram are the scan-attached CPU cost; spread the compact rows
+        spread_scan_scatter(documents, "doc_id")
+        .select("doc_id", F.expr(_TOKENS).alias("toks"))
         .where(F.expr(f"size(toks) >= {n}"))
         .select(
             "doc_id",
@@ -532,7 +535,12 @@ def _dsir_grams(
     """(doc_id, bucket, is_target) hashed unigram∪bigram occurrence
     stream — one corpus scan, one generator (the union-of-selects form
     tokenizes the corpus twice)."""
-    toks = documents.where(F.col("text").isNotNull()).select(
+    # scatter-spread (r14): the unigram+bigram explode and per-gram
+    # md5 otherwise run inside a single-split scan task at test file
+    # sizes (no-op whenever the layout already feeds every core)
+    toks = spread_scan_scatter(
+        documents, "doc_id"
+    ).where(F.col("text").isNotNull()).select(
         "doc_id", F.expr(_TOKENS).alias("t")
     )
     gram_arr = F.expr(
@@ -627,7 +635,11 @@ def dedup_substring(
     the gram-count groupBy and the doc_id re-key for the island scan.
     No broadcast of anything corpus-dependent (the duplicated-gram
     relation joins on the hash key; AQE picks the strategy)."""
-    toks = documents.where(F.col("text").isNotNull()).select(
+    # scatter-spread (r14): parallelize the L-gram join+md5 pass off
+    # a single-split scan; the gram-count groupBy keeps its exchange
+    toks = spread_scan_scatter(
+        documents, "doc_id"
+    ).where(F.col("text").isNotNull()).select(
         "doc_id", F.expr(_TOKENS).alias("t")
     )
     grams = toks.where(F.size("t") >= min_len).select(
@@ -875,7 +887,10 @@ def contamination_report(
     here carries the benchmark doc_id (still eval-suite-sized), and
     the rollup keys on benchmark doc — a tiny aggregate."""
     ngrams = (
-        documents.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        # scatter-spread (r14): n-gram build + k salted md5 probes per
+        # gram are the scan-attached CPU cost; spread the compact rows
+        spread_scan_scatter(documents, "doc_id")
+        .select("doc_id", F.expr(_TOKENS).alias("toks"))
         .where(F.expr(f"size(toks) >= {n}"))
         .select(
             "doc_id",
@@ -1008,7 +1023,10 @@ def bloom_decontaminate(
     """
     k = len(salts)
     ngrams = (
-        documents.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        # scatter-spread (r14): n-gram build + k salted md5 probes per
+        # gram are the scan-attached CPU cost; spread the compact rows
+        spread_scan_scatter(documents, "doc_id")
+        .select("doc_id", F.expr(_TOKENS).alias("toks"))
         .where(F.expr(f"size(toks) >= {n}"))
         .select(
             "doc_id",
@@ -1078,7 +1096,10 @@ def minhash_containment(
     sketched/approximate symmetric-Jaccard kernel instead.
     """
     ngrams = (
-        documents.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        # scatter-spread (r14): n-gram build + k salted md5 probes per
+        # gram are the scan-attached CPU cost; spread the compact rows
+        spread_scan_scatter(documents, "doc_id")
+        .select("doc_id", F.expr(_TOKENS).alias("toks"))
         .where(F.expr(f"size(toks) >= {n}"))
         .select(
             "doc_id",

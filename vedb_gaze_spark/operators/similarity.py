@@ -725,6 +725,42 @@ def embed_project(
     return v.select("vec_id", F.array(*cols).alias("proj"))
 
 
+def embed_project_rows(
+    embeddings: DataFrame,
+    d_out: int = P.RP_DIM,
+    d_in: int = P.EMB_DIM,
+) -> DataFrame:
+    """Scalar-row face of embed_project — (vec_id, dim, value), the
+    exact rows posexplode(proj) yields, emitted through stack() over
+    d_out SEPARATE projection columns instead of exploding ONE
+    d_out-element array literal. The array form is a single unsplittable
+    expression tree feeding the Generate node: its generated method
+    blows the JVM's 64 KB limit, janino fails, and the stage runs
+    interpreted (the embed_pca lesson, PERF_NOTES r14). d_out top-level
+    scalar columns each compile on their own (CodegenContext
+    splitExpressions carves sub-methods at column boundaries), and the
+    stack Generator consumes column REFS, not the trees. Measured at
+    sf0.1: 3.29 s → 0.55 s collected, values bit-identical."""
+    signs = rp_signs(d_in, d_out)
+    v = _vecs(embeddings)
+    exprs = [
+        "floor(("
+        + " + ".join(
+            f"({signs[j][i]}) * element_at(v, {i + 1})" for i in range(d_in)
+        )
+        + f") * 1e6 + 0.5) / 1e6 as p{j}"
+        for j in range(d_out)
+    ]
+    stack_args = ", ".join(f"{j}, p{j}" for j in range(d_out))
+    return (
+        v.selectExpr("vec_id", *exprs)
+        .selectExpr(
+            "vec_id", f"stack({d_out}, {stack_args}) as (dim, value)"
+        )
+        .select("vec_id", F.col("dim").cast("int").alias("dim"), "value")
+    )
+
+
 def _centroid_dots_expr(vec_col: str) -> str:
     """All centroid dot products against P.IVF_CENTROIDS as ONE parsed
     expression — see _dots_expr_for."""

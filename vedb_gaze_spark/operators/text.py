@@ -784,7 +784,9 @@ def _doc_grams(documents: DataFrame, n: int) -> DataFrame:
     portable hashes — the gram relation behind ngram_novelty and the
     frozen gram index (write_gram_index / novelty_vs_index)."""
     return (
-        documents.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        # scatter-spread (r14): gram build + per-gram md5 off the scan
+        spread_scan_scatter(documents, "doc_id")
+        .select("doc_id", F.expr(_TOKENS).alias("toks"))
         .where(F.expr(f"size(toks) >= {n}"))
         .select(
             "doc_id",
@@ -1093,7 +1095,9 @@ def heaps_law(documents: DataFrame) -> DataFrame:
     (not random samples) keep the report deterministic and the SQL
     mirror exact."""
     toks = (
-        documents.where(F.col("text").isNotNull())
+        # scatter-spread (r14): both global aggs re-read this subtree
+        spread_scan_scatter(documents, "doc_id")
+        .where(F.col("text").isNotNull())
         .select("doc_id", F.explode(F.expr(_TOKENS)).alias("word"))
     )
     mxdf = toks.agg(F.max("doc_id").alias("mx"))

@@ -984,13 +984,12 @@ def _vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embed_project", oracles.EMBED_PROJECT)
 def _embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar face for the driver canonicalizer (the hash_embed lesson:
-    # array columns don't hash) — compute plan is the array operator
-    return (
-        similarity.embed_project(load_table(spark, "embeddings", sf_dir))
-        .select(
-            "vec_id",
-            F.posexplode("proj").alias("dim", "value"),
-        )
+    # array columns don't hash) — embed_project_rows emits the same
+    # rows as posexplode(embed_project().proj) through stack() over
+    # separate compiled columns (the embed_pca codegen-limit fix;
+    # 3.29 s → 0.55 s at sf0.1, values bit-identical)
+    return similarity.embed_project_rows(
+        load_table(spark, "embeddings", sf_dir)
     )
 
 
