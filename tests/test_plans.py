@@ -2300,3 +2300,76 @@ def test_r14_fullgrid_qc_join_is_not_broadcast(spark, sf_dir):
     qc = error_grid_qc(ev, resolution=REFERENCE_RESOLUTION)
     p = qc._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in p, p[:2000]
+
+
+def test_r14_grouped_map_exchange_not_coalescible(spark, sf_dir):
+    """The salted grouped-map exchange must be an explicit-numPartitions
+    repartition (REPARTITION_BY_NUM), NOT the bare groupBy's
+    ENSURE_REQUIREMENTS exchange: AQE's byte-based partition coalescing
+    folds a few-hundred-KB per-user point table into one partition and
+    serializes every numpy kernel onto one core (measured
+    error_surface_grid 6.4 s -> 1.8 s at sf0.1 from the exemption;
+    PERF_NOTES r14 session 4). Pin: exactly one REPARTITION_BY_NUM on
+    __salt feeds the FlatMapGroupsInPandas, and no second exchange
+    appears between them."""
+    from vedb_gaze_spark.plans.queries import QUERIES
+
+    df = QUERIES["error_surface_grid"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in p, p[:2000]
+    # the repartition satisfies the grouped map's distribution — the
+    # salt column must appear in exactly ONE exchange
+    assert p.count("hashpartitioning(__salt") == 1, p[:2000]
+
+
+def test_r14_spread_scan_gate_is_scale_adaptive(spark, sf_dir):
+    """spread_scan/spread_scan_scatter fire ONLY when the file layout
+    cannot feed defaultParallelism (splits = files + bytes div
+    maxPartitionBytes): the bench-scale single-split documents table is
+    repartitioned, while the same relation under a tiny
+    maxPartitionBytes (so the planner already admits >= parallelism
+    splits) is returned UNTOUCHED — the no-op-at-scale contract that
+    keeps the helper from adding an exchange on a real multi-split
+    table."""
+    from vedb_gaze_spark.functions.core import spread_scan, spread_scan_scatter
+    from vedb_gaze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    assert spread_scan(docs, "doc_id") is not docs
+    assert spread_scan_scatter(docs, "doc_id") is not docs
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        docs2 = load_table(spark, "documents", sf_dir)
+        assert spread_scan(docs2, "doc_id") is docs2
+        assert spread_scan_scatter(docs2, "doc_id") is docs2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_r14_embed_project_rows_equals_posexplode_of_array_face(spark, sf_dir):
+    """embed_project_rows (the stack()-of-16-compiled-columns scalar
+    face; 3.3 s -> 0.55 s at sf0.1, the embed_pca 64 KB-codegen lesson)
+    must emit exactly the rows posexplode(embed_project().proj) does —
+    same values bit-for-bit, same schema — and its plan must carry a
+    Generate over stack, not over an array literal."""
+    from pyspark.sql import functions as F
+
+    from vedb_gaze_spark.operators.similarity import (
+        embed_project,
+        embed_project_rows,
+    )
+    from vedb_gaze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = embed_project_rows(emb)
+    ref = embed_project(emb).select(
+        "vec_id", F.posexplode("proj").alias("dim", "value")
+    )
+    assert rows.schema.simpleString() == ref.schema.simpleString()
+    assert sorted(map(tuple, rows.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    p = rows._jdf.queryExecution().executedPlan().toString()
+    assert "stack(16" in p, p[:2000]
