@@ -255,6 +255,52 @@ def test_dedup_clusters_equals_union_find(spark, edges):
     assert got == want
 
 
+def test_cc_block_schedule_path_graph_multi_block_convergence(spark, caplog):
+    """Solver-grade pin for the r15 K-rounds-per-action block schedule
+    (VERDICT r14 #1): a 20-node path needs ~19 propagation rounds, so
+    convergence lands deep inside a doubled block (schedule 1,2,4,8,8 →
+    block boundaries at rounds 1,3,7,15,23) — the post-convergence
+    rounds inside the final block must be identity maps (chg=0 at any
+    round is a fixpoint), the result exact, and the fallback silent."""
+    import logging
+
+    from vedb_gaze_spark.operators.dedup import dedup_clusters
+
+    n = 20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with caplog.at_level(logging.WARNING, "vedb_gaze_spark.operators.dedup"):
+        got = {
+            r.doc_id: (r.cluster_id, r.cluster_size)
+            for r in dedup_clusters(None, pairs=pairs, max_iters=50).collect()
+        }
+    assert got == {i: (0, n) for i in range(n)}
+    assert not any("did not converge" in m for m in caplog.messages)
+
+
+def test_cc_block_schedule_budget_cap_respected(spark, caplog):
+    """The block schedule must cap the LAST block to the remaining
+    max_iters budget: a 20-node path at max_iters=10 (blocks 1,2,4,3)
+    must exhaust exactly the budget, fall back to the alternation, and
+    still produce the exact component."""
+    import logging
+
+    from vedb_gaze_spark.operators.dedup import dedup_clusters
+
+    n = 20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with caplog.at_level(logging.WARNING, "vedb_gaze_spark.operators.dedup"):
+        got = {
+            r.doc_id: (r.cluster_id, r.cluster_size)
+            for r in dedup_clusters(None, pairs=pairs, max_iters=10).collect()
+        }
+    assert got == {i: (0, n) for i in range(n)}
+    assert any("did not converge" in m for m in caplog.messages)
+
+
 def test_dedup_clusters_path_graph_exceeding_budget_still_converges(spark, caplog):
     """A 150-node path (diameter 149) starves min-label propagation at
     max_iters=5 — the r3 silent-split edge. The fallback alternation

@@ -60,11 +60,19 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 
 
-def _size_bytes(conf_val: str) -> int:
-    """Parse a Spark byte-size conf string ('134217728', '128m', '1g')."""
+def _size_bytes(conf_val: str, default: int = 128 << 20) -> int:
+    """Parse a Spark byte-size conf string ('134217728', '128m', '1g',
+    '1t'). Unparsable values WARN and fall back to ``default`` rather
+    than silently flipping the spread_scan gate (ADVICE r14)."""
     s = conf_val.strip().lower()
     mult = 1
-    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+    for suf, m in (
+        ("k", 1 << 10),
+        ("m", 1 << 20),
+        ("g", 1 << 30),
+        ("t", 1 << 40),
+        ("p", 1 << 50),
+    ):
         if s.endswith(suf + "b"):
             s, mult = s[:-2], m
             break
@@ -76,7 +84,14 @@ def _size_bytes(conf_val: str) -> int:
     try:
         return int(s) * mult
     except ValueError:
-        return 128 << 20
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "unparsable byte-size conf value %r; assuming %d bytes",
+            conf_val,
+            default,
+        )
+        return default
 
 
 def spread_scan(df, *keys: str):
@@ -96,8 +111,10 @@ def spread_scan(df, *keys: str):
 
     Scale-adaptivity rather than a local[32] constant: the repartition
     only fires when the source CANNOT already feed every core — i.e.
-    the file layout admits fewer splits than defaultParallelism (bytes /
-    maxPartitionBytes, the planner's own split math). A 100 TB table
+    the file layout packs into fewer scan partitions than
+    defaultParallelism (the planner's own split math, mirrored exactly
+    in _scan_partitions: maxSplitBytes with the openCostInBytes and
+    bytesPerCore terms + greedy bin-packing). A 100 TB table
     has thousands of splits → no-op, zero plan change. A one-row-group
     bench file (or any small/freshly-compacted table on a real cluster)
     otherwise serializes the whole hashing pass onto ONE task (measured
@@ -115,24 +132,80 @@ def spread_scan(df, *keys: str):
     import os as _os
     from urllib.parse import unquote, urlparse
 
-    total = 0
+    sizes = []
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("file", ""):
             return df
         try:
-            total += _os.path.getsize(unquote(u.path))
+            sizes.append(_os.path.getsize(unquote(u.path)))
         except OSError:
             return df
     spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if _scan_partitions(spark, sizes) >= par:
+        return df
+    return df.repartition(par, *[F.col(k) for k in keys])
+
+
+def _scan_partitions(spark, sizes: list[int]) -> int:
+    """Mirror of the planner's file-split bin-packing
+    (FilePartition.maxSplitBytes + getFilePartitions): how many scan
+    partitions this file layout actually produces. The previous
+    hand-rolled estimate (len(files) + bytes // maxPartitionBytes)
+    ignored openCostInBytes and the bytesPerCore term, so a
+    many-tiny-files layout could count as >= defaultParallelism splits
+    while the planner packed it into far fewer (ADVICE r14)."""
     maxpb = _size_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
     )
-    par = spark.sparkContext.defaultParallelism
-    splits = len(files) + total // max(maxpb, 1)
-    if splits >= par:
-        return df
-    return df.repartition(par, *[F.col(k) for k in keys])
+    open_cost = _size_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", str(4 << 20)),
+        default=4 << 20,
+    )
+    def _int_conf(key: str) -> int:
+        # optional typed confs raise on get() when unset (and validate
+        # any default passed in), so probe defensively
+        try:
+            v = spark.conf.get(key)
+        except Exception:
+            return 0
+        try:
+            return int(v) if v else 0
+        except (TypeError, ValueError):
+            return 0
+
+    min_part = _int_conf("spark.sql.files.minPartitionNum")
+    if min_part <= 0:
+        min_part = _int_conf("spark.sql.leafNodeDefaultParallelism")
+    if min_part <= 0:
+        min_part = spark.sparkContext.defaultParallelism
+    total = sum(sizes) + len(sizes) * open_cost
+    bytes_per_core = total // max(min_part, 1)
+    max_split = min(maxpb, max(open_cost, bytes_per_core))
+    max_split = max(max_split, 1)
+    # parquet is splittable: each file becomes ceil(size / max_split)
+    # splits, then splits are greedily packed (sorted desc, openCost
+    # charged per split, partition closed when it would exceed max_split)
+    splits: list[int] = []
+    for sz in sizes:
+        off = 0
+        while off < sz:
+            splits.append(min(max_split, sz - off))
+            off += max_split
+        if sz == 0:
+            splits.append(0)
+    splits.sort(reverse=True)
+    parts = 0
+    cur = 0
+    for s in splits:
+        if cur + s > max_split and cur > 0:
+            parts += 1
+            cur = 0
+        cur += s + open_cost
+    if cur > 0:
+        parts += 1
+    return parts
 
 
 def spread_scan_scatter(df, key: str):

@@ -38,7 +38,7 @@ def apply_per_key(
         return pd.concat(outs, ignore_index=True)
 
     salted = df.withColumn("__salt", F.pmod(F.hash(key), F.lit(n_buckets)))
-    # Explicit n_buckets-partition repartition on the salt, NOT the bare
+    # Explicit numPartitions repartition on the salt, NOT the bare
     # groupBy: the grouped map's ENSURE_REQUIREMENTS exchange is subject
     # to AQE partition COALESCING, which is byte-based — a per-user
     # point table is a few hundred KB, so AQE folds all buckets into ONE
@@ -48,5 +48,15 @@ def apply_per_key(
     # — exactly the case byte-based coalescing mis-sizes. An explicit
     # numPartitions repartition is exempt from coalescing and satisfies
     # the groupBy's distribution (no second exchange appears).
-    salted = salted.repartition(n_buckets, "__salt")
+    #
+    # 4× partitions over salt values (ADVICE r14): hashing n_buckets
+    # distinct salts into exactly n_buckets partitions leaves ~1/e of
+    # the partitions empty by birthday collision and stacks 2+ salt
+    # groups sequentially in others (effective parallelism ~63% of
+    # n_buckets — guide §2.5's "20-100× more distinct keys than
+    # partitions", seen from the partition side). Hash partitioning on
+    # __salt at ANY partition count still satisfies the groupBy's
+    # distribution and stays exempt from AQE coalescing; the extra
+    # empty partitions are zero-row no-op tasks.
+    salted = salted.repartition(4 * n_buckets, "__salt")
     return salted.groupBy("__salt").applyInPandas(run, schema=schema)

@@ -660,16 +660,53 @@ def dedup_clusters(
     )
 
 
+CC_BLOCK_CAP = 8
+
+
 def _cc_labels(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """(doc_id, label) connected-component minima over a (doc_a, doc_b)
-    pair relation — the solver under dedup_clusters and the contracted
-    graph of dedup_clusters_incremental. See dedup_clusters for the
-    algorithm notes."""
+    pair relation — the solver under dedup_clusters, semdedup and the
+    contracted graph of dedup_clusters_incremental. See dedup_clusters
+    for the algorithm notes.
+
+    r15 job-floor amortization (guide §2.6/§5; VERDICT r14 #1): the
+    solver's cost at bench scale is SEQUENTIAL SMALL JOBS, not data —
+    one count job per propagation round (semdedup's chain-shaped graph
+    ran 14 of them at ~0.5 s each). Two structural changes, identical
+    labels:
+
+    1. SELF-LOOP rounds — the symmetrized edge list carries (a,a)/(b,b)
+       self-loops, so one propagation round is a single
+       join-on-dst + groupBy(src).min: min over Γ(u) ∪ {u} ≡
+       least(old_label, min over neighbors). That references the
+       previous round's labels exactly ONCE (the old form referenced
+       them twice: the neighbor join AND the join-back), so the plan of
+       a chained block grows LINEARLY in rounds — no per-round
+       checkpoint needed for either correctness or plan size — and each
+       round is one join + one aggregation instead of two joins + one.
+       The previous round's own label rides out of the same aggregation
+       as min(nl) over the self-loop rows, which is what the
+       convergence flag compares against.
+
+    2. K-ROUNDS-PER-ACTION with a doubling schedule (1, 2, 4, 8, 8, …
+       capped at CC_BLOCK_CAP and at the remaining max_iters budget):
+       only the LAST round of a block computes the chg flag, and one
+       count job materializes the whole block. chg = 0 at ANY round is
+       a fixpoint (labels are monotone non-increasing and a no-change
+       round reproduces itself), so post-convergence rounds inside a
+       block are identity maps and the block's last-round flag is a
+       sound convergence test; the only waste is ≤ CC_BLOCK_CAP − 1
+       no-op rounds executed inside the final action. semdedup's
+       14-round graph: 14 count jobs → 5 block jobs.
+    """
     # Symmetrize with ONE explode, not a self-union: the union's two
     # branches re-evaluated the whole upstream pair plan (the LSH
     # pipeline — 8 FileScans, zero ReusedExchange measured) before the
     # persist could help, doubling the query's CPU for identical
     # output. The explode scans the pair plan once by construction.
+    # The (a,a)/(b,b) self-loops double the edge rows (pair-graph-sized
+    # — tiny next to the corpus) and are what let one aggregation
+    # compute min(self ∪ neighbors) per round.
     edges = (
         pairs.select(
             F.explode(
@@ -682,6 +719,14 @@ def _cc_labels(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                         F.col("doc_b").alias("src"),
                         F.col("doc_a").alias("dst"),
                     ),
+                    F.struct(
+                        F.col("doc_a").alias("src"),
+                        F.col("doc_a").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"),
+                        F.col("doc_b").alias("dst"),
+                    ),
                 )
             ).alias("e")
         )
@@ -693,53 +738,62 @@ def _cc_labels(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     ckpt = iter_checkpoint
 
     # Seeded init: label = min(self ∪ neighbors) in ONE aggregation over
-    # the edge list — algebraically identical to the identity init plus
-    # the first propagation round (which would compute exactly this min
-    # from identity labels), at the cost of the same single shuffle the
-    # old `distinct` init paid. Star/clique components — the measured
-    # shape of near-dup clusters — are CORRECT after the seed, so the
-    # loop typically runs one confirming round instead of two or three
-    # (measured sf0.1: 4 rounds → 1 round, ~2.1 s → ~1.6 s warm loop).
-    # The checkpoint is lazy; round 1's convergence count materializes it.
-    labels = ckpt(
+    # the self-looped edge list — algebraically identical to the
+    # identity init plus the first propagation round, at the cost of the
+    # single shuffle the old `distinct` init paid. Star/clique
+    # components — the measured shape of near-dup clusters — are CORRECT
+    # after the seed. Not checkpointed: block 1 references it once and
+    # the block checkpoint truncates the plan right after.
+    labels = (
         edges.groupBy("src")
-        .agg(F.min("dst").alias("nbr_min"))
-        .select(
-            F.col("src").alias("doc_id"),
-            F.least("src", "nbr_min").alias("label"),
-        ),
-        eager=False,
+        .agg(F.min("dst").alias("label"))
+        .withColumnRenamed("src", "doc_id")
     )
     changed = -1  # -1 = loop never ran (max_iters < 1): treat as unconverged
-    for _ in range(max_iters):
-        nbr = (
-            edges.join(
-                labels.select(F.col("doc_id").alias("dst"), F.col("label").alias("nl")),
+    done = 0
+    step = 1
+    while done < max_iters:
+        k = min(step, max_iters - done)
+        cur = labels
+        for j in range(k):
+            last = j == k - 1
+            joined = edges.join(
+                cur.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("nl")
+                ),
                 "dst",
             )
-            .groupBy("src")
-            .agg(F.min("nl").alias("nbr_min"))
-            .withColumnRenamed("src", "doc_id")
-        )
-        # checkpoint each round: iterative self-joins otherwise grow the
-        # lineage (and the optimizer's work) linearly with rounds. The
-        # changed flag rides in the SAME pass and the checkpoint is lazy,
-        # so the convergence count below is the one job that both
-        # materializes the round and tests it.
-        new_labels = ckpt(
-            labels.join(nbr, "doc_id", "left")
-            .select(
+            aggs = [F.min("nl").alias("label")]
+            if last:
+                # the self-loop row's nl IS this node's previous label —
+                # the convergence comparand, out of the same aggregation
+                aggs.append(
+                    F.min(
+                        F.when(F.col("dst") == F.col("src"), F.col("nl"))
+                    ).alias("old")
+                )
+            cur = joined.groupBy("src").agg(*aggs).withColumnRenamed(
+                "src", "doc_id"
+            )
+        # checkpoint once per BLOCK: truncates the (linear) intra-block
+        # lineage; the chg flag rides in the same pass and the
+        # checkpoint is lazy, so the convergence count below is the one
+        # job that both materializes the block and tests it.
+        cur = ckpt(
+            cur.select(
                 "doc_id",
-                F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("label"),
-                (F.col("nbr_min") < F.col("label")).alias("chg"),
+                "label",
+                (F.col("label") < F.col("old")).alias("chg"),
             ),
             eager=False,
         )
-        changed = new_labels.where("chg").count()
-        labels = new_labels.drop("chg")
+        changed = cur.where("chg").count()
+        labels = cur.drop("chg")
+        done += k
         if changed == 0:
             break
-    else:
+        step = min(step * 2, CC_BLOCK_CAP)
+    if changed != 0:
         # Budget exhausted with labels still moving: some component's
         # minimum sits more than max_iters hops from a member, and the
         # partial labels would split that cluster. Never return them —

@@ -709,20 +709,28 @@ def embed_project(
     promoted elements, so the projection is BIT-identical to the DuckDB
     oracle before the boundary rounding — no float tolerance needed.
     One whole-stage-codegen projection, no shuffle, no UDF."""
-    signs = rp_signs(d_in, d_out)
     v = _vecs(embeddings)
     cols = [
-        F.expr(
-            "floor(("
-            + " + ".join(
-                f"({signs[j][i]}) * element_at(v, {i + 1})"
-                for i in range(d_in)
-            )
-            + ") * 1e6 + 0.5) / 1e6"
-        ).alias(f"p{j}")
-        for j in range(d_out)
+        F.expr(e).alias(f"p{j}")
+        for j, e in enumerate(_rp_proj_exprs(d_in, d_out))
     ]
     return v.select("vec_id", F.array(*cols).alias("proj"))
+
+
+def _rp_proj_exprs(d_in: int, d_out: int) -> list[str]:
+    """The per-dimension projection expression strings shared by
+    embed_project (array face) and embed_project_rows (stack face) —
+    ONE copy of the floor(Σ ±v_i · 1e6 + 0.5)/1e6 formula, so the two
+    faces' bit-identity contract cannot drift apart (ADVICE r14)."""
+    signs = rp_signs(d_in, d_out)
+    return [
+        "floor(("
+        + " + ".join(
+            f"({signs[j][i]}) * element_at(v, {i + 1})" for i in range(d_in)
+        )
+        + ") * 1e6 + 0.5) / 1e6"
+        for j in range(d_out)
+    ]
 
 
 def embed_project_rows(
@@ -741,15 +749,9 @@ def embed_project_rows(
     splitExpressions carves sub-methods at column boundaries), and the
     stack Generator consumes column REFS, not the trees. Measured at
     sf0.1: 3.29 s → 0.55 s collected, values bit-identical."""
-    signs = rp_signs(d_in, d_out)
     v = _vecs(embeddings)
     exprs = [
-        "floor(("
-        + " + ".join(
-            f"({signs[j][i]}) * element_at(v, {i + 1})" for i in range(d_in)
-        )
-        + f") * 1e6 + 0.5) / 1e6 as p{j}"
-        for j in range(d_out)
+        f"{e} as p{j}" for j, e in enumerate(_rp_proj_exprs(d_in, d_out))
     ]
     stack_args = ", ".join(f"{j}, p{j}" for j in range(d_out))
     return (
