@@ -123,12 +123,27 @@ def spread_scan(df, *keys: str):
     no-op. Partition count is defaultParallelism (the cluster's core
     budget), never a hard-coded number; the hash keys keep the
     placement deterministic under task retry (guide §2.5)."""
+    if not scan_is_compact(df):
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, *[F.col(k) for k in keys])
+
+
+def scan_is_compact(df) -> bool:
+    """True when the planner would pack ``df``'s input files into fewer
+    scan partitions than defaultParallelism — i.e. the source cannot
+    feed every core by itself. This is spread_scan's firing gate,
+    exposed for operator-level strategy choices that depend on the same
+    question (e.g. graph.hits picks its bench-scale normalization shape
+    only when the input is compact). Non-local URIs, un-stat-able
+    sources and fileless plans conservatively return False (the
+    operator keeps its scale shape)."""
     try:
         files = df.inputFiles()
     except Exception:
-        return df
+        return False
     if not files:
-        return df
+        return False
     import os as _os
     from urllib.parse import unquote, urlparse
 
@@ -136,16 +151,14 @@ def spread_scan(df, *keys: str):
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("file", ""):
-            return df
+            return False
         try:
             sizes.append(_os.path.getsize(unquote(u.path)))
         except OSError:
-            return df
+            return False
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    if _scan_partitions(spark, sizes) >= par:
-        return df
-    return df.repartition(par, *[F.col(k) for k in keys])
+    return _scan_partitions(spark, sizes) < par
 
 
 def _scan_partitions(spark, sizes: list[int]) -> int:

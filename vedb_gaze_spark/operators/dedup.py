@@ -1127,14 +1127,28 @@ def dedup_recall(
     twice — measured 15-23 s vs ~9 s at sf0.1 — while inside one job
     Catalyst's exchange reuse shares it; the checkpoint then removes
     the downstream triple-reference risk (semi-join + two count
-    rollups) that exchange reuse alone left to optimizer luck."""
+    rollups) that exchange reuse alone left to optimizer luck.
+
+    r15 (VERDICT r14 #2): both kernels consume ONE lazily
+    localCheckpoint-ed _doc_sets relation instead of each building its
+    own plan instance. Exchange reuse shared the exchange's map side,
+    but every consumer still re-ran the post-exchange final aggregation
+    (the collect_set + sort_array over shuffled rows) per probe; the
+    lazy checkpoint materializes the finished doc-set rows once and
+    every consumer reads them (measured isolated sf0.1: 4.6 → 3.9 s
+    best, rows identical). The PERSIST flavor of the same idea is a
+    measured NEGATIVE (4.6 → 20.3 s): the columnar InMemoryRelation
+    encode of the big array<long> column plus per-partition cache-write
+    locking across the concurrent consumer stages costs far more than
+    it saves — recorded so nobody re-tries it."""
     if sample_mod is not None:
         documents = _recall_sample(documents, sample_mod)
+    ds = iter_checkpoint(_doc_sets(documents), eager=False)
     tagged = iter_checkpoint(
-        dedup_ngram_jaccard(documents)
+        dedup_ngram_jaccard(documents, doc_sets=ds)
         .select("doc_a", "doc_b", F.lit("e").alias("m"))
         .unionByName(
-            dedup_minhash_lsh(documents).select(
+            dedup_minhash_lsh(documents, doc_sets=ds).select(
                 "doc_a", "doc_b", F.lit("l").alias("m")
             )
         ),
@@ -1200,11 +1214,16 @@ def dedup_agreement(
 
     if sample_mod is not None:
         documents = _recall_sample(documents, sample_mod)
+    # ONE lazily checkpointed doc-set relation for both set-based
+    # kernels (winnowing fingerprints are positional — no sharing
+    # possible): see dedup_recall's r15 note for the measurement and
+    # why persist() is the wrong flavor. Isolated sf0.1: 8.1 → 6.7 s.
+    ds = iter_checkpoint(_doc_sets(documents), eager=False)
     tagged = (
-        dedup_minhash_lsh(documents)
+        dedup_minhash_lsh(documents, doc_sets=ds)
         .select("doc_a", "doc_b", F.lit("minhash_lsh").alias("method"))
         .unionByName(
-            dedup_ngram_jaccard(documents).select(
+            dedup_ngram_jaccard(documents, doc_sets=ds).select(
                 "doc_a", "doc_b", F.lit("ngram_jaccard").alias("method")
             )
         )

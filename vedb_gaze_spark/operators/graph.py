@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vedb_gaze_spark.functions.core import iter_checkpoint
+from vedb_gaze_spark.functions.core import iter_checkpoint, scan_is_compact
 
 PR_ITERS = 10
 PR_DAMP_PCT = 85            # damping 0.85 as exact percent arithmetic
@@ -68,8 +68,19 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     ed = edges.join(deg, "s").persist()
     ranks = deg.select(F.col("s").alias("n"), F.lit(PR_R0).cast("long").alias("r"))
     for i in range(iters):
+        # hint("merge") on the node-sized rank side (r15, guide §3.1):
+        # without it the planner broadcasts the ranks each iteration —
+        # ten sequential BroadcastExchange builds, each a driver
+        # round-trip barrier. As a sort-merge join the edge side's
+        # exchange is ONE reused shuffle (identical subtree over the
+        # persisted relation every iteration → ReusedExchange) and each
+        # iteration only shuffles the node-sized rank table — measured
+        # 35 → 17 jobs, 7.3 → 6.5 s best isolated at sf0.1, output
+        # byte-identical (integer arithmetic untouched). This is also
+        # the only strategy available at 100 TB node counts, where the
+        # rank table exceeds any broadcast cap.
         ranks = (
-            ed.join(ranks, ed["s"] == ranks["n"])
+            ed.join(ranks.hint("merge"), ed["s"] == ranks["n"])
             .select("d", F.expr("r div deg").alias("c"))
             .groupBy("d")
             .agg(F.sum("c").alias("sc"))
@@ -130,18 +141,83 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     matches hash-for-hash.
 
     Scale shape: edges cached once; each half-iteration shuffles only
-    the node-sized score table; the max is a scalar aggregate joined
-    back by broadcast — no driver collect anywhere."""
+    the node-sized score table.
+
+    Two value-identical normalization shapes, picked by the spread_scan
+    input gate (r15, guide §2.6/§5 — the job-floor amortization VERDICT
+    r14 #1 asked for):
+
+    - COMPACT input (bench scale, scan_is_compact): the per-half-
+      iteration max rides a global window (one exact max over the
+      node-sized raw table), so the whole ``iters``-round recurrence is
+      ONE lazy chain — every score table is referenced exactly once, so
+      the plan grows linearly and a single action executes all rounds
+      with zero per-round driver barriers (measured 88 → 36 jobs,
+      10.5 → 6.1 s best isolated at sf0.1; scores byte-identical —
+      integer sums, one exact max, same div). Each score table is
+      lazily localCheckpoint-ed so the final union's auth branch reads
+      the rounds materialized by the hubs chain instead of re-deriving
+      them. The window's single-partition exchange carries a NODE-sized
+      table — fine when the input itself is compact, wrong for huge
+      graphs, hence the gate.
+    - LARGE input: the r8 shape — eager node-sized checkpoint of each
+      raw table, scalar max broadcast-joined back. The checkpoint is
+      what stops every scalar-max job from re-evaluating the whole
+      chain (measured 42 s → 7.5 s at sf0.1 when it landed); the
+      broadcast of a 1-row max is the only scale-safe way to attach a
+      global aggregate without a total exchange."""
+    # gate BEFORE persist: inputFiles() on a cached plan resolves to the
+    # InMemoryRelation (no files) and the gate would conservatively pick
+    # the large-input shape forever
+    compact = scan_is_compact(edges)
     ed = edges.persist()
     hubs = ed.select("h").distinct().select(
         F.col("h").alias("n"), F.lit(HITS_SCALE).cast("long").alias("hub")
     )
     auth = None
+    if compact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy()
+        for i in range(iters):
+            a_raw = (
+                ed.join(hubs, ed["h"] == hubs["n"])
+                .groupBy("a")
+                .agg(F.sum("hub").alias("raw"))
+            )
+            auth = iter_checkpoint(
+                a_raw.withColumn("mx", F.max("raw").over(w)).select(
+                    F.col("a").alias("n"),
+                    F.expr(f"(raw * {HITS_SCALE}) div mx")
+                    .cast("long")
+                    .alias("auth"),
+                ),
+                eager=False,
+            )
+            h_raw = (
+                ed.join(auth, ed["a"] == auth["n"])
+                .groupBy("h")
+                .agg(F.sum("auth").alias("raw"))
+            )
+            # hubs deliberately NOT checkpointed inside the loop: the
+            # chain references each hubs exactly once, and every lazy
+            # checkpoint cuts the plan into another separately-executed
+            # segment (measured: checkpointing both tables per round
+            # doubled the job count, 36 → 90). Only auth needs the cut —
+            # it is the one table referenced twice (next half-iteration
+            # AND the final union).
+            hubs = h_raw.withColumn("mx", F.max("raw").over(w)).select(
+                F.col("h").alias("n"),
+                F.expr(f"(raw * {HITS_SCALE}) div mx").cast("long").alias("hub"),
+            )
+        return hubs.select(
+            F.col("n").alias("node_id"), F.col("hub").alias("score_units")
+        ).unionByName(
+            auth.select(
+                F.col("n").alias("node_id"), F.col("auth").alias("score_units")
+            )
+        )
     for i in range(iters):
-        # eager node-sized checkpoint of each raw table BEFORE its max:
-        # the max is broadcast-joined back, so without materialization
-        # every half-iteration's scalar job re-evaluates the whole
-        # chain from the scan (measured 42 s → 7.5 s at sf0.1)
         a_raw = iter_checkpoint(
             ed.join(hubs, ed["h"] == hubs["n"])
             .groupBy("a")
