@@ -45,14 +45,28 @@ def _word_types(documents: DataFrame) -> DataFrame:
 def _merge_expr(a: str, b: str) -> str:
     """Replace every adjacent (a, b) symbol pair with the merged symbol,
     greedy left-to-right — a sequential fold, exactly the reference BPE
-    apply order."""
+    apply order.
+
+    The fold is gated on arrays_overlap for BOTH symbols (r15, guide
+    §4.4): the aggregate HOF rebuilds the accumulator array per symbol
+    (O(len²) concats per word per stacked merge), but a word containing
+    no occurrence of `a` or of `b` folds to itself by definition — the
+    two overlap probes are O(len) and skip the fold for the vast
+    majority of vocabulary rows. Output identical (gate is
+    semantics-free); with the tighter checkpoint cadence in bpe_train
+    this measured 6.4 → 5.7 s isolated on bpe_stats at sf0.1."""
     qa, qb = a.replace("'", "''"), b.replace("'", "''")
-    return (
+    fold = (
         f"aggregate(syms, cast(array() as array<string>), (acc, s) -> "
         f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{qa}' "
         f"AND s = '{qb}' "
         f"THEN concat(slice(acc, 1, size(acc) - 1), array('{qa}' || '{qb}')) "
         f"ELSE concat(acc, array(s)) END)"
+    )
+    return (
+        f"CASE WHEN arrays_overlap(syms, array('{qa}')) "
+        f"AND arrays_overlap(syms, array('{qb}')) "
+        f"THEN {fold} ELSE syms END"
     )
 
 
@@ -97,8 +111,12 @@ def bpe_train(
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
+        # cadence 3 (was 6): each pair-count job re-evaluates the
+        # stacked un-checkpointed folds over the whole vocabulary, so
+        # two extra materialization jobs buy ≤2 stacked folds per count
+        # instead of ≤5 — measured net win (see _merge_expr note)
         w = w.select("word", "cnt", F.expr(_merge_expr(a, b)).alias("syms"))
-        if (i + 1) % 6 == 0:
+        if (i + 1) % 3 == 0:
             w = iter_checkpoint(w, eager=True)
     return merges
 

