@@ -751,6 +751,63 @@ class TestPagerank:
         }
         assert a == b
 
+    def test_rank_join_is_sort_merge_not_broadcast(self, spark, sf_dir):
+        """r15: the per-iteration rank join must NOT broadcast the rank
+        table (ten sequential broadcast builds were the job floor; and
+        at 100 TB node counts broadcast is impossible anyway). The
+        terminal plan segment (after the last lazy checkpoint) carries
+        the last iteration's join — pin it to SortMergeJoin."""
+        from vedb_gaze_spark.operators import graph
+        from vedb_gaze_spark.sources.tables import load_table
+
+        df = graph.trade_pagerank(
+            load_table(spark, "lineitem", sf_dir),
+            load_table(spark, "orders", sf_dir),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+
+
+class TestHitsShapes:
+    def test_window_and_broadcast_forms_agree_exactly(self, spark, sf_dir):
+        """r15: hits() picks a window-max lazy chain on compact inputs
+        and keeps the r8 eager-checkpoint/broadcast-max shape otherwise
+        (scan_is_compact gate). Both shapes are integer-exact and must
+        produce byte-identical scores; pin equality by forcing the gate
+        both ways on the same edges."""
+        from unittest import mock
+
+        from vedb_gaze_spark.operators import graph
+        from vedb_gaze_spark.sources.tables import load_table
+
+        li = load_table(spark, "lineitem", sf_dir)
+        od = load_table(spark, "orders", sf_dir)
+        with mock.patch.object(graph, "scan_is_compact", return_value=True):
+            compact = sorted(
+                tuple(r) for r in graph.trade_hits(li, od).collect()
+            )
+        with mock.patch.object(graph, "scan_is_compact", return_value=False):
+            large = sorted(
+                tuple(r) for r in graph.trade_hits(li, od).collect()
+            )
+        assert compact == large
+
+    def test_compact_form_is_one_lazy_window_chain(self, spark, sf_dir):
+        """The bench-scale shape: max-normalization via Window (no
+        BroadcastNestedLoopJoin crossJoin of a scalar max anywhere in
+        the terminal plan), which is what lets all 16 half-iterations
+        run inside one action."""
+        from vedb_gaze_spark.operators import graph
+        from vedb_gaze_spark.sources.tables import load_table
+
+        df = graph.trade_hits(
+            load_table(spark, "lineitem", sf_dir),
+            load_table(spark, "orders", sf_dir),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 @settings(
     max_examples=20,

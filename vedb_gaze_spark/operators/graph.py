@@ -127,7 +127,9 @@ def trade_edges_directed(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
-def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+def hits(
+    edges: DataFrame, iters: int = HITS_ITERS, compact: bool | None = None
+) -> DataFrame:
     """Integer-exact HITS (Kleinberg 1999, "Authoritative sources in a
     hyperlinked environment"): authority = Σ hub over in-edges, hub =
     Σ authority over out-edges, each renormalized per half-iteration.
@@ -166,10 +168,16 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
       chain (measured 42 s → 7.5 s at sf0.1 when it landed); the
       broadcast of a 1-row max is the only scale-safe way to attach a
       global aggregate without a total exchange."""
-    # gate BEFORE persist: inputFiles() on a cached plan resolves to the
-    # InMemoryRelation (no files) and the gate would conservatively pick
-    # the large-input shape forever
-    compact = scan_is_compact(edges)
+    # ``compact``: callers that know the raw sources should gate there
+    # (trade_hits does) — inputFiles() on a derived plan resolves
+    # through the CacheManager, and once one call has persist()-ed the
+    # edge relation, every later call's identical subtree substitutes to
+    # the (fileless) InMemoryRelation and the gate silently flips to the
+    # large-input shape (see scan_is_compact's cache caveat; caught by
+    # TestHitsShapes). The fallback gate here still serves fresh-plan
+    # callers.
+    if compact is None:
+        compact = scan_is_compact(edges)
     ed = edges.persist()
     hubs = ed.select("h").distinct().select(
         F.col("h").alias("n"), F.lit(HITS_SCALE).cast("long").alias("hub")
@@ -251,8 +259,13 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
 
 def trade_hits(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """Registry face: hub scores for customers, authority scores for
-    suppliers, over the directed trade graph."""
-    scores = hits(trade_edges_directed(lineitem, orders))
+    suppliers, over the directed trade graph. The normalization-shape
+    gate is computed on the RAW table scans (never persisted), not on
+    the derived edge relation — see scan_is_compact's cache caveat."""
+    scores = hits(
+        trade_edges_directed(lineitem, orders),
+        compact=scan_is_compact(lineitem, orders),
+    )
     return scores.select(
         "node_id",
         F.when(F.col("node_id") % 2 == 0, "customer")
